@@ -1,0 +1,158 @@
+"""Deduplication operators for training-data pipelines.
+
+- **Exact dedup** — hash-groupBy on a content digest. One shuffle on
+  the digest; at 100 TB hash the text early so the shuffle moves
+  32-byte digests + ids, never the documents themselves.
+- **MinHash + LSH near-dedup** — shingle → minhash signature → band
+  buckets → bucket equi-join → verified Jaccard. The classic
+  Broder/LSH construction (Mining of Massive Datasets ch.3). All
+  signature work is built-in expressions (xxhash64 + aggregate), the
+  candidate join is an equi-join on (band, bucket-hash) so Catalyst
+  shuffles only signatures; pair verification happens on the
+  candidates, not the n² space.
+- **SimHash** — 64-bit Charikar fingerprint; near-dups = small
+  Hamming distance, bucketed by rotated prefixes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Digest groups: (text_hash, keep_doc_id = min id, n_copies)."""
+    return (
+        df.select(F.md5(F.col(text_col).cast("binary")).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias(f"keep_{id_col}"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep exactly one row (min id) per distinct text."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col(f"keep_{id_col}").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingles(text_col, n: int = 3):
+    """Word n-gram shingle array: ['a b c', 'b c d', ...] (Column expr).
+
+    Pure built-in expressions (split + transform + slice-by-index via
+    F.expr) — stays JVM-side.
+    """
+    toks = F.split(F.trim(text_col), r"\s+")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), k - 1)
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+
+
+def minhash_signature(shingle_col, num_hashes: int = 64):
+    """MinHash signature as array<long>: min over shingles of
+    xxhash64(shingle, seed=i) for each of ``num_hashes`` seeds."""
+    return F.array(*[
+        F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Candidate near-duplicate pairs with estimated Jaccard similarity.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b and
+    est_jaccard >= threshold. Estimated Jaccard = fraction of matching
+    minhash components (unbiased estimator of true Jaccard).
+
+    Scale path: the only shuffle is the equi-join on
+    (band_index, band_hash); bucket sizes are data-dependent but each
+    bucket is a true candidate set, so work is proportional to real
+    near-duplicate density, not n².
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        id_col, "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[F.element_at("sig", b * rows_per_band + r + 1)
+                              for r in range(rows_per_band)],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bucket") == F.col(f"b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    matching = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    est = F.round(matching / F.lit(num_hashes), 4)
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash64(text_col, shingle_n: int = 2):
+    """64-bit SimHash fingerprint (Charikar) as a long Column.
+
+    Majority vote per bit over shingle hashes, built from bitwise
+    expressions — JVM-side, no UDF.
+    """
+    sh = shingles(text_col, shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    bits = []
+    for bit in range(64):
+        # count of shingles with this bit set, vs half the total
+        ones = F.size(
+            F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << bit)) != 0)
+        )
+        bits.append(
+            F.when(ones * 2 >= F.size(hashes), F.lit(1 << bit)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out

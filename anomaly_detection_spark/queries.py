@@ -1,0 +1,510 @@
+"""Named query registry — the driver-facing surface.
+
+Every implemented operator from SURVEY.md §2 (plus the LLM-pipeline
+extensions) is registered here as a named PySpark query paired with an
+ANSI-SQL oracle that DuckDB runs on the same parquet tables
+(``__spark_entry__.py`` re-exports both).
+
+Conventions (FIXTURES.md):
+- ``eval_ts`` pinned to 2024-02-01 (just past the events table's max
+  timestamp) — never ``current_date`` — for reproducibility.
+- Every float output rounded (4 dp for values, 6 dp for day fractions)
+  on BOTH sides so order-insensitive value-hashing is stable.
+- Aggregate/computed columns aliased identically on both sides.
+- No reliance on tie-order: outputs carry deterministic key columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from anomaly_detection_spark.config import DetectorConfig
+from anomaly_detection_spark.detect.rules import rule_flags
+from anomaly_detection_spark.detect.stl import stl_iqr_detect
+from anomaly_detection_spark.operators.completeness import complete_groups
+from anomaly_detection_spark.operators.enrich import enrich
+from anomaly_detection_spark.operators.keys import concat_key, split_key
+from anomaly_detection_spark.operators.runlength import run_length
+from anomaly_detection_spark.operators.topn import top_n_per_group
+from anomaly_detection_spark.sources.tables import load_table
+
+EVAL_TS = "2024-02-01 00:00:00"
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the rule-based flags engine (SURVEY §2.5 W1-W11, §2.2, D1-D9)
+# ---------------------------------------------------------------------------
+
+_RULE_FLAGS_ORACLE = f"""
+WITH row_data AS (
+    SELECT user_id,
+           ts AS date_recorded,
+           lag(ts) OVER w AS last_date,
+           round(value, 4) AS value,
+           round(lag(value, 1) OVER w, 4) AS previous_value,
+           round(avg(value) OVER (w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 4)
+               AS previous_seven_period_avg,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS row_num
+    FROM events
+    WHERE ts <= TIMESTAMP '{EVAL_TS}'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+detrended AS (
+    SELECT *,
+           abs(round(value - previous_value, 4)) AS absolute_one_period_difference,
+           epoch(date_recorded) - epoch(last_date) AS gap_secs
+    FROM row_data
+    WHERE row_num <= 28
+),
+stats AS (
+    SELECT *,
+           round(avg(absolute_one_period_difference) OVER wp, 4) AS average,
+           round(stddev_samp(absolute_one_period_difference) OVER wp, 4)
+               AS standard_deviation,
+           avg(gap_secs) OVER wp AS avg_gap_secs,
+           CASE WHEN absolute_one_period_difference = 0 THEN 1 ELSE 0 END
+               AS repeated_values,
+           CASE WHEN absolute_one_period_difference = 0 THEN 0 ELSE 1 END
+               AS reset_count
+    FROM detrended
+    WINDOW wp AS (PARTITION BY user_id)
+),
+stddev_data AS (
+    SELECT *,
+           round(avg_gap_secs / 86400.0, 6) AS avg_days_bw_data,
+           round((epoch(TIMESTAMP '{EVAL_TS}') - epoch(date_recorded)) / 86400.0, 6)
+               AS days_since_last_update,
+           CASE WHEN standard_deviation != 0
+                THEN round(abs(absolute_one_period_difference - average)
+                           / standard_deviation, 4)
+                ELSE 0.0 END AS absolute_standard_deviations_from_avg,
+           CAST(sum(reset_count) OVER (PARTITION BY user_id ORDER BY date_recorded)
+               AS BIGINT) AS reset_reps_sum
+    FROM stats
+),
+repeated AS (
+    SELECT *,
+           CAST(sum(CASE WHEN reset_count = 1 THEN 1 ELSE repeated_values END)
+                OVER (PARTITION BY user_id, reset_reps_sum ORDER BY date_recorded)
+               AS BIGINT) AS data_repetitions
+    FROM stddev_data
+),
+flags AS (
+    SELECT *,
+           CASE WHEN absolute_standard_deviations_from_avg >= 4.5 THEN 1 ELSE 0 END
+               AS standard_deviation_flag,
+           CASE WHEN data_repetitions >= 3 THEN 1 ELSE 0 END
+               AS data_repetitions_flag,
+           CASE WHEN days_since_last_update > 1.0 * avg_days_bw_data THEN 1 ELSE 0 END
+               AS days_since_last_update_flag
+    FROM repeated
+)
+SELECT user_id,
+       CAST(date_recorded AS TIMESTAMP) AS date_recorded,
+       value, previous_value, previous_seven_period_avg,
+       absolute_one_period_difference, average, standard_deviation,
+       absolute_standard_deviations_from_avg,
+       CASE WHEN value - previous_value < 0
+            THEN -absolute_standard_deviations_from_avg
+            ELSE absolute_standard_deviations_from_avg
+            END AS standard_deviations_from_avg,
+       data_repetitions, avg_days_bw_data, days_since_last_update,
+       standard_deviation_flag, data_repetitions_flag,
+       days_since_last_update_flag,
+       CASE WHEN standard_deviation_flag = 1 OR data_repetitions_flag = 1
+                 OR days_since_last_update_flag = 1
+            THEN 1 ELSE 0 END AS anomaly
+FROM flags
+WHERE row_num = 1
+"""
+
+_RULE_FLAGS_COLS = [
+    "user_id", "date_recorded", "value", "previous_value",
+    "previous_seven_period_avg", "absolute_one_period_difference", "average",
+    "standard_deviation", "absolute_standard_deviations_from_avg",
+    "standard_deviations_from_avg", "data_repetitions", "avg_days_bw_data",
+    "days_since_last_update", "standard_deviation_flag",
+    "data_repetitions_flag", "days_since_last_update_flag", "anomaly",
+]
+
+
+@register("rule_flags_events", _RULE_FLAGS_ORACLE)
+def q_rule_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full flags pipeline over the events series (key = user_id)."""
+    ev = load_table(spark, "events", sf_dir)
+    cfg = DetectorConfig(eval_ts=EVAL_TS)
+    out = rule_flags(ev, ["user_id"], "ts", "value", cfg, emit="latest")
+    return out.select(*_RULE_FLAGS_COLS)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (A1-A7) — TPC-H Q1 shape on lineitem
+# ---------------------------------------------------------------------------
+
+@register("tpch_q1_agg", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-N per group (P7/O3/W4)
+# ---------------------------------------------------------------------------
+
+@register("top5_events_per_user", """
+SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, round(value, 4) AS value
+FROM (
+    SELECT user_id, event_id, ts, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn <= 5
+""")
+def q_top5_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("user_id", "event_id", "ts", F.round("value", 4).alias("value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag / diff (W1/W2/D1)
+# ---------------------------------------------------------------------------
+
+@register("lag_diff_events", """
+SELECT user_id, event_id,
+       round(value, 4) AS value,
+       round(lag(value, 1) OVER w, 4) AS previous_value,
+       abs(round(value - lag(value, 1) OVER w, 4)) AS abs_diff,
+       round((epoch(ts) - epoch(lag(ts) OVER w)) / 86400.0, 6) AS gap_days
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+""")
+def q_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev_v = F.lag("value", 1).over(w)
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "user_id", "event_id",
+        F.round("value", 4).alias("value"),
+        F.round(prev_v, 4).alias("previous_value"),
+        F.abs(F.round(F.col("value") - prev_v, 4)).alias("abs_diff"),
+        F.round(
+            (F.col("ts").cast("double") - prev_ts.cast("double")) / 86400.0, 6
+        ).alias("gap_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Run length — gaps & islands (W10/W11/D2)
+# ---------------------------------------------------------------------------
+
+@register("run_length_events", """
+WITH coarse AS (
+    SELECT user_id, event_id, ts, floor(value / 100.0) AS bucket FROM events
+),
+seg AS (
+    SELECT *,
+           CASE WHEN bucket - lag(bucket) OVER w = 0 THEN 1 ELSE 0 END AS repeated,
+           CASE WHEN bucket - lag(bucket) OVER w = 0 THEN 0 ELSE 1 END AS reset
+    FROM coarse WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+segsum AS (
+    SELECT *, CAST(sum(reset) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS seg_id
+    FROM seg
+)
+SELECT user_id, event_id, bucket,
+       CAST(sum(CASE WHEN reset = 1 THEN 1 ELSE repeated END)
+            OVER (PARTITION BY user_id, seg_id ORDER BY ts) AS BIGINT) AS data_repetitions
+FROM segsum
+""")
+def q_run_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    coarse = ev.select(
+        "user_id", "event_id", "ts", F.floor(F.col("value") / 100.0).alias("bucket")
+    )
+    out = run_length(coarse, ["user_id"], "ts", "bucket")
+    return out.select("user_id", "event_id", "bucket", "data_repetitions")
+
+
+# ---------------------------------------------------------------------------
+# Dim-join enrichment chain (J1/J2/J4/J5) — broadcast joins
+# ---------------------------------------------------------------------------
+
+@register("revenue_by_nation", """
+SELECT n_name AS nation, r_name AS region,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name, r_name
+""")
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Group completeness (P8 — window-count rewrite of the J3 self-join)
+# ---------------------------------------------------------------------------
+
+@register("complete_series", """
+SELECT user_id, event_type, CAST(n AS BIGINT) AS n
+FROM (
+    SELECT user_id, event_type, count(*) OVER (PARTITION BY user_id, event_type) AS n,
+           row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts) AS rn
+    FROM events
+)
+WHERE n >= 15 AND rn = 1
+""")
+def q_complete_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    out = complete_groups(ev, ["user_id", "event_type"], 15, count_col="n")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts")
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Staleness profile (W6/W9/D4/D7)
+# ---------------------------------------------------------------------------
+
+@register("staleness_per_user", f"""
+WITH gaps AS (
+    SELECT user_id, ts, epoch(ts) - epoch(lag(ts) OVER w) AS gap_secs
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+agg AS (
+    SELECT user_id,
+           round(avg(gap_secs) / 86400.0, 6) AS avg_days_bw_data,
+           round((epoch(TIMESTAMP '{EVAL_TS}') - epoch(max(ts))) / 86400.0, 6)
+               AS days_since_last_update
+    FROM gaps GROUP BY user_id
+)
+SELECT user_id, avg_days_bw_data, days_since_last_update,
+       CASE WHEN days_since_last_update > 1.0 * avg_days_bw_data
+            THEN 1 ELSE 0 END AS stale_flag
+FROM agg
+""")
+def q_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    eval_ts = F.lit(EVAL_TS).cast("timestamp")
+    gaps = ev.select(
+        "user_id", "ts",
+        (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")).alias("gap_secs"),
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.round(F.avg("gap_secs") / 86400.0, 6).alias("avg_days_bw_data"),
+        F.round(
+            (eval_ts.cast("double") - F.max("ts").cast("double")) / 86400.0, 6
+        ).alias("days_since_last_update"),
+    )
+    return agg.select(
+        "user_id", "avg_days_bw_data", "days_since_last_update",
+        F.when(
+            F.col("days_since_last_update") > 1.0 * F.col("avg_days_bw_data"), 1
+        ).otherwise(0).alias("stale_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct / count-distinct (A2/A3/A4)
+# ---------------------------------------------------------------------------
+
+@register("event_type_profile", """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(avg(value), 4) AS avg_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value
+FROM events
+GROUP BY event_type
+""")
+def q_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global multi-key sort (O1) + temporal & numeric predicates (P3-P6)
+# ---------------------------------------------------------------------------
+
+@register("filtered_sorted_events", """
+SELECT event_id, user_id, event_type, round(value, 4) AS value
+FROM events
+WHERE ts BETWEEN TIMESTAMP '2024-01-10' AND TIMESTAMP '2024-01-20'
+  AND event_type IN ('purchase', 'error')
+  AND value > 50
+""")
+def q_filtered_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    out = (
+        ev.where(
+            F.col("ts").between(
+                F.lit("2024-01-10").cast("timestamp"),
+                F.lit("2024-01-20").cast("timestamp"),
+            )
+            & F.col("event_type").isin("purchase", "error")
+            & (F.col("value") > 50)
+        )
+        .select("event_id", "user_id", "event_type", F.round("value", 4).alias("value"))
+        # O1: global multi-key sort — hashing is order-insensitive, but the
+        # sort exercises the range-partitioned exchange
+        .orderBy(F.desc("value"), F.desc("event_id"))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Key concat/split round-trip (F4/F5)
+# ---------------------------------------------------------------------------
+
+@register("key_concat_split", """
+SELECT CONCAT(user_id, '_', event_id) AS ticker_index,
+       CAST(string_split(CONCAT(user_id, '_', event_id), '_')[1] AS BIGINT) AS user_part,
+       CAST(string_split(CONCAT(user_id, '_', event_id), '_')[2] AS BIGINT) AS event_part
+FROM events
+""")
+def q_key_concat_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    out = concat_key(ev, ["user_id", "event_id"], "ticker_index")
+    out = split_key(out, "ticker_index", ["user_part", "event_part"])
+    return out.select("ticker_index", "user_part", "event_part")
+
+
+# ---------------------------------------------------------------------------
+# Dedup: exact (hash-groupBy) on documents
+# ---------------------------------------------------------------------------
+
+@register("dedup_exact_docs", """
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""")
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.dedup import exact_dedup_groups
+    docs = load_table(spark, "documents", sf_dir)
+    return exact_dedup_groups(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: tokens / lengths / quality proxies
+# ---------------------------------------------------------------------------
+
+@register("text_stats_docs", """
+SELECT doc_id, lang, n_chars,
+       length(text) AS measured_chars,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4)
+           AS avg_token_len
+FROM documents
+""")
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.text import text_stats
+    docs = load_table(spark, "documents", sf_dir)
+    return text_stats(docs).select(
+        "doc_id", "lang", "n_chars", "measured_chars", "n_tokens", "avg_token_len"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible: STL+IQR detector (rows-only driver check)
+# ---------------------------------------------------------------------------
+
+@register("stl_iqr_events")  # no oracle: per-series decomposition isn't ANSI SQL
+def q_stl_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    out = stl_iqr_detect(ev, ["user_id"], "ts", "value")
+    return out.select(
+        "user_id", "data_timestamp",
+        F.round("value", 4).alias("value"),
+        F.round("seven_day_avg", 4).alias("seven_day_avg"),
+        F.round("score", 4).alias("score"),
+        "anomaly", "repetitions",
+        F.round("frequency", 6).alias("frequency"),
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

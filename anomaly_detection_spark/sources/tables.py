@@ -1,0 +1,60 @@
+"""Parquet table sources (SURVEY.md §2.1 S1-S5).
+
+The reference scans three BigQuery tables with pushed predicates
+(``anomaly_proj_query.sql:45-47``; ``func.R:34-62``). Here the scan is
+``spark.read.parquet`` — Catalyst handles predicate pushdown, column
+pruning and (for date-partitioned prod layouts) partition pruning
+automatically, which is the Spark equivalent of the reference's
+hand-written innermost-scan filters.
+
+At 100 TB the fact table would be a date-partitioned parquet/delta
+dataset; nothing here depends on single-file layout.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@lru_cache(maxsize=256)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark 4 refuses
+    them unless read as raw longs (``nanosAsLong``)."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        # read ns-timestamps as raw longs, then truncate ns → µs with
+        # exact integer division (`div`) — same truncation DuckDB
+        # applies casting TIMESTAMP_NS → TIMESTAMP, so oracles agree
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR,
+                names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, n, sf_dir) for n in names}

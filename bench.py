@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Headline benchmark — prints ONE JSON line.
+
+Runs the flagship queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and reports
+per-query wall seconds plus the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from anomaly_detection_spark.session import get_spark
+from anomaly_detection_spark import queries as reg
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: the two detection engines + representative operators
+BENCH_QUERIES = [
+    "rule_flags_events",
+    "stl_iqr_events",
+    "tpch_q1_agg",
+    "revenue_by_nation",
+    "top5_events_per_user",
+    "run_length_events",
+    "dedup_exact_docs",
+    "text_stats_docs",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM + parquet footers with a trivial action
+    reg.QUERIES["tpch_q1_agg"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = reg.QUERIES[name]
+        t0 = time.monotonic()
+        n = fn(spark, SF_DIR).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "total_bench_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""Local replica of the driver's duckdb-oracle comparison.
+
+Runs a registered Spark query and its DuckDB oracle on the same
+parquet tables and compares row count, schema width, and
+order-insensitive values (sorted rows of stringified cells). Stricter
+than the driver's hash (exact string equality per cell), so passing
+here should imply passing there.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+
+import duckdb
+
+from anomaly_detection_spark.sources.tables import TABLES
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver-style stabilization: 12 significant digits
+        return f"{v:.12g}"
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    return str(v)
+
+
+def _rowset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(",".join(_canon(r[i]) for i in order) for r in rows)
+
+
+def run_oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    res = con.sql(sql)
+    return res.fetchall(), [d.lower() for d in res.columns]
+
+
+def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
+    """Return a list of mismatch descriptions (empty = match)."""
+    problems = []
+    spark_rows = spark_df.collect()
+    spark_cols = [c.lower() for c in spark_df.columns]
+    o_rows, o_cols = run_oracle(oracle_sql, sf_dir)
+    if len(spark_rows) != len(o_rows):
+        problems.append(f"row count: spark={len(spark_rows)} oracle={len(o_rows)}")
+    if sorted(spark_cols) != sorted(o_cols):
+        problems.append(f"columns: spark={sorted(spark_cols)} oracle={sorted(o_cols)}")
+        return problems
+    s_set = _rowset([tuple(r) for r in spark_rows], spark_cols)
+    o_set = _rowset(o_rows, o_cols)
+    if s_set != o_set:
+        diff_s = [r for r in s_set if r not in set(o_set)][:3]
+        diff_o = [r for r in o_set if r not in set(s_set)][:3]
+        problems.append(f"values differ; spark-only={diff_s} oracle-only={diff_o}")
+    return problems
