@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from anomaly_detection_spark.config import DetectorConfig
+from anomaly_detection_spark.operators.temporal import epoch_seconds, ntz_lit
 from anomaly_detection_spark.operators.windows import partition_window, series_window
 
 SECONDS_PER_DAY = 86400.0
@@ -83,7 +84,7 @@ def rule_flags(
     df = fact
     if cfg.predicate is not None:
         df = df.where(cfg.predicate)
-    eval_ts = F.lit(cfg.eval_ts).cast("timestamp") if cfg.eval_ts else None
+    eval_ts = ntz_lit(cfg.eval_ts) if cfg.eval_ts else None
     if eval_ts is not None:
         # temporal cutoff (ref :46) — pushed to the parquet scan by Catalyst
         df = df.where(F.col(ts_col) <= eval_ts)
@@ -112,7 +113,7 @@ def rule_flags(
         F.abs(F.round(F.col("value") - F.col("previous_value"), 4)),
     ).withColumn(
         "_gap_secs",
-        F.col("date_recorded").cast("double") - F.col("last_date").cast("double"),
+        epoch_seconds("date_recorded") - epoch_seconds("last_date"),
     )
 
     # --- stats (ref :68-95): whole-partition mean/stddev over the cut -------
@@ -147,7 +148,7 @@ def rule_flags(
         .withColumn(
             "days_since_last_update",
             _gap_days(
-                ref_now.cast("double") - F.col("date_recorded").cast("double"),
+                epoch_seconds(ref_now) - epoch_seconds("date_recorded"),
                 cfg.bq_compat_intervals,
             ),
         )

@@ -29,6 +29,7 @@ from anomaly_detection_spark.operators.completeness import complete_groups
 from anomaly_detection_spark.operators.enrich import enrich
 from anomaly_detection_spark.operators.keys import concat_key, split_key
 from anomaly_detection_spark.operators.runlength import run_length
+from anomaly_detection_spark.operators.temporal import epoch_seconds, ntz_lit
 from anomaly_detection_spark.operators.topn import top_n_per_group
 from anomaly_detection_spark.sources.tables import load_table
 
@@ -177,7 +178,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, "lineitem", sf_dir)
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        l.where(F.col("l_shipdate") <= ntz_lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -238,7 +239,7 @@ def q_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(prev_v, 4).alias("previous_value"),
         F.abs(F.round(F.col("value") - prev_v, 4)).alias("abs_diff"),
         F.round(
-            (F.col("ts").cast("double") - prev_ts.cast("double")) / 86400.0, 6
+            (epoch_seconds("ts") - epoch_seconds(prev_ts)) / 86400.0, 6
         ).alias("gap_days"),
     )
 
@@ -249,7 +250,7 @@ def q_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("run_length_events", """
 WITH coarse AS (
-    SELECT user_id, event_id, ts, floor(value / 100.0) AS bucket FROM events
+    SELECT user_id, event_id, ts, CAST(floor(value / 100.0) AS BIGINT) AS bucket FROM events
 ),
 seg AS (
     SELECT *,
@@ -356,15 +357,15 @@ FROM agg
 def q_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts")
-    eval_ts = F.lit(EVAL_TS).cast("timestamp")
+    eval_ts = ntz_lit(EVAL_TS)
     gaps = ev.select(
         "user_id", "ts",
-        (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")).alias("gap_secs"),
+        (epoch_seconds("ts") - epoch_seconds(F.lag("ts").over(w))).alias("gap_secs"),
     )
     agg = gaps.groupBy("user_id").agg(
         F.round(F.avg("gap_secs") / 86400.0, 6).alias("avg_days_bw_data"),
         F.round(
-            (eval_ts.cast("double") - F.max("ts").cast("double")) / 86400.0, 6
+            (epoch_seconds(eval_ts) - epoch_seconds(F.max("ts"))) / 86400.0, 6
         ).alias("days_since_last_update"),
     )
     return agg.select(
@@ -416,8 +417,8 @@ def q_filtered_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         ev.where(
             F.col("ts").between(
-                F.lit("2024-01-10").cast("timestamp"),
-                F.lit("2024-01-20").cast("timestamp"),
+                ntz_lit("2024-01-10"),
+                ntz_lit("2024-01-20"),
             )
             & F.col("event_type").isin("purchase", "error")
             & (F.col("value") > 50)
@@ -470,7 +471,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("text_stats_docs", """
 SELECT doc_id, lang, n_chars,
-       length(text) AS measured_chars,
+       CAST(length(text) AS INT) AS measured_chars,
        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
        round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4)
            AS avg_token_len
@@ -499,6 +500,303 @@ def q_stl_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 4).alias("score"),
         "anomaly", "repetitions",
         F.round("frequency", 6).alias("frequency"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window stats at lineitem scale (W3/W5/W7/W8) — deterministic tiebreaks
+# ---------------------------------------------------------------------------
+
+@register("supplier_window_stats", """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(lag(l_extendedprice, 1) OVER w, 4) AS prev_price,
+       round(avg(l_extendedprice) OVER (w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 4)
+           AS prev7_avg,
+       round(avg(l_extendedprice) OVER wp, 4) AS partition_avg,
+       round(stddev_samp(l_extendedprice) OVER wp, 4) AS partition_stddev,
+       max(l_shipdate) OVER wp AS most_recent_ship
+FROM lineitem
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber),
+       wp AS (PARTITION BY l_suppkey)
+""")
+def q_supplier_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    wp = Window.partitionBy("l_suppkey")
+    return l.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.round(F.lag("l_extendedprice", 1).over(w), 4).alias("prev_price"),
+        F.round(F.avg("l_extendedprice").over(w.rowsBetween(-7, -1)), 4).alias("prev7_avg"),
+        F.round(F.avg("l_extendedprice").over(wp), 4).alias("partition_avg"),
+        F.round(F.stddev_samp("l_extendedprice").over(wp), 4).alias("partition_stddev"),
+        F.max("l_shipdate").over(wp).alias("most_recent_ship"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — the reference's literal left-join-to-aggregate shape (func.R:47-55)
+# ---------------------------------------------------------------------------
+
+@register("left_join_max_rownum", """
+WITH rn AS (
+    SELECT user_id, event_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+               AS INT) AS ticker_row_num
+    FROM events
+)
+SELECT r.user_id, r.event_id, r.ticker_row_num, m.max_row_num
+FROM rn r
+LEFT JOIN (
+    SELECT user_id, max(ticker_row_num) AS max_row_num FROM rn GROUP BY user_id
+) m ON r.user_id = m.user_id
+WHERE r.ticker_row_num <= 10 AND m.max_row_num >= 20
+""")
+def q_left_join_max_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    rn = ev.select(
+        "user_id", "event_id", F.row_number().over(w).alias("ticker_row_num")
+    )
+    agg = rn.groupBy("user_id").agg(F.max("ticker_row_num").alias("max_row_num"))
+    return (
+        rn.join(agg, "user_id", "left")
+        .where((F.col("ticker_row_num") <= 10) & (F.col("max_row_num") >= 20))
+        .select("user_id", "event_id", "ticker_row_num", "max_row_num")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (Spark-first additions; reference has only inner/left)
+# ---------------------------------------------------------------------------
+
+@register("semi_anti_customers", """
+SELECT c_mktsegment,
+       count(*) FILTER (WHERE has_order) AS n_with_orders,
+       count(*) FILTER (WHERE NOT has_order) AS n_without_orders
+FROM (
+    SELECT c_mktsegment,
+           EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_order
+    FROM customer
+)
+GROUP BY c_mktsegment
+""")
+def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).select("o_custkey").distinct()
+    with_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+    without_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+    segments = c.select("c_mktsegment").distinct()
+    return (
+        segments.join(with_orders, "c_mktsegment", "left")
+        .join(without_orders, "c_mktsegment", "left")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (A7 — the anomalize IQR quartiles, SQL-side)
+# ---------------------------------------------------------------------------
+
+@register("value_percentiles", """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 4) AS q25,
+       round(quantile_cont(value, 0.50), 4) AS q50,
+       round(quantile_cont(value, 0.75), 4) AS q75,
+       round(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 4) AS iqr
+FROM events
+GROUP BY event_type
+""")
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("q25"),
+        F.round(F.expr("percentile(value, 0.50)"), 4).alias("q50"),
+        F.round(F.expr("percentile(value, 0.75)"), 4).alias("q75"),
+        F.round(
+            F.expr("percentile(value, 0.75)") - F.expr("percentile(value, 0.25)"), 4
+        ).alias("iqr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNION ALL (U1) + negative projection (P2)
+# ---------------------------------------------------------------------------
+
+@register("union_all_extremes", """
+SELECT event_id, user_id, event_type, round(value, 4) AS value, 'high' AS bucket
+FROM events WHERE value > 180
+UNION ALL
+SELECT event_id, user_id, event_type, round(value, 4) AS value, 'low' AS bucket
+FROM events WHERE value < 20
+""")
+def q_union_all_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).drop("props", "ts")  # P2: drop cols
+    base = ev.select("event_id", "user_id", "event_type", F.round("value", 4).alias("value"))
+    high = base.where(F.col("value") > 180).withColumn("bucket", F.lit("high"))
+    low = base.where(F.col("value") < 20).withColumn("bucket", F.lit("low"))
+    return high.unionByName(low)
+
+
+# ---------------------------------------------------------------------------
+# NULL semantics (P11) — lag-produced NULLs counted per group
+# ---------------------------------------------------------------------------
+
+@register("null_semantics", """
+WITH lagged AS (
+    SELECT user_id, lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        AS prev_value
+    FROM events
+)
+SELECT user_id,
+       count(*) AS n_rows,
+       count(prev_value) AS n_nonnull_prev,
+       count(*) - count(prev_value) AS n_null_prev
+FROM lagged GROUP BY user_id
+""")
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select("user_id", F.lag("value").over(w).alias("prev_value"))
+    return lagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("prev_value").alias("n_nonnull_prev"),
+        (F.count(F.lit(1)) - F.count("prev_value")).alias("n_null_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON prop extraction (events.props — north-star text/JSON ops)
+# ---------------------------------------------------------------------------
+
+@register("json_props_stats", """
+SELECT event_type,
+       count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS n_distinct_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+""")
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct(k).alias("n_distinct_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: join + agg + deterministic top-10
+# ---------------------------------------------------------------------------
+
+@register("tpch_q3_top10", """
+SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""")
+def q_tpch_q3_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir)
+    cutoff = ntz_lit("1998-03-15")
+    return (
+        o.where(F.col("o_orderdate") < cutoff)
+        .join(l.where(F.col("l_shipdate") > cutoff), o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: pushdown filters + single agg
+# ---------------------------------------------------------------------------
+
+@register("tpch_q6_filter_agg", """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24
+""")
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    return (
+        l.where(
+            (F.col("l_shipdate") >= ntz_lit("1996-01-01"))
+            & (F.col("l_shipdate") < ntz_lit("1997-01-01"))
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dense-rank timestamp re-index (M12 — irregular-series STL prep)
+# ---------------------------------------------------------------------------
+
+@register("dense_rank_reindex", """
+SELECT user_id, event_id,
+       CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS seq_index
+FROM events
+""")
+def q_dense_rank_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return ev.select(
+        "user_id", "event_id",
+        F.dense_rank().over(w).cast("long").alias("seq_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# String functions (F4/F5/F13/F14 + doc normalization)
+# ---------------------------------------------------------------------------
+
+@register("string_functions_docs", """
+SELECT doc_id,
+       upper(lang) AS lang_upper,
+       substr(source, 4) AS source_num,
+       concat(lang, ':', source) AS lang_source,
+       replace(source, 'src', 'origin_') AS source_renamed,
+       CAST(length(trim(text)) AS INT) AS trimmed_len
+FROM documents
+""")
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_upper"),
+        F.substring("source", 4, 2147483647).alias("source_num"),
+        F.concat_ws(":", "lang", "source").alias("lang_source"),
+        F.regexp_replace("source", "src", "origin_").alias("source_renamed"),
+        F.length(F.trim(F.col("text"))).alias("trimmed_len"),
     )
 
 

@@ -51,7 +51,12 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # cast to TIMESTAMP_NTZ: Spark 4 reads the other (µs/ms) parquet
+        # timestamps as NTZ, and DuckDB's TIMESTAMP is timezone-naive —
+        # one timestamp type everywhere keeps oracle schemas identical
+        df = df.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
+        )
     return df
 
 

@@ -46,12 +46,41 @@ def run_oracle(sql: str, sf_dir: str):
     return res.fetchall(), [d.lower() for d in res.columns]
 
 
+_DUCK_TO_SPARK = {
+    "TINYINT": "tinyint", "SMALLINT": "smallint", "INTEGER": "int",
+    "BIGINT": "bigint", "HUGEINT": "decimal(38,0)", "FLOAT": "float",
+    "DOUBLE": "double", "VARCHAR": "string", "BOOLEAN": "boolean",
+    # DuckDB TIMESTAMP is timezone-naive → Spark TIMESTAMP_NTZ
+    "DATE": "date", "TIMESTAMP": "timestamp_ntz", "TIMESTAMP_NS": "timestamp_ntz",
+}
+
+
+def _type_problems(spark_df, oracle_types, o_cols) -> list[str]:
+    """Compare Spark column types against DuckDB result types (mapped)."""
+    spark_types = {f.name.lower(): f.dataType.simpleString() for f in spark_df.schema}
+    out = []
+    for col, dt in zip(o_cols, oracle_types):
+        expect = _DUCK_TO_SPARK.get(str(dt).upper())
+        got = spark_types.get(col)
+        if expect and got and expect != got:
+            out.append(f"type[{col}]: spark={got} oracle={dt}->{expect}")
+    return out
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = match)."""
     problems = []
     spark_rows = spark_df.collect()
     spark_cols = [c.lower() for c in spark_df.columns]
-    o_rows, o_cols = run_oracle(oracle_sql, sf_dir)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    res = con.sql(oracle_sql)
+    o_cols = [c.lower() for c in res.columns]
+    problems.extend(_type_problems(spark_df, res.types, o_cols))
+    o_rows = res.fetchall()
     if len(spark_rows) != len(o_rows):
         problems.append(f"row count: spark={len(spark_rows)} oracle={len(o_rows)}")
     if sorted(spark_cols) != sorted(o_cols):
