@@ -1,0 +1,91 @@
+"""Property-based tests (SURVEY.md §5): run-length vs a pure-Python
+oracle, flag monotonicity, NULL-first-row semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from anomaly_detection_spark.config import DetectorConfig
+from anomaly_detection_spark.detect.rules import rule_flags
+from anomaly_detection_spark.operators.runlength import run_length
+
+from tests.ticker_fixture import EVAL_TS, fixture_df
+
+
+def _python_run_length(values: list[float]) -> list[int]:
+    """The reference's gaps-and-islands semantics, serially."""
+    out = []
+    for i, v in enumerate(values):
+        if i == 0 or values[i - 1] != v:
+            out.append(1)
+        else:
+            out.append(out[-1] + 1)
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(st.integers(min_value=0, max_value=3), min_size=1, max_size=25))
+def test_run_length_matches_python_oracle(spark, vals):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(days=i), float(v)) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp_ntz, v double")
+    got = [
+        r.data_repetitions
+        for r in run_length(df, ["k"], "ts", "v").orderBy("ts").collect()
+    ]
+    assert got == _python_run_length([float(v) for v in vals])
+
+
+def test_flag_monotonicity_in_stddev_lim(spark):
+    """Raising stddev_lim can only remove spike flags, never add."""
+    df = fixture_df(spark)
+    keys = ["index_id", "granularity_item_id"]
+
+    def flagged(lim):
+        cfg = DetectorConfig(eval_ts=EVAL_TS, stddev_lim=lim)
+        out = rule_flags(df, keys, "data_timestamp", "data_value", cfg, emit="latest")
+        return {
+            (r.index_id, r.granularity_item_id)
+            for r in out.where("standard_deviation_flag = 1").collect()
+        }
+
+    low, mid, high = flagged(1.0), flagged(4.5), flagged(20.0)
+    assert high <= mid <= low
+
+
+def test_null_first_row_semantics(spark):
+    """First row per key: previous_value NULL → diff NULL → excluded
+    from avg/stddev → z falls to 0 → no spike flag (SURVEY §2.5)."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base + dt.timedelta(days=i), float(i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp_ntz, v double")
+    out = rule_flags(
+        df, ["k"], "ts", "v", DetectorConfig(eval_ts="2024-01-04"), emit="all"
+    ).orderBy("date_recorded").collect()
+    first = out[0]
+    assert first.previous_value is None
+    assert first.absolute_one_period_difference is None
+    assert first.standard_deviation_flag == 0
+    # the two non-NULL diffs are both 1.0 → avg over non-NULLs = 1.0
+    assert out[-1].average == pytest.approx(1.0)
+
+
+def test_emit_eval_date(spark):
+    """emit='eval_date' keeps only rows stamped exactly at eval_ts
+    (the reference's :222 filter)."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base + dt.timedelta(days=i), float(i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp_ntz, v double")
+    out = rule_flags(
+        df, ["k"], "ts", "v",
+        DetectorConfig(eval_ts="2024-01-03 00:00:00"), emit="eval_date",
+    ).collect()
+    assert len(out) == 1
+    assert out[0].date_recorded == dt.datetime(2024, 1, 3)
