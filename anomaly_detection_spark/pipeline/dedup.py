@@ -145,12 +145,12 @@ def simhash64(text_col, shingle_n: int = 2):
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
     bits = []
     for bit in range(64):
+        # shiftleft, not a python literal: 1 << 63 overflows a Java long
+        mask = F.shiftleft(F.lit(1).cast("long"), bit)
         # count of shingles with this bit set, vs half the total
-        ones = F.size(
-            F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << bit)) != 0)
-        )
+        ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0))
         bits.append(
-            F.when(ones * 2 >= F.size(hashes), F.lit(1 << bit)).otherwise(F.lit(0))
+            F.when(ones * 2 >= F.size(hashes), mask).otherwise(F.lit(0).cast("long"))
         )
     out = bits[0]
     for b in bits[1:]:

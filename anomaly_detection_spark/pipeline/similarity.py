@@ -20,8 +20,11 @@ from pyspark.sql.window import Window
 
 
 def _dot(a, b):
+    # cast elements to double BEFORE multiplying: float32 products in
+    # double are exact, so the result matches engines (e.g. DuckDB)
+    # that compute over DOUBLE[] arrays
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )

@@ -800,6 +800,181 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k (exact baseline)
+# ---------------------------------------------------------------------------
+
+@register("cosine_topk_embeddings", """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+    FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6) AS cosine
+    FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id)
+           AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+""")
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.similarity import brute_force_topk
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, q, k=5)
+
+
+@register("embedding_norms_by_label", """
+SELECT label,
+       count(*) AS n_vectors,
+       round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+           AS avg_norm,
+       round(max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+           AS max_norm
+FROM embeddings
+GROUP BY label
+""")
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.similarity import _norm
+    emb = load_table(spark, "embeddings", sf_dir)
+    norm = _norm(F.col("embedding"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(norm), 4).alias("avg_norm"),
+        F.round(F.max(norm), 4).alias("max_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup (bounded candidate pairs, exact similarity)
+# ---------------------------------------------------------------------------
+
+@register("ngram_jaccard_pairs", """
+WITH sh AS (
+    SELECT doc_id, lang,
+           list_distinct([
+               array_to_string(toks[i:i+2], ' ')
+               for i in range(1, greatest(len(toks) - 2, 1) + 1)
+           ]) AS grams
+    FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 5
+""")
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.dedup import shingles
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select(
+        "doc_id", "lang",
+        F.array_distinct(shingles(F.col("text"), 3)).alias("grams"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("b.doc_id") - F.col("a.doc_id") <= 5),
+    )
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_distinct(F.concat(F.col("a.grams"), F.col("b.grams"))))
+    return pairs.select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.round(inter.cast("double") / union, 4).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL dedup/text ops (rows-only driver checks — xxhash64 isn't ANSI)
+# ---------------------------------------------------------------------------
+
+@register("minhash_near_dups")  # no oracle: xxhash64 minhash not in DuckDB
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.dedup import minhash_near_duplicates
+    docs = load_table(spark, "documents", sf_dir)
+    return minhash_near_duplicates(
+        docs, "text", "doc_id", num_hashes=64, bands=16, jaccard_threshold=0.5
+    )
+
+
+@register("simhash_fingerprints")  # no oracle: xxhash64-based
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.dedup import simhash64
+    from anomaly_detection_spark.pipeline.text import fingerprint
+    docs = load_table(spark, "documents", sf_dir)
+    out = docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+    return fingerprint(out.join(docs.select("doc_id", "text"), "doc_id"), "text").select(
+        "doc_id", "simhash", "fingerprint"
+    )
+
+
+@register("lsh_ann_topk")  # no oracle: approximate by construction
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.similarity import lsh_ann_topk
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_ann_topk(emb, q, k=5, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic + BPE-ish token count (built-in regexp path)
+# ---------------------------------------------------------------------------
+
+@register("lang_id_quality", """
+SELECT doc_id, lang,
+       CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                                 w -> w IN ('the','and','of','to','a'))) > 0
+            THEN 'en' ELSE 'und' END AS lang_pred,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))
+           AS INT) AS n_bpe_tokens
+FROM documents
+""")
+def q_lang_id_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.lower(F.col("text")), " ")
+    en_hits = F.size(F.filter(toks, lambda w: w.isin("the", "and", "of", "to", "a")))
+    pieces = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"), F.lit(0)
+    )
+    return docs.select(
+        "doc_id", "lang",
+        F.when(en_hits > 0, F.lit("en")).otherwise(F.lit("und")).alias("lang_pred"),
+        F.size(pieces).alias("n_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dim enrichment via the enrich() operator (J4/J5 left-join form)
+# ---------------------------------------------------------------------------
+
+@register("enrich_supplier_nation", """
+SELECT s_suppkey, s_name, s_acctbal, n_name AS nation_name, r_name AS region_name
+FROM supplier
+LEFT JOIN nation ON s_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+""")
+def q_enrich_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    out = enrich(
+        s, n, "s_nationkey", "n_nationkey",
+        {"n_name": "nation_name", "n_regionkey": "_rk"},
+    )
+    out = enrich(out, r, "_rk", "r_regionkey", {"r_name": "region_name"})
+    return out.select("s_suppkey", "s_name", "s_acctbal", "nation_name", "region_name")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -1,0 +1,95 @@
+"""Tests for the LLM-pipeline operators: dedup, similarity, text,
+multimodal plumbing; plus STL applyInPandas vs a local pandas oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.detect.stl import decompose, iqr_anomalize, stl_iqr_detect
+from anomaly_detection_spark.pipeline.dedup import exact_dedup, minhash_near_duplicates
+from anomaly_detection_spark.pipeline.multimodal import (
+    attach_binary_payload, decode_stub, extract_features,
+)
+from anomaly_detection_spark.pipeline.similarity import brute_force_topk
+from anomaly_detection_spark.sources.tables import load_table
+
+
+def test_exact_dedup_removes_planted_duplicates(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    # plant duplicates: re-add 5 docs under new ids
+    dupes = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    with_dupes = docs.unionByName(dupes)
+    deduped = exact_dedup(with_dupes, "text", "doc_id")
+    assert deduped.count() == docs.count()
+    # min-id wins: planted high ids must be gone
+    assert deduped.where(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_minhash_finds_planted_near_duplicate(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).limit(20)
+    # near-dup: copy doc 0's text with one word appended
+    near = docs.where(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(near)
+    pairs = minhash_near_duplicates(corpus, "text", "doc_id", jaccard_threshold=0.7)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 500_000) in found
+
+
+def test_brute_force_topk_self_is_rank1(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.where(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = brute_force_topk(emb, q, k=3).orderBy("rank").collect()
+    assert top[0].vec_id == 7 and top[0].rank == 1
+    assert top[0].cosine == pytest.approx(1.0, abs=1e-6)
+    assert all(t.cosine <= 1.0 + 1e-9 for t in top)
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).limit(10)
+    with_payload = attach_binary_payload(docs, "text")
+    row = with_payload.select("payload", "media_meta").first()
+    assert isinstance(row.payload, (bytes, bytearray))
+    assert row.media_meta.codec == "raw"
+    feats = extract_features(with_payload, fake=True).collect()
+    assert len(feats) == 10
+    assert all(len(r.features) == 8 for r in feats)
+    assert all(0.0 <= x <= 1.0 for r in feats for x in r.features)
+    # deterministic: same blob → same features
+    f0 = decode_stub(bytes(row.payload), fake=True)
+    f0_again = decode_stub(bytes(row.payload), fake=True)
+    assert np.allclose(f0, f0_again)
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"abc", fake=False)
+
+
+def test_stl_spark_matches_local_pandas(spark, sf_dir):
+    """The applyInPandas plumbing must produce exactly what the same
+    detector code produces on locally-grouped pandas frames."""
+    ev = load_table(spark, "events", sf_dir)
+    got = {
+        r.user_id: r
+        for r in stl_iqr_detect(ev, ["user_id"], "ts", "value").collect()
+    }
+    pdf = ev.select("user_id", "ts", "value").toPandas()
+    for uid, grp in pdf.groupby("user_id"):
+        grp = grp.sort_values("ts")
+        vals = grp["value"].to_numpy(dtype=np.float64)
+        season, trend, remainder = decompose(vals, period=7)
+        is_anom, l1, l2 = iqr_anomalize(remainder)
+        r = got[uid]
+        assert r.value == pytest.approx(vals[-1])
+        assert r.anomaly == ("Yes" if is_anom[-1] else "No"), uid
+        assert r.seven_day_avg == pytest.approx(vals[-7:].mean())
+        gap = (grp["ts"].iloc[-1] - grp["ts"].iloc[-2]).total_seconds() / 86400.0
+        assert r.frequency == pytest.approx(gap)
