@@ -25,11 +25,17 @@ BENCH_QUERIES = [
     "rule_flags_events",
     "stl_iqr_events",
     "tpch_q1_agg",
+    "tpch_q3_top10",
     "revenue_by_nation",
     "top5_events_per_user",
     "run_length_events",
+    "supplier_window_stats",
     "dedup_exact_docs",
+    "minhash_near_dups",
+    "ngram_jaccard_pairs",
+    "cosine_topk_embeddings",
     "text_stats_docs",
+    "json_props_stats",
 ]
 
 
