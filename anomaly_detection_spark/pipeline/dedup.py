@@ -54,13 +54,41 @@ def shingles(text_col, n: int = 3):
     )
 
 
-def minhash_signature(shingle_col, num_hashes: int = 64):
-    """MinHash signature as array<long>: min over shingles of
-    xxhash64(shingle, seed=i) for each of ``num_hashes`` seeds."""
+_M32 = 4_294_967_296  # 2^32
+
+
+def _affine_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic odd multipliers / offsets for the universal-hash
+    family h_i(x) = (a_i·x + b_i) mod 2^32 (Carter-Wegman; the standard
+    way to derive many minhash functions from one base hash)."""
+    import random
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 31) | 1, rng.randrange(0, 1 << 31))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature(base_hash_col, num_hashes: int = 64, seed: int = 42):
+    """MinHash signature (array<long>) from a column of per-shingle
+    base hashes in [0, 2^32).
+
+    Each shingle is hashed ONCE (xxhash64, masked to 32 bits); the
+    ``num_hashes`` component functions are affine transforms of that
+    base hash — 64 cheap long-arithmetic passes instead of 64 string
+    re-hashes, and no overflow under ANSI mode (a·x + b < 2^63).
+    """
     return F.array(*[
-        F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
+        F.array_min(
+            F.transform(base_hash_col, lambda h: F.pmod(a * h + b, F.lit(_M32)))
+        )
+        for a, b in _affine_params(num_hashes, seed)
     ])
+
+
+def base_shingle_hashes(shingle_col):
+    """xxhash64 per shingle, masked into [0, 2^32) for affine derivation."""
+    return F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_M32)))
 
 
 def minhash_near_duplicates(
@@ -84,9 +112,14 @@ def minhash_near_duplicates(
     near-duplicate density, not n².
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col),
-        minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+    # materialize shingles → base hashes → signature as separate plan
+    # steps so each stage is computed once (not re-expanded per hash)
+    sig = (
+        df.select(
+            F.col(id_col), shingles(F.col(text_col), shingle_n).alias("_shingles")
+        )
+        .select(id_col, base_shingle_hashes(F.col("_shingles")).alias("_base"))
+        .select(id_col, minhash_signature(F.col("_base"), num_hashes).alias("sig"))
     )
     banded = sig.select(
         id_col, "sig",
