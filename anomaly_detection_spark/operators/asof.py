@@ -1,0 +1,83 @@
+"""As-of (point-in-time) join — not in the reference (SURVEY.md §2.3
+notes it as the idiomatic generalization of its "previous value"
+windows); Spark has no native ASOF JOIN, so this composes one from a
+union + ignore-nulls window last — the single-shuffle pattern.
+
+For each left row, attaches the newest right row with
+``right_ts <= left_ts`` within the same key (backward as-of, the
+``pd.merge_asof`` / DuckDB ``ASOF JOIN`` default).
+
+Scale: ONE hash shuffle of (left ∪ right) on the key columns and one
+ordered window pass — no n² candidate expansion, no broadcast
+requirement on either side. Skew follows key cardinality like every
+other series-keyed operator here.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """Backward as-of join.
+
+    Returns ``left``'s columns plus, for each ``p`` in
+    ``payload_cols``, the value from the latest right row at or before
+    the left row's timestamp (NULL if none and ``how='left'``;
+    ``how='inner'`` drops unmatched left rows). ``right_ts`` itself can
+    be included in ``payload_cols`` to expose the matched time.
+    """
+    keys = list(keys)
+    payload_cols = list(payload_cols)
+    left_cols = left.columns
+
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_asof_tag"),
+        *[F.col(p).alias(f"_p_{p}") for p in payload_cols],
+    )
+    l = left.select(
+        *left_cols,
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias("_asof_tag"),
+        *[F.lit(None).cast(right.schema[p].dataType).alias(f"_p_{p}")
+          for p in payload_cols],
+    )
+    # align columns: right side lacks left-only columns
+    for c in left_cols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    r = r.select(*l.columns)
+
+    u = l.unionByName(r)
+    # right rows sort before a left row with the same timestamp so
+    # right_ts == left_ts matches (ASOF's <= semantics)
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col("_asof_ts").asc(), F.col("_asof_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for p in payload_cols:
+        u = u.withColumn(f"_p_{p}", F.last(f"_p_{p}", ignorenulls=True).over(w))
+    out = u.where(F.col("_asof_tag") == 1).select(
+        *left_cols,
+        *[F.col(f"_p_{p}").alias(f"asof_{p}") for p in payload_cols],
+    )
+    if how == "inner":
+        out = out.where(F.col(f"asof_{payload_cols[0]}").isNotNull())
+    elif how != "left":
+        raise ValueError(f"unsupported how: {how}")
+    return out

@@ -975,6 +975,123 @@ def q_enrich_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("s_suppkey", "s_name", "s_acctbal", "nation_name", "region_name")
 
 
+# ---------------------------------------------------------------------------
+# As-of join (backward point-in-time; DuckDB native ASOF JOIN oracle)
+# ---------------------------------------------------------------------------
+
+@register("asof_last_error_before_purchase", """
+WITH p AS (
+    SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+e AS (
+    SELECT user_id, ts AS err_ts, event_id AS err_event_id
+    FROM events WHERE event_type = 'error'
+)
+SELECT p.user_id, p.event_id, CAST(p.ts AS TIMESTAMP) AS ts,
+       CAST(e.err_ts AS TIMESTAMP) AS asof_err_ts,
+       e.err_event_id AS asof_err_event_id
+FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND e.err_ts <= p.ts
+""")
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.operators.asof import as_of_join
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        F.col("event_id").alias("err_event_id"),
+    )
+    return as_of_join(
+        purchases, errors, ["user_id"], "ts", "err_ts",
+        payload_cols=["err_ts", "err_event_id"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP / grouping sets + pivot (Spark-first additions)
+# ---------------------------------------------------------------------------
+
+@register("rollup_revenue", """
+SELECT CASE WHEN grouping(r_name) = 1 THEN 'ALL' ELSE r_name END AS region,
+       CASE WHEN grouping(n_name) = 1 THEN 'ALL' ELSE n_name END AS nation,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+""")
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            # grouping() is only resolvable inside the rollup's agg
+            F.grouping("r_name").alias("_gr"),
+            F.grouping("n_name").alias("_gn"),
+        )
+        .select(
+            F.when(F.col("_gr") == 1, F.lit("ALL")).otherwise(F.col("r_name")).alias("region"),
+            F.when(F.col("_gn") == 1, F.lit("ALL")).otherwise(F.col("n_name")).alias("nation"),
+            "revenue", "n_orders",
+        )
+    )
+
+
+@register("pivot_status_counts", """
+SELECT l_returnflag,
+       CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS status_o,
+       CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS status_f,
+       round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_o,
+       round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_f
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    piv = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("O_n").alias("status_o"),
+        F.col("F_n").alias("status_f"),
+        F.col("O_qty").alias("qty_o"),
+        F.col("F_qty").alias("qty_f"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct (A3 scale path — rows-only; estimator-specific)
+# ---------------------------------------------------------------------------
+
+@register("approx_distinct_users")  # no oracle: HLL estimate is engine-specific
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

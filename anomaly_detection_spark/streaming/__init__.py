@@ -1,7 +1,11 @@
 from anomaly_detection_spark.streaming.rules_stream import (
     windowed_series_stats,
     stateful_run_length,
+    stateful_trailing_flags,
     staleness_monitor,
 )
 
-__all__ = ["windowed_series_stats", "stateful_run_length", "staleness_monitor"]
+__all__ = [
+    "windowed_series_stats", "stateful_run_length",
+    "stateful_trailing_flags", "staleness_monitor",
+]

@@ -133,6 +133,109 @@ def stateful_run_length(
     )
 
 
+def stateful_trailing_flags(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    data_periods: int = 28,
+    stddev_lim: float = 4.5,
+    value_rep_lim: int = 3,
+    update_lim: float = 1.0,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """The FULL rule engine as a streaming operator: per-key state holds
+    a bounded deque of the trailing ``data_periods`` observations, and
+    every arriving observation is scored exactly like the batch
+    ``detect.rules.rule_flags`` row for that point (z-score of |Δ|
+    against the trailing window, run length, staleness vs mean gap).
+
+    State size: ``data_periods`` (value, ts) pairs per key — O(1) per
+    key, linear in live key cardinality overall.
+    """
+    out_schema = (
+        f"{key} long, ts timestamp_ntz, value double, "
+        "absolute_one_period_difference double, average double, "
+        "standard_deviation double, "
+        "absolute_standard_deviations_from_avg double, "
+        "data_repetitions long, avg_days_bw_data double, "
+        "standard_deviation_flag int, data_repetitions_flag int, "
+        "days_since_last_update_flag int, anomaly int"
+    )
+    # deque encoded as parallel arrays in state
+    state_schema = (
+        "ts_us array<long>, vals array<double>, run_len long, max_ts_us long"
+    )
+
+    def update(key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import numpy as np
+        if state.exists:
+            ts_us_list, vals_list, run_len, max_ts_us = state.get
+            ts_us_list, vals_list = list(ts_us_list), list(vals_list)
+        else:
+            ts_us_list, vals_list, run_len, max_ts_us = [], [], 0, -1
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                ts_us = int(pd.Timestamp(ts).value // 1000)
+                if ts_us <= max_ts_us:
+                    continue  # late row: drop (watermark policy)
+                max_ts_us = ts_us
+                v = round(float(v), 4)
+                run_len = run_len + 1 if (vals_list and vals_list[-1] == v) else 1
+                ts_us_list.append(ts_us)
+                vals_list.append(v)
+                if len(vals_list) > data_periods:
+                    ts_us_list = ts_us_list[-data_periods:]
+                    vals_list = vals_list[-data_periods:]
+                varr = np.asarray(vals_list)
+                tarr = np.asarray(ts_us_list, dtype=np.int64)
+                diffs = np.abs(np.round(np.diff(varr), 4))
+                gaps_days = np.diff(tarr) / 86400e6
+                cur_diff = float(diffs[-1]) if len(diffs) else float("nan")
+                avg = float(np.round(diffs.mean(), 4)) if len(diffs) else float("nan")
+                std = (
+                    float(np.round(diffs.std(ddof=1), 4)) if len(diffs) >= 2 else 0.0
+                )
+                z = round(abs(cur_diff - avg) / std, 4) if std else 0.0
+                avg_gap = float(np.round(gaps_days.mean(), 6)) if len(gaps_days) else float("nan")
+                # staleness at ingest time = gap since previous obs vs mean gap
+                cur_gap = float(gaps_days[-1]) if len(gaps_days) else 0.0
+                sd_flag = 1 if (len(diffs) and z >= stddev_lim) else 0
+                rep_flag = 1 if run_len >= value_rep_lim else 0
+                stale_flag = (
+                    1 if (len(gaps_days) >= 2 and cur_gap > update_lim * avg_gap) else 0
+                )
+                rows.append((
+                    key_tuple[0], ts, v,
+                    cur_diff if len(diffs) else None, avg if len(diffs) else None,
+                    std, z, run_len, avg_gap if len(gaps_days) else None,
+                    sd_flag, rep_flag, stale_flag,
+                    1 if (sd_flag or rep_flag or stale_flag) else 0,
+                ))
+        state.update((ts_us_list, vals_list, run_len, max_ts_us))
+        if rows:
+            yield pd.DataFrame(rows, columns=[
+                key, "ts", "value", "absolute_one_period_difference",
+                "average", "standard_deviation",
+                "absolute_standard_deviations_from_avg", "data_repetitions",
+                "avg_days_bw_data", "standard_deviation_flag",
+                "data_repetitions_flag", "days_since_last_update_flag",
+                "anomaly",
+            ])
+
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def staleness_monitor(
     stream: DataFrame,
     key: str,

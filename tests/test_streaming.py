@@ -89,6 +89,55 @@ def test_stateful_run_length_across_batches(spark, stream_dir):
     assert by_ts[base + dt.timedelta(minutes=4)].data_repetitions == 1
 
 
+def test_stateful_trailing_flags_matches_batch(spark, stream_dir):
+    """Streaming rule engine vs batch rule engine on the planted
+    fixture: the same spike / repetition verdicts must come out for
+    each series' final observation (the batch-streaming differential
+    the reference did informally between its SQL and R engines)."""
+    from anomaly_detection_spark.config import DetectorConfig
+    from anomaly_detection_spark.detect.rules import rule_flags
+    from anomaly_detection_spark.streaming.rules_stream import stateful_trailing_flags
+    from pyspark.sql import functions as F
+    from tests.ticker_fixture import EVAL_TS, REPEAT_KEY, SPIKE_KEY, fixture_df
+
+    # single-key encoding so the streaming op (one long key col) applies
+    fixture = fixture_df(spark).withColumn(
+        "series_id", F.col("index_id") * 1000 + F.col("granularity_item_id")
+    ).select("series_id", "data_timestamp", "data_value")
+
+    src = os.path.join(stream_dir, "src")
+    os.makedirs(src)
+    fixture.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    sch = "series_id long, data_timestamp timestamp_ntz, data_value double"
+    stream = spark.readStream.schema(sch).parquet(src + "/*")
+    out = stateful_trailing_flags(
+        stream, "series_id", "data_timestamp", "data_value"
+    )
+    res = _drain(spark, out, "tf1", src)
+    # newest row per series from the stream output
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("series_id").orderBy(F.col("ts").desc())
+    last = {
+        r.series_id: r
+        for r in res.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1").collect()
+    }
+    batch = rule_flags(
+        fixture, ["series_id"], "data_timestamp", "data_value",
+        DetectorConfig(eval_ts=EVAL_TS), emit="latest",
+    )
+    batch_rows = {r.series_id: r for r in batch.collect()}
+    spike_id = SPIKE_KEY[0] * 1000 + SPIKE_KEY[1]
+    repeat_id = REPEAT_KEY[0] * 1000 + REPEAT_KEY[1]
+    assert last[spike_id].standard_deviation_flag == 1
+    assert last[repeat_id].data_repetitions_flag == 1
+    for sid, b in batch_rows.items():
+        s = last[sid]
+        assert s.standard_deviation_flag == b.standard_deviation_flag, sid
+        assert s.data_repetitions_flag == b.data_repetitions_flag, sid
+        assert s.data_repetitions == b.data_repetitions, sid
+
+
 def test_windowed_stats_append_after_watermark(spark, stream_dir):
     """Tumbling-window aggs emit closed windows once the watermark
     passes; late rows beyond the watermark don't resurrect windows."""
