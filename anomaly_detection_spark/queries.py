@@ -1092,6 +1092,151 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Sessionization (lag-gap + cumulative sum — log-analytics staple)
+# ---------------------------------------------------------------------------
+
+@register("sessionize_events", """
+WITH gaps AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT *, CAST(sum(new_session)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+               AS session_no
+    FROM gaps
+)
+SELECT user_id, session_no,
+       count(*) AS n_events,
+       CAST(min(ts) AS TIMESTAMP) AS session_start,
+       round((epoch(max(ts)) - epoch(min(ts))) / 60.0, 4) AS duration_min
+FROM sess
+GROUP BY user_id, session_no
+""")
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        (epoch_seconds("ts") - epoch_seconds(prev_ts) > 1800) | prev_ts.isNull(), 1
+    ).otherwise(0)
+    sess = ev.withColumn("new_session", new_session).withColumn(
+        "session_no", F.sum("new_session").over(w)
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.round((epoch_seconds(F.max("ts")) - epoch_seconds(F.min("ts"))) / 60.0, 4)
+        .alias("duration_min"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily tumbling-window stats in batch (mirror of the streaming operator)
+# ---------------------------------------------------------------------------
+
+@register("daily_series_stats", """
+SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(*) AS n_obs,
+       round(avg(value), 4) AS avg_value,
+       round(stddev_samp(value), 4) AS stddev_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value
+FROM events
+GROUP BY user_id, date_trunc('day', ts)
+""")
+def q_daily_series_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.stddev_samp("value"), 4).alias("stddev_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .withColumn("day", F.col("day").cast("timestamp_ntz"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: 5-way join + filter + agg
+# ---------------------------------------------------------------------------
+
+@register("tpch_q5_local_revenue", """
+SELECT n_name AS nation,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""")
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= ntz_lit("1996-01-01"))
+        & (F.col("o_orderdate") < ntz_lit("1998-01-01"))
+    )
+    l = load_table(spark, "lineitem", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    joined = (
+        o.join(l, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE (grouping-sets family; Spark .cube vs DuckDB GROUP BY CUBE)
+# ---------------------------------------------------------------------------
+
+@register("cube_event_stats", """
+SELECT CASE WHEN grouping(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
+       CASE WHEN grouping(dow) = 1 THEN -1 ELSE dow END AS dow,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM (SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow, value FROM events)
+GROUP BY CUBE(event_type, dow)
+""")
+def q_cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.dayofweek("ts").alias("dow"), "value"
+    )
+    return (
+        ev.cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.grouping("event_type").alias("_ge"),
+            F.grouping("dow").alias("_gd"),
+        )
+        .select(
+            F.when(F.col("_ge") == 1, F.lit("ALL")).otherwise(F.col("event_type"))
+            .alias("event_type"),
+            F.when(F.col("_gd") == 1, F.lit(-1)).otherwise(F.col("dow")).alias("dow"),
+            "n", "total_value",
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -68,3 +68,30 @@ def fixture_df(spark):
         T.StructField("createdate", T.TimestampNTZType()),
     ])
     return spark.createDataFrame(build_rows(), schema=schema)
+
+
+def gran_dim_df(spark):
+    """FIXTURES.md A2 — mirrors indx_granularity_item (capital-D
+    Description preserved: the reference selects it case-sensitively)."""
+    rows = [
+        (g, f"G{g}", f"alt{g}", f"City {g}, ST", f"shape_{g}.shp")
+        for g in sorted({k[1] for k in ALL_KEYS})
+    ]
+    return spark.createDataFrame(
+        rows, "id long, granularity1 string, granularity2 string, "
+              "Description string, ShapeFile string"
+    )
+
+
+def info_dim_df(spark):
+    """FIXTURES.md A3 — mirrors indx_index_definition."""
+    rows = [
+        (i, f"Index {i} Price", f"TCK{i}", f"Ticker {i} long description",
+         "daily", "US Dollars", "$", f"https://docs.example/{i}")
+        for i in sorted({k[0] for k in ALL_KEYS})
+    ]
+    return spark.createDataFrame(
+        rows, "id long, index_name string, ticker string, description string, "
+              "frequency string, unit_type string, display_unit_type string, "
+              "documentation_url string"
+    )
