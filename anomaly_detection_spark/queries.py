@@ -1237,6 +1237,22 @@ def q_cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# S-H-ESD alternative detector (rows-only: iterative GESD isn't ANSI SQL)
+# ---------------------------------------------------------------------------
+
+@register("shesd_anomalies_events")
+def q_shesd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.detect.sesd import shesd_detect
+    ev = load_table(spark, "events", sf_dir)
+    out = shesd_detect(ev, ["user_id"], "ts", "value", max_anoms=0.05)
+    return out.select(
+        "user_id", "data_timestamp",
+        F.round("value", 4).alias("value"),
+        F.round("residual", 4).alias("residual"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
