@@ -94,8 +94,16 @@ def t_cdf(t: float, df: float) -> float:
     return 1.0 - p if t > 0 else p
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
 def t_ppf(p: float, df: float) -> float:
-    """Student-t quantile by bisection on the CDF (monotone, robust)."""
+    """Student-t quantile by bisection on the CDF (monotone, robust).
+
+    Memoized: GESD evaluates the same (p, df) for every same-length
+    series, so across thousands of groups on one worker the cache
+    turns the quantile into a dict lookup."""
     if not 0.0 < p < 1.0:
         raise ValueError("p must be in (0, 1)")
     if p == 0.5:
