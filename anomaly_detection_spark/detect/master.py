@@ -30,6 +30,70 @@ from anomaly_detection_spark.detect.stl import stl_iqr_detect
 from anomaly_detection_spark.operators.keys import concat_key
 
 
+def master_rule_flags(
+    ticker_data: DataFrame,
+    ticker_gran: DataFrame,
+    ticker_info: DataFrame,
+    cfg: Optional[DetectorConfig] = None,
+    emit: str = "eval_date",
+) -> DataFrame:
+    """The SQL engine's complete final select
+    (``anomaly_proj_query.sql:148-228``): flags pipeline + both dim
+    joins + the 26-column projection, ordered worst-anomaly-first.
+
+    A reference user's daily job maps 1:1 onto this call.
+    """
+    from anomaly_detection_spark.detect.rules import rule_flags
+
+    cfg = cfg or DetectorConfig()
+    flags = rule_flags(
+        ticker_data, ["index_id", "granularity_item_id"],
+        "data_timestamp", "data_value", cfg, emit=emit,
+    )
+    gran = F.broadcast(
+        ticker_gran.select(
+            F.col("id").alias("_gran_id"),
+            F.col("Description").alias("granularity"),
+            F.col("granularity1").alias("granularity_code"),
+        )
+    )
+    info = F.broadcast(
+        ticker_info.select(
+            F.col("id").alias("_info_id"),
+            F.col("index_name").alias("ticker"),
+            F.col("description").alias("ticker_info"),
+            F.col("ticker").alias("ticker_code"),
+            F.col("frequency").alias("data_pull_frequency"),
+            "unit_type",
+        )
+    )
+    out = (
+        flags.join(gran, flags["granularity_item_id"] == F.col("_gran_id"), "inner")
+        .join(info, flags["index_id"] == F.col("_info_id"), "inner")
+    )
+    run_date = (
+        F.lit(cfg.eval_ts).cast("timestamp_ntz").cast("date")
+        if cfg.eval_ts else F.current_date()
+    )
+    return out.select(
+        "anomaly", "standard_deviation_flag", "data_repetitions_flag",
+        "days_since_last_update_flag", "value", "previous_value",
+        "previous_seven_period_avg", "absolute_one_period_difference",
+        "average", "standard_deviation",
+        "absolute_standard_deviations_from_avg",
+        "standard_deviations_from_avg", "data_repetitions",
+        "date_recorded", run_date.alias("run_date"),
+        "ticker", "granularity", "ticker_info", "ticker_code",
+        "granularity_code", "data_pull_frequency", "avg_days_bw_data",
+        "days_since_last_update", "unit_type", "index_id",
+        F.col("granularity_item_id").alias("granularity_id"),
+    ).orderBy(
+        F.desc("absolute_standard_deviations_from_avg"),
+        F.desc("date_recorded"),
+        F.asc("granularity_id"),
+    )
+
+
 def master_anomaly_detector(
     ticker_data: DataFrame,
     ticker_gran: DataFrame,

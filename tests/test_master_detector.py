@@ -19,6 +19,36 @@ EXPECTED_COLUMNS = [
 ]
 
 
+SQL_ENGINE_COLUMNS = [
+    "anomaly", "standard_deviation_flag", "data_repetitions_flag",
+    "days_since_last_update_flag", "value", "previous_value",
+    "previous_seven_period_avg", "absolute_one_period_difference",
+    "average", "standard_deviation", "absolute_standard_deviations_from_avg",
+    "standard_deviations_from_avg", "data_repetitions", "date_recorded",
+    "run_date", "ticker", "granularity", "ticker_info", "ticker_code",
+    "granularity_code", "data_pull_frequency", "avg_days_bw_data",
+    "days_since_last_update", "unit_type", "index_id", "granularity_id",
+]
+
+
+def test_sql_engine_facade_schema_and_order(spark):
+    from anomaly_detection_spark.detect.master import master_rule_flags
+    out = master_rule_flags(
+        fixture_df(spark), gran_dim_df(spark), info_dim_df(spark),
+        DetectorConfig(eval_ts=EVAL_TS), emit="latest",
+    )
+    assert out.columns == SQL_ENGINE_COLUMNS
+    rows = out.collect()
+    assert len(rows) > 0
+    # worst anomalies first (ref ORDER BY :223-226)
+    zs = [r.absolute_standard_deviations_from_avg for r in rows]
+    assert zs == sorted(zs, reverse=True)
+    # the spike series tops the list
+    assert (rows[0].index_id, rows[0].granularity_id) == SPIKE_KEY
+    assert rows[0].anomaly == 1
+    assert rows[0].ticker == f"Index {SPIKE_KEY[0]} Price"
+
+
 def test_output_schema_matches_reference(spark):
     out = master_anomaly_detector(
         fixture_df(spark), gran_dim_df(spark), info_dim_df(spark),
