@@ -16,6 +16,9 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -91,6 +94,45 @@ def base_shingle_hashes(shingle_col):
     return F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_M32)))
 
 
+def _signature_udf(num_hashes: int, shingle_n: int, seed: int = 42):
+    """Vectorized minhash kernel: token-hash array → signature.
+
+    Shingle hashes are a rolling combine of ``shingle_n`` consecutive
+    token hashes (no shingle strings ever built); the ``num_hashes``
+    components are the affine family minima — one numpy broadcast per
+    document. uint64 wraparound is deliberate (it's a hash).
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    params = _affine_params(num_hashes, seed)
+    A = np.array([p[0] for p in params], dtype=np.uint64)[:, None]
+    B = np.array([p[1] for p in params], dtype=np.uint64)[:, None]
+    # odd combine constants for the rolling n-gram hash
+    rng_c = __import__("random").Random(seed + 1)
+    C = np.array(
+        [rng_c.randrange(1, 1 << 29) | 1 for _ in range(shingle_n)],
+        dtype=np.uint64,
+    )
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig_udf(tok_hashes: pd.Series) -> pd.Series:
+        out = []
+        for arr in tok_hashes:
+            h = np.asarray(arr, dtype=np.uint64)
+            if len(h) >= shingle_n:
+                g = np.zeros(len(h) - shingle_n + 1, dtype=np.uint64)
+                for j in range(shingle_n):
+                    g += C[j] * h[j:len(h) - shingle_n + 1 + j]
+                g %= _M32
+            else:
+                g = h % _M32 if len(h) else np.zeros(1, dtype=np.uint64)
+            sig = ((A * g + B) % _M32).min(axis=1).astype(np.int64)
+            out.append(sig)
+        return pd.Series(out)
+
+    return sig_udf
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str,
@@ -104,23 +146,38 @@ def minhash_near_duplicates(
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b and
     est_jaccard >= threshold. Estimated Jaccard = fraction of matching
-    minhash components (unbiased estimator of true Jaccard).
+    minhash components — an unbiased estimator of the Jaccard over
+    hashed word ``shingle_n``-grams.
 
-    Scale path: the only shuffle is the equi-join on
-    (band_index, band_hash); bucket sizes are data-dependent but each
-    bucket is a true candidate set, so work is proportional to real
-    near-duplicate density, not n².
+    Hot path: JVM splits text and hashes each TOKEN once (xxhash64);
+    an Arrow-batched numpy kernel does the rolling n-gram combine and
+    all ``num_hashes`` minima in one broadcast — no per-shingle string
+    construction, no interpreted higher-order passes.
+
+    Scale path: the only fact-fact shuffle is the equi-join on
+    (band_index, band_hash) over slim (band, bucket, id) triples;
+    bucket sizes track true near-duplicate density, not n².
     """
     rows_per_band = num_hashes // bands
-    # materialize shingles → base hashes → signature as separate plan
-    # steps so each stage is computed once (not re-expanded per hash)
-    sig = (
-        df.select(
-            F.col(id_col), shingles(F.col(text_col), shingle_n).alias("_shingles")
-        )
-        .select(id_col, base_shingle_hashes(F.col("_shingles")).alias("_base"))
-        .select(id_col, minhash_signature(F.col("_base"), num_hashes).alias("sig"))
+    # a single parquet file scans as ONE partition; spread rows across
+    # the cluster before the CPU-heavy signature map — at real scale
+    # the input has many splits and this is skipped
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+    tok_hashes = F.transform(
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+        lambda t: F.pmod(F.xxhash64(t), F.lit(_M32)),
     )
+    sig = df.select(
+        F.col(id_col),
+        _signature_udf(num_hashes, shingle_n)(tok_hashes).alias("sig"),
+    )
+    # the signature table is consumed three times (banding + two pair
+    # re-attaches); persist so tokenizing/hashing runs once. Size is
+    # n_docs × (id + 64 longs) ≈ 0.5 KB/doc — spill-safe at any scale
+    from pyspark import StorageLevel
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     banded = sig.select(
         id_col, "sig",
         F.explode(
@@ -140,22 +197,30 @@ def minhash_near_duplicates(
         ).alias("bb"),
     ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # candidate generation shuffles only (band, bucket, id) triples —
+    # signatures are re-attached to the (tiny) deduped pair set after,
+    # so the wide arrays never ride the candidate join
+    slim = banded.select("band", "bucket", id_col)
+    a, b = slim.alias("a"), slim.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col(f"a.band") == F.col(f"b.band"))
-            & (F.col(f"a.bucket") == F.col(f"b.bucket"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sigs = sig.select(F.col(id_col), F.col("sig"))
+    pairs = (
+        pairs.join(sigs.select(F.col(id_col).alias("id_a"),
+                               F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col(id_col).alias("id_b"),
+                          F.col("sig").alias("sig_b")), "id_b")
     )
     matching = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
