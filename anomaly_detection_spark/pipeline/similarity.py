@@ -95,6 +95,80 @@ def sign_lsh_buckets(
     return df.withColumn(out_col, bucket)
 
 
+def ivf_index(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: MLlib KMeans over the corpus; returns the
+    corpus with a ``cluster`` column plus the centroid list.
+
+    At scale the index build is one KMeans job; assignment is a
+    map-only pass with broadcast centroids. Queries probe the
+    ``nprobe`` nearest centroids, so search cost is
+    ~``nprobe/n_clusters`` of the corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    with_vec = vectors.withColumn("_mlvec", array_to_vector(F.col(vec_col)))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="_mlvec",
+                predictionCol="cluster")
+    model = km.fit(with_vec)
+    assigned = model.transform(with_vec).drop("_mlvec")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    indexed: DataFrame | None = None,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: assign corpus to KMeans cells, probe the
+    ``nprobe`` cells nearest each query, exact cosine re-rank inside.
+
+    Pass ``indexed``/``centroids`` (from ``ivf_index``) to reuse a
+    prebuilt index — the realistic pattern at scale."""
+    import numpy as np
+    if indexed is None or centroids is None:
+        indexed, centroids = ivf_index(vectors, vec_col, n_clusters, seed)
+
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    def probe_clusters(qvec) -> list[int]:
+        q = np.asarray(qvec, dtype=np.float64)
+        d = ((cent - q) ** 2).sum(axis=1)
+        return [int(i) for i in np.argsort(d)[:nprobe]]
+
+    # queries are a small probe set: compute their cluster lists on the
+    # driver and broadcast-join the (query, cluster) pairs
+    qrows = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")).collect()
+    spark = vectors.sparkSession
+    probe_rows = [
+        (r[query_id_col], c, list(r["_qvec"]))
+        for r in qrows for c in probe_clusters(r["_qvec"])
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, f"{query_id_col} long, cluster int, _qvec array<float>"
+    )
+    cand = indexed.join(F.broadcast(probes), "cluster").select(
+        query_id_col, id_col,
+        F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def lsh_ann_topk(
     vectors: DataFrame,
     queries: DataFrame,

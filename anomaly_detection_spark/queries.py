@@ -1253,6 +1253,58 @@ def q_shesd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Document quality scoring (stopword ratio + token-length profile)
+# ---------------------------------------------------------------------------
+
+@register("quality_scores_docs", """
+WITH t AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS toks, length(text) AS n
+    FROM documents
+)
+SELECT doc_id, lang,
+       round(CAST(len(list_filter(toks,
+             w -> lower(w) IN ('the','and','of','to','a'))) AS DOUBLE)
+             / len(toks), 4) AS stopword_ratio,
+       round(CAST(n AS DOUBLE) / len(toks), 4) AS avg_token_len,
+       CASE WHEN len(toks) >= 20
+             AND round(CAST(n AS DOUBLE) / len(toks), 4) BETWEEN 3 AND 12
+            THEN 1 ELSE 0 END AS quality_pass
+FROM t
+""")
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks)
+    stop_ratio = F.round(
+        F.size(F.filter(toks, lambda w: F.lower(w).isin("the", "and", "of", "to", "a")))
+        .cast("double") / n_toks, 4,
+    )
+    avg_len = F.round(F.length("text").cast("double") / n_toks, 4)
+    return docs.select(
+        "doc_id", "lang",
+        stop_ratio.alias("stopword_ratio"),
+        avg_len.alias("avg_token_len"),
+        F.when((n_toks >= 20) & avg_len.between(3, 12), 1).otherwise(0)
+        .alias("quality_pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF approximate nearest neighbours (rows-only: KMeans cells are
+# engine-specific; correctness asserted by the recall test)
+# ---------------------------------------------------------------------------
+
+@register("ivf_topk_embeddings")
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.similarity import ivf_topk
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, q, k=5, n_clusters=8, nprobe=4)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

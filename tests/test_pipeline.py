@@ -52,6 +52,24 @@ def test_brute_force_topk_self_is_rank1(spark, sf_dir):
     assert all(t.cosine <= 1.0 + 1e-9 for t in top)
 
 
+def test_ivf_topk_recall(spark, sf_dir):
+    """IVF with generous nprobe must recover the exact top-1 (self)
+    and most of the exact top-5."""
+    from anomaly_detection_spark.pipeline.similarity import ivf_topk
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.where(F.col("vec_id").isin(3, 11)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, q, k=5)
+    approx = ivf_topk(emb, q, k=5, n_clusters=8, nprobe=4)
+    exact_ids = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_ids = {(r.query_id, r.vec_id) for r in approx.collect()}
+    # self-match always recovered
+    assert (3, 3) in approx_ids and (11, 11) in approx_ids
+    # recall@5 ≥ 0.6 with half the cells probed
+    assert len(exact_ids & approx_ids) >= 6
+
+
 def test_multimodal_plumbing(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir).limit(10)
     with_payload = attach_binary_payload(docs, "text")
