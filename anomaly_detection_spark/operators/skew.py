@@ -1,0 +1,76 @@
+"""Skew-handling and shuffle-avoidance utilities (SURVEY.md §4 /
+100 TB design notes).
+
+- **Salted two-phase aggregation** — for aggregations over keys with
+  pathological hot values: phase 1 aggregates on (key, salt) spreading
+  a hot key over N reducers, phase 2 merges the partials. Classic
+  map-side-combine generalization; correct for any algebraic aggregate
+  expressed as (partial, merge) pairs.
+- **Bucketed table writes** — persist fact tables bucketed by their
+  join/grouping key so later equi-joins and aggregations co-locate
+  without an Exchange (`test_scale_patterns.py` asserts the
+  exchange-free plan).
+
+AQE's runtime skew-join splitting is already on via session config;
+these are for the cases AQE can't fix (skewed aggregation keys,
+repeated joins on the same key).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    partials: dict[str, tuple[Column, Column]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with key salting.
+
+    ``partials`` maps output column name → (phase-1 aggregate over the
+    raw rows, phase-2 merge over the phase-1 results). Example::
+
+        salted_agg(df, ["k"], {
+            "n":   (F.count(F.lit(1)), F.sum("n")),
+            "tot": (F.sum("v"),        F.sum("tot")),
+        })
+
+    Phase 1 groups by (keys…, salt) — a hot key's rows spread over
+    ``n_salts`` reducers; phase 2 groups by keys… over ``n_salts``
+    partial rows per key, which is trivially small.
+    """
+    keys = list(keys)
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    phase1 = salted.groupBy(*keys, "_salt").agg(
+        *[expr.alias(name) for name, (expr, _merge) in partials.items()]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[merge.alias(name) for name, (_expr, merge) in partials.items()]
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` bucketed (and optionally sorted) by key columns.
+
+    Later equi-joins / groupBys on ``bucket_cols`` between tables with
+    the same bucketing read co-located buckets and skip the Exchange —
+    the biggest single shuffle win for repeatedly-joined 100 TB facts.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

@@ -1,0 +1,119 @@
+"""Scale-pattern tests: salted aggregation correctness, bucketed-join
+exchange elimination, plan-shape assertions for the flags pipeline,
+and CSV/JSON source round-trips."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.operators.skew import salted_agg, write_bucketed
+from anomaly_detection_spark.sources.tables import load_table
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    plain = {
+        (r.event_type): (r.n, round(r.tot, 2))
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tot"))
+        .collect()
+    }
+    salted = {
+        (r.event_type): (r.n, round(r.tot, 2))
+        for r in salted_agg(
+            ev, ["event_type"],
+            {
+                "n": (F.count(F.lit(1)), F.sum("n")),
+                "tot": (F.sum("value"), F.round(F.sum("tot"), 2)),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+@pytest.fixture()
+def warehouse(spark):
+    d = tempfile.mkdtemp()
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_skips_exchange(spark, sf_dir, warehouse):
+    o = load_table(spark, "orders", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir)
+    write_bucketed(o.withColumnRenamed("o_orderkey", "k"), "b_orders", ["k"], 8)
+    write_bucketed(l.withColumnRenamed("l_orderkey", "k"), "b_lineitem", ["k"], 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("b_orders").join(spark.table("b_lineitem"), "k")
+            .groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert joined.count() > 0  # force execution → AQE finalizes
+        plan = _physical_plan(joined)
+        # co-located buckets: join + agg both reuse the bucket layout,
+        # so the whole query plans ZERO shuffles
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_flags_pipeline_single_exchange(spark, sf_dir):
+    """The whole flags pipeline must plan exactly TWO hash exchanges:
+    the series-key shuffle and the run-length segment refinement
+    (SURVEY §4 — anything more would be a perf regression)."""
+    from anomaly_detection_spark.config import DetectorConfig
+    from anomaly_detection_spark.detect.rules import rule_flags
+    ev = load_table(spark, "events", sf_dir)
+    out = rule_flags(
+        ev, ["user_id"], "ts", "value",
+        DetectorConfig(eval_ts="2024-02-01"), emit="latest",
+    )
+    plan = _physical_plan(out)
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges <= 2, plan
+
+
+def test_csv_json_source_roundtrip(spark, sf_dir):
+    """S-layer breadth: the engine's queries run identically over
+    CSV/JSON sources given an explicit schema (schema-on-read)."""
+    ev = load_table(spark, "events", sf_dir).limit(200)
+    d = tempfile.mkdtemp()
+    try:
+        csv_path = os.path.join(d, "ev_csv")
+        json_path = os.path.join(d, "ev_json")
+        ev.withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")) \
+          .write.option("header", True).csv(csv_path)
+        ev.write.json(json_path)
+        schema = ("event_id long, ts string, user_id long, event_type string, "
+                  "value double, props string")
+        back_csv = (
+            spark.read.schema(schema).option("header", True).csv(csv_path)
+            .withColumn("ts", F.to_timestamp("ts").cast("timestamp_ntz"))
+        )
+        back_json = (
+            spark.read.schema(schema).json(json_path)
+            .withColumn("ts", F.to_timestamp("ts").cast("timestamp_ntz"))
+        )
+        assert back_csv.count() == 200 and back_json.count() == 200
+        a = back_csv.agg(F.round(F.sum("value"), 2).alias("s")).first().s
+        b = back_json.agg(F.round(F.sum("value"), 2).alias("s")).first().s
+        c = ev.agg(F.round(F.sum("value"), 2).alias("s")).first().s
+        assert a == b == c
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
