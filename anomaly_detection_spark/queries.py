@@ -1305,6 +1305,52 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, q, k=5, n_clusters=8, nprobe=4)
 
 
+# ---------------------------------------------------------------------------
+# BigQuery interval-quirk parity mode (SURVEY W6/F9): staleness floored
+# to whole hours, exactly like EXTRACT(HOUR FROM ts-ts)/24
+# ---------------------------------------------------------------------------
+
+@register("staleness_bq_compat", f"""
+WITH gaps AS (
+    SELECT user_id, ts, epoch(ts) - epoch(lag(ts) OVER w) AS gap_secs
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+agg AS (
+    SELECT user_id,
+           floor(avg(gap_secs) / 3600.0) / 24.0 AS avg_days_bw_data,
+           floor((epoch(TIMESTAMP '{EVAL_TS}') - epoch(max(ts))) / 3600.0) / 24.0
+               AS days_since_last_update
+    FROM gaps GROUP BY user_id
+)
+SELECT user_id, avg_days_bw_data, days_since_last_update,
+       CASE WHEN days_since_last_update > 1.0 * avg_days_bw_data
+            THEN 1 ELSE 0 END AS stale_flag
+FROM agg
+""")
+def q_staleness_bq_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    eval_ts = ntz_lit(EVAL_TS)
+    gaps = ev.select(
+        "user_id", "ts",
+        (epoch_seconds("ts") - epoch_seconds(F.lag("ts").over(w))).alias("gap_secs"),
+    )
+    agg = gaps.groupBy("user_id").agg(
+        (F.floor(F.avg("gap_secs") / 3600.0) / 24.0).alias("avg_days_bw_data"),
+        (
+            F.floor(
+                (epoch_seconds(eval_ts) - epoch_seconds(F.max("ts"))) / 3600.0
+            ) / 24.0
+        ).alias("days_since_last_update"),
+    )
+    return agg.select(
+        "user_id", "avg_days_bw_data", "days_since_last_update",
+        F.when(
+            F.col("days_since_last_update") > 1.0 * F.col("avg_days_bw_data"), 1
+        ).otherwise(0).alias("stale_flag"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -236,25 +236,11 @@ def stateful_trailing_flags(
     )
 
 
-def staleness_monitor(
-    stream: DataFrame,
-    key: str,
-    ts_col: str,
-    stale_after_seconds: float = 86400.0,
-    watermark: str = "10 minutes",
-) -> DataFrame:
-    """Staleness alerts via processing-time timeouts — the streaming D7.
-
-    While events flow, state tracks each key's newest event time. When
-    a key goes quiet for ``stale_after_seconds`` of processing time,
-    the timeout fires and a stale alert row is emitted. New data for
-    the key clears the alert (emits a recovery row).
-    """
-    out_schema = (
-        f"{key} long, alert string, last_seen timestamp_ntz, "
-        "silent_seconds double"
-    )
-    state_schema = "last_ts_us long, alerted boolean"
+def _make_staleness_update(key: str, ts_col: str, stale_after_seconds: float):
+    """Build the staleness state-machine closure (module-level so the
+    timeout transitions are unit-testable with a fake GroupState —
+    driving ProcessingTimeTimeout deterministically through a live
+    query isn't practical)."""
 
     def update(key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
         now_us = int(dt.datetime.utcnow().timestamp() * 1e6)
@@ -282,6 +268,30 @@ def staleness_monitor(
                   pd.Timestamp(last_ts_us, unit="us"), 0.0)],
                 columns=[key, "alert", "last_seen", "silent_seconds"],
             )
+
+    return update
+
+
+def staleness_monitor(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    stale_after_seconds: float = 86400.0,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Staleness alerts via processing-time timeouts — the streaming D7.
+
+    While events flow, state tracks each key's newest event time. When
+    a key goes quiet for ``stale_after_seconds`` of processing time,
+    the timeout fires and a stale alert row is emitted. New data for
+    the key clears the alert (emits a recovery row).
+    """
+    out_schema = (
+        f"{key} long, alert string, last_seen timestamp_ntz, "
+        "silent_seconds double"
+    )
+    state_schema = "last_ts_us long, alerted boolean"
+    update = _make_staleness_update(key, ts_col, stale_after_seconds)
 
     stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (

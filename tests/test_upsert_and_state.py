@@ -1,0 +1,105 @@
+"""MERGE/upsert + SCD2 tests, and direct state-logic tests for the
+staleness monitor via a fake GroupState (timeout paths are hard to
+drive deterministically through a live streaming query)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.operators.upsert import merge_upsert, scd2_apply
+
+
+def test_merge_upsert(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, name string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)], "id long, name string, v double"
+    )
+    out = {r.id: (r.name, r.v) for r in merge_upsert(target, updates, ["id"]).collect()}
+    assert out == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_scd2_apply(spark):
+    base = dt.datetime(2024, 1, 1)
+    target = spark.createDataFrame(
+        [(1, "x", base, True, None), (2, "y", base, True, None)],
+        "id long, attr string, ts timestamp_ntz, is_current boolean, valid_to timestamp_ntz",
+    )
+    updates = spark.createDataFrame(
+        [(1, "x2", base + dt.timedelta(days=5))],
+        "id long, attr string, ts timestamp_ntz",
+    )
+    out = scd2_apply(target, updates, ["id"], "ts").collect()
+    by = {(r.id, r.attr): r for r in out}
+    old = by[(1, "x")]
+    assert old.is_current is False and old.valid_to == base + dt.timedelta(days=5)
+    new = by[(1, "x2")]
+    assert new.is_current is True and new.valid_to is None
+    untouched = by[(2, "y")]
+    assert untouched.is_current is True and untouched.valid_to is None
+    assert len(out) == 3
+
+
+class FakeGroupState:
+    """Minimal stand-in for pyspark GroupState, for unit-testing
+    applyInPandasWithState update functions."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        if self._value is None:
+            raise ValueError("state does not exist")
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_staleness_monitor_state_logic():
+    """Drive the staleness update closure directly through its three
+    transitions: ingest → no alert; timeout → STALE; recovery data →
+    RECOVERED."""
+    from anomaly_detection_spark.streaming.rules_stream import _make_staleness_update
+
+    update = _make_staleness_update("user_id", "ts", stale_after_seconds=3600)
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    state = FakeGroupState()
+
+    # ingest: two events arrive → state records newest, no output
+    pdf = pd.DataFrame({"user_id": [1, 1], "ts": [base, base + dt.timedelta(minutes=5)]})
+    out = list(update((1,), iter([pdf]), state))
+    assert out == []
+    last_ts_us, alerted = state.get
+    assert last_ts_us == int(pd.Timestamp(base + dt.timedelta(minutes=5)).value // 1000)
+    assert alerted is False
+    assert state.timeout_ms == 3600 * 1000
+
+    # timeout fires → STALE alert emitted, alerted latched
+    state2 = FakeGroupState(value=state.get, timed_out=True)
+    out = list(update((1,), iter([]), state2))
+    assert len(out) == 1 and out[0].iloc[0]["alert"] == "STALE"
+    assert out[0].iloc[0]["silent_seconds"] > 0
+    assert state2.get[1] is True
+
+    # new data after the alert → RECOVERED emitted, flag cleared
+    state3 = FakeGroupState(value=state2.get)
+    pdf2 = pd.DataFrame({"user_id": [1], "ts": [base + dt.timedelta(hours=3)]})
+    out = list(update((1,), iter([pdf2]), state3))
+    assert len(out) == 1 and out[0].iloc[0]["alert"] == "RECOVERED"
+    assert state3.get[1] is False
