@@ -35,6 +35,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from anomaly_detection_spark.config import DetectorConfig
+from anomaly_detection_spark.operators.rounding import (
+    exact_mean, exact_stddev_samp, quantized, stable_round,
+)
 from anomaly_detection_spark.operators.temporal import epoch_seconds, ntz_lit
 from anomaly_detection_spark.operators.windows import partition_window, series_window
 
@@ -96,9 +99,10 @@ def rule_flags(
         F.lag(ts_col).over(w).alias("last_date"),
         F.round(F.col(value_col), 4).alias("value"),
         F.round(F.lag(value_col, 1).over(w), 4).alias("previous_value"),
-        F.round(F.avg(value_col).over(w.rowsBetween(-7, -1)), 4).alias(
-            "previous_seven_period_avg"
-        ),
+        exact_mean(
+            F.sum(quantized(F.col(value_col), 4)).over(w.rowsBetween(-7, -1)),
+            F.count(value_col).over(w.rowsBetween(-7, -1)), 4, 4,
+        ).alias("previous_seven_period_avg"),
         F.row_number().over(w_desc).alias("row_num"),
         F.count(F.lit(1)).over(wp).alias("_series_n"),
     )
@@ -119,14 +123,22 @@ def rule_flags(
     # --- stats (ref :68-95): whole-partition mean/stddev over the cut -------
     w2 = series_window(keys, "date_recorded")
     wp2 = partition_window(keys)
+    # exact integer stats over the 4-dp-quantized diffs: sums are
+    # order-independent, so average/stddev (and their rounding) are
+    # bit-identical on any engine or cluster layout (see rounding.py)
+    q_diff = quantized(F.col("absolute_one_period_difference"), 4)
     stats = (
-        detr.withColumn(
-            "average",
-            F.round(F.avg("absolute_one_period_difference").over(wp2), 4),
+        detr.withColumn("_q_sum", F.sum(q_diff).over(wp2))
+        .withColumn("_q_sum2", F.sum(q_diff * q_diff).over(wp2))
+        .withColumn("_q_n", F.count(q_diff).over(wp2))
+        .withColumn(
+            "average", exact_mean(F.col("_q_sum"), F.col("_q_n"), 4, 4)
         )
         .withColumn(
             "standard_deviation",
-            F.round(F.stddev_samp("absolute_one_period_difference").over(wp2), 4),
+            exact_stddev_samp(
+                F.col("_q_sum"), F.col("_q_sum2"), F.col("_q_n"), 4, 4
+            ),
         )
         .withColumn("_avg_gap_secs", F.avg("_gap_secs").over(wp2))
         .withColumn(
@@ -225,4 +237,7 @@ def rule_flags(
     elif emit != "all":
         raise ValueError(f"unknown emit mode: {emit}")
 
-    return flags.drop("_gap_secs", "_avg_gap_secs", "_series_n", "row_num")
+    return flags.drop(
+        "_gap_secs", "_avg_gap_secs", "_series_n", "row_num",
+        "_q_sum", "_q_sum2", "_q_n",
+    )

@@ -28,6 +28,9 @@ from anomaly_detection_spark.detect.stl import stl_iqr_detect
 from anomaly_detection_spark.operators.completeness import complete_groups
 from anomaly_detection_spark.operators.enrich import enrich
 from anomaly_detection_spark.operators.keys import concat_key, split_key
+from anomaly_detection_spark.operators.rounding import (
+    exact_mean, exact_stddev_samp, quantized, stable_round,
+)
 from anomaly_detection_spark.operators.runlength import run_length
 from anomaly_detection_spark.operators.temporal import epoch_seconds, ntz_lit
 from anomaly_detection_spark.operators.topn import top_n_per_group
@@ -61,7 +64,10 @@ WITH row_data AS (
            lag(ts) OVER w AS last_date,
            round(value, 4) AS value,
            round(lag(value, 1) OVER w, 4) AS previous_value,
-           round(avg(value) OVER (w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 4)
+           round(CAST(sum(CAST(round(value * 10000, 0) AS BIGINT))
+                     OVER (w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS DOUBLE)
+                 / (count(value) OVER (w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                    * 10000.0), 4)
                AS previous_seven_period_avg,
            row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS row_num
     FROM events
@@ -77,8 +83,17 @@ detrended AS (
 ),
 stats AS (
     SELECT *,
-           round(avg(absolute_one_period_difference) OVER wp, 4) AS average,
-           round(stddev_samp(absolute_one_period_difference) OVER wp, 4)
+           round(CAST(sum(CAST(round(absolute_one_period_difference * 10000, 0) AS BIGINT)) OVER wp AS DOUBLE)
+                 / (count(absolute_one_period_difference) OVER wp * 10000.0), 4) AS average,
+           CASE WHEN count(absolute_one_period_difference) OVER wp >= 2 THEN
+             round(sqrt(CAST(count(absolute_one_period_difference) OVER wp
+                             * sum(CAST(round(absolute_one_period_difference * 10000, 0) AS BIGINT)
+                                   * CAST(round(absolute_one_period_difference * 10000, 0) AS BIGINT)) OVER wp
+                             - sum(CAST(round(absolute_one_period_difference * 10000, 0) AS BIGINT)) OVER wp
+                               * sum(CAST(round(absolute_one_period_difference * 10000, 0) AS BIGINT)) OVER wp AS DOUBLE)
+                        / CAST(count(absolute_one_period_difference) OVER wp
+                               * (count(absolute_one_period_difference) OVER wp - 1) AS DOUBLE))
+                   / 10000.0, 4) END
                AS standard_deviation,
            avg(gap_secs) OVER wp AS avg_gap_secs,
            CASE WHEN absolute_one_period_difference = 0 THEN 1 ELSE 0 END
@@ -166,9 +181,12 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice), 2) AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       round(CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+             / (count(l_quantity) * 100.0), 4) AS avg_qty,
+       round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+             / (count(l_extendedprice) * 100.0), 4) AS avg_price,
+       round(CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS DOUBLE)
+             / (count(l_discount) * 100.0), 4) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -185,9 +203,12 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc), 2).alias("sum_disc_price"),
             F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            exact_mean(F.sum(quantized(F.col("l_quantity"), 2)),
+                       F.count("l_quantity"), 2, 4).alias("avg_qty"),
+            exact_mean(F.sum(quantized(F.col("l_extendedprice"), 2)),
+                       F.count("l_extendedprice"), 2, 4).alias("avg_price"),
+            exact_mean(F.sum(quantized(F.col("l_discount"), 2)),
+                       F.count("l_discount"), 2, 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -384,7 +405,8 @@ def q_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
-       round(avg(value), 4) AS avg_value,
+       round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+             / (count(value) * 100.0), 4) AS avg_value,
        round(min(value), 4) AS min_value,
        round(max(value), 4) AS max_value
 FROM events
@@ -395,7 +417,8 @@ def q_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        exact_mean(F.sum(quantized(F.col("value"), 2)),
+                   F.count("value"), 2, 4).alias("avg_value"),
         F.round(F.min("value"), 4).alias("min_value"),
         F.round(F.max("value"), 4).alias("max_value"),
     )
@@ -510,10 +533,21 @@ def q_stl_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("supplier_window_stats", """
 SELECT l_suppkey, l_orderkey, l_linenumber,
        round(lag(l_extendedprice, 1) OVER w, 4) AS prev_price,
-       round(avg(l_extendedprice) OVER (w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 4)
+       round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                 OVER (w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS DOUBLE)
+             / (count(l_extendedprice) OVER (w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) * 100.0), 4)
            AS prev7_avg,
-       round(avg(l_extendedprice) OVER wp, 4) AS partition_avg,
-       round(stddev_samp(l_extendedprice) OVER wp, 4) AS partition_stddev,
+       round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) OVER wp AS DOUBLE)
+             / (count(l_extendedprice) OVER wp * 100.0), 4) AS partition_avg,
+       CASE WHEN count(l_extendedprice) OVER wp >= 2 THEN
+         round(sqrt(CAST(count(l_extendedprice) OVER wp
+                         * sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                               * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) OVER wp
+                         - sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) OVER wp
+                           * sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) OVER wp AS DOUBLE)
+                    / CAST(count(l_extendedprice) OVER wp
+                           * (count(l_extendedprice) OVER wp - 1) AS DOUBLE)) / 100.0, 4) END
+           AS partition_stddev,
        max(l_shipdate) OVER wp AS most_recent_ship
 FROM lineitem
 WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber),
@@ -526,9 +560,20 @@ def q_supplier_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.select(
         "l_suppkey", "l_orderkey", "l_linenumber",
         F.round(F.lag("l_extendedprice", 1).over(w), 4).alias("prev_price"),
-        F.round(F.avg("l_extendedprice").over(w.rowsBetween(-7, -1)), 4).alias("prev7_avg"),
-        F.round(F.avg("l_extendedprice").over(wp), 4).alias("partition_avg"),
-        F.round(F.stddev_samp("l_extendedprice").over(wp), 4).alias("partition_stddev"),
+        exact_mean(
+            F.sum(quantized(F.col("l_extendedprice"), 2)).over(w.rowsBetween(-7, -1)),
+            F.count("l_extendedprice").over(w.rowsBetween(-7, -1)), 2, 4,
+        ).alias("prev7_avg"),
+        exact_mean(
+            F.sum(quantized(F.col("l_extendedprice"), 2)).over(wp),
+            F.count("l_extendedprice").over(wp), 2, 4,
+        ).alias("partition_avg"),
+        exact_stddev_samp(
+            F.sum(quantized(F.col("l_extendedprice"), 2)).over(wp),
+            F.sum(quantized(F.col("l_extendedprice"), 2)
+                  * quantized(F.col("l_extendedprice"), 2)).over(wp),
+            F.count("l_extendedprice").over(wp), 2, 4,
+        ).alias("partition_stddev"),
         F.max("l_shipdate").over(wp).alias("most_recent_ship"),
     )
 
@@ -1142,7 +1187,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("daily_series_stats", """
 SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        count(*) AS n_obs,
-       round(avg(value), 4) AS avg_value,
+       round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+             / (count(value) * 100.0), 4) AS avg_value,
        round(stddev_samp(value), 4) AS stddev_value,
        round(min(value), 4) AS min_value,
        round(max(value), 4) AS max_value
@@ -1155,7 +1201,8 @@ def q_daily_series_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n_obs"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            exact_mean(F.sum(quantized(F.col("value"), 2)),
+                   F.count("value"), 2, 4).alias("avg_value"),
             F.round(F.stddev_samp("value"), 4).alias("stddev_value"),
             F.round(F.min("value"), 4).alias("min_value"),
             F.round(F.max("value"), 4).alias("max_value"),
@@ -1303,6 +1350,66 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk(emb, q, k=5, n_clusters=8, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# Composite-key flags pipeline (the reference's two-part ticker key)
+# ---------------------------------------------------------------------------
+
+_COMPOSITE_FLAGS_ORACLE = f"""
+WITH row_data AS (
+    SELECT user_id, event_type,
+           ts AS date_recorded,
+           round(value, 4) AS value,
+           round(lag(value, 1) OVER w, 4) AS previous_value,
+           row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC)
+               AS row_num
+    FROM events
+    WHERE ts <= TIMESTAMP '{EVAL_TS}'
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)
+),
+detrended AS (
+    SELECT *, abs(round(value - previous_value, 4)) AS abs_diff
+    FROM row_data WHERE row_num <= 28
+),
+stats AS (
+    SELECT *,
+           round(CAST(sum(CAST(round(abs_diff * 10000, 0) AS BIGINT)) OVER wp AS DOUBLE)
+                 / (count(abs_diff) OVER wp * 10000.0), 4) AS average,
+           CASE WHEN count(abs_diff) OVER wp >= 2 THEN
+             round(sqrt(CAST(count(abs_diff) OVER wp
+                             * sum(CAST(round(abs_diff * 10000, 0) AS BIGINT)
+                                   * CAST(round(abs_diff * 10000, 0) AS BIGINT)) OVER wp
+                             - sum(CAST(round(abs_diff * 10000, 0) AS BIGINT)) OVER wp
+                               * sum(CAST(round(abs_diff * 10000, 0) AS BIGINT)) OVER wp AS DOUBLE)
+                        / CAST(count(abs_diff) OVER wp * (count(abs_diff) OVER wp - 1) AS DOUBLE))
+                   / 10000.0, 4) END AS standard_deviation
+    FROM detrended WINDOW wp AS (PARTITION BY user_id, event_type)
+)
+SELECT user_id, event_type,
+       CAST(date_recorded AS TIMESTAMP) AS date_recorded,
+       value, previous_value,
+       abs_diff AS absolute_one_period_difference,
+       average, standard_deviation,
+       CASE WHEN standard_deviation != 0
+            THEN round(abs(abs_diff - average) / standard_deviation, 4)
+            ELSE 0.0 END AS absolute_standard_deviations_from_avg
+FROM stats WHERE row_num = 1
+"""
+
+
+@register("rule_flags_composite_key", _COMPOSITE_FLAGS_ORACLE)
+def q_rule_flags_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flags pipeline on the composite (user_id, event_type) key —
+    mirrors the reference's (index_id, granularity_item_id) pair."""
+    ev = load_table(spark, "events", sf_dir)
+    cfg = DetectorConfig(eval_ts=EVAL_TS)
+    out = rule_flags(ev, ["user_id", "event_type"], "ts", "value", cfg, emit="latest")
+    return out.select(
+        "user_id", "event_type", "date_recorded", "value", "previous_value",
+        "absolute_one_period_difference", "average", "standard_deviation",
+        "absolute_standard_deviations_from_avg",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -8,6 +8,7 @@ import datetime as dt
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from anomaly_detection_spark.config import DetectorConfig
 from anomaly_detection_spark.detect.rules import rule_flags
@@ -75,6 +76,22 @@ def test_null_first_row_semantics(spark):
     assert first.standard_deviation_flag == 0
     # the two non-NULL diffs are both 1.0 → avg over non-NULLs = 1.0
     assert out[-1].average == pytest.approx(1.0)
+
+
+def test_permutation_invariance(spark):
+    """Input row order must not change the flags result (distributed
+    scans have no defined order — determinism demands this)."""
+    df = fixture_df(spark)
+    keys = ["index_id", "granularity_item_id"]
+    cfg = DetectorConfig(eval_ts=EVAL_TS)
+
+    def run(frame):
+        rows = rule_flags(frame, keys, "data_timestamp", "data_value",
+                          cfg, emit="latest").collect()
+        return sorted((tuple(r) for r in rows))
+
+    shuffled = df.orderBy(F.xxhash64("id"))  # deterministic scramble
+    assert run(df) == run(shuffled)
 
 
 def test_emit_eval_date(spark):
