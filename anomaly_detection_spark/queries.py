@@ -1458,6 +1458,92 @@ def q_staleness_bq_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Rank family (ntile / percent_rank / cume_dist) — distribution windows
+# ---------------------------------------------------------------------------
+
+@register("rank_family_orders", """
+SELECT o_orderkey,
+       CAST(ntile(4) OVER w AS INT) AS price_quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       CAST(rank() OVER w AS INT) AS rnk,
+       CAST(dense_rank() OVER w AS INT) AS drnk
+FROM orders
+WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+""")
+def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explode / unnest: top words per language (array ops + re-aggregation)
+# ---------------------------------------------------------------------------
+
+@register("top_words_per_lang", """
+WITH words AS (
+    SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+),
+counts AS (
+    SELECT lang, word, count(*) AS n FROM words
+    WHERE length(word) >= 4
+    GROUP BY lang, word
+)
+SELECT lang, word, n FROM (
+    SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rn
+    FROM counts
+) WHERE rn <= 5
+""")
+def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).where(F.length("word") >= 4)
+    counts = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("word"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("lang", "word", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IGNORE NULLS last_value — forward-fill of sparse observations
+# ---------------------------------------------------------------------------
+
+@register("forward_fill_purchases", """
+SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       round(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+           AS last_purchase_value
+FROM events
+""")
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    purchase_value = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "user_id", "event_id", "ts",
+        F.round(F.last(purchase_value, ignorenulls=True).over(w), 4)
+        .alias("last_purchase_value"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
