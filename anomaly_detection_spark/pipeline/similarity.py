@@ -169,6 +169,42 @@ def ivf_topk(
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def embedding_near_duplicates(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-LSH buckets generate
+    candidates (same bucket ⇒ likely small angle), exact cosine
+    verifies. Returns (id_a, id_b, cosine) with id_a < id_b and
+    cosine >= threshold.
+
+    Scale: the only fact-fact shuffle keys on the LSH bucket; with
+    n_planes=12 a random pair collides with p≈2^-12, so candidate
+    volume tracks true near-dup density. Raise recall by unioning
+    multiple plane-sets (seeds) — each is an independent detector.
+    """
+    b = sign_lsh_buckets(vectors, vec_col, dim, n_planes, seed)
+    slim = b.select("bucket", id_col, vec_col)
+    a, c = slim.alias("a"), slim.alias("b")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(
+            cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+        ).alias("cosine"),
+    )
+    return pairs.where(F.col("cosine") >= cosine_threshold)
+
+
 def lsh_ann_topk(
     vectors: DataFrame,
     queries: DataFrame,

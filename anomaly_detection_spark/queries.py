@@ -1544,6 +1544,17 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (rows-only: LSH candidate set is seed-bound)
+# ---------------------------------------------------------------------------
+
+@register("embedding_near_dups")
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.similarity import embedding_near_duplicates
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    return embedding_near_duplicates(emb, cosine_threshold=0.9)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

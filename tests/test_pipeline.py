@@ -70,6 +70,22 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert len(exact_ids & approx_ids) >= 6
 
 
+def test_embedding_near_duplicates_finds_planted(spark, sf_dir):
+    from anomaly_detection_spark.pipeline.similarity import embedding_near_duplicates
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    # plant a near-duplicate of vector 7 (tiny perturbation)
+    v7 = emb.where(F.col("vec_id") == 7).first().embedding
+    perturbed = [float(x) * 1.001 for x in v7]
+    near = spark.createDataFrame(
+        [(900_000, perturbed)], "vec_id long, embedding array<float>"
+    )
+    corpus = emb.unionByName(near)
+    pairs = embedding_near_duplicates(corpus, cosine_threshold=0.99)
+    found = {(r.id_a, r.id_b): r.cosine for r in pairs.collect()}
+    assert (7, 900_000) in found
+    assert found[(7, 900_000)] > 0.999
+
+
 def test_multimodal_plumbing(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir).limit(10)
     with_payload = attach_binary_payload(docs, "text")

@@ -138,6 +138,33 @@ def test_stateful_trailing_flags_matches_batch(spark, stream_dir):
         assert s.data_repetitions == b.data_repetitions, sid
 
 
+def test_foreachbatch_parquet_sink(spark, stream_dir):
+    """S5 streaming sink: foreachBatch writing per-epoch parquet —
+    the exactly-once sink pattern (idempotent by epoch id)."""
+    import glob
+    base = dt.datetime(2024, 1, 1)
+    src = os.path.join(stream_dir, "src")
+    out = os.path.join(stream_dir, "out")
+    os.makedirs(src)
+    _write_batch(spark, src, [(1, base + dt.timedelta(minutes=m), float(m)) for m in range(6)], 1)
+    stream = spark.readStream.schema(SCHEMA).parquet(src + "/*")
+
+    def sink(df, epoch_id):
+        df.write.mode("overwrite").parquet(os.path.join(out, f"epoch={epoch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    files = glob.glob(os.path.join(out, "epoch=*"))
+    assert len(files) >= 1
+    back = spark.read.parquet(os.path.join(out, "epoch=0"))
+    assert back.count() == 6
+
+
 def test_windowed_stats_append_after_watermark(spark, stream_dir):
     """Tumbling-window aggs emit closed windows once the watermark
     passes; late rows beyond the watermark don't resurrect windows."""
