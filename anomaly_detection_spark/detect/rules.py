@@ -13,10 +13,11 @@ Per series key, over the trailing ``data_periods`` observations:
   sampling gap × ``update_lim`` (ref ``:99-102,141-144``).
 
 Architecture: one DataFrame chain, 100% JVM (no Python UDFs).
-Every window shares the same series-key partitioning, so Catalyst
-plans ONE Exchange+Sort for all of W1-W9 and a second small exchange
-for the run-length refinement (W11) — the whole pipeline is
-two shuffles regardless of data volume, whole-stage-codegen'd
+Every window — including the run-length counter, rewritten from the
+reference's widened (key, segment) partition into a running-max
+distance over the SAME key window — shares the series-key
+partitioning, so Catalyst plans exactly ONE Exchange for the whole
+pipeline (asserted by test_scale_patterns.py), whole-stage-codegen'd
 end to end. Per-key state is bounded (trailing N rows), keys are
 fine-grained (no skew), so the plan scales linearly to 100 TB.
 
@@ -180,15 +181,19 @@ def rule_flags(
         .withColumn("reset_reps_sum", F.sum("reset_count").over(w2))
     )
 
-    # --- repeated_data (ref :117-129): run length within segment ------------
-    w_seg = Window.partitionBy(
-        *[F.col(k) for k in keys], F.col("reset_reps_sum")
-    ).orderBy(F.col("date_recorded").asc())
-    repeated = stddev_data.withColumn(
+    # --- repeated_data (ref :117-129): run length of identical values -------
+    # The reference re-partitions by (key, segment) for the in-segment
+    # running sum — a second Exchange. Equivalent with SAME-KEY windows
+    # only: run length = idx − idx_of_last_reset + 1 (the running max of
+    # reset positions). One shuffle for the whole pipeline (SURVEY §4).
+    idx = F.row_number().over(w2)
+    repeated = stddev_data.withColumn("_idx", idx).withColumn(
         "data_repetitions",
-        F.sum(
-            F.when(F.col("reset_count") == 1, 1).otherwise(F.col("repeated_values"))
-        ).over(w_seg),
+        (
+            F.col("_idx")
+            - F.max(F.when(F.col("reset_count") == 1, F.col("_idx"))).over(w2)
+            + 1
+        ).cast("long"),
     )
 
     # --- flag_data + final (ref :130-155,166-169) ---------------------------
@@ -239,5 +244,5 @@ def rule_flags(
 
     return flags.drop(
         "_gap_secs", "_avg_gap_secs", "_series_n", "row_num",
-        "_q_sum", "_q_sum2", "_q_n",
+        "_q_sum", "_q_sum2", "_q_n", "_idx",
     )

@@ -23,7 +23,6 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from anomaly_detection_spark.operators.windows import series_window
 
@@ -37,11 +36,14 @@ def run_length(df: DataFrame, keys: Sequence[str], ts_col: str, value_col: str,
     repeated = F.when(diff == 0, F.lit(1)).otherwise(F.lit(0))
     reset = F.when(diff == 0, F.lit(0)).otherwise(F.lit(1))
     seg = df.withColumn("_repeated", repeated).withColumn("_reset", reset)
-    # W10: running reset sum = segment id (default frame: unbounded preceding..current)
-    seg = seg.withColumn("_segment", F.sum("_reset").over(w))
-    # W11: run length inside the segment
-    w_seg = Window.partitionBy(*[F.col(k) for k in keys], F.col("_segment")).orderBy(F.col(ts_col).asc())
-    run = F.sum(
-        F.when(F.col("_reset") == 1, F.lit(1)).otherwise(F.col("_repeated"))
-    ).over(w_seg)
-    return seg.withColumn(out_col, run).drop("_repeated", "_reset", "_segment")
+    # single-shuffle form of the W10/W11 pair: run length = distance to
+    # the most recent reset position (running max over the SAME key
+    # window — the reference's widened (key, segment) partition would
+    # cost a second Exchange; see detect/rules.py)
+    seg = seg.withColumn("_idx", F.row_number().over(w))
+    run = (
+        F.col("_idx")
+        - F.max(F.when(F.col("_reset") == 1, F.col("_idx"))).over(w)
+        + 1
+    ).cast("long")
+    return seg.withColumn(out_col, run).drop("_repeated", "_reset", "_idx")

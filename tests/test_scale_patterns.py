@@ -74,9 +74,10 @@ def test_bucketed_join_skips_exchange(spark, sf_dir, warehouse):
 
 
 def test_flags_pipeline_single_exchange(spark, sf_dir):
-    """The whole flags pipeline must plan exactly TWO hash exchanges:
-    the series-key shuffle and the run-length segment refinement
-    (SURVEY §4 — anything more would be a perf regression)."""
+    """The whole flags pipeline must plan exactly ONE hash exchange:
+    every window (including the run-length, rewritten as a running-max
+    distance) shares the series-key partitioning. Any more is a perf
+    regression."""
     from anomaly_detection_spark.config import DetectorConfig
     from anomaly_detection_spark.detect.rules import rule_flags
     ev = load_table(spark, "events", sf_dir)
@@ -86,7 +87,7 @@ def test_flags_pipeline_single_exchange(spark, sf_dir):
     )
     plan = _physical_plan(out)
     n_hash_exchanges = plan.count("Exchange hashpartitioning")
-    assert n_hash_exchanges <= 2, plan
+    assert n_hash_exchanges == 1, plan
 
 
 def test_csv_json_source_roundtrip(spark, sf_dir):
