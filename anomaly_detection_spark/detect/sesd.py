@@ -211,4 +211,7 @@ def shesd_detect(
         out["residual"] = resid[idx]
         return out
 
-    return fact.groupBy(*keys).applyInPandas(detect, schema=out_schema)
+    slim = fact.select(*keys, ts_col, value_col).repartition(
+        fact.sparkSession.sparkContext.defaultParallelism, *keys
+    )
+    return slim.groupBy(*keys).applyInPandas(detect, schema=out_schema)

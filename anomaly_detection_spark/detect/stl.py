@@ -200,7 +200,14 @@ def stl_iqr_detect(
         })
         return pd.DataFrame([row])
 
-    return fact.groupBy(*keys).applyInPandas(detect, schema=out_schema)
+    # project before the grouped map (applyInPandas ships every column
+    # through Arrow) and pin the shuffle width: AQE would coalesce the
+    # now-tiny shuffle to ~1 partition by BYTE size, serializing the
+    # Python compute — an explicit repartition keeps the stage wide
+    slim = fact.select(*keys, ts_col, value_col).repartition(
+        fact.sparkSession.sparkContext.defaultParallelism, *keys
+    )
+    return slim.groupBy(*keys).applyInPandas(detect, schema=out_schema)
 
 
 def stl_iqr_score(
@@ -256,4 +263,7 @@ def stl_iqr_score(
         out["anomaly"] = np.where(is_anom, "Yes", "No")
         return out
 
-    return fact.groupBy(*keys).applyInPandas(score_group, schema=out_schema)
+    slim = fact.select(*keys, ts_col, value_col).repartition(
+        fact.sparkSession.sparkContext.defaultParallelism, *keys
+    )
+    return slim.groupBy(*keys).applyInPandas(score_group, schema=out_schema)
