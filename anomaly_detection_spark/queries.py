@@ -1555,6 +1555,33 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(emb, cosine_threshold=0.9)
 
 
+# ---------------------------------------------------------------------------
+# lead / nth_value / first_value — remaining navigation windows
+# ---------------------------------------------------------------------------
+
+@register("navigation_windows_events", """
+SELECT user_id, event_id,
+       round(lead(value, 1) OVER w, 4) AS next_value,
+       round(lead(value, 2) OVER w, 4) AS next2_value,
+       round(first_value(value) OVER w, 4) AS first_seen_value,
+       round(nth_value(value, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW), 4) AS third_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def q_navigation_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cur = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "user_id", "event_id",
+        F.round(F.lead("value", 1).over(w), 4).alias("next_value"),
+        F.round(F.lead("value", 2).over(w), 4).alias("next2_value"),
+        F.round(F.first("value").over(w), 4).alias("first_seen_value"),
+        F.round(F.nth_value("value", 3).over(w_cur), 4).alias("third_value"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -71,6 +71,53 @@ class FakeGroupState:
         self.timeout_ms = ms
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    left_ts=st.lists(st.integers(0, 50), min_size=1, max_size=12),
+    right_ts=st.lists(st.integers(0, 50), min_size=0, max_size=12, unique=True),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts):
+    """as_of_join vs pandas merge_asof on arbitrary small inputs —
+    backward direction, <= semantics, single key."""
+    import datetime as dt2
+    base = dt2.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, i, base + dt2.timedelta(hours=t)) for i, t in enumerate(left_ts)],
+        "k long, lid long, lts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(1, 100 + i, base + dt2.timedelta(hours=t)) for i, t in enumerate(right_ts)],
+        "k long, rid long, rts timestamp_ntz",
+    ) if right_ts else spark.createDataFrame([], "k long, rid long, rts timestamp_ntz")
+
+    from anomaly_detection_spark.operators.asof import as_of_join
+    got = {
+        r.lid: r.asof_rid
+        for r in as_of_join(left, right, ["k"], "lts", "rts", ["rid"]).collect()
+    }
+
+    lp = pd.DataFrame({"k": 1, "lid": range(len(left_ts)),
+                       "lts": [base + dt2.timedelta(hours=t) for t in left_ts]}
+                      ).sort_values("lts", kind="stable")
+    rp = pd.DataFrame({
+        "k": pd.array([1] * len(right_ts), dtype="int64"),
+        "rid": pd.array([100 + i for i in range(len(right_ts))], dtype="int64"),
+        "rts": pd.to_datetime([base + dt2.timedelta(hours=t) for t in right_ts]),
+    }).sort_values("rts", kind="stable")
+    merged = pd.merge_asof(lp, rp, left_on="lts", right_on="rts", by="k",
+                           direction="backward")
+    want = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in merged.itertuples()
+    }
+    assert got == want
+
+
 def test_staleness_monitor_state_logic():
     """Drive the staleness update closure directly through its three
     transitions: ingest → no alert; timeout → STALE; recovery data →
