@@ -233,6 +233,24 @@ def minhash_near_duplicates(
     )
 
 
+def drop_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    jaccard_threshold: float = 0.8,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Corpus minus near-duplicates: for every candidate pair the
+    larger id is dropped (greedy smallest-id-survives — the standard
+    linear-time approximation of connected-component dedup; exact CC
+    needs iterative label propagation, overkill for typical dedup)."""
+    pairs = minhash_near_duplicates(
+        df, text_col, id_col, jaccard_threshold=jaccard_threshold, **minhash_kwargs
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash64(text_col, shingle_n: int = 2):
     """64-bit SimHash fingerprint (Charikar) as a long Column.
 

@@ -1582,6 +1582,85 @@ def q_navigation_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT (beyond the reference's UNION ALL)
+# ---------------------------------------------------------------------------
+
+@register("set_ops_users", """
+SELECT user_id, 'both' AS membership FROM (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+)
+UNION ALL
+SELECT user_id, 'purchase_only' AS membership FROM (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+)
+""")
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = ev.where(F.col("event_type") == "error").select("user_id").distinct()
+    both = buyers.intersect(erroring).withColumn("membership", F.lit("both"))
+    only = buyers.exceptAll(erroring).withColumn("membership", F.lit("purchase_only"))
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (TPC-H Q17 shape): below 20% of part avg
+# ---------------------------------------------------------------------------
+
+@register("tpch_q17_small_orders", """
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_small
+FROM lineitem l
+WHERE l.l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+)
+""")
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    part_avg = l.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    small = l.join(part_avg, "l_partkey").where(
+        F.col("l_quantity") < F.col("qty_threshold")
+    )
+    return small.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark SQL text API with named WINDOW clause (W13 — SQL surface parity)
+# ---------------------------------------------------------------------------
+
+@register("sql_api_named_windows", """
+SELECT user_id, event_id,
+       round(lag(value) OVER w, 4) AS prev_value,
+       CAST(row_number() OVER w_desc AS INT) AS recency
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       w_desc AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+""")
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same logical plan as the DataFrame DSL, expressed as Spark SQL
+    text with named windows — the reference's WINDOW-clause idiom."""
+    load_table(spark, "events", sf_dir).createOrReplaceTempView("events_v")
+    return spark.sql("""
+        SELECT user_id, event_id,
+               round(lag(value) OVER w, 4) AS prev_value,
+               row_number() OVER w_desc AS recency
+        FROM events_v
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               w_desc AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+    """)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -41,6 +41,20 @@ def test_minhash_finds_planted_near_duplicate(spark, sf_dir):
     assert (0, 500_000) in found
 
 
+def test_drop_near_duplicates(spark, sf_dir):
+    from anomaly_detection_spark.pipeline.dedup import drop_near_duplicates
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text").limit(30)
+    near = docs.where(F.col("doc_id") == 2).select(
+        (F.col("doc_id") + 700_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    corpus = docs.unionByName(near)
+    kept = drop_near_duplicates(corpus, "text", "doc_id", jaccard_threshold=0.7)
+    ids = {r.doc_id for r in kept.collect()}
+    assert 2 in ids          # smallest id survives
+    assert 700_002 not in ids  # the planted near-dup is dropped
+
+
 def test_brute_force_topk_self_is_rank1(spark, sf_dir):
     emb = load_table(spark, "embeddings", sf_dir)
     q = emb.where(F.col("vec_id") == 7).select(
