@@ -236,6 +236,88 @@ def stateful_trailing_flags(
     )
 
 
+def stateful_stl_scores(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    data_periods: int = 28,
+    period: int = 7,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming decomposition detector: per-key state keeps the
+    trailing ``data_periods`` observations; every arrival re-fits the
+    decomposition + IQR band over that window and scores the newest
+    point — the streaming generalization of the R engine
+    (detect/stl.py), same deque-state contract as the trailing flags.
+
+    Output: one row per processed observation with the remainder,
+    band, score, and anomaly verdict for the arrival.
+    """
+    import numpy as np
+
+    from anomaly_detection_spark.detect.stl import (
+        decompose, iqr_anomalize, _score,
+    )
+
+    out_schema = (
+        f"{key} long, ts timestamp_ntz, value double, remainder double, "
+        "remainder_l1 double, remainder_l2 double, score double, "
+        "anomaly string"
+    )
+    state_schema = "ts_us array<long>, vals array<double>, max_ts_us long"
+
+    def update(key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            ts_us_list, vals_list, max_ts_us = state.get
+            ts_us_list, vals_list = list(ts_us_list), list(vals_list)
+        else:
+            ts_us_list, vals_list, max_ts_us = [], [], -1
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                ts_us = int(pd.Timestamp(ts).value // 1000)
+                if ts_us <= max_ts_us:
+                    continue  # late: drop per watermark policy
+                max_ts_us = ts_us
+                ts_us_list.append(ts_us)
+                vals_list.append(float(v))
+                if len(vals_list) > data_periods:
+                    ts_us_list = ts_us_list[-data_periods:]
+                    vals_list = vals_list[-data_periods:]
+                arr = np.asarray(vals_list)
+                if len(arr) < 4:
+                    rows.append((key_tuple[0], ts, float(v),
+                                 None, None, None, None, "No"))
+                    continue
+                _season, _trend, rem = decompose(arr, period=period)
+                is_anom, l1, l2 = iqr_anomalize(rem)
+                sc = _score(rem, l1, l2)
+                rows.append((
+                    key_tuple[0], ts, float(v), float(rem[-1]),
+                    float(l1), float(l2),
+                    float(sc[-1]) if np.isfinite(sc[-1]) else None,
+                    "Yes" if bool(is_anom[-1]) else "No",
+                ))
+        state.update((ts_us_list, vals_list, max_ts_us))
+        if rows:
+            yield pd.DataFrame(rows, columns=[
+                key, "ts", "value", "remainder", "remainder_l1",
+                "remainder_l2", "score", "anomaly",
+            ])
+
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def _make_staleness_update(key: str, ts_col: str, stale_after_seconds: float):
     """Build the staleness state-machine closure (module-level so the
     timeout transitions are unit-testable with a fake GroupState —

@@ -15,7 +15,8 @@ SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", cpus=4, shuffle_partitions=4)
+    cpus = int(os.environ.get("SPARK_TEST_CPUS", "4"))
+    s = get_spark("tests", cpus=cpus, shuffle_partitions=cpus)
     s.sparkContext.setLogLevel("ERROR")
     yield s
 

@@ -138,6 +138,50 @@ def test_stateful_trailing_flags_matches_batch(spark, stream_dir):
         assert s.data_repetitions == b.data_repetitions, sid
 
 
+def test_stateful_stl_matches_batch_verdict(spark, stream_dir):
+    """Streaming decomposition scores: the final arrival's verdict per
+    series must match the batch STL engine run over the same trailing
+    window (the spike series says Yes, clean series say No)."""
+    from anomaly_detection_spark.streaming.rules_stream import stateful_stl_scores
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from tests.ticker_fixture import SPIKE_KEY, CLEAN_KEYS, fixture_df
+
+    fixture = fixture_df(spark).withColumn(
+        "series_id", F.col("index_id") * 1000 + F.col("granularity_item_id")
+    ).select("series_id", "data_timestamp", "data_value")
+    src = os.path.join(stream_dir, "src")
+    os.makedirs(src)
+    fixture.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    sch = "series_id long, data_timestamp timestamp_ntz, data_value double"
+    stream = spark.readStream.schema(sch).parquet(src + "/*")
+    out = stateful_stl_scores(stream, "series_id", "data_timestamp", "data_value")
+    res = _drain(spark, out, "stl_stream", src)
+    w = Window.partitionBy("series_id").orderBy(F.col("ts").desc())
+    last = {
+        r.series_id: r
+        for r in res.withColumn("rn", F.row_number().over(w)).where("rn = 1").collect()
+    }
+    spike_id = SPIKE_KEY[0] * 1000 + SPIKE_KEY[1]
+    assert last[spike_id].anomaly == "Yes"
+    assert last[spike_id].score > 1.0
+    # true differential: batch STL over the same trailing-28 window
+    # must agree with the stream's final verdict on every series
+    from anomaly_detection_spark.detect.stl import stl_iqr_detect
+    from anomaly_detection_spark.operators.topn import trailing_n_per_group
+    trailing = trailing_n_per_group(
+        fixture, ["series_id"], "data_timestamp", 28, keep_rn=False
+    )
+    batch = {
+        r.series_id: r.anomaly
+        for r in stl_iqr_detect(
+            trailing, ["series_id"], "data_timestamp", "data_value"
+        ).collect()
+    }
+    for sid, verdict in batch.items():
+        assert last[sid].anomaly == verdict, sid
+
+
 def test_foreachbatch_parquet_sink(spark, stream_dir):
     """S5 streaming sink: foreachBatch writing per-epoch parquet —
     the exactly-once sink pattern (idempotent by epoch id)."""
