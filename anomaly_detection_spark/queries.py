@@ -1661,6 +1661,285 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# ---------------------------------------------------------------------------
+# EXISTS decorrelation (TPC-H Q4 shape): correlated EXISTS with a non-equi
+# conjunct → Spark left-semi join; Catalyst decorrelates to the same plan.
+# ---------------------------------------------------------------------------
+
+@register("tpch_q4_order_priority", """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o_orderpriority
+""")
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir)
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# NOT EXISTS + uncorrelated scalar subquery (TPC-H Q22 shape):
+# above-average-balance customers with no orders → anti join + cross
+# join of a 1-row aggregate (broadcast at scale).
+# ---------------------------------------------------------------------------
+
+@register("tpch_q22_idle_customers", """
+SELECT c_nationkey,
+       count(*) AS n_cust,
+       round(CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS total_acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_nationkey
+""")
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    # Uncorrelated scalar subquery → 1-row DF cross-joined (broadcast).
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+    )
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(
+            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")).cast("double")
+            / 100.0,
+            2,
+        ).alias("total_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Disjunctive join predicates (TPC-H Q19 shape): OR of conjunct bundles
+# across both join sides — exercises predicate normalization (the common
+# p_partkey equi-conjunct must still drive a hash join, with the OR as a
+# post-join filter; CNF conversion pushes the per-side prunables down).
+# ---------------------------------------------------------------------------
+
+@register("tpch_q19_disjunctive_join", """
+SELECT round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                           AS BIGINT)) AS DOUBLE) / 10000.0, 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+""")
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    bundle = (
+        ((p.p_brand == "Brand#1") & p.p_size.between(1, 5)
+         & (l.l_quantity >= 1) & (l.l_quantity <= 11))
+        | ((p.p_brand == "Brand#2") & p.p_size.between(1, 10)
+           & (l.l_quantity >= 10) & (l.l_quantity <= 20))
+        | ((p.p_brand == "Brand#3") & p.p_size.between(1, 15)
+           & (l.l_quantity >= 20) & (l.l_quantity <= 30))
+    )
+    joined = l.join(F.broadcast(p), (p.p_partkey == l.l_partkey) & bundle)
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    return joined.agg(
+        F.round(F.sum(rev_cents).cast("double") / 10000.0, 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional-aggregate ratio (TPC-H Q14 shape): promo-style revenue
+# share. Integer-quantized sums (operators/rounding.py discipline) keep
+# the ratio bit-identical across engines and partitionings.
+# ---------------------------------------------------------------------------
+
+@register("tpch_q14_type_share", """
+SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type LIKE 'ECO%'
+                   THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT)
+                   ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                             AS BIGINT)) AS DOUBLE), 4) AS economy_share_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+""")
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    rev_units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    joined = l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type").like("ECO%"), rev_units).otherwise(F.lit(0))).cast("double")
+            / F.sum(rev_units).cast("double"),
+            4,
+        ).alias("economy_share_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-interval RANGE window frame (beyond the reference's ROWS frames):
+# trailing 1-hour average per user. Spark has no INTERVAL RANGE frame, so
+# the idiomatic mapping orders by epoch seconds with a numeric
+# rangeBetween — identical semantics incl. timestamp ties (peers share
+# the frame).
+# ---------------------------------------------------------------------------
+
+@register("range_interval_window", """
+SELECT user_id, event_id,
+       round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                  OVER trailing_hour AS DOUBLE)
+             / (count(value) OVER trailing_hour * 100.0), 4) AS hour_avg,
+       CAST(count(*) OVER trailing_hour AS BIGINT) AS hour_n
+FROM events
+WINDOW trailing_hour AS (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""")
+def q_range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    # Event timestamps carry microseconds; order by epoch-µs (exact in
+    # int64) so the 1-hour bound matches DuckDB's INTERVAL comparison.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy((epoch_seconds("ts") * 1_000_000).cast("long"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum(cents).over(w).cast("double")
+            / (F.count("value").over(w) * 100.0),
+            4,
+        ).alias("hour_avg"),
+        F.count(F.lit(1)).over(w).alias("hour_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (beyond the reference; complements rollup/cube):
+# explicit set list with grouping_id disambiguation.
+# ---------------------------------------------------------------------------
+
+@register("grouping_sets_orders", """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+           AS gid,
+       count(*) AS n,
+       round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""")
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).cast("double")
+            / 100.0,
+            2,
+        ).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregate-function suite: max_by/min_by (deterministic: ordering key is
+# the unique event_id), bool_or/bool_and, count_if, exact median.
+# ---------------------------------------------------------------------------
+
+@register("agg_function_suite", """
+SELECT event_type,
+       arg_max(user_id, event_id) AS latest_user,
+       arg_min(user_id, event_id) AS first_user,
+       bool_or(value > 90.0) AS any_big,
+       bool_and(value >= 0.0) AS all_nonneg,
+       CAST(count_if(value > 50.0) AS BIGINT) AS n_big,
+       round(median(value), 4) AS median_value
+FROM events
+GROUP BY event_type
+""")
+def q_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.max_by("user_id", "event_id").alias("latest_user"),
+        F.min_by("user_id", "event_id").alias("first_user"),
+        F.bool_or(F.col("value") > 90.0).alias("any_big"),
+        F.bool_and(F.col("value") >= 0.0).alias("all_nonneg"),
+        F.count_if(F.col("value") > 50.0).alias("n_big"),
+        F.round(F.median("value"), 4).alias("median_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding (hopping) event-time windows in batch — the batch mirror of
+# streaming `F.window(ts, "2 hours", "1 hour")`. Each event lands in 2
+# overlapping windows; the oracle unnests the two covering window starts.
+# ---------------------------------------------------------------------------
+
+@register("sliding_window_counts", """
+SELECT win_start, event_type, count(*) AS n,
+       round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS value_sum
+FROM (
+    SELECT unnest([date_trunc('hour', ts),
+                   date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start,
+           event_type, value
+    FROM events
+)
+GROUP BY win_start, event_type
+""")
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double")
+                / 100.0,
+                2,
+            ).alias("value_sum"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
