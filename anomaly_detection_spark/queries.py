@@ -1940,6 +1940,103 @@ def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Bucketed interval join (operators/rangejoin.py): purchases within 30
+# minutes after an error, per user. The oracle states the naive
+# inequality join; the Spark plan is the scale-safe bucket equi-join.
+# ---------------------------------------------------------------------------
+
+@register("interval_join_error_purchases", """
+SELECT e.event_id AS error_id,
+       count(p.event_id) AS n_purchases,
+       round(CAST(coalesce(sum(CAST(round(p.value * 100, 0) AS BIGINT)), 0)
+                  AS DOUBLE) / 100.0, 2) AS purchase_value
+FROM events e
+LEFT JOIN events p
+  ON p.user_id = e.user_id AND p.event_type = 'purchase'
+ AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 30 MINUTE
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+""")
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.operators.rangejoin import interval_join
+
+    ev = load_table(spark, "events", sf_dir)
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts")
+        .withColumn("win_end", F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), "user_id",
+        F.col("ts").alias("p_ts"), "value",
+    )
+    matched = interval_join(
+        purchases, errors,
+        point_ts="p_ts", start_ts="ts", end_ts="win_end",
+        keys=["user_id"], bucket_seconds=1800, how="inner",
+    )
+    counts = matched.groupBy(F.col("event_id").alias("error_id")).agg(
+        F.count("p_event_id").alias("n_purchases"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double")
+            / 100.0, 2,
+        ).alias("purchase_value"),
+    )
+    # LEFT semantics: every error event appears, zero-filled when no
+    # purchase followed — join back to the error set
+    return (
+        errors.select(F.col("event_id").alias("error_id"))
+        .join(counts, "error_id", "left")
+        .select(
+            "error_id",
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IN-subquery over HAVING aggregate (TPC-H Q18 shape): big-quantity
+# orders → semi join against a grouped-filtered subquery.
+# ---------------------------------------------------------------------------
+
+@register("tpch_q18_big_orders", """
+SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+       round(CAST(sum(CAST(round(l.l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+    HAVING sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) > 21000
+)
+GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+""")
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir)
+    qty_units = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(qty_units).alias("qty_units"))
+        .where(F.col("qty_units") > 21000)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l.withColumnRenamed("l_orderkey", "lo_key"),
+              F.col("o_orderkey") == F.col("lo_key"))
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(
+            F.round(F.sum(qty_units).cast("double") / 100.0, 2).alias("total_qty")
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
