@@ -1,0 +1,88 @@
+"""Source/sink facade round-trips (sources/io.py, SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.sources.io import read_source, stream_source, write_sink
+from anomaly_detection_spark.sources.tables import load_table
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_csv_roundtrip_lossless(spark, sf_dir, tmp_path):
+    ev = load_table(spark, "events", sf_dir).limit(300)
+    path = os.path.join(tmp_path, "ev_csv")
+    write_sink(ev, path, fmt="csv")
+    back = read_source(spark, path, fmt="csv", schema=EVENTS_SCHEMA)
+    assert back.schema == ev.schema
+    assert _rows(back) == _rows(ev)
+
+
+def test_json_roundtrip_lossless(spark, sf_dir, tmp_path):
+    ev = load_table(spark, "events", sf_dir).limit(300)
+    path = os.path.join(tmp_path, "ev_json")
+    write_sink(ev, path, fmt="json")
+    back = read_source(spark, path, fmt="json", schema=EVENTS_SCHEMA)
+    # json drops null-valued fields per row; schema-on-read restores them
+    assert back.schema == ev.schema
+    assert _rows(back) == _rows(ev)
+
+
+def test_csv_null_vs_empty_string(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "x")], "id bigint, s string"
+    )
+    path = os.path.join(tmp_path, "nulls_csv")
+    write_sink(df, path, fmt="csv")
+    back = read_source(spark, path, fmt="csv", schema="id bigint, s string",
+                       emptyValue="")
+    assert _rows(back) == _rows(df)
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    orders = load_table(spark, "orders", sf_dir)
+    path = os.path.join(tmp_path, "orders_part")
+    write_sink(orders, path, partition_by=["o_orderstatus"])
+    statuses = [r[0] for r in orders.select("o_orderstatus").distinct().collect()]
+    # hive-style layout exists
+    dirs = [d for d in os.listdir(path) if d.startswith("o_orderstatus=")]
+    assert sorted(dirs) == sorted(f"o_orderstatus={s}" for s in statuses)
+    back = read_source(spark, path).where(F.col("o_orderstatus") == statuses[0])
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition filter present → non-matching directories never scanned
+    assert "o_orderstatus" in plan
+    expect = orders.where(F.col("o_orderstatus") == statuses[0]).count()
+    assert back.count() == expect
+
+
+def test_stream_source_file_drop(spark, sf_dir, tmp_path):
+    ev = load_table(spark, "events", sf_dir).limit(500)
+    src = os.path.join(tmp_path, "drop")
+    write_sink(ev.repartition(4), src)  # 4 files → multiple batch splits
+    stream = stream_source(spark, src, "parquet", EVENTS_SCHEMA,
+                           maxFilesPerTrigger="2")
+    q = (
+        stream.groupBy("event_type").count()
+        .writeStream.format("memory").queryName("io_stream_counts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_type"]: r["count"]
+        for r in spark.sql("select * from io_stream_counts").collect()
+    }
+    want = {
+        r["event_type"]: r["count"]
+        for r in ev.groupBy("event_type").count().collect()
+    }
+    assert got == want
