@@ -2037,6 +2037,81 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Calendar-spine gap fill (operators/gapfill.py) — the lossless fix for
+# the reference's irregular-series STL workaround (SURVEY §2.9 M12).
+# ---------------------------------------------------------------------------
+
+@register("gap_fill_daily_series", """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           round(arg_max(value, ts), 4) AS day_value
+    FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+spine AS (
+    SELECT user_id,
+           CAST(unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))
+                AS DATE) AS day
+    FROM daily GROUP BY user_id
+)
+SELECT s.user_id, s.day,
+       last_value(d.day_value IGNORE NULLS)
+           OVER (PARTITION BY s.user_id ORDER BY s.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       d.day_value IS NOT NULL AS observed
+FROM spine s LEFT JOIN daily d USING (user_id, day)
+""")
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.operators.gapfill import gap_fill_daily
+
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "value", F.round("value", 4)
+    )
+    return gap_fill_daily(ev, keys=["user_id"], ts="ts", value="value")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal feature extraction (pipeline/multimodal.py) — binary
+# payload + metadata struct → mapInPandas feature vectors. Rows-only:
+# the sha256-derived stub features aren't ANSI-SQL-expressible.
+# ---------------------------------------------------------------------------
+
+@register("multimodal_features")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.multimodal import (
+        attach_binary_payload, extract_features,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    with_payload = attach_binary_payload(docs, "text")
+    return extract_features(with_payload, fake=True)
+
+
+# ---------------------------------------------------------------------------
+# Histogram / fixed-width binning — value distribution per event type.
+# ---------------------------------------------------------------------------
+
+@register("value_histogram", """
+SELECT event_type,
+       CAST(floor(value / 10.0) AS BIGINT) AS bin,
+       count(*) AS n,
+       round(min(value), 4) AS bin_min,
+       round(max(value), 4) AS bin_max
+FROM events
+GROUP BY event_type, CAST(floor(value / 10.0) AS BIGINT)
+""")
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 10.0).cast("long").alias("bin"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("bin_min"),
+        F.round(F.max("value"), 4).alias("bin_max"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
