@@ -67,13 +67,20 @@ def interval_join(
         out = p.join(iv, on=on, how="inner").where(exact)
     else:
         # left: exact predicate must live in the join condition, not a
-        # post-filter, to preserve unmatched point rows
+        # post-filter, to preserve unmatched point rows. String aliases
+        # disambiguate the (common at call sites) self-join lineage.
         iv_cols = [c for c in iv.columns if c not in on]
+        pa, iva = p.alias("_rj_p"), iv.alias("_rj_i")
         cond = F.lit(True)
         for k in on:
-            cond = cond & (p[k] == iv[k])
-        cond = cond & (p[point_ts] >= iv[start_ts]) & (p[point_ts] < iv[end_ts])
-        out = p.join(iv, cond, "left").select(
-            *[p[c] for c in p.columns], *[iv[c] for c in iv_cols]
+            cond = cond & (F.col(f"_rj_p.{k}") == F.col(f"_rj_i.{k}"))
+        cond = (
+            cond
+            & (F.col(f"_rj_p.{point_ts}") >= F.col(f"_rj_i.{start_ts}"))
+            & (F.col(f"_rj_p.{point_ts}") < F.col(f"_rj_i.{end_ts}"))
+        )
+        out = pa.join(iva, cond, "left").select(
+            *[F.col(f"_rj_p.{c}") for c in p.columns],
+            *[F.col(f"_rj_i.{c}") for c in iv_cols],
         )
     return out.drop("_rj_bucket")

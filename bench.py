@@ -36,6 +36,11 @@ BENCH_QUERIES = [
     "cosine_topk_embeddings",
     "text_stats_docs",
     "json_props_stats",
+    "tpch_q18_big_orders",
+    "tpch_q19_disjunctive_join",
+    "interval_join_error_purchases",
+    "sliding_window_counts",
+    "gap_fill_daily_series",
 ]
 
 
