@@ -2112,6 +2112,54 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Document chunking (pipeline/chunking.py) — overlapping token windows,
+# the UDTF-shaped text operator; pure JVM split/sequence/slice.
+# ---------------------------------------------------------------------------
+
+@register("chunk_documents_overlap", r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+)
+SELECT doc_id,
+       CAST(u.s / 15 AS BIGINT) AS chunk_id,
+       CAST(u.s AS BIGINT) AS chunk_start,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       array_to_string(t[u.s + 1 : u.s + 20], ' ') AS chunk_text
+FROM toks, LATERAL unnest(generate_series(0, len(t) - 1, 15)) AS u(s)
+""")
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.chunking import chunk_documents
+
+    docs = load_table(spark, "documents", sf_dir)
+    return chunk_documents(docs, chunk_tokens=20, stride_tokens=15)
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate components (pipeline/components.py) — MinHash pair
+# edges → connected components → dedup groups. Rows-only: iterative
+# label propagation isn't ANSI SQL (and the driver's weaker gate
+# records it as such).
+# ---------------------------------------------------------------------------
+
+@register("near_dup_components")
+def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.components import connected_components
+    from anomaly_detection_spark.pipeline.dedup import minhash_near_duplicates
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_near_duplicates(docs, "text", "doc_id")
+    comps = connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        comps.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("node").alias("keep_doc_id"),
+        )
+        .orderBy("component")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
