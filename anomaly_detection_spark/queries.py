@@ -2160,6 +2160,223 @@ def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+# Two independent dim paths (supplier→nation, customer→nation) with a
+# disjunctive pair filter — both dim joins broadcast.
+# ---------------------------------------------------------------------------
+
+_REV_UNITS_SQL = "CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000, 0) AS BIGINT)"
+
+
+@register("tpch_q7_nation_volume", f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS ship_year,
+       round(CAST(sum({_REV_UNITS_SQL}) AS DOUBLE) / 10000.0, 2) AS volume
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+""")
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    rev_units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+    ).agg(F.round(F.sum(rev_units).cast("double") / 10000.0, 2).alias("volume"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: one nation's market share inside a region by year —
+# conditional-sum ratio over a 6-table join.
+# ---------------------------------------------------------------------------
+
+@register("tpch_q8_market_share", f"""
+SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+       round(CAST(sum(CASE WHEN n1.n_name = 'NATION_3' THEN {_REV_UNITS_SQL}
+                           ELSE 0 END) AS DOUBLE)
+             / CAST(sum({_REV_UNITS_SQL}) AS DOUBLE), 6) AS market_share
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n2.n_regionkey AND r.r_name = 'EUROPE'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+GROUP BY year(o.o_orderdate)
+""")
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region"))
+    rev_units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(
+            F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+            F.col("n2_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+    )
+    return joined.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year")
+    ).agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", rev_units)
+                  .otherwise(F.lit(0))).cast("double")
+            / F.sum(rev_units).cast("double"),
+            6,
+        ).alias("market_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: top-20 customers by returned-item revenue —
+# global top-k with a deterministic tiebreak on the unique key.
+# ---------------------------------------------------------------------------
+
+@register("tpch_q10_returned_top20", f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(CAST(sum({_REV_UNITS_SQL}) AS DOUBLE) / 10000.0, 2) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""")
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    rev_units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    return (
+        l.where(F.col("l_returnflag") == "R")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev_units).cast("double") / 10000.0, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: customer order-count distribution — left join
+# (zero-preserving) + two-level aggregation.
+# ---------------------------------------------------------------------------
+
+@register("tpch_q13_order_distribution", """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority <> '4-NOT SPECIFIED'
+    GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""")
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: top supplier(s) — derived revenue view + scalar
+# subquery max (ties kept, so no arbitrary choice).
+# ---------------------------------------------------------------------------
+
+@register("tpch_q15_top_supplier", f"""
+WITH revenue AS (
+    SELECT l.l_suppkey AS supplier_no,
+           sum({_REV_UNITS_SQL.replace('l.', 'l.')}) AS total_units
+    FROM lineitem l
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       round(CAST(r.total_units AS DOUBLE) / 10000.0, 2) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_units = (SELECT max(total_units) FROM revenue)
+""")
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    rev_units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    revenue = (
+        l.where(
+            (F.col("l_shipdate") >= ntz_lit("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ntz_lit("1997-01-01 00:00:00"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev_units).alias("total_units"))
+    )
+    max_rev = revenue.agg(F.max("total_units").alias("max_units"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .where(F.col("total_units") == F.col("max_units"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            F.round(F.col("total_units").cast("double") / 10000.0, 2)
+            .alias("total_revenue"),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
