@@ -2377,6 +2377,46 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Native session windows (F.session_window) — the built-in twin of the
+# manual gaps-and-islands `sessionize_events`; works identically in
+# Structured Streaming (merging session state per key).
+# ---------------------------------------------------------------------------
+
+@register("native_session_windows", """
+WITH gaps AS (
+    SELECT user_id, ts,
+           CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+    SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts)
+               AS session_no
+    FROM gaps
+)
+SELECT user_id,
+       CAST(min(ts) AS TIMESTAMP) AS session_start,
+       CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+       count(*) AS n_events
+FROM sess
+GROUP BY user_id, session_no
+""")
+def q_native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
