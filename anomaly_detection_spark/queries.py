@@ -2417,6 +2417,56 @@ def q_native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt — wide measures to long (id, measure, value) form.
+# ---------------------------------------------------------------------------
+
+@register("unpivot_lineitem_measures", """
+SELECT l_orderkey, l_linenumber, measure, round(value, 4) AS value
+FROM (UNPIVOT (SELECT l_orderkey, l_linenumber,
+                      l_quantity, l_extendedprice, l_discount, l_tax
+               FROM lineitem WHERE l_orderkey % 20 = 0)
+      ON l_quantity, l_extendedprice, l_discount, l_tax
+      INTO NAME measure VALUE value)
+""")
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir).where(
+        F.col("l_orderkey") % 20 == 0
+    )
+    return l.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).withColumn("value", F.round("value", 4))
+
+
+# ---------------------------------------------------------------------------
+# QUALIFY idiom (BigQuery/DuckDB dialect — the reference's SQL dialect
+# has it): latest order per customer. Spark has no QUALIFY; the
+# mechanical translation is a window column + filter + drop.
+# ---------------------------------------------------------------------------
+
+@register("qualify_latest_order", """
+SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+       o_totalprice
+FROM orders
+QUALIFY row_number()
+    OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+""")
+def q_qualify_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -86,3 +86,44 @@ def test_stream_source_file_drop(spark, sf_dir, tmp_path):
         for r in ev.groupBy("event_type").count().collect()
     }
     assert got == want
+
+
+def test_json_permissive_corrupt_records(spark, tmp_path):
+    """Production sources must capture, not crash on, malformed rows:
+    PERMISSIVE mode routes bad lines to _corrupt_record."""
+    path = os.path.join(tmp_path, "dirty")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-0.json"), "w") as f:
+        f.write('{"id": 1, "v": 10.5}\n')
+        f.write('{"id": 2, "v": "not-a-number}\n')  # malformed JSON
+        f.write('{"id": 3, "v": 7.25}\n')
+    schema = "id bigint, v double, _corrupt_record string"
+    df = read_source(spark, path, fmt="json", schema=schema,
+                     mode="PERMISSIVE", columnNameOfCorruptRecord="_corrupt_record")
+    rows = df.collect()
+    good = sorted((r.id, r.v) for r in rows if r._corrupt_record is None)
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert good == [(1, 10.5), (3, 7.25)]
+    assert len(bad) == 1 and "not-a-number" in bad[0]._corrupt_record
+
+
+def test_observation_metrics_inline(spark, sf_dir):
+    """`df.observe` collects audit metrics (row counts, null counts,
+    sums) during the SAME action that produces the result — the
+    zero-extra-pass observability hook a daily job wants."""
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, "events", sf_dir)
+    obs = Observation("audit")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("value").isNull()).alias("null_values"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+    out = observed.groupBy("event_type").count()
+    n_types = out.count()  # one action drives both result and metrics
+    m = obs.get
+    assert m["n_rows"] == ev.count()
+    assert m["null_values"] == 0
+    assert n_types > 0 and m["value_sum"] > 0
