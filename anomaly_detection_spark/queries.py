@@ -2467,6 +2467,32 @@ def q_qualify_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Statistical aggregates: correlation / covariance / variance per group
+# (both engines use one-pass stable algorithms; 4-dp rounding absorbs
+# summation-order drift).
+# ---------------------------------------------------------------------------
+
+@register("stats_corr_covar", """
+SELECT event_type,
+       round(corr(value, CAST(hour(ts) AS DOUBLE)), 4) AS corr_value_hour,
+       round(covar_samp(value, CAST(hour(ts) AS DOUBLE)), 4) AS covar_value_hour,
+       round(var_samp(value), 4) AS var_value,
+       round(stddev_samp(value), 4) AS stddev_value
+FROM events
+GROUP BY event_type
+""")
+def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    hour = F.hour("ts").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.corr("value", hour), 4).alias("corr_value_hour"),
+        F.round(F.covar_samp("value", hour), 4).alias("covar_value_hour"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+        F.round(F.stddev_samp("value"), 4).alias("stddev_value"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
