@@ -2493,6 +2493,24 @@ def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Approximate percentile sketch — the scale path for A7's quantiles
+# (exact percentile shuffles whole groups; the sketch is one-pass,
+# mergeable, bounded-memory). Rows-only: sketch results are
+# engine-specific; `test_pipeline.py` bounds its error vs exact.
+# ---------------------------------------------------------------------------
+
+@register("approx_percentiles_events")
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10_000)).alias("p50"),
+        F.approx_percentile("value", F.lit(0.95), F.lit(10_000)).alias("p95"),
+        F.approx_percentile("value", F.lit(0.99), F.lit(10_000)).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -141,3 +141,28 @@ def test_stl_spark_matches_local_pandas(spark, sf_dir):
         assert r.seven_day_avg == pytest.approx(vals[-7:].mean())
         gap = (grp["ts"].iloc[-1] - grp["ts"].iloc[-2]).total_seconds() / 86400.0
         assert r.frequency == pytest.approx(gap)
+
+
+def test_approx_percentile_bounded_error(spark, sf_dir):
+    """approx_percentile's guarantee is on RANK, not value: the
+    returned element's empirical quantile must sit within the sketch
+    error (1/accuracy) plus one element of slack for tiny groups."""
+    from anomaly_detection_spark import queries as reg
+
+    approx = {
+        r.event_type: (r.p50, r.p95)
+        for r in reg.QUERIES["approx_percentiles_events"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, "events", sf_dir)
+    groups = {
+        et: sorted(v for (v,) in
+                   ev.where(F.col("event_type") == et).select("value").collect())
+        for et in approx
+    }
+    for et, (a50, a95) in approx.items():
+        vals = groups[et]
+        n = len(vals)
+        for q, a in ((0.5, a50), (0.95, a95)):
+            assert a in vals, (et, q, a)  # sketch returns a real element
+            rank = sum(v <= a for v in vals) / n
+            assert abs(rank - q) <= 1e-4 + 1.5 / n, (et, q, a, rank, n)
