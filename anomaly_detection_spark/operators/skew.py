@@ -74,3 +74,33 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    keys: Sequence[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: spread each hot key of ``skewed``
+    across ``n_salts`` reducers by salting, replicate ``small``
+    n_salts× so every salted partition finds its match.
+
+    The salt is a deterministic hash of the skewed row (stable across
+    retries — required for task re-execution correctness). Shuffle
+    volume: |skewed| + n_salts·|small|; use when AQE's runtime skew
+    splitting can't help (e.g. the join feeds a co-partitioned window
+    and the Exchange must stay).
+    ``how``: 'inner' or 'left' (left preserves unmatched skewed rows).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how: {how}")
+    keys = list(keys)
+    l = skewed.withColumn(
+        "_salt", F.pmod(F.xxhash64(*skewed.columns), F.lit(n_salts)).cast("int")
+    )
+    r = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return l.join(r, on=keys + ["_salt"], how=how).drop("_salt")

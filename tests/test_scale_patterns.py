@@ -118,3 +118,59 @@ def test_csv_json_source_roundtrip(spark, sf_dir):
         assert a == b == c
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from anomaly_detection_spark.operators.skew import salted_join
+
+    ev = load_table(spark, "events", sf_dir)
+    dim = (
+        ev.groupBy("event_type").count()
+        .withColumnRenamed("count", "type_total")
+    )
+    plain = sorted(
+        (r.event_id, r.type_total)
+        for r in ev.join(dim, "event_type").collect()
+    )
+    salted = sorted(
+        (r.event_id, r.type_total)
+        for r in salted_join(ev, dim, ["event_type"], n_salts=8).collect()
+    )
+    assert salted == plain
+
+
+def test_salted_join_left_keeps_unmatched(spark, sf_dir):
+    from anomaly_detection_spark.operators.skew import salted_join
+
+    ev = load_table(spark, "events", sf_dir)
+    dim = spark.createDataFrame(
+        [("purchase", 1.5)], "event_type string, boost double"
+    )
+    out = salted_join(ev, dim, ["event_type"], n_salts=4, how="left")
+    assert out.count() == ev.count()
+    assert out.where(F.col("boost").isNull()).count() == ev.where(
+        F.col("event_type") != "purchase"
+    ).count()
+
+
+def test_compact_files_reduces_file_count(spark, sf_dir, tmp_path):
+    import os as _os
+
+    from anomaly_detection_spark.operators.compact import (
+        compact_files, dataset_bytes,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    src = _os.path.join(tmp_path, "fragmented")
+    dst = _os.path.join(tmp_path, "compacted")
+    ev.repartition(32).write.parquet(src)  # 32 tiny files
+    n_in = len([f for f in _os.listdir(src) if f.endswith(".parquet")])
+    assert n_in == 32
+    target = max(1, dataset_bytes(src))  # everything fits one file
+    n_out = compact_files(spark, src, dst, target_file_bytes=target)
+    files_out = [f for f in _os.listdir(dst) if f.endswith(".parquet")]
+    assert n_out == 1 and len(files_out) == 1
+    # same data, byte-for-byte rowset
+    a = sorted(map(tuple, spark.read.parquet(src).collect()))
+    b = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    assert a == b
