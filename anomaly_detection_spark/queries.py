@@ -2511,6 +2511,44 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Array + higher-order functions (transform/filter/aggregate) — the
+# JVM-side lambda surface that keeps per-row collection logic out of
+# Python. Both sides fold over the SORTED array so the float sum is
+# bit-identical.
+# ---------------------------------------------------------------------------
+
+@register("array_functions_per_user", """
+SELECT user_id,
+       list_sort(list(round(value, 4))) AS sorted_values,
+       round(list_aggregate(list_sort(list(round(value, 4))), 'sum'), 4)
+           AS value_sum,
+       CAST(len(list_filter(list(round(value, 4)), x -> x > 50.0)) AS INT)
+           AS n_big,
+       round(list_aggregate(
+           list_transform(list(round(value, 4)), x -> x * 2), 'max'), 4)
+           AS max_doubled
+FROM events
+WHERE event_type = 'signup'
+GROUP BY user_id
+""")
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).where(
+        F.col("event_type") == "signup"
+    )
+    vals = F.array_sort(F.collect_list(F.round("value", 4)))
+    return ev.groupBy("user_id").agg(
+        vals.alias("sorted_values"),
+        F.round(
+            F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("value_sum"),
+        F.size(F.filter(vals, lambda x: x > 50.0)).alias("n_big"),
+        F.round(
+            F.array_max(F.transform(vals, lambda x: x * 2)), 4
+        ).alias("max_doubled"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
