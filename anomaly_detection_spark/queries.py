@@ -2549,9 +2549,68 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Driver-priority ordering.
+#
+# The round driver samples the FIRST 50 entries of ``queries()`` (insertion
+# order) for its CORRECTNESS gate.  Round 1 therefore verified registrations
+# #1-50 and never saw #51-80.  ``DRIVER_PRIORITY`` front-loads (a) the 30
+# queries with no driver row yet and (b) queries whose implementation changed
+# this round and must be re-verified; everything else follows in registration
+# order (already driver-green in CORRECTNESS_r01.json).
+# ---------------------------------------------------------------------------
+
+DRIVER_PRIORITY: list[str] = [
+    # -- no CORRECTNESS_r01 row (registrations #51-80) --
+    "navigation_windows_events",
+    "set_ops_users",
+    "tpch_q17_small_orders",
+    "sql_api_named_windows",
+    "tpch_q4_order_priority",
+    "tpch_q22_idle_customers",
+    "tpch_q19_disjunctive_join",
+    "tpch_q14_type_share",
+    "range_interval_window",
+    "grouping_sets_orders",
+    "agg_function_suite",
+    "sliding_window_counts",
+    "interval_join_error_purchases",
+    "tpch_q18_big_orders",
+    "gap_fill_daily_series",
+    "multimodal_features",
+    "value_histogram",
+    "chunk_documents_overlap",
+    "near_dup_components",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_top20",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "native_session_windows",
+    "unpivot_lineitem_measures",
+    "qualify_latest_order",
+    "stats_corr_covar",
+    "approx_percentiles_events",
+    "array_functions_per_user",
+    # -- changed or newly oracled this round: re-verify --
+    "rank_family_orders",
+    "embedding_near_dups",
+    "ivf_topk_embeddings",
+    "minhash_near_dups",
+    "union_all_extremes",
+    "rule_flags_events",
+]
+
+
+def _ordered(names: dict[str, object]) -> list[str]:
+    prio = [n for n in DRIVER_PRIORITY if n in names]
+    rest = [n for n in names if n not in set(prio)]
+    return prio + rest
+
+
 def queries() -> dict[str, QueryFn]:
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _ordered(QUERIES)}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return {n: ORACLES[n] for n in _ordered(ORACLES)}
