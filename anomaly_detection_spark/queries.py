@@ -31,6 +31,7 @@ from anomaly_detection_spark.operators.keys import concat_key, split_key
 from anomaly_detection_spark.operators.rounding import (
     exact_mean, exact_stddev_samp, quantized, stable_round,
 )
+from anomaly_detection_spark.operators.ranking import rank_family
 from anomaly_detection_spark.operators.runlength import run_length
 from anomaly_detection_spark.operators.temporal import epoch_seconds, ntz_lit
 from anomaly_detection_spark.operators.topn import top_n_per_group
@@ -1473,15 +1474,22 @@ FROM orders
 WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
 """)
 def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distributed two-pass ranking (operators/ranking.py): range
+    # partition on the sort key + broadcast per-partition offsets —
+    # no SinglePartition exchange, unlike a bare Window.orderBy.
     o = load_table(spark, "orders", sf_dir)
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    ranked = rank_family(
+        o.select("o_orderkey", "o_totalprice"),
+        ["o_totalprice", "o_orderkey"],
+        ntile_n=4,
+    )
+    return ranked.select(
         "o_orderkey",
-        F.ntile(4).over(w).alias("price_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        F.col("tile").alias("price_quartile"),
+        F.round("pct_rank", 6).alias("pct_rank"),
+        F.round("cume", 6).alias("cume"),
+        F.col("rnk").cast("int").alias("rnk"),
+        F.col("drnk").cast("int").alias("drnk"),
     )
 
 

@@ -174,3 +174,60 @@ def test_compact_files_reduces_file_count(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(src).collect()))
     b = sorted(map(tuple, spark.read.parquet(dst).collect()))
     assert a == b
+
+
+def test_rank_family_distributed_no_single_partition(spark, sf_dir):
+    """rank_family must match a global-window reference and keep every
+    exchange parallel — no SinglePartition anywhere in the plan."""
+    from pyspark.sql.window import Window
+
+    from anomaly_detection_spark.operators.ranking import rank_family
+
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    ranked = rank_family(o, ["o_totalprice", "o_orderkey"], ntile_n=4)
+    assert "SinglePartition" not in _physical_plan(ranked)
+
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ref = o.select(
+        "o_orderkey",
+        F.row_number().over(w).alias("global_rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.ntile(4).over(w).alias("tile"),
+    )
+    got = {
+        r.o_orderkey: (r.global_rn, r.rnk, r.drnk,
+                       round(r.pct_rank, 9), round(r.cume, 9), r.tile)
+        for r in ranked.collect()
+    }
+    want = {
+        r.o_orderkey: (r.global_rn, r.rnk, r.drnk, r.pct_rank, r.cume, r.tile)
+        for r in ref.collect()
+    }
+    assert got == want
+
+
+def test_rank_family_handles_ties(spark):
+    """Tie groups (duplicate sort keys) must produce identical
+    rank/dense_rank/cume across partitions."""
+    from pyspark.sql.window import Window
+
+    from anomaly_detection_spark.operators.ranking import rank_family
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([5.0, 1.0, 3.0, 3.0, 3.0, 1.0, 8.0, 5.0])],
+        "id int, v double",
+    )
+    ranked = rank_family(df, ["v"], ntile_n=3, num_partitions=4)
+    w = Window.orderBy("v")
+    ref = df.select(
+        "id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
+    got = {r.id: (r.rnk, r.drnk, round(r.cume, 9)) for r in ranked.collect()}
+    want = {r.id: (r.rnk, r.drnk, r.cume) for r in ref.collect()}
+    assert got == want
