@@ -163,7 +163,8 @@ def minhash_near_duplicates(
     # the cluster before the CPU-heavy signature map — at real scale
     # the input has many splits and this is skipped
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
+    n_files = len(df.inputFiles())
+    if 0 < n_files < parallelism:
         df = df.repartition(parallelism)
     tok_hashes = F.transform(
         F.split(F.trim(F.col(text_col)), r"\s+"),

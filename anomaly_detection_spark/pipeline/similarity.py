@@ -138,29 +138,43 @@ def ivf_topk(
     ``nprobe`` cells nearest each query, exact cosine re-rank inside.
 
     Pass ``indexed``/``centroids`` (from ``ivf_index``) to reuse a
-    prebuilt index — the realistic pattern at scale."""
-    import numpy as np
+    prebuilt index — the realistic pattern at scale.
+
+    The query side stays a DataFrame end-to-end: centroids are baked
+    into the plan as a 2-D array literal (they're tiny — n_clusters ×
+    dim doubles), each query row computes its ``nprobe`` nearest cells
+    with JVM array expressions (``transform``/``array_sort``/``slice``)
+    and ``explode``s into (query, cell) probe rows.  No ``collect()``
+    — a 10-million-row query table works the same as a 3-row probe set.
+    """
     if indexed is None or centroids is None:
         indexed, centroids = ivf_index(vectors, vec_col, n_clusters, seed)
 
-    cent = np.asarray(centroids, dtype=np.float64)
-
-    def probe_clusters(qvec) -> list[int]:
-        q = np.asarray(qvec, dtype=np.float64)
-        d = ((cent - q) ** 2).sum(axis=1)
-        return [int(i) for i in np.argsort(d)[:nprobe]]
-
-    # queries are a small probe set: compute their cluster lists on the
-    # driver and broadcast-join the (query, cluster) pairs
-    qrows = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")).collect()
-    spark = vectors.sparkSession
-    probe_rows = [
-        (r[query_id_col], c, list(r["_qvec"]))
-        for r in qrows for c in probe_clusters(r["_qvec"])
-    ]
-    probes = spark.createDataFrame(
-        probe_rows, f"{query_id_col} long, cluster int, _qvec array<float>"
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
     )
+
+    def _sqdist(c, qvec):
+        return F.aggregate(
+            F.zip_with(
+                c, qvec,
+                lambda x, y: (x - y.cast("double")) * (x - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    scored_cells = F.transform(
+        cent_lit,
+        lambda c, i: F.struct(
+            _sqdist(c, F.col("_qvec")).alias("d"), i.alias("i")
+        ),
+    )
+    probe_cells = F.transform(
+        F.slice(F.array_sort(scored_cells), 1, nprobe), lambda s: s["i"]
+    )
+    probes = q.withColumn("cluster", F.explode(probe_cells))
     cand = indexed.join(F.broadcast(probes), "cluster").select(
         query_id_col, id_col,
         F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias("cosine"),
@@ -176,31 +190,61 @@ def embedding_near_duplicates(
     cosine_threshold: float = 0.95,
     dim: int = 64,
     n_planes: int = 12,
-    seed: int = 42,
+    seeds: tuple[int, ...] = (42, 1337, 9001),
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: sign-LSH buckets generate
     candidates (same bucket ⇒ likely small angle), exact cosine
     verifies. Returns (id_a, id_b, cosine) with id_a < id_b and
     cosine >= threshold.
 
-    Scale: the only fact-fact shuffle keys on the LSH bucket; with
-    n_planes=12 a random pair collides with p≈2^-12, so candidate
-    volume tracks true near-dup density. Raise recall by unioning
-    multiple plane-sets (seeds) — each is an independent detector.
+    Scale: the only fact-fact shuffle keys on the (seed, bucket) pair;
+    with n_planes=12 a random pair collides with p≈2^-12 per seed, so
+    candidate volume tracks true near-dup density.  Recall comes from
+    the ``seeds`` union — each plane-set is an independent detector and
+    a pair is a candidate if ANY seed buckets it together (candidates
+    are ``distinct``-ed before the exact-cosine verify, so each pair is
+    scored once).  ``max_bucket_size`` drops pathological buckets where
+    a plane-set failed to discriminate (skew guard: a b-row bucket
+    contributes b² candidate pairs); dropped buckets only cost recall
+    that the other seeds usually recover.
     """
-    b = sign_lsh_buckets(vectors, vec_col, dim, n_planes, seed)
-    slim = b.select("bucket", id_col, vec_col)
+    from functools import reduce
+
+    slim_parts = []
+    for s in seeds:
+        b = sign_lsh_buckets(vectors, vec_col, dim, n_planes, s)
+        slim_parts.append(
+            b.select(F.lit(s).alias("_seed"), "bucket", id_col)
+        )
+    slim = reduce(DataFrame.unionByName, slim_parts)
+    if max_bucket_size is not None:
+        sizes = (
+            slim.groupBy("_seed", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+        slim = slim.join(sizes, ["_seed", "bucket"])
     a, c = slim.alias("a"), slim.alias("b")
-    pairs = a.join(
-        c,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        F.round(
-            cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
-        ).alias("cosine"),
+    cand = (
+        a.join(
+            c,
+            (F.col("a._seed") == F.col("b._seed"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b").select(
+        "id_a", "id_b",
+        F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
     )
     return pairs.where(F.col("cosine") >= cosine_threshold)
 

@@ -1553,14 +1553,39 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup (rows-only: LSH candidate set is seed-bound)
+# Embedding-cosine near-dup over a corpus with planted duplicates.
+#
+# The fixture embeddings have no natural near-dups (max off-diagonal
+# cosine ≈ 0.51), so the query plants one exact-direction duplicate per
+# vector (id + 1_000_000, elements × 2 — a float-exact, sign-preserving
+# scaling, so every sign-LSH plane agrees and recall on the planted set
+# is 1 by construction).  That makes the LSH output equal to the exact
+# all-pairs result, so this gets a full DuckDB oracle instead of the
+# rows-only check.
 # ---------------------------------------------------------------------------
 
-@register("embedding_near_dups")
+@register("embedding_near_dups", """
+WITH aug AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 2)
+    FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.999
+""")
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anomaly_detection_spark.pipeline.similarity import embedding_near_duplicates
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    return embedding_near_duplicates(emb, cosine_threshold=0.9)
+    scaled = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * 2).cast("float")).alias("embedding"),
+    )
+    return embedding_near_duplicates(
+        emb.unionByName(scaled), cosine_threshold=0.999
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -166,3 +166,56 @@ def test_approx_percentile_bounded_error(spark, sf_dir):
             assert a in vals, (et, q, a)  # sketch returns a real element
             rank = sum(v <= a for v in vals) / n
             assert abs(rank - q) <= 1e-4 + 1.5 / n, (et, q, a, rank, n)
+
+
+def test_embedding_near_duplicates_recall_multiseed(spark, sf_dir):
+    """Recall >= 0.9 on 500 genuinely-perturbed planted pairs (random
+    direction noise, not a pure scaling) with the multi-seed union."""
+    import duckdb
+    import numpy as np
+
+    from anomaly_detection_spark.pipeline.similarity import embedding_near_duplicates
+
+    base = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    rng = np.random.default_rng(7)
+    rows = []
+    for vec_id, emb in base:
+        v = np.asarray(emb, dtype=np.float64)
+        noise = rng.standard_normal(v.shape)
+        noise -= noise @ v / (v @ v) * v          # orthogonal component only
+        noise *= 0.02 * np.linalg.norm(v) / np.linalg.norm(noise)
+        rows.append((int(vec_id), [float(x) for x in v]))
+        rows.append((int(vec_id) + 500_000, [float(x) for x in v + noise]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_duplicates(corpus, cosine_threshold=0.995)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(int(v), int(v) + 500_000) for v, _ in base}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"recall {recall}"
+
+
+def test_ivf_topk_large_query_table_no_collect(spark, sf_dir):
+    """ivf_topk must handle a 10k-row query *table* (no driver-side
+    collect of the query set) and always recover the self-match."""
+    from anomaly_detection_spark.pipeline.similarity import ivf_index, ivf_topk
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    # 500 vectors x 20 replicas = 10,000 query rows
+    q = emb.select(
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("rep"),
+        F.col("vec_id"), F.col("embedding"),
+    ).select(
+        (F.col("vec_id") * 1000 + F.col("rep")).alias("query_id"), "embedding"
+    )
+    assert q.count() == 10_000
+    indexed, cents = ivf_index(emb, n_clusters=8)
+    top = ivf_topk(emb, q, k=1, n_clusters=8, nprobe=2,
+                   indexed=indexed, centroids=cents)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan  # probes derive from the query DF
+    hits = top.where(
+        (F.col("rank") == 1) & (F.col("vec_id") == (F.col("query_id") / 1000).cast("long"))
+    ).count()
+    assert hits == 10_000  # own cell is always among the probed cells
