@@ -100,6 +100,13 @@ def rule_flags(
         F.lag(ts_col).over(w).alias("last_date"),
         F.round(F.col(value_col), 4).alias("value"),
         F.round(F.lag(value_col, 1).over(w), 4).alias("previous_value"),
+        # ENGINE CONVENTION (stated, like the other reference quirks):
+        # the trailing-7 mean averages values on the 4-dp grid via the
+        # exact integer-sum fold (bit-identical across engines), while
+        # the reference SQL (anomaly_proj_query.sql:41-44) averages raw
+        # values and rounds the result.  For inputs already on the 4-dp
+        # grid — the fixture and the reference's price feeds — the two
+        # are identical; inputs with >4 decimals are quantized first.
         exact_mean(
             F.sum(quantized(F.col(value_col), 4)).over(w.rowsBetween(-7, -1)),
             F.count(value_col).over(w.rowsBetween(-7, -1)), 4, 4,

@@ -43,18 +43,27 @@ def as_of_join(
     payload_cols = list(payload_cols)
     left_cols = left.columns
 
+    # ALL payload columns (plus an always-true match marker) travel in
+    # ONE struct that is forward-filled atomically: per-column fills
+    # would let a NULL payload field bleed through from an OLDER right
+    # row, stitching together fields of different right rows.  The
+    # marker — not a possibly-NULL payload field — gates how='inner'.
+    payload_struct = F.struct(
+        F.lit(True).alias("_matched"),
+        *[F.col(p).alias(p) for p in payload_cols],
+    )
     r = right.select(
         *keys,
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias("_asof_tag"),
-        *[F.col(p).alias(f"_p_{p}") for p in payload_cols],
+        payload_struct.alias("_asof_payload"),
     )
+    payload_type = r.schema["_asof_payload"].dataType
     l = left.select(
         *left_cols,
         F.col(left_ts).alias("_asof_ts"),
         F.lit(1).alias("_asof_tag"),
-        *[F.lit(None).cast(right.schema[p].dataType).alias(f"_p_{p}")
-          for p in payload_cols],
+        F.lit(None).cast(payload_type).alias("_asof_payload"),
     )
     # align columns: right side lacks left-only columns
     for c in left_cols:
@@ -70,14 +79,17 @@ def as_of_join(
         .orderBy(F.col("_asof_ts").asc(), F.col("_asof_tag").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for p in payload_cols:
-        u = u.withColumn(f"_p_{p}", F.last(f"_p_{p}", ignorenulls=True).over(w))
+    u = u.withColumn(
+        "_asof_payload", F.last("_asof_payload", ignorenulls=True).over(w)
+    )
     out = u.where(F.col("_asof_tag") == 1).select(
         *left_cols,
-        *[F.col(f"_p_{p}").alias(f"asof_{p}") for p in payload_cols],
+        *[F.col("_asof_payload").getField(p).alias(f"asof_{p}")
+          for p in payload_cols],
+        F.col("_asof_payload").getField("_matched").alias("_asof_matched"),
     )
     if how == "inner":
-        out = out.where(F.col(f"asof_{payload_cols[0]}").isNotNull())
+        out = out.where(F.col("_asof_matched"))
     elif how != "left":
         raise ValueError(f"unsupported how: {how}")
-    return out
+    return out.drop("_asof_matched")

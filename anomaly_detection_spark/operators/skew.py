@@ -43,10 +43,17 @@ def salted_agg(
     Phase 1 groups by (keys…, salt) — a hot key's rows spread over
     ``n_salts`` reducers; phase 2 groups by keys… over ``n_salts``
     partial rows per key, which is trivially small.
+
+    The salt hashes the full row CONTENT (like ``salted_join``), never
+    ``monotonically_increasing_id``: a content hash is stable when a
+    task is re-executed after executor loss, so re-fetched rows land in
+    the same (key, salt) group as the partials already consumed.
+    Fully-duplicate rows share a salt (less spreading in the degenerate
+    all-identical-rows case) — the price of retry determinism.
     """
     keys = list(keys)
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+        "_salt", F.pmod(F.xxhash64(*df.columns), F.lit(n_salts))
     )
     phase1 = salted.groupBy(*keys, "_salt").agg(
         *[expr.alias(name) for name, (expr, _merge) in partials.items()]

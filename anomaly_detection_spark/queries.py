@@ -686,11 +686,14 @@ SELECT event_id, user_id, event_type, round(value, 4) AS value, 'low' AS bucket
 FROM events WHERE value < 20
 """)
 def q_union_all_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # filter on the RAW value, round only in the projection — same
+    # order of operations as the oracle (a pre-round filter would
+    # misclassify inputs off the 4-dp grid, e.g. 180.00003)
     ev = load_table(spark, "events", sf_dir).drop("props", "ts")  # P2: drop cols
-    base = ev.select("event_id", "user_id", "event_type", F.round("value", 4).alias("value"))
+    base = ev.select("event_id", "user_id", "event_type", F.col("value"))
     high = base.where(F.col("value") > 180).withColumn("bucket", F.lit("high"))
     low = base.where(F.col("value") < 20).withColumn("bucket", F.lit("low"))
-    return high.unionByName(low)
+    return high.unionByName(low).withColumn("value", F.round("value", 4))
 
 
 # ---------------------------------------------------------------------------

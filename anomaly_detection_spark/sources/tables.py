@@ -28,7 +28,9 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 @lru_cache(maxsize=256)
-def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+def _nanos_timestamp_cols_cached(
+    path: str, mtime_ns: int, size: int
+) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark 4 refuses
     them unless read as raw longs (``nanosAsLong``)."""
     import pyarrow.parquet as pq
@@ -39,6 +41,13 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
         f.name for f in schema
         if pat.is_timestamp(f.type) and f.type.unit == "ns"
     )
+
+
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    # cache keyed on (path, mtime, size): a rewritten file at the same
+    # path must not reuse a stale ns-column list
+    st = os.stat(path)
+    return _nanos_timestamp_cols_cached(path, st.st_mtime_ns, st.st_size)
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:

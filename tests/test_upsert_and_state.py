@@ -150,3 +150,26 @@ def test_staleness_monitor_state_logic():
     out = list(update((1,), iter([pdf2]), state3))
     assert len(out) == 1 and out[0].iloc[0]["alert"] == "RECOVERED"
     assert state3.get[1] is False
+
+
+def test_as_of_join_null_payload_does_not_bleed(spark):
+    """A matched right row with a NULL payload field must yield NULL for
+    that field — not a value inherited from an OLDER right row — and
+    how='inner' must keep left rows whose matched payload is NULL."""
+    from anomaly_detection_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [("k", 30)], "key string, lts int"
+    ).select("key", F.col("lts").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [("k", 10, 1.0, "old"), ("k", 20, None, "new")],
+        "key string, rts int, price double, tag string",
+    ).select("key", F.col("rts").cast("timestamp").alias("rts"), "price", "tag")
+
+    out = as_of_join(left, right, ["key"], "lts", "rts",
+                     ["price", "tag"], how="inner").collect()
+    assert len(out) == 1
+    row = out[0]
+    # matched row is rts=20: tag comes from it, price must stay NULL
+    assert row.asof_tag == "new"
+    assert row.asof_price is None
