@@ -133,31 +133,17 @@ def _signature_udf(num_hashes: int, shingle_n: int, seed: int = 42):
     return sig_udf
 
 
-def minhash_near_duplicates(
+def _minhash_sig_and_candidates(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    num_hashes: int = 64,
-    bands: int = 16,
-    shingle_n: int = 3,
-    jaccard_threshold: float = 0.8,
-) -> DataFrame:
-    """Candidate near-duplicate pairs with estimated Jaccard similarity.
-
-    Returns (id_a, id_b, est_jaccard) with id_a < id_b and
-    est_jaccard >= threshold. Estimated Jaccard = fraction of matching
-    minhash components — an unbiased estimator of the Jaccard over
-    hashed word ``shingle_n``-grams.
-
-    Hot path: JVM splits text and hashes each TOKEN once (xxhash64);
-    an Arrow-batched numpy kernel does the rolling n-gram combine and
-    all ``num_hashes`` minima in one broadcast — no per-shingle string
-    construction, no interpreted higher-order passes.
-
-    Scale path: the only fact-fact shuffle is the equi-join on
-    (band_index, band_hash) over slim (band, bucket, id) triples;
-    bucket sizes track true near-duplicate density, not n².
-    """
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared LSH front half: (persisted signature table,
+    distinct candidate (id_a, id_b) pairs from band-bucket collisions).
+    Callers attach their own similarity (estimated or exact)."""
     rows_per_band = num_hashes // bands
     # a single parquet file scans as ONE partition; spread rows across
     # the cluster before the CPU-heavy signature map — at real scale
@@ -216,6 +202,37 @@ def minhash_near_duplicates(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    return sig, pairs
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Candidate near-duplicate pairs with estimated Jaccard similarity.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b and
+    est_jaccard >= threshold. Estimated Jaccard = fraction of matching
+    minhash components — an unbiased estimator of the Jaccard over
+    hashed word ``shingle_n``-grams.
+
+    Hot path: JVM splits text and hashes each TOKEN once (xxhash64);
+    an Arrow-batched numpy kernel does the rolling n-gram combine and
+    all ``num_hashes`` minima in one broadcast — no per-shingle string
+    construction, no interpreted higher-order passes.
+
+    Scale path: the only fact-fact shuffle is the equi-join on
+    (band_index, band_hash) over slim (band, bucket, id) triples;
+    bucket sizes track true near-duplicate density, not n².
+    """
+    sig, pairs = _minhash_sig_and_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    )
     sigs = sig.select(F.col(id_col), F.col("sig"))
     pairs = (
         pairs.join(sigs.select(F.col(id_col).alias("id_a"),
@@ -231,6 +248,51 @@ def minhash_near_duplicates(
         pairs.withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_exact_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs with EXACT Jaccard: minhash-LSH generates
+    candidates (sub-n² — the scale path), then the exact word-n-gram
+    Jaccard is computed JVM-side on the candidate pairs only and
+    filtered at ``jaccard_threshold``.
+
+    Unlike the estimated variant this output is seed-independent: for
+    corpora whose true near-dups sit well above the threshold (where
+    band-collision probability ≈ 1, e.g. j ≥ 0.88 with 64 hashes / 16
+    bands gives miss probability ≈ 4e-7 per pair) it equals the exact
+    all-pairs result, so it is oracle-checkable against a DuckDB
+    brute-force join.
+    """
+    _sig, cand = _minhash_sig_and_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_grams"),
+    )
+    pairs = (
+        cand.join(grams.select(F.col(id_col).alias("id_a"),
+                               F.col("_grams").alias("_ga")), "id_a")
+        .join(grams.select(F.col(id_col).alias("id_b"),
+                           F.col("_grams").alias("_gb")), "id_b")
+    )
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    union = F.size(F.array_distinct(F.concat("_ga", "_gb")))
+    return (
+        pairs.select(
+            "id_a", "id_b",
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
     )
 
 

@@ -945,11 +945,32 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Non-SQL dedup/text ops (rows-only driver checks — xxhash64 isn't ANSI)
 # ---------------------------------------------------------------------------
 
-@register("minhash_near_dups")  # no oracle: xxhash64 minhash not in DuckDB
+# minhash-LSH candidates + EXACT Jaccard verify: the pair set and the
+# exact similarity are seed-independent (the fixture's true near-dups
+# sit at j >= 0.88 where band-collision probability ≈ 1-4e-7), so the
+# output equals DuckDB's brute-force all-pairs join — a full oracle
+# for the scale-path dedup operator.  The seed-specific est_jaccard
+# variant remains available as pipeline.dedup.minhash_near_duplicates.
+@register("minhash_near_dups", r"""
+WITH sh AS (
+    SELECT doc_id, list_distinct([
+        array_to_string(toks[i:i+2], ' ')
+        for i in range(1, greatest(len(toks) - 2, 1) + 1)
+    ]) AS grams
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.5
+""")
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from anomaly_detection_spark.pipeline.dedup import minhash_near_duplicates
+    from anomaly_detection_spark.pipeline.dedup import minhash_exact_near_duplicates
     docs = load_table(spark, "documents", sf_dir)
-    return minhash_near_duplicates(
+    return minhash_exact_near_duplicates(
         docs, "text", "doc_id", num_hashes=64, bands=16, jaccard_threshold=0.5
     )
 
@@ -1132,12 +1153,26 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Approximate distinct (A3 scale path — rows-only; estimator-specific)
 # ---------------------------------------------------------------------------
 
-@register("approx_distinct_users")  # no oracle: HLL estimate is engine-specific
+# The HLL estimate itself is engine-specific, but its ERROR BOUND is a
+# checkable contract: the query emits the exact count plus a boolean
+# asserting |approx - exact| <= 5%·exact (deterministic — HLL++ is a
+# deterministic function of the input), and the oracle expects TRUE.
+@register("approx_distinct_users", """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_within_5pct
+FROM events GROUP BY event_type
+""")
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type", "exact_users",
+        (F.abs(F.col("approx_users") - F.col("exact_users"))
+         <= 0.05 * F.col("exact_users")).alias("approx_within_5pct"),
     )
 
 
@@ -2178,13 +2213,49 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # records it as such).
 # ---------------------------------------------------------------------------
 
-@register("near_dup_components")
+# Connected components over the exact-verified near-dup graph.  The
+# iterative Spark min-label propagation is oracled by a DuckDB
+# recursive CTE computing min-reachable-label transitive closure —
+# a real oracle for an iterative algorithm.
+@register("near_dup_components", r"""
+WITH RECURSIVE sh AS (
+    SELECT doc_id, list_distinct([
+        array_to_string(toks[i:i+2], ' ')
+        for i in range(1, greatest(len(toks) - 2, 1) + 1)
+    ]) AS grams
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          FROM documents)
+),
+p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.5
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM p
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM p
+),
+reach AS (
+    SELECT src AS node, src AS r FROM edges
+    UNION
+    SELECT e.dst AS node, reach.r AS r FROM reach JOIN edges e ON e.src = reach.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT component,
+       count(*) AS group_size,
+       min(node) AS keep_doc_id
+FROM comp GROUP BY component
+""")
 def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anomaly_detection_spark.pipeline.components import connected_components
-    from anomaly_detection_spark.pipeline.dedup import minhash_near_duplicates
+    from anomaly_detection_spark.pipeline.dedup import minhash_exact_near_duplicates
 
     docs = load_table(spark, "documents", sf_dir)
-    pairs = minhash_near_duplicates(docs, "text", "doc_id")
+    pairs = minhash_exact_near_duplicates(
+        docs, "text", "doc_id", jaccard_threshold=0.5
+    )
     comps = connected_components(pairs, src="id_a", dst="id_b")
     return (
         comps.groupBy("component")
@@ -2635,6 +2706,7 @@ DRIVER_PRIORITY: list[str] = [
     "minhash_near_dups",
     "union_all_extremes",
     "rule_flags_events",
+    "approx_distinct_users",
 ]
 
 
