@@ -98,16 +98,11 @@ def decompose(values: np.ndarray, period: int = 7,
     if _STL is not None:
         res = _STL(values, period=period, robust=robust).fit()
         return np.asarray(res.seasonal), np.asarray(res.trend), np.asarray(res.resid)
-    trend = _moving_average_trend(values, period)
-    detrended = values - trend
-    # per-phase medians (robust), centered to sum ~0
-    phases = np.arange(n) % period
-    season_by_phase = np.array(
-        [np.median(detrended[phases == p]) for p in range(period)]
-    )
-    season_by_phase -= season_by_phase.mean()
-    season = season_by_phase[phases]
-    return season, trend, values - trend - season
+    # vendored pure-numpy LOESS STL (periodic seasonal, robust outer
+    # loop) — the faithful stand-in for R's stl(s.window="periodic",
+    # robust=TRUE); fidelity pinned by tests/test_stl_fidelity.py
+    from anomaly_detection_spark.detect.loess_stl import stl_periodic
+    return stl_periodic(values, period=period, robust=robust)
 
 
 def iqr_anomalize(remainder: np.ndarray, alpha: float = ALPHA_DEFAULT,
