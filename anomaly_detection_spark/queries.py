@@ -2657,6 +2657,258 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q9 shape: profit by supplier nation × order year (fixture has
+# no partsupp, so profit = revenue side only). Dim joins broadcast;
+# one fact-fact shuffle on orderkey.
+# ---------------------------------------------------------------------------
+
+@register("tpch_q9_profit_by_nation_year", f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       round(CAST(sum({_REV_UNITS_SQL}) AS DOUBLE) / 10000.0, 2) AS profit
+FROM lineitem l
+JOIN orders ON o_orderkey = l.l_orderkey
+JOIN supplier ON s_suppkey = l.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY n_name, CAST(year(o_orderdate) AS INT)
+""")
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    rev_units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").alias("o_year"),
+    ).agg(
+        F.round(F.sum(rev_units).cast("double") / 10000.0, 2).alias("profit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: CASE-sum priority buckets per line category over the
+# lineitem⋈orders join (fixture has no l_shipmode; l_returnflag plays
+# the mode role).
+# ---------------------------------------------------------------------------
+
+@register("tpch_q12_priority_buckets", """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+""")
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= ntz_lit("1996-01-01"))
+        & (F.col("l_shipdate") < ntz_lit("1997-01-01"))
+    )
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: "only this supplier was late" — the classic
+# EXISTS / NOT EXISTS correlated anti-join pair.  The oracle keeps the
+# correlated-subquery formulation; the Spark plan DECORRELATES it into
+# per-order window aggregates (one shuffle on orderkey, no correlated
+# re-scans) — the rewrite a 100 TB plan needs.
+# ---------------------------------------------------------------------------
+
+@register("tpch_q21_sole_late_supplier", """
+WITH sl AS (
+    SELECT l.l_suppkey AS suppkey, l.l_orderkey AS orderkey,
+           max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END) AS late
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+)
+SELECT s.s_name, count(*) AS numwait
+FROM sl w JOIN supplier s ON s.s_suppkey = w.suppkey
+WHERE w.late = 1
+  AND EXISTS (SELECT 1 FROM sl o2
+              WHERE o2.orderkey = w.orderkey AND o2.suppkey <> w.suppkey)
+  AND NOT EXISTS (SELECT 1 FROM sl o3
+                  WHERE o3.orderkey = w.orderkey
+                    AND o3.suppkey <> w.suppkey AND o3.late = 1)
+GROUP BY s.s_name
+""")
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    s = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    # decorrelation: EXISTS(other supplier) -> per-order supplier count;
+    # NOT EXISTS(other late supplier) -> per-order late-supplier count
+    w = Window.partitionBy("orderkey")
+    flagged = late.withColumn("n_supp", F.count(F.lit(1)).over(w)).withColumn(
+        "n_late", F.sum("late").over(w)
+    )
+    winners = flagged.where(
+        (F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+    )
+    return (
+        winners.join(F.broadcast(s), winners.suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: contiguous token packing — assign docs (in deterministic
+# doc_id order per lang) to fixed-capacity token bins by exclusive
+# prefix sum. A doc goes to the bin its FIRST token lands in (bins may
+# overflow by < one doc — the deterministic, window-expressible cousin
+# of greedy first-fit packing, which needs a sequential scan).
+# ---------------------------------------------------------------------------
+
+@register("pack_documents_contiguous", r"""
+WITH t AS (
+    SELECT doc_id, lang,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, lang, n_tokens,
+           coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+    FROM t
+)
+SELECT lang,
+       CAST(floor(cum_before / 512) AS BIGINT) AS bin,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM c GROUP BY lang, CAST(floor(cum_before / 512) AS BIGINT)
+""")
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn(
+        "bin", (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 512).cast("long")
+    )
+    return packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: deterministic stratified sampling for training mixes —
+# per-language keep-rates via id-mod gating (reproducible across runs
+# and engines, unlike rand()-based sampling).
+# ---------------------------------------------------------------------------
+
+@register("stratified_sample_docs", """
+WITH rated AS (
+    SELECT doc_id, lang,
+           CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 30 ELSE 10 END AS rate
+    FROM documents
+)
+SELECT lang,
+       count(*) AS total_docs,
+       CAST(sum(CASE WHEN doc_id % 100 < rate THEN 1 ELSE 0 END) AS BIGINT)
+           AS sampled_docs,
+       round(CAST(sum(CASE WHEN doc_id % 100 < rate THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS realized_rate
+FROM rated GROUP BY lang
+""")
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    rate = (
+        F.when(F.col("lang") == "en", 50)
+        .when(F.col("lang") == "zh", 30)
+        .otherwise(10)
+    )
+    kept = F.when(F.col("doc_id") % 100 < rate, 1).otherwise(0)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum(kept).alias("sampled_docs"),
+        F.round(F.sum(kept).cast("double") / F.count(F.lit(1)), 4)
+            .alias("realized_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: token-length histogram (log2 buckets) — the packing /
+# truncation diagnostic over the documents table.
+# ---------------------------------------------------------------------------
+
+@register("token_length_histogram", r"""
+WITH t AS (
+    SELECT greatest(len(string_split_regex(trim(text), '\s+')), 1) AS n_tokens
+    FROM documents
+)
+SELECT CAST(floor(log2(n_tokens)) AS INT) AS bucket,
+       count(*) AS n_docs,
+       min(n_tokens) AS min_tokens,
+       max(n_tokens) AS max_tokens
+FROM t GROUP BY CAST(floor(log2(n_tokens)) AS INT)
+""")
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    n_tokens = F.greatest(
+        F.size(F.split(F.trim("text"), r"\s+")), F.lit(1)
+    ).cast("long")
+    t = docs.select(n_tokens.alias("n_tokens"))
+    bucket = F.floor(F.log2("n_tokens")).cast("int")
+    return t.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
@@ -2707,6 +2959,13 @@ DRIVER_PRIORITY: list[str] = [
     "union_all_extremes",
     "rule_flags_events",
     "approx_distinct_users",
+    # -- new this round: no driver row yet --
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q12_priority_buckets",
+    "tpch_q21_sole_late_supplier",
+    "pack_documents_contiguous",
+    "stratified_sample_docs",
+    "token_length_histogram",
 ]
 
 

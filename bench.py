@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "interval_join_error_purchases",
     "sliding_window_counts",
     "gap_fill_daily_series",
+    "rank_family_orders",
+    "embedding_near_dups",
 ]
 
 

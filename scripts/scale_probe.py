@@ -1,9 +1,16 @@
 #!/usr/bin/env python
-"""Scale probe: replicate the events table K× with shifted key spaces
-(growing key cardinality, fixed rows-per-key — the 100 TB shape) and
-measure the two detection engines. Prints one JSON line per scale.
+"""Scale probe: replicate the fixture tables K× with shifted key
+spaces (growing key cardinality, fixed rows-per-key — the 100 TB
+shape) and measure the three hot engines: the rules pipeline, the STL
+detector, and MinHash near-dedup. Prints one JSON line per scale.
 
-Usage: python scripts/scale_probe.py [K ...]   (default: 1 5 20)
+Document replication suffixes every TOKEN with the copy index, so each
+copy's shingle space is disjoint: replicas are NOT near-dups of each
+other and true-duplicate density stays constant as K grows — the
+honest linear-scale model (naive text replication would make every
+replica group a K-clique and grow candidates quadratically).
+
+Usage: python scripts/scale_probe.py [K ...]   (default: 1 5 20 100)
 """
 
 from __future__ import annotations
@@ -37,12 +44,31 @@ def replicated(spark, k: int):
     )
 
 
+def replicated_docs(spark, k: int):
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    copies = spark.range(k).withColumnRenamed("id", "_copy")
+    return (
+        docs.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("doc_id") + F.col("_copy") * 10_000_000).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split(F.trim("text"), r"\s+"),
+                    lambda t: F.concat(t, F.lit("_"), F.col("_copy")),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def main() -> None:
-    ks = [int(a) for a in sys.argv[1:]] or [1, 5, 20]
+    ks = [int(a) for a in sys.argv[1:]] or [1, 5, 20, 100]
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     for k in ks:
-        df = replicated(spark, k)
+        df = replicated(spark, k).persist()
         n_rows = df.count()  # also warms the replicate
         t0 = time.monotonic()
         n_flags = rule_flags(
@@ -53,11 +79,24 @@ def main() -> None:
         t0 = time.monotonic()
         n_stl = stl_iqr_detect(df, ["user_id"], "ts", "value").count()
         t_stl = round(time.monotonic() - t0, 2)
+        df.unpersist()
+
+        from anomaly_detection_spark.pipeline.dedup import minhash_exact_near_duplicates
+        docs = replicated_docs(spark, k).persist()
+        n_docs = docs.count()
+        t0 = time.monotonic()
+        n_pairs = minhash_exact_near_duplicates(
+            docs, "text", "doc_id", jaccard_threshold=0.5
+        ).count()
+        t_minhash = round(time.monotonic() - t0, 2)
+        docs.unpersist()
         print(json.dumps({
             "k": k, "rows": n_rows, "series": n_flags,
             "rules_sec": t_rules, "stl_sec": t_stl,
             "stl_series_per_sec": round(n_stl / t_stl, 1),
-        }))
+            "docs": n_docs, "dup_pairs": n_pairs,
+            "minhash_sec": t_minhash,
+        }), flush=True)
 
 
 if __name__ == "__main__":

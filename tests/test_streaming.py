@@ -274,3 +274,57 @@ def test_checkpoint_restart_preserves_state(spark, stream_dir):
     # run length continues from recovered state: 3 -> flag fires
     assert third.data_repetitions == 3
     assert third.data_repetitions_flag == 1
+
+
+def test_staleness_timeout_fires_stale_then_recovers(spark, stream_dir):
+    """Timeout-DRIVEN emission: a key that goes silent for the
+    processing-time threshold must emit a STALE alert row from the
+    timeout branch (no new data for it), and fresh data afterwards
+    must emit RECOVERED.  Uses a live query with a short trigger so
+    empty micro-batches run and fire the timeout."""
+    import time
+
+    from anomaly_detection_spark.streaming.rules_stream import staleness_monitor
+
+    base = dt.datetime(2024, 1, 1)
+    src = os.path.join(stream_dir, "src")
+    os.makedirs(src)
+    _write_batch(spark, src, [(7, base, 1.0)], 0)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    alerts = staleness_monitor(stream, "user_id", "ts",
+                               stale_after_seconds=2.0, watermark="0 seconds")
+    q = (
+        alerts.writeStream.outputMode("update")
+        .format("memory").queryName("stale_alerts")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        def rows():
+            return {(r.user_id, r.alert)
+                    for r in spark.sql("SELECT * FROM stale_alerts").collect()}
+
+        deadline = time.time() + 60
+        while (7, "STALE") not in rows() and time.time() < deadline:
+            time.sleep(0.5)
+        assert (7, "STALE") in rows(), "timeout never produced a STALE row"
+
+        stale_row = [r for r in spark.sql("SELECT * FROM stale_alerts").collect()
+                     if r.alert == "STALE"][0]
+        assert stale_row.silent_seconds >= 2.0
+        assert stale_row.last_seen == base
+
+        # new data for the key -> RECOVERED from the data branch
+        _write_batch(spark, src, [(7, base + dt.timedelta(minutes=1), 2.0)], 1)
+        deadline = time.time() + 60
+        while (7, "RECOVERED") not in rows() and time.time() < deadline:
+            time.sleep(0.5)
+        assert (7, "RECOVERED") in rows(), "fresh data never produced RECOVERED"
+    finally:
+        q.stop()
