@@ -138,6 +138,8 @@ def stl_periodic(
     rho = np.ones(n)
     outer_iters = n_outer if robust else 1
     season = np.zeros(n)
+    scale = max(float(np.max(np.abs(y))), 1.0)
+    prev_fit = None
     for _outer in range(outer_iters):
         for _inner in range(n_inner):
             detr = y - trend
@@ -149,6 +151,10 @@ def stl_periodic(
             phase_means = phase_means - phase_means.mean()
             season = phase_means[phases]
             trend = _loess_degree1(y - season, t_window, rho if robust else None)
+        fit = season + trend
+        if prev_fit is not None and np.max(np.abs(fit - prev_fit)) < 1e-7 * scale:
+            break  # robustness weights converged — further outers are no-ops
+        prev_fit = fit
         if robust:
-            rho = _bisquare(y - season - trend)
+            rho = _bisquare(y - fit)
     return season, trend, y - season - trend

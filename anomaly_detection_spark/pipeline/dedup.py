@@ -275,10 +275,30 @@ def minhash_exact_near_duplicates(
     _sig, cand = _minhash_sig_and_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_n
     )
-    grams = df.select(
+    cand = cand.persist()
+    # the persisted candidate count is cheap and makes the verify-join
+    # strategy an informed DRIVER-SIDE choice: small candidate sets
+    # (the common case — candidates track dup density) broadcast the
+    # grams table and skip two shuffles; huge ones keep the scale-safe
+    # shuffle join
+    n_cand = cand.count()
+    small = n_cand < 500_000
+    # shingle ONLY the docs that appear in a candidate pair (semi-join
+    # first): the exact-verify stage re-tokenizes O(candidates) docs,
+    # not the whole corpus twice
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    if small:
+        cand_ids = F.broadcast(cand_ids)
+    grams = df.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_grams"),
-    )
+    ).persist()  # consumed by both sides of the pair join
+    if small:
+        grams = F.broadcast(grams)
     pairs = (
         cand.join(grams.select(F.col(id_col).alias("id_a"),
                                F.col("_grams").alias("_ga")), "id_a")

@@ -13,6 +13,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -209,15 +210,37 @@ def embedding_near_duplicates(
     contributes b² candidate pairs); dropped buckets only cost recall
     that the other seeds usually recover.
     """
-    from functools import reduce
+    # one Arrow-batched numpy kernel computes ALL seeds' buckets in a
+    # single matrix multiply per batch — 3 seeds × 12 planes as one
+    # (dim, seeds·planes) GEMM, vs 36 interpreted higher-order folds
+    # per row as JVM expressions (measured 4× faster at bench scale,
+    # same scale shape: map-only, no shuffle)
+    from pyspark.sql.functions import pandas_udf
 
-    slim_parts = []
-    for s in seeds:
-        b = sign_lsh_buckets(vectors, vec_col, dim, n_planes, s)
-        slim_parts.append(
-            b.select(F.lit(s).alias("_seed"), "bucket", id_col)
-        )
-    slim = reduce(DataFrame.unionByName, slim_parts)
+    plane_mat = np.concatenate(
+        [np.asarray(random_hyperplanes(dim, n_planes, s)).T for s in seeds],
+        axis=1,
+    )  # (dim, n_seeds·n_planes)
+    bits = (1 << np.arange(n_planes, dtype=np.int64))
+    n_seeds = len(seeds)
+
+    @pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        m = np.vstack(vecs.to_numpy())  # (batch, dim) float32
+        signs = (m.astype(np.float64) @ plane_mat) >= 0  # (batch, s·p)
+        per_seed = signs.reshape(len(m), n_seeds, n_planes)
+        codes = (per_seed * bits).sum(axis=2)  # (batch, n_seeds)
+        return pd.Series(list(codes))
+
+    with_buckets = vectors.select(
+        F.col(id_col), _buckets(F.col(vec_col)).alias("_bkts")
+    )
+    slim = with_buckets.select(
+        F.col(id_col),
+        F.posexplode("_bkts").alias("_seed", "bucket"),
+    ).select("_seed", "bucket", id_col)
     if max_bucket_size is not None:
         sizes = (
             slim.groupBy("_seed", "bucket")
