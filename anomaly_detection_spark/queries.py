@@ -2657,6 +2657,19 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SQL-surface port of the flags pipeline (sql_api.py): the reference's
+# one-statement SQL dialect, on Spark.  Shares the DataFrame engine's
+# oracle — a driver-checked proof the two surfaces agree.
+# ---------------------------------------------------------------------------
+
+@register("rule_flags_sql_port", _RULE_FLAGS_ORACLE)
+def q_rule_flags_sql_port(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.sql_api import run_rule_flags_sql
+    cfg = DetectorConfig(eval_ts=EVAL_TS)
+    return run_rule_flags_sql(spark, sf_dir, cfg=cfg, emit="latest")
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q9 shape: profit by supplier nation × order year (fixture has
 # no partsupp, so profit = revenue side only). Dim joins broadcast;
 # one fact-fact shuffle on orderkey.
@@ -2966,6 +2979,7 @@ DRIVER_PRIORITY: list[str] = [
     "pack_documents_contiguous",
     "stratified_sample_docs",
     "token_length_histogram",
+    "rule_flags_sql_port",
 ]
 
 
