@@ -2607,14 +2607,35 @@ def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine-specific; `test_pipeline.py` bounds its error vs exact.
 # ---------------------------------------------------------------------------
 
-@register("approx_percentiles_events")
+# Like approx_distinct_users, the sketch VALUES are engine-specific
+# but the rank-error CONTRACT is checkable data: each estimate must
+# fall inside the exact value band at ±5% rank (the GK sketch
+# guarantees ±1e-4·n ranks — far tighter); the oracle expects TRUE.
+@register("approx_percentiles_events", """
+SELECT event_type,
+       count(*) AS n,
+       TRUE AS p50_in_band, TRUE AS p95_in_band, TRUE AS p99_in_band
+FROM events GROUP BY event_type
+""")
 def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_percentile("value", F.lit(0.5), F.lit(10_000)).alias("p50"),
         F.approx_percentile("value", F.lit(0.95), F.lit(10_000)).alias("p95"),
         F.approx_percentile("value", F.lit(0.99), F.lit(10_000)).alias("p99"),
+        F.percentile("value", F.array(*[F.lit(x) for x in
+            (0.45, 0.55, 0.90, 1.0, 0.94)])).alias("_bands"),
         F.count(F.lit(1)).alias("n"),
+    )
+    def band(est, lo_i, hi_i):
+        return (F.col(est) >= F.element_at("_bands", lo_i)) & (
+            F.col(est) <= F.element_at("_bands", hi_i)
+        )
+    return agg.select(
+        "event_type", "n",
+        band("p50", 1, 2).alias("p50_in_band"),
+        band("p95", 3, 4).alias("p95_in_band"),
+        band("p99", 5, 4).alias("p99_in_band"),
     )
 
 
@@ -2980,6 +3001,7 @@ DRIVER_PRIORITY: list[str] = [
     "stratified_sample_docs",
     "token_length_histogram",
     "rule_flags_sql_port",
+    "approx_percentiles_events",
 ]
 
 
