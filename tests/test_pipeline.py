@@ -146,14 +146,17 @@ def test_stl_spark_matches_local_pandas(spark, sf_dir):
 def test_approx_percentile_bounded_error(spark, sf_dir):
     """approx_percentile's guarantee is on RANK, not value: the
     returned element's empirical quantile must sit within the sketch
-    error (1/accuracy) plus one element of slack for tiny groups."""
-    from anomaly_detection_spark import queries as reg
-
+    error (1/accuracy) plus one element of slack for tiny groups.
+    (The registered query now reports in-band BOOLEANS for the oracle;
+    this test recomputes the raw sketch values and checks ranks.)"""
+    ev = load_table(spark, "events", sf_dir)
     approx = {
         r.event_type: (r.p50, r.p95)
-        for r in reg.QUERIES["approx_percentiles_events"](spark, sf_dir).collect()
+        for r in ev.groupBy("event_type").agg(
+            F.approx_percentile("value", F.lit(0.5), F.lit(10_000)).alias("p50"),
+            F.approx_percentile("value", F.lit(0.95), F.lit(10_000)).alias("p95"),
+        ).collect()
     }
-    ev = load_table(spark, "events", sf_dir)
     groups = {
         et: sorted(v for (v,) in
                    ev.where(F.col("event_type") == et).select("value").collect())
@@ -166,6 +169,10 @@ def test_approx_percentile_bounded_error(spark, sf_dir):
             assert a in vals, (et, q, a)  # sketch returns a real element
             rank = sum(v <= a for v in vals) / n
             assert abs(rank - q) <= 1e-4 + 1.5 / n, (et, q, a, rank, n)
+
+    from anomaly_detection_spark import queries as reg
+    bands = reg.QUERIES["approx_percentiles_events"](spark, sf_dir).collect()
+    assert all(r.p50_in_band and r.p95_in_band and r.p99_in_band for r in bands)
 
 
 def test_embedding_near_duplicates_recall_multiseed(spark, sf_dir):
