@@ -101,6 +101,7 @@ def ivf_index(
     vec_col: str = "embedding",
     n_clusters: int = 16,
     seed: int = 42,
+    fit_fraction: float | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: MLlib KMeans over the corpus; returns the
     corpus with a ``cluster`` column plus the centroid list.
@@ -109,14 +110,23 @@ def ivf_index(
     map-only pass with broadcast centroids. Queries probe the
     ``nprobe`` nearest centroids, so search cost is
     ~``nprobe/n_clusters`` of the corpus.
+
+    ``fit_fraction``: fit the quantizer on a seeded sample instead of
+    the full corpus — the standard IVF practice at scale (centroids
+    need ~100·k training points, not 100 TB of them); assignment still
+    covers every vector.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
 
     with_vec = vectors.withColumn("_mlvec", array_to_vector(F.col(vec_col)))
+    fit_input = (
+        with_vec.sample(fraction=fit_fraction, seed=seed)
+        if fit_fraction is not None else with_vec
+    )
     km = KMeans(k=n_clusters, seed=seed, featuresCol="_mlvec",
                 predictionCol="cluster")
-    model = km.fit(with_vec)
+    model = km.fit(fit_input)
     assigned = model.transform(with_vec).drop("_mlvec")
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
     return assigned, centroids
