@@ -334,6 +334,67 @@ def drop_near_duplicates(
     return df.join(losers, id_col, "left_anti")
 
 
+def simhash_portable(text_col, bits: int = 16, shingle_n: int = 2):
+    """SimHash fingerprint whose per-shingle bits come from md5 hex
+    digits instead of xxhash64 — bit-for-bit reproducible in any engine
+    with md5 (DuckDB: ``CAST('0x' || substr(md5(g),1,4) AS INTEGER)``),
+    so the *algorithm* (majority vote per bit over shingle hashes) is
+    oracle-checkable. Production dedup should prefer :func:`simhash64`
+    (64-bit xxhash — cheaper and wider); this variant exists to pin the
+    construction against an independent engine.
+
+    Same plan shape as simhash64: pure JVM expressions, map-only.
+    """
+    if not 1 <= bits <= 60:
+        raise ValueError("bits must be in [1, 60]")
+    n_hex = (bits + 3) // 4
+    sh = shingles(text_col, shingle_n)
+    vals = F.transform(
+        sh,
+        lambda g: F.conv(
+            F.substring(F.md5(g.cast("binary")), 1, n_hex), 16, 10
+        ).cast("long"),
+    )
+    total = F.size(vals)
+    fp = F.lit(0).cast("long")
+    for bit in range(bits):
+        mask = F.shiftleft(F.lit(1).cast("long"), bit)
+        ones = F.size(F.filter(vals, lambda v: v.bitwiseAND(mask) != 0))
+        fp = fp + F.when(ones * 2 >= total, mask).otherwise(F.lit(0).cast("long"))
+    return fp
+
+
+def simhash_portable_oracle_sql(
+    table: str, text_col: str, id_col: str, bits: int = 16, shingle_n: int = 2,
+    out_col: str = "simhash",
+) -> str:
+    """DuckDB SQL computing exactly :func:`simhash_portable` — generated
+    mechanically so the per-bit majority terms stay in lockstep with the
+    Spark expression."""
+    n_hex = (bits + 3) // 4
+    terms = "\n         + ".join(
+        f"CASE WHEN 2 * len(list_filter(vals, v -> (v >> {b}) & 1 = 1)) >= len(vals)"
+        f" THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
+    )
+    return f"""
+WITH toks AS (
+    SELECT {id_col}, string_split_regex(trim({text_col}), '\\s+') AS toks
+    FROM {table}
+), vals_t AS (
+    SELECT {id_col},
+           list_transform(
+               list_transform(
+                   generate_series(1, greatest(len(toks) - {shingle_n - 1}, 1)),
+                   i -> array_to_string(toks[i:i+{shingle_n - 1}], ' ')),
+               g -> CAST('0x' || substr(md5(g), 1, {n_hex}) AS BIGINT)) AS vals
+    FROM toks
+)
+SELECT {id_col}, ({terms}) AS {out_col}
+FROM vals_t
+"""
+
+
 def simhash64(text_col, shingle_n: int = 2):
     """64-bit SimHash fingerprint (Charikar) as a long Column.
 

@@ -986,14 +986,45 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lsh_ann_topk")  # no oracle: approximate by construction
+# Sign-LSH ANN with a full oracle via planted duplicates: the corpus is
+# augmented with ×2-scaled copies (float-exact, sign-preserving, so the
+# copy shares every probe's bucket BY CONSTRUCTION — dot(2v, p) = 2·dot(v, p)
+# exactly in double arithmetic). For each probe the exact top-2 is then
+# {probe itself, its planted copy}, both cosine 1.0 and both guaranteed
+# candidates, so the ANN output at k=2 EQUALS the exact brute-force
+# top-2 and DuckDB can verify it end-to-end.
+@register("lsh_ann_topk", """
+WITH aug AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 2)
+    FROM embeddings
+), probes AS (
+    SELECT vec_id AS query_id, v FROM aug WHERE vec_id IN (0, 1, 2, 3, 4)
+), scored AS (
+    SELECT p.query_id, a.vec_id,
+           round(list_cosine_similarity(a.v, p.v), 6) AS cosine,
+           row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY round(list_cosine_similarity(a.v, p.v), 6) DESC, a.vec_id
+           ) AS rank
+    FROM aug a CROSS JOIN probes p
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM scored WHERE rank <= 2
+""")
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anomaly_detection_spark.pipeline.similarity import lsh_ann_topk
-    emb = load_table(spark, "embeddings", sf_dir)
-    q = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    scaled = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * 2).cast("float")).alias("embedding"),
+    )
+    corpus = emb.unionByName(scaled)
+    q = emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_ann_topk(emb, q, k=5, n_planes=6)
+    return lsh_ann_topk(corpus, q, k=2, n_planes=6)
 
 
 # ---------------------------------------------------------------------------
@@ -1377,18 +1408,42 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# IVF approximate nearest neighbours (rows-only: KMeans cells are
-# engine-specific; correctness asserted by the recall test)
+# IVF approximate nearest neighbours — oracled via planted EXACT copies
+# (vec_id + 1000000, identical embedding): an identical vector gets the
+# identical KMeans cell assignment, so every probe's first probed cell
+# contains both the probe vector and its copy; at k=2 the IVF output
+# equals the exact brute-force top-2 ({self, copy}, cosine 1.0, id-asc
+# tiebreak), independent of which centroids KMeans converged to.
 # ---------------------------------------------------------------------------
 
-@register("ivf_topk_embeddings")
+@register("ivf_topk_embeddings", """
+WITH aug AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
+), probes AS (
+    SELECT vec_id AS query_id, v FROM aug WHERE vec_id IN (0, 1, 2, 3, 4)
+), scored AS (
+    SELECT p.query_id, a.vec_id,
+           round(list_cosine_similarity(a.v, p.v), 6) AS cosine,
+           row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY round(list_cosine_similarity(a.v, p.v), 6) DESC, a.vec_id
+           ) AS rank
+    FROM aug a CROSS JOIN probes p
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM scored WHERE rank <= 2
+""")
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anomaly_detection_spark.pipeline.similarity import ivf_topk
-    emb = load_table(spark, "embeddings", sf_dir)
-    q = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    copies = emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(copies)
+    q = emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, q, k=5, n_clusters=8, nprobe=4)
+    return ivf_topk(corpus, q, k=2, n_clusters=8, nprobe=4)
 
 
 # ---------------------------------------------------------------------------
@@ -2943,6 +2998,96 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination: flag training docs whose word 3-grams
+# overlap a held-out eval set (docs with doc_id % 20 == 0 play the
+# benchmark role).  Broadcast eval-gram join: the train side never
+# shuffles pre-aggregation — the 100 TB shape.
+# ---------------------------------------------------------------------------
+
+@register("decontaminate_docs", """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), grams AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS g
+    FROM toks
+), eg AS (
+    SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 20 = 0
+), tg AS (
+    SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 20 <> 0
+), ov AS (
+    SELECT doc_id, count(*) AS n_overlap FROM tg JOIN eg USING (gram)
+    GROUP BY doc_id
+)
+SELECT g.doc_id,
+       CAST(len(g.g) AS INT) AS n_grams,
+       coalesce(ov.n_overlap, 0) AS n_overlap,
+       round(coalesce(ov.n_overlap, 0) / CAST(len(g.g) AS DOUBLE), 4)
+           AS overlap_ratio,
+       round(coalesce(ov.n_overlap, 0) / CAST(len(g.g) AS DOUBLE), 4) >= 0.2
+           AS contaminated
+FROM grams g LEFT JOIN ov ON g.doc_id = ov.doc_id
+WHERE g.doc_id % 20 <> 0
+""")
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.decontaminate import (
+        eval_ngram_set, ngram_contamination,
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    eval_set = docs.where(F.col("doc_id") % 20 == 0)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    grams = eval_ngram_set(eval_set, "text", n=3)
+    return ngram_contamination(
+        train, grams, "text", "doc_id", n=3, contaminated_threshold=0.2
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split by portable content hash (md5 hex
+# arithmetic — reproducible in any engine, append-safe, partition-
+# independent; random() splits are none of those on a cluster).
+# ---------------------------------------------------------------------------
+
+@register("hash_split_docs", """
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+    SELECT doc_id,
+           CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) % 100 AS bucket
+    FROM documents
+)
+""")
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.decontaminate import hash_split
+    docs = load_table(spark, "documents", sf_dir)
+    return hash_split(docs, "doc_id").select("doc_id", "bucket", "split")
+
+
+# ---------------------------------------------------------------------------
+# Portable SimHash (md5-bit variant) — pins the majority-vote-per-bit
+# construction against DuckDB; the production 64-bit xxhash64 variant
+# (simhash_fingerprints) shares this exact skeleton.
+# ---------------------------------------------------------------------------
+
+from anomaly_detection_spark.pipeline.dedup import simhash_portable_oracle_sql  # noqa: E402
+
+
+@register("simhash_portable_docs",
+          simhash_portable_oracle_sql("documents", "text", "doc_id", bits=16))
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.dedup import simhash_portable
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", simhash_portable(F.col("text"), bits=16).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
@@ -3001,7 +3146,10 @@ DRIVER_PRIORITY: list[str] = [
     "stratified_sample_docs",
     "token_length_histogram",
     "rule_flags_sql_port",
-    "approx_percentiles_events",
+    "decontaminate_docs",
+    "hash_split_docs",
+    "simhash_portable_docs",
+    "lsh_ann_topk",
 ]
 
 
