@@ -42,7 +42,7 @@ def quantized(c: Column, scale: int) -> Column:
     return F.round(c * (10 ** scale), 0).cast("long")
 
 
-def _c_round(x: Column, out_dp: int) -> Column:
+def c_round(x: Column, out_dp: int) -> Column:
     """floor(x·10^dp + 0.5)/10^dp for non-negative x.
 
     Spark's F.round rounds the double's SHORTEST DECIMAL REPR (via
@@ -58,7 +58,7 @@ def _c_round(x: Column, out_dp: int) -> Column:
 
 def exact_mean(qcol: Column, count: Column, scale: int, out_dp: int) -> Column:
     """round(Σq / (n·10^scale), out_dp) from a pre-summed quantized col."""
-    return _c_round(qcol / (count * float(10 ** scale)), out_dp)
+    return c_round(qcol / (count * float(10 ** scale)), out_dp)
 
 
 def exact_stddev_samp(sum_q: Column, sum_q2: Column, count: Column,
@@ -77,7 +77,7 @@ def exact_stddev_samp(sum_q: Column, sum_q2: Column, count: Column,
     ).cast("double")
     return F.when(
         n >= 2,
-        _c_round(F.sqrt(var_num / (n * (n - 1)).cast("double")) / float(10 ** scale),
+        c_round(F.sqrt(var_num / (n * (n - 1)).cast("double")) / float(10 ** scale),
                  out_dp),
     )
 

@@ -140,6 +140,7 @@ def _minhash_sig_and_candidates(
     num_hashes: int,
     bands: int,
     shingle_n: int,
+    persist_signatures: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared LSH front half: (persisted signature table,
     distinct candidate (id_a, id_b) pairs from band-bucket collisions).
@@ -160,34 +161,30 @@ def _minhash_sig_and_candidates(
         F.col(id_col),
         _signature_udf(num_hashes, shingle_n)(tok_hashes).alias("sig"),
     )
-    # the signature table is consumed three times (banding + two pair
-    # re-attaches); persist so tokenizing/hashing runs once. Size is
-    # n_docs × (id + 64 longs) ≈ 0.5 KB/doc — spill-safe at any scale
-    from pyspark import StorageLevel
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    banded = sig.select(
-        id_col, "sig",
-        F.explode(
+    # the estimated-similarity caller consumes the signature table three
+    # times (banding + two pair re-attaches): persist so tokenizing/
+    # hashing runs once. Size is n_docs × (id + 64 longs) ≈ 0.5 KB/doc —
+    # spill-safe at any scale. The exact-verify caller reads signatures
+    # exactly once (banding) and skips the persist.
+    if persist_signatures:
+        from pyspark import StorageLevel
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    # band bucket = xxhash64 of the band's signature SLICE (hash
+    # functions take arrays natively) — no per-element extraction, no
+    # string concat: a far smaller codegen unit and cheaper at runtime,
+    # with the same collision property (equal band slices ⇒ equal
+    # bucket). Shuffles only (band, bucket, id) triples — signatures
+    # are re-attached to the (tiny) deduped pair set afterwards, so the
+    # wide arrays never ride the candidate join.
+    slim = sig.select(
+        F.col(id_col),
+        F.posexplode(
             F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[F.element_at("sig", b * rows_per_band + r + 1)
-                              for r in range(rows_per_band)],
-                        )
-                    ).alias("bucket"),
-                )
+                F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band))
                 for b in range(bands)
             ])
-        ).alias("bb"),
-    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
-    # candidate generation shuffles only (band, bucket, id) triples —
-    # signatures are re-attached to the (tiny) deduped pair set after,
-    # so the wide arrays never ride the candidate join
-    slim = banded.select("band", "bucket", id_col)
+        ).alias("band", "bucket"),
+    ).select("band", "bucket", id_col)
     a, b = slim.alias("a"), slim.alias("b")
     pairs = (
         a.join(
@@ -273,7 +270,8 @@ def minhash_exact_near_duplicates(
     brute-force join.
     """
     _sig, cand = _minhash_sig_and_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_n
+        df, text_col, id_col, num_hashes, bands, shingle_n,
+        persist_signatures=False,
     )
     cand = cand.persist()
     # the persisted candidate count is cheap and makes the verify-join

@@ -91,6 +91,106 @@ def language_id(df: DataFrame, text_col: str = "text",
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     ngram_n: int = 2) -> DataFrame:
+    """Gopher-style within-document repetition metrics (Rae et al. 2021
+    §A1.1: repetitious documents are low-quality training data).
+
+    Appends:
+    - ``dup_token_frac`` — 1 − distinct/total tokens
+    - ``top_ngram_frac`` — occurrences of the most frequent word
+      ``ngram_n``-gram / total n-grams
+
+    Map-only array expressions: the most-frequent-gram count comes from
+    a sort + linear run-length fold over the doc's own gram array
+    (O(L log L) per doc), not an explode/groupBy — no shuffle at any
+    corpus size, cost bounded by document length.
+    """
+    from anomaly_detection_spark.pipeline.dedup import shingles
+
+    t = F.col(text_col)
+    toks = F.split(F.trim(t), r"\s+")
+    grams = F.array_sort(shingles(t, ngram_n))
+    # longest run of equal adjacent values in the sorted gram array ==
+    # max occurrence count of any gram
+    run_state = F.aggregate(
+        grams,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return (
+        df.withColumn(
+            "dup_token_frac",
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+                4,
+            ),
+        )
+        .withColumn(
+            "top_ngram_frac",
+            F.round(run_state.cast("double") / F.size(grams), 4),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document bits-per-token under a corpus unigram language
+    model — the CCNet-style perplexity quality filter, two Spark passes:
+
+    1. fit: token → count over the corpus (one shuffle on the token),
+       total token count as a 1-row broadcast scalar;
+    2. score: explode doc tokens, broadcast-join the vocab, per-doc
+       exact mean of −log2 p(w).
+
+    The per-token log-probs are quantized to a 1e-6 grid and summed as
+    integers (order-independent — the engine's standard stabilization
+    for cross-engine mean parity), then divided once per doc.
+
+    Pass ``vocab`` (token, c, t columns) to score against a pre-fit /
+    held-out model; by default the model is fit on ``df`` itself.
+    Returns (id_col, n_tokens, bits_per_token).
+    """
+    from anomaly_detection_spark.operators.rounding import exact_mean
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+    )
+    if vocab is None:
+        cnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        tot = toks.agg(F.count(F.lit(1)).alias("t"))
+        vocab = cnt.crossJoin(F.broadcast(tot))
+    # q = round(−log2 p, 6dp) × 1e6 as an exact integer per token; the
+    # per-doc mean then uses the exact integer-sum fold + C-style final
+    # round (engine- and fold-order-independent — see operators/rounding)
+    q = F.round(
+        F.round(-F.log2(F.col("c") / F.col("t").cast("double")), 6) * 1_000_000, 0
+    ).cast("long")
+    scored = toks.join(F.broadcast(vocab), "w").select(F.col(id_col), q.alias("q"))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        exact_mean(
+            F.sum("q"), F.count(F.lit(1)), 6, 4
+        ).alias("bits_per_token"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 out_col: str = "fingerprint") -> DataFrame:
     """64-bit document fingerprint (xxhash64 of normalized text) —

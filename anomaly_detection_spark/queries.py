@@ -29,7 +29,7 @@ from anomaly_detection_spark.operators.completeness import complete_groups
 from anomaly_detection_spark.operators.enrich import enrich
 from anomaly_detection_spark.operators.keys import concat_key, split_key
 from anomaly_detection_spark.operators.rounding import (
-    exact_mean, exact_stddev_samp, quantized, stable_round,
+    c_round, exact_mean, exact_stddev_samp, quantized, stable_round,
 )
 from anomaly_detection_spark.operators.ranking import rank_family
 from anomaly_detection_spark.operators.runlength import run_length
@@ -3069,6 +3069,74 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style repetition metrics (Rae et al. §A1.1): duplicate-token
+# fraction + most-frequent-bigram fraction.  Spark side is map-only
+# (sorted-array run-length fold, no shuffle); the oracle recomputes the
+# max count the relational way (unnest → group → max).
+# ---------------------------------------------------------------------------
+
+@register("repetition_stats_docs", """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), grams AS (
+    SELECT doc_id, toks,
+           list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+                          i -> array_to_string(toks[i:i+1], ' ')) AS g
+    FROM toks
+), gc AS (
+    SELECT doc_id, max(c) AS mc FROM (
+        SELECT doc_id, gram, count(*) AS c
+        FROM (SELECT doc_id, unnest(g) AS gram FROM grams)
+        GROUP BY doc_id, gram
+    ) GROUP BY doc_id
+)
+SELECT g.doc_id,
+       round(1 - len(list_distinct(g.toks)) / CAST(len(g.toks) AS DOUBLE), 4)
+           AS dup_token_frac,
+       round(gc.mc / CAST(len(g.g) AS DOUBLE), 4) AS top_ngram_frac
+FROM grams g JOIN gc USING (doc_id)
+""")
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.text import repetition_stats
+    docs = load_table(spark, "documents", sf_dir)
+    return repetition_stats(docs, "text", ngram_n=2).select(
+        "doc_id", "dup_token_frac", "top_ngram_frac"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality scoring (CCNet-style): bits-per-token under a
+# corpus-fit unigram model.  Two passes (vocab fit, broadcast-join
+# score); per-token log-probs quantized to a 1e-6 grid and integer-
+# summed so the per-doc mean is fold-order-independent across engines.
+# ---------------------------------------------------------------------------
+
+@register("unigram_logprob_docs", """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+    FROM documents
+), cnt AS (
+    SELECT w, count(*) AS c FROM tok GROUP BY w
+), tot AS (
+    SELECT count(*) AS t FROM tok
+), scored AS (
+    SELECT doc_id,
+           CAST(round(round(-log2(c / CAST(t AS DOUBLE)), 6) * 1000000, 0)
+                AS BIGINT) AS q
+    FROM tok JOIN cnt USING (w) CROSS JOIN tot
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(CAST(sum(q) AS DOUBLE) / (count(*) * 1000000.0), 4)
+           AS bits_per_token
+FROM scored GROUP BY doc_id
+""")
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.text import unigram_logprob
+    docs = load_table(spark, "documents", sf_dir)
+    return unigram_logprob(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Portable SimHash (md5-bit variant) — pins the majority-vote-per-bit
 # construction against DuckDB; the production 64-bit xxhash64 variant
 # (simhash_fingerprints) shares this exact skeleton.
@@ -3084,6 +3152,213 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return docs.select(
         "doc_id", simhash_portable(F.col("text"), bits=16).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: min-cost supplier per part — correlated MIN subquery
+# decorrelated to aggregate + self-join (no partsupp table in the
+# fixtures, so unit cost is derived from lineitem: min observed
+# extendedprice/quantity per (part, supplier)).  Completes the 22/22
+# TPC-H shape coverage together with Q11/Q16/Q20 below.
+# ---------------------------------------------------------------------------
+
+@register("tpch_q2_min_cost_supplier", """
+WITH cost AS (
+    SELECT l_partkey, l_suppkey,
+           min(l_extendedprice / l_quantity) AS unit_cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+), eur AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+), best AS (
+    SELECT c.l_partkey, min(c.unit_cost) AS best_cost
+    FROM cost c JOIN eur e ON c.l_suppkey = e.s_suppkey
+    GROUP BY c.l_partkey
+)
+SELECT p.p_partkey, p.p_brand, e.s_name, e.n_name AS nation,
+       round(e.s_acctbal, 2) AS acctbal,
+       round(c.unit_cost, 4) AS unit_cost
+FROM part p
+JOIN cost c ON c.l_partkey = p.p_partkey
+JOIN best b ON b.l_partkey = p.p_partkey AND c.unit_cost = b.best_cost
+JOIN eur e ON c.l_suppkey = e.s_suppkey
+WHERE p.p_size <= 15
+""")
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated Q2: the per-part MIN over eligible suppliers is an
+    aggregate joined back on (partkey, cost) — one shuffle for the cost
+    rollup, one for the best-cost self-join; all dims broadcast.  The
+    float equality join is safe because both sides hold the SAME double
+    (min over identical IEEE division results); the output rounding is
+    C-style because the min can land exactly on a 4-dp boundary
+    (26.24125 at sf0.001), where Spark's shortest-decimal round and
+    DuckDB's binary round disagree."""
+    l = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    eur = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), (n.n_regionkey == r.r_regionkey) & (r.r_name == "EUROPE"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eligible = cost.join(F.broadcast(eur), cost.l_suppkey == F.col("s_suppkey"))
+    best = eligible.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost"))
+    return (
+        eligible.join(
+            best,
+            (eligible.l_partkey == best.l_partkey)
+            & (eligible.unit_cost == best.best_cost),
+        )
+        .drop(best.l_partkey)
+        .join(F.broadcast(p.where(F.col("p_size") <= 15)),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey", "p_brand", "s_name",
+            F.col("n_name").alias("nation"),
+            F.round("s_acctbal", 2).alias("acctbal"),
+            c_round(F.col("unit_cost"), 4).alias("unit_cost"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: HAVING against a global scalar subquery (important
+# parts by inventory value).  The threshold comparison is EXACT: both
+# sides quantized to integer cents, scaled by 1000 instead of
+# multiplying the total by 0.001 — no float sum-order dependence can
+# flip a row's membership.
+# ---------------------------------------------------------------------------
+
+@register("tpch_q11_important_parts", """
+WITH val AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                    AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_7', 'NATION_8')
+    GROUP BY l_partkey
+)
+SELECT l_partkey AS partkey,
+       round(cents / 100.0, 2) AS part_value
+FROM val
+WHERE cents * 1000 > (SELECT sum(cents) FROM val)
+""")
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    nat = n.where(F.col("n_name").isin("NATION_7", "NATION_8"))
+    val = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(nat), s.s_nationkey == nat.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                quantized(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
+            ).alias("cents")
+        )
+    )
+    total = val.agg(F.sum("cents").alias("total_cents"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .where(F.col("cents") * 1000 > F.col("total_cents"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("cents") / 100.0, 2).alias("part_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: supplier count per part attribute with a NOT-IN
+# anti-join (suppliers with negative balances excluded).
+# ---------------------------------------------------------------------------
+
+@register("tpch_q16_supplier_counts", """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'SMALL'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""")
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a non-null key → left-anti join (the exact Catalyst
+    decorrelation); part filter broadcast to the lineitem scan side."""
+    p = load_table(spark, "part", sf_dir).where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "SMALL")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    l = load_table(spark, "lineitem", sf_dir)
+    bad = load_table(spark, "supplier", sf_dir).where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    kept = l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+    return (
+        kept.join(F.broadcast(p), kept.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape: nested IN subqueries (suppliers who shipped heavy
+# volumes of matching parts in a year) → semi-join chain.  l_quantity
+# is integral so the per-(supp,part) sum is exact in double; the >
+# threshold cannot flip with summation order.
+# ---------------------------------------------------------------------------
+
+@register("tpch_q20_heavy_shippers", """
+WITH shipped AS (
+    SELECT l_suppkey, l_partkey, sum(l_quantity) AS total_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey, l_partkey
+)
+SELECT s_name, n_name AS nation
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM shipped
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND total_qty > 60
+)
+""")
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= ntz_lit("1996-01-01"))
+        & (F.col("l_shipdate") < ntz_lit("1997-01-01"))
+    )
+    small_parts = load_table(spark, "part", sf_dir).where(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    shipped = (
+        l.join(F.broadcast(small_parts), l.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 60)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    return (
+        s.join(shipped, s.s_suppkey == shipped.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", F.col("n_name").alias("nation"))
     )
 
 
@@ -3150,6 +3425,8 @@ DRIVER_PRIORITY: list[str] = [
     "hash_split_docs",
     "simhash_portable_docs",
     "lsh_ann_topk",
+    "repetition_stats_docs",
+    "unigram_logprob_docs",
 ]
 
 

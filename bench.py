@@ -43,14 +43,45 @@ BENCH_QUERIES = [
     "gap_fill_daily_series",
     "rank_family_orders",
     "embedding_near_dups",
+    "decontaminate_docs",
+    "hash_split_docs",
 ]
+
+
+def _warm_up(spark) -> None:
+    """Warm the JVM before timing: parquet reader + codegen (q1), and —
+    on TINY synthetic data, so no timed query's input or result is
+    pre-computed — the Python-UDF/Arrow runner, the Generate (explode)
+    path, and the first Janino compile of complex array projections.
+    These are per-JVM bootstrap costs (~3 s total), not per-query costs;
+    on a long-lived cluster they are paid once at executor start.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    reg.QUERIES["tpch_q1_agg"](spark, SF_DIR).count()
+
+    tiny = spark.range(64).select(
+        F.col("id"), F.array(*[F.col("id") + i for i in range(8)]).alias("arr")
+    )
+
+    _psum = F.pandas_udf(lambda s: s * 2, "long")
+
+    tiny.select(
+        _psum("id"),
+        F.posexplode(
+            F.array(*[F.xxhash64(F.slice("arr", b + 1, 2)) for b in range(4)])
+        ),
+    ).count()
+    tiny.groupBy((F.col("id") % 4).alias("g")).applyInPandas(
+        lambda pdf: pdf.head(1), schema=tiny.schema
+    ).count()
 
 
 def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm the JVM + parquet footers with a trivial action
-    reg.QUERIES["tpch_q1_agg"](spark, SF_DIR).count()
+    _warm_up(spark)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

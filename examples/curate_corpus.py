@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""End-to-end training-corpus curation — the LLM-data-pipeline
+operators composed the way a pretraining data job would chain them:
+
+1. exact dedup (content-digest groups)
+2. near-dedup (MinHash + LSH candidates, greedy drop)
+3. quality filtering (length/stopword stats + Gopher repetition
+   metrics + unigram-LM bits-per-token)
+4. benchmark decontamination (word-3-gram overlap vs a held-out
+   eval set)
+5. deterministic train/val/test split (portable md5 hash)
+
+Every stage is the scale-shaped variant: digest-only shuffles,
+bucketed LSH candidates (not n²), map-only quality metrics, a
+broadcast eval-gram join, and a shuffle-free hash split.
+
+    python examples/curate_corpus.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.pipeline.decontaminate import (
+    eval_ngram_set, hash_split, ngram_contamination,
+)
+from anomaly_detection_spark.pipeline.dedup import drop_near_duplicates, exact_dedup
+from anomaly_detection_spark.pipeline.text import (
+    repetition_stats, text_stats, unigram_logprob,
+)
+from anomaly_detection_spark.session import get_spark
+from anomaly_detection_spark.sources.tables import load_table
+
+
+def curate(spark, sf_dir: str):
+    docs = load_table(spark, "documents", sf_dir)
+    n0 = docs.count()
+
+    # 1-2: exact then near dedup
+    docs = exact_dedup(docs, "text", "doc_id")
+    n1 = docs.count()
+    docs = drop_near_duplicates(docs, "text", "doc_id", jaccard_threshold=0.8)
+    n2 = docs.count()
+
+    # 3: quality gates — all map-only except the unigram vocab fit
+    docs = repetition_stats(text_stats(docs), ngram_n=2)
+    lm = unigram_logprob(docs, "text", "doc_id").select(
+        "doc_id", "bits_per_token"
+    )
+    docs = docs.join(lm, "doc_id")
+    docs = docs.where(
+        (F.col("n_tokens") >= 5)
+        & (F.col("dup_token_frac") <= 0.99)
+        & (F.col("top_ngram_frac") <= 0.9)
+        & (F.col("bits_per_token") <= 12.0)
+    )
+    n3 = docs.count()
+
+    # 4: decontaminate against the held-out eval slice
+    eval_set = load_table(spark, "documents", sf_dir).where(
+        F.col("doc_id") % 20 == 0
+    )
+    report = ngram_contamination(
+        docs, eval_ngram_set(eval_set, "text", 3), "text", "doc_id",
+        n=3, contaminated_threshold=0.8,
+    )
+    clean_ids = report.where(~F.col("contaminated")).select("doc_id")
+    docs = docs.join(clean_ids, "doc_id", "left_semi")
+    n4 = docs.count()
+
+    # 5: reproducible split
+    docs = hash_split(docs, "doc_id")
+    mix = {
+        r["split"]: r["n"]
+        for r in docs.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return {
+        "input": n0, "after_exact_dedup": n1, "after_near_dedup": n2,
+        "after_quality": n3, "after_decontamination": n4, "splits": mix,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("curate-corpus", cpus=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    funnel = curate(spark, sf_dir)
+    for k, v in funnel.items():
+        print(f"{k}: {v}")

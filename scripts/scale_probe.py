@@ -89,6 +89,20 @@ def main() -> None:
             docs, "text", "doc_id", jaccard_threshold=0.5
         ).count()
         t_minhash = round(time.monotonic() - t0, 2)
+
+        from anomaly_detection_spark.pipeline.decontaminate import (
+            eval_ngram_set, ngram_contamination,
+        )
+        # eval slice stays FIXED-SIZE as K grows (benchmarks don't scale
+        # with the corpus) — the probe measures the broadcast-join path
+        eval_set = docs.where(F.col("doc_id") % 10_000_000 % 20 == 0).where(
+            F.col("doc_id") < 10_000_000
+        )
+        t0 = time.monotonic()
+        n_contam = ngram_contamination(
+            docs, eval_ngram_set(eval_set, "text", 3), "text", "doc_id", n=3
+        ).where(F.col("contaminated")).count()
+        t_decontam = round(time.monotonic() - t0, 2)
         docs.unpersist()
         print(json.dumps({
             "k": k, "rows": n_rows, "series": n_flags,
@@ -96,6 +110,7 @@ def main() -> None:
             "stl_series_per_sec": round(n_stl / t_stl, 1),
             "docs": n_docs, "dup_pairs": n_pairs,
             "minhash_sec": t_minhash,
+            "contaminated": n_contam, "decontam_sec": t_decontam,
         }), flush=True)
 
 

@@ -144,3 +144,56 @@ def test_simhash_portable_near_dup_locality(spark):
     }
     ham = lambda a, b: bin(a ^ b).count("1")
     assert ham(fp[1], fp[2]) < ham(fp[1], fp[3])
+
+
+def test_repetition_stats_known_values(spark):
+    from anomaly_detection_spark.pipeline.text import repetition_stats
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # toks 6, distinct 2; bigrams: ab ba ab ba ab → 'a b'×3 of 5
+            (2, "u v w x y z"),      # all distinct; every bigram unique
+            (3, "q q q q"),          # fully repeated
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, "text", 2).collect()}
+    assert out[1]["dup_token_frac"] == round(1 - 2 / 6, 4)
+    assert out[1]["top_ngram_frac"] == 0.6          # 3 of 5 bigrams
+    assert out[2]["dup_token_frac"] == 0.0
+    assert out[2]["top_ngram_frac"] == 0.2          # 1 of 5
+    assert out[3]["dup_token_frac"] == 0.75
+    assert out[3]["top_ngram_frac"] == 1.0
+
+
+def test_unigram_logprob_orders_docs_by_rarity(spark):
+    from anomaly_detection_spark.pipeline.text import unigram_logprob
+    import math
+    # corpus: 'common' appears 8x, 'rare' 1x, 'alt' 1x
+    df = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common common rare"),
+            (3, "common alt"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(df, "text", "doc_id").collect()}
+    assert out[1]["n_tokens"] == 4
+    # doc1 is all-common -> lowest bits; doc3 has the rarest mix -> highest
+    assert out[1]["bits_per_token"] < out[2]["bits_per_token"] < out[3]["bits_per_token"]
+    # exact check for doc1: every token p = 8/10
+    expect = round(-math.log2(8 / 10), 4)
+    assert abs(out[1]["bits_per_token"] - expect) < 5e-4
+
+
+def test_unigram_logprob_external_vocab(spark):
+    """Scoring against a held-out model ignores the scored df's own counts."""
+    from anomaly_detection_spark.pipeline.text import unigram_logprob
+    import math
+    from pyspark.sql import functions as F
+    vocab = spark.createDataFrame(
+        [("w", 1, 4), ("x", 3, 4)], ["w", "c", "t"]
+    )
+    df = spark.createDataFrame([(1, "w w w w")], ["doc_id", "text"])
+    out = unigram_logprob(df, "text", "doc_id", vocab=vocab).collect()[0]
+    assert out["bits_per_token"] == round(-math.log2(1 / 4), 4)
