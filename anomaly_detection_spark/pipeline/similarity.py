@@ -244,6 +244,13 @@ def embedding_near_duplicates(
         codes = (per_seed * bits).sum(axis=2)  # (batch, n_seeds)
         return pd.Series(list(codes))
 
+    # a single parquet file scans as 1-2 partitions: spread rows across
+    # the cluster before the Arrow kernel and the bucket self-join — at
+    # real scale the input has many splits and this is skipped
+    parallelism = vectors.sparkSession.sparkContext.defaultParallelism
+    n_files = len(vectors.inputFiles())
+    if 0 < n_files < parallelism:
+        vectors = vectors.repartition(parallelism)
     with_buckets = vectors.select(
         F.col(id_col), _buckets(F.col(vec_col)).alias("_bkts")
     )
@@ -307,3 +314,61 @@ def lsh_ann_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def assign_nearest_centroid(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Nearest-centroid (max-cosine) assignment: (id, cluster_id, cosine).
+
+    The building block for corpus clustering / topic-bucket balancing:
+    ``centroids`` is small (K rows) and is broadcast, so the big side
+    streams map-only — K scored rows per vector, then a per-vector
+    argmax window (``WindowGroupLimit`` keeps the top row per vector
+    inside the sort). Ties break on the lower centroid id.
+    """
+    c = centroids.select(
+        F.col(centroid_id_col), F.col(vec_col).alias("_cvec")
+    )
+    scored = vectors.crossJoin(F.broadcast(c)).select(
+        id_col,
+        F.col(centroid_id_col).alias("cluster_id"),
+        F.round(cosine_similarity(F.col(vec_col), F.col("_cvec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cosine"), F.asc("cluster_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def cluster_balanced_sample(
+    assigned: DataFrame,
+    per_cluster: int,
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-cluster subsample: ``per_cluster`` rows per
+    cluster, chosen by a portable md5 content-hash order (reproducible
+    on any engine / any partitioning, append-stable — ``rand()`` is
+    none of those on a cluster). Appends ``sample_rank``.
+    """
+    hx = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"),
+                           F.col(id_col).cast("string")).cast("binary")),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("bigint")
+    w = Window.partitionBy(cluster_col).orderBy(hx.asc(), F.col(id_col).asc())
+    return (
+        assigned.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= per_cluster)
+    )

@@ -191,6 +191,109 @@ def unigram_logprob(
     )
 
 
+def tf_idf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: (id, term, tf, score, rank).
+
+    Classic smooth-idf weighting: ``tf · (ln((N+1)/(df+1)) + 1)``.
+
+    Scale shape (100 TB): term frequencies are one shuffle keyed
+    (doc, term) with map-side combine; document frequencies aggregate
+    the ALREADY-distinct (doc, term) pairs, so the df pass shuffles
+    vocabulary-sized data, not corpus-sized; the vocab (term → df) is
+    broadcast back; the final top-k is a per-doc window with
+    ``WindowGroupLimit`` pushdown. No pass touches raw text twice.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col), "term", "tf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1.0)) + 1.0),
+                4,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_docs: int = 5,
+) -> DataFrame:
+    """Cross-document repeated n-grams: (gram, n_docs, n_occurrences).
+
+    Boilerplate detection — grams appearing in ≥ ``min_docs`` distinct
+    documents are headers/footers/license-text candidates for removal.
+
+    Per-doc occurrence counting happens INSIDE the array (map-only,
+    run-length fold over the doc's sorted gram array feeding exact
+    per-doc counts); the only shuffle is the gram-keyed aggregation of
+    (gram, 1, count) triples — vocabulary-shaped, with map-side
+    combine, never corpus-shaped.
+    """
+    from anomaly_detection_spark.pipeline.dedup import shingles
+
+    grams = F.array_sort(shingles(F.col(text_col), n))
+    # run starts in the sorted gram array (1-based positions), then
+    # (gram, run length) pairs — linear in doc length, no per-element
+    # array rebuilding
+    with_g = df.select(F.col(id_col), grams.alias("_g"))
+    g = F.col("_g")
+    starts = F.filter(
+        F.sequence(F.lit(1), F.size(g)),
+        lambda i: (i == 1) | (F.element_at(g, i) != F.element_at(g, i - 1)),
+    )
+    per_doc = with_g.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(starts)),
+                lambda j: F.struct(
+                    F.element_at(g, F.element_at(starts, j)).alias("gram"),
+                    (
+                        F.coalesce(
+                            F.try_element_at(starts, (j + 1).cast("int")),
+                            F.size(g) + 1,
+                        )
+                        - F.element_at(starts, j)
+                    ).alias("c"),
+                ),
+            )
+        ).alias("g2"),
+    ).select(id_col, F.col("g2.gram").alias("gram"), F.col("g2.c").alias("c"))
+    return (
+        per_doc.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("c").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 out_col: str = "fingerprint") -> DataFrame:
     """64-bit document fingerprint (xxhash64 of normalized text) —

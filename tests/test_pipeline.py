@@ -226,3 +226,85 @@ def test_ivf_topk_large_query_table_no_collect(spark, sf_dir):
         (F.col("rank") == 1) & (F.col("vec_id") == (F.col("query_id") / 1000).cast("long"))
     ).count()
     assert hits == 10_000  # own cell is always among the probed cells
+
+
+def test_redact_pii_masks_planted(spark):
+    from anomaly_detection_spark.pipeline.redact import pii_counts, redact_pii
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@sub.example.org today"),
+            (2, "call +1-555-123-4567 or ping 192.168.0.1"),
+            (3, "nothing sensitive here"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r for r in redact_pii(pii_counts(df)).collect()}
+    assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (1, 0, 0)
+    assert (out[2].n_email, out[2].n_phone, out[2].n_ipv4) == (0, 1, 1)
+    assert (out[3].n_email, out[3].n_phone, out[3].n_ipv4) == (0, 0, 0)
+    assert out[1].redacted == "mail me at <EMAIL> today"
+    assert out[2].redacted == "call <PHONE> or ping <IP>"
+    assert out[3].redacted == "nothing sensitive here"
+
+
+def test_tfidf_rare_term_beats_ubiquitous(spark):
+    from anomaly_detection_spark.pipeline.text import tf_idf_top_terms
+    df = spark.createDataFrame(
+        [(1, "common rareword"), (2, "common other"), (3, "common thing")],
+        "doc_id long, text string",
+    )
+    top = tf_idf_top_terms(df, k=1)
+    row = {r.doc_id: r.term for r in top.collect()}
+    # 'common' appears in every doc (idf floor); 'rareword' only in doc 1
+    assert row[1] == "rareword"
+
+
+def test_assign_nearest_centroid_self(spark, sf_dir):
+    from anomaly_detection_spark.pipeline.similarity import assign_nearest_centroid
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = assign_nearest_centroid(emb, centroids)
+    self_rows = assigned.where(F.col("vec_id") < 8).collect()
+    assert len(self_rows) == 8
+    for r in self_rows:
+        assert r.cluster_id == r.vec_id, "centroid must be its own nearest"
+        assert r.cosine == 1.0
+
+
+def test_cluster_balanced_sample_cap_and_determinism(spark, sf_dir):
+    from anomaly_detection_spark.pipeline.similarity import (
+        assign_nearest_centroid, cluster_balanced_sample,
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = assign_nearest_centroid(emb, centroids).select("vec_id", "cluster_id")
+    s1 = cluster_balanced_sample(assigned, per_cluster=5)
+    per = {r.cluster_id: r["count"] for r in
+           s1.groupBy("cluster_id").count().collect()}
+    assert all(v <= 5 for v in per.values())
+    # partitioning-independent: same ids after an adversarial repartition
+    s2 = cluster_balanced_sample(assigned.repartition(13), per_cluster=5)
+    assert sorted(r.vec_id for r in s1.collect()) == sorted(
+        r.vec_id for r in s2.collect()
+    )
+
+
+def test_boilerplate_ngrams_counts(spark):
+    from anomaly_detection_spark.pipeline.text import boilerplate_ngrams
+    # 'a b c' appears in docs 1,2,3 (twice in doc 3); 'x y z' only in doc 4
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "z a b c"),
+            (3, "a b c a b c"),
+            (4, "x y z w"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.gram: (r.n_docs, r.n_occurrences)
+           for r in boilerplate_ngrams(df, n=3, min_docs=3).collect()}
+    assert out == {"a b c": (3, 4)}
