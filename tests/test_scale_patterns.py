@@ -231,3 +231,75 @@ def test_rank_family_handles_ties(spark):
     got = {r.id: (r.rnk, r.drnk, round(r.cume, 9)) for r in ranked.collect()}
     want = {r.id: (r.rnk, r.drnk, r.cume) for r in ref.collect()}
     assert got == want
+
+
+def test_redact_pii_shuffle_free(spark, sf_dir):
+    """PII scrubbing is a pure projection: any exchange in its plan is
+    a regression (at 100 TB it must stream map-only)."""
+    from anomaly_detection_spark.pipeline.redact import pii_counts, redact_pii
+    docs = load_table(spark, "documents", sf_dir)
+    plan = _physical_plan(redact_pii(pii_counts(docs)))
+    assert "Exchange" not in plan, plan
+
+
+def test_redact_pii_idempotent(spark):
+    """Masking already-masked text changes nothing (the tokens contain
+    no maskable substrings) — re-running a scrub pass is safe."""
+    from anomaly_detection_spark.pipeline.redact import redact_pii
+    df = spark.createDataFrame(
+        [(1, "a b@c.io +1-222-333-4444 9.9.9.9")], "id long, text string"
+    )
+    once = redact_pii(df).select(F.col("redacted").alias("text"))
+    twice = redact_pii(once)
+    row = twice.collect()[0]
+    assert row.redacted == row.text
+
+
+def test_boilerplate_single_gram_shuffle(spark, sf_dir):
+    """Per-doc gram counts fold inside the array (map-only); the plan
+    may shuffle only for the final gram-keyed rollup."""
+    from anomaly_detection_spark.pipeline.text import boilerplate_ngrams
+    docs = load_table(spark, "documents", sf_dir)
+    plan = _physical_plan(boilerplate_ngrams(docs))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_curated_corpus_append_safe(spark, sf_dir):
+    """Curation verdicts per doc don't change when the corpus grows
+    with distinct new docs (hash split + per-doc stats are row-local;
+    dedup keeps min-id, and the appended ids are higher)."""
+    from anomaly_detection_spark import queries as reg
+    base = reg.QUERIES["curated_corpus"](spark, sf_dir)
+    before = {r.doc_id: (r.n_tokens, r.split) for r in base.collect()}
+    docs = load_table(spark, "documents", sf_dir)
+    extra = docs.limit(7).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat(F.lit("fresh unseen body "), F.col("text")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    grown = docs.unionByName(extra)
+
+    # rebuild the same pipeline over the grown corpus
+    from anomaly_detection_spark.pipeline.decontaminate import hash_split
+    from pyspark.sql.window import Window as W
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stats = grown.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double")
+                / F.size(toks), 4).alias("dup_token_frac"),
+        F.md5(F.trim(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+              .cast("binary")).alias("fp"),
+    ).where((F.col("n_tokens") >= 30) & (F.col("dup_token_frac") <= 0.6))
+    deduped = (
+        stats.withColumn("_rn", F.row_number().over(
+            W.partitionBy("fp").orderBy("doc_id")))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "n_tokens", "dup_token_frac")
+    )
+    after = {
+        r.doc_id: (r.n_tokens, r.split)
+        for r in hash_split(deduped, "doc_id").collect()
+    }
+    for doc_id, v in before.items():
+        assert after[doc_id] == v, doc_id
