@@ -300,3 +300,53 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     rolling-hash analogue for cheap near-exact matching."""
     normalized = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return df.withColumn(out_col, F.xxhash64(F.trim(normalized)))
+
+
+DEFAULT_QUALITY_WEIGHTS: dict[str, float] = {
+    "bias": 1.0,
+    "punct_ratio": -4.0,      # symbol-heavy text is low quality
+    "stopword_ratio": 3.0,    # natural prose carries function words
+    "dup_token_frac": -2.0,   # repetitious text is low quality
+    "log_tokens": 0.25,       # mild preference for longer documents
+}
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    weights: dict[str, float] | None = None,
+    out_col: str = "quality_score",
+) -> DataFrame:
+    """fastText-style linear quality scorer: logistic over cheap text
+    features with fixed (published-style) weights — the shape of the
+    classifier-based quality filters used by large corpus pipelines,
+    with a deterministic stand-in for the learned weights.
+
+    Features are quantized to the 4-dp grid BEFORE the linear
+    combination so the score is bit-reproducible across engines; the
+    whole thing is built-in expressions — map-only, zero shuffle.
+    """
+    w = DEFAULT_QUALITY_WEIGHTS if weights is None else weights
+    t = F.col(text_col)
+    toks = F.split(F.trim(t), r"\s+")
+    n_toks = F.size(toks)
+    punct = F.round(
+        (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("double")
+        / F.length(t), 4,
+    )
+    stop = F.round(
+        F.size(F.filter(toks, lambda x: F.lower(x).isin(*_LANG_MARKERS["en"])))
+        .cast("double") / n_toks, 4,
+    )
+    dup = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n_toks, 4
+    )
+    logn = F.round(F.log(n_toks.cast("double")), 4)
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["punct_ratio"]) * punct
+        + F.lit(w["stopword_ratio"]) * stop
+        + F.lit(w["dup_token_frac"]) * dup
+        + F.lit(w["log_tokens"]) * logn
+    )
+    return df.withColumn(out_col, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4))

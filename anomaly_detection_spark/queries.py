@@ -3620,6 +3620,82 @@ def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus data-card profile: per-(source, lang) volume / token / length
+# statistics — the summary table a dataset release ships.  One shuffle
+# on the (source, lang) grouping key; exact percentiles (at true scale
+# swap in percentile_approx, cf. approx_percentiles_events).
+# ---------------------------------------------------------------------------
+
+@register("corpus_profile_by_source", """
+WITH s AS (
+    SELECT source, lang,
+           len(string_split_regex(trim(text), '\\s+')) AS n_toks,
+           n_chars
+    FROM documents
+)
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       round(CAST(sum(n_toks) AS DOUBLE) / count(*), 4) AS avg_tokens,
+       round(quantile_cont(n_toks, 0.5), 4) AS median_tokens,
+       round(quantile_cont(n_toks, 0.9), 4) AS p90_tokens,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM s GROUP BY source, lang
+""")
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    s = docs.select(
+        "source", "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_toks"),
+        "n_chars",
+    )
+    return s.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.round(F.sum("n_toks").cast("double") / F.count(F.lit(1)), 4)
+            .alias("avg_tokens"),
+        F.round(F.expr("percentile(n_toks, 0.5)"), 4).alias("median_tokens"),
+        F.round(F.expr("percentile(n_toks, 0.9)"), 4).alias("p90_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classifier-based quality filtering (fastText-shaped linear scorer
+# with fixed weights).  Features quantized to the 4-dp grid before the
+# linear combination so the logistic score reproduces bit-for-bit in
+# any engine; map-only.
+# ---------------------------------------------------------------------------
+
+@register("quality_classifier_docs", """
+WITH f AS (
+    SELECT doc_id,
+           round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                 / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+           round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                 t -> lower(t) IN ('the','and','of','to','a')))
+                 / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 4)
+               AS stopword_ratio,
+           round(1 - len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                 / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 4)
+               AS dup_token_frac,
+           round(ln(len(string_split_regex(trim(text), '\\s+'))), 4) AS logn
+    FROM documents
+)
+SELECT doc_id,
+       round(1 / (1 + exp(-(1.0 - 4.0 * punct_ratio + 3.0 * stopword_ratio
+                            - 2.0 * dup_token_frac + 0.25 * logn))), 4)
+           AS quality_score
+FROM f
+""")
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.text import quality_classifier
+    docs = load_table(spark, "documents", sf_dir)
+    return quality_classifier(docs).select("doc_id", "quality_score")
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -2,13 +2,15 @@
 """End-to-end training-corpus curation — the LLM-data-pipeline
 operators composed the way a pretraining data job would chain them:
 
-1. exact dedup (content-digest groups)
-2. near-dedup (MinHash + LSH candidates, greedy drop)
-3. quality filtering (length/stopword stats + Gopher repetition
-   metrics + unigram-LM bits-per-token)
-4. benchmark decontamination (word-3-gram overlap vs a held-out
+1. PII scrubbing (map-only regex redaction)
+2. exact dedup (content-digest groups)
+3. near-dedup (MinHash + LSH candidates, greedy drop)
+4. quality filtering (length/stopword stats + Gopher repetition
+   metrics + unigram-LM bits-per-token + classifier score)
+5. benchmark decontamination (word-3-gram overlap vs a held-out
    eval set)
-5. deterministic train/val/test split (portable md5 hash)
+6. deterministic train/val/test split (portable md5 hash)
+7. release data card (per-source/lang profile of the final corpus)
 
 Every stage is the scale-shaped variant: digest-only shuffles,
 bucketed LSH candidates (not n²), map-only quality metrics, a
@@ -30,8 +32,9 @@ from anomaly_detection_spark.pipeline.decontaminate import (
     eval_ngram_set, hash_split, ngram_contamination,
 )
 from anomaly_detection_spark.pipeline.dedup import drop_near_duplicates, exact_dedup
+from anomaly_detection_spark.pipeline.redact import redact_pii
 from anomaly_detection_spark.pipeline.text import (
-    repetition_stats, text_stats, unigram_logprob,
+    quality_classifier, repetition_stats, text_stats, unigram_logprob,
 )
 from anomaly_detection_spark.session import get_spark
 from anomaly_detection_spark.sources.tables import load_table
@@ -41,14 +44,17 @@ def curate(spark, sf_dir: str):
     docs = load_table(spark, "documents", sf_dir)
     n0 = docs.count()
 
-    # 1-2: exact then near dedup
+    # 1: scrub PII in place (map-only; fuses into the scan projection)
+    docs = redact_pii(docs, "text", "text")
+
+    # 2-3: exact then near dedup
     docs = exact_dedup(docs, "text", "doc_id")
     n1 = docs.count()
     docs = drop_near_duplicates(docs, "text", "doc_id", jaccard_threshold=0.8)
     n2 = docs.count()
 
-    # 3: quality gates — all map-only except the unigram vocab fit
-    docs = repetition_stats(text_stats(docs), ngram_n=2)
+    # 4: quality gates — all map-only except the unigram vocab fit
+    docs = quality_classifier(repetition_stats(text_stats(docs), ngram_n=2))
     lm = unigram_logprob(docs, "text", "doc_id").select(
         "doc_id", "bits_per_token"
     )
@@ -58,10 +64,11 @@ def curate(spark, sf_dir: str):
         & (F.col("dup_token_frac") <= 0.99)
         & (F.col("top_ngram_frac") <= 0.9)
         & (F.col("bits_per_token") <= 12.0)
+        & (F.col("quality_score") >= 0.2)
     )
     n3 = docs.count()
 
-    # 4: decontaminate against the held-out eval slice
+    # 5: decontaminate against the held-out eval slice
     eval_set = load_table(spark, "documents", sf_dir).where(
         F.col("doc_id") % 20 == 0
     )
@@ -73,15 +80,23 @@ def curate(spark, sf_dir: str):
     docs = docs.join(clean_ids, "doc_id", "left_semi")
     n4 = docs.count()
 
-    # 5: reproducible split
+    # 6: reproducible split
     docs = hash_split(docs, "doc_id")
     mix = {
         r["split"]: r["n"]
         for r in docs.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+
+    # 7: release data card for the surviving corpus
+    card = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    data_card = [tuple(r) for r in card.orderBy("source", "lang").collect()]
     return {
         "input": n0, "after_exact_dedup": n1, "after_near_dedup": n2,
         "after_quality": n3, "after_decontamination": n4, "splits": mix,
+        "data_card": data_card,
     }
 
 

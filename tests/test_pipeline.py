@@ -308,3 +308,19 @@ def test_boilerplate_ngrams_counts(spark):
     out = {r.gram: (r.n_docs, r.n_occurrences)
            for r in boilerplate_ngrams(df, n=3, min_docs=3).collect()}
     assert out == {"a b c": (3, 4)}
+
+
+def test_quality_classifier_orders_sanely(spark):
+    from anomaly_detection_spark.pipeline.text import quality_classifier
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and looked out of a window today"),
+            (2, "spam spam spam spam spam spam spam spam spam spam"),
+            (3, "$$$ ### !!! @@@ %%% ^^^ &&& *** ((( )))"),
+        ],
+        "doc_id long, text string",
+    )
+    s = {r.doc_id: r.quality_score for r in quality_classifier(df).collect()}
+    assert s[1] > s[2], "natural prose must beat pure repetition"
+    assert s[1] > s[3], "natural prose must beat symbol noise"
+    assert all(0.0 <= v <= 1.0 for v in s.values())
