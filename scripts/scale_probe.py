@@ -103,6 +103,26 @@ def main() -> None:
             docs, eval_ngram_set(eval_set, "text", 3), "text", "doc_id", n=3
         ).where(F.col("contaminated")).count()
         t_decontam = round(time.monotonic() - t0, 2)
+
+        # curation chain: PII scrub -> quality features + classifier ->
+        # exact dedup -> hash split.  Map-only except the digest
+        # aggregation and one split projection: the linear-throughput
+        # backbone of a corpus job (near-dedup measured separately above)
+        from anomaly_detection_spark.pipeline.dedup import exact_dedup
+        from anomaly_detection_spark.pipeline.decontaminate import hash_split
+        from anomaly_detection_spark.pipeline.redact import redact_pii
+        from anomaly_detection_spark.pipeline.text import (
+            quality_classifier, repetition_stats, text_stats,
+        )
+        t0 = time.monotonic()
+        cur = redact_pii(docs, "text", "text")
+        cur = quality_classifier(repetition_stats(text_stats(cur), ngram_n=2))
+        cur = cur.where(
+            (F.col("n_tokens") >= 5) & (F.col("quality_score") >= 0.1)
+        )
+        cur = hash_split(exact_dedup(cur, "text", "doc_id"), "doc_id")
+        n_curated = cur.count()
+        t_curate = round(time.monotonic() - t0, 2)
         docs.unpersist()
         print(json.dumps({
             "k": k, "rows": n_rows, "series": n_flags,
@@ -111,6 +131,8 @@ def main() -> None:
             "docs": n_docs, "dup_pairs": n_pairs,
             "minhash_sec": t_minhash,
             "contaminated": n_contam, "decontam_sec": t_decontam,
+            "curated": n_curated, "curate_sec": t_curate,
+            "curate_docs_per_sec": round(n_docs / t_curate, 1),
         }), flush=True)
 
 
