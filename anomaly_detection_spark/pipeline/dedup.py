@@ -414,3 +414,88 @@ def simhash64(text_col, shingle_n: int = 2):
     for b in bits[1:]:
         out = out.bitwiseOR(b)
     return out
+
+
+def dedup_against_reference(
+    batch: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental (append-mode) dedup: rows of ``batch`` that survive
+    BOTH exact and near-duplicate checks against ``reference`` — the
+    daily-ingest shape, where the corpus already exists and only the
+    new slice must be cleaned against it.
+
+    Exact pass: anti-join on the normalized md5 digest (digest-only
+    shuffle, never the text).  Near pass: minhash band buckets for both
+    sides, candidates from the (band, bucket) equi-join BETWEEN batch
+    and reference (never reference×reference — the already-accepted
+    corpus is settled), exact n-gram Jaccard verify on candidates only.
+    At production scale the reference's signatures would be precomputed
+    and stored; here they are derived in-line from the reference frame.
+    """
+    norm = lambda c: F.md5(  # noqa: E731
+        F.trim(F.lower(F.regexp_replace(F.col(c), r"\s+", " "))).cast("binary")
+    )
+    ref_digests = reference.select(norm(text_col).alias("_fp")).distinct()
+    fresh = (
+        batch.withColumn("_fp", norm(text_col))
+        .join(F.broadcast(ref_digests), "_fp", "left_anti")
+        .drop("_fp")
+    )
+
+    rows_per_band = num_hashes // bands
+    def _slim(df: DataFrame) -> DataFrame:
+        tok_hashes = F.transform(
+            F.split(F.trim(F.col(text_col)), r"\s+"),
+            lambda t: F.pmod(F.xxhash64(t), F.lit(_M32)),
+        )
+        sig = df.select(
+            F.col(id_col),
+            _signature_udf(num_hashes, shingle_n)(tok_hashes).alias("sig"),
+        )
+        return sig.select(
+            F.col(id_col),
+            F.posexplode(
+                F.array(*[
+                    F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band))
+                    for b in range(bands)
+                ])
+            ).alias("band", "bucket"),
+        ).select("band", "bucket", id_col)
+
+    cand = (
+        _slim(fresh).alias("n")
+        .join(
+            _slim(reference).alias("r"),
+            (F.col("n.band") == F.col("r.band"))
+            & (F.col("n.bucket") == F.col("r.bucket")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("_new_id"),
+            F.col(f"r.{id_col}").alias("_ref_id"),
+        )
+        .distinct()
+    )
+    grams = lambda df, idc: df.select(  # noqa: E731
+        F.col(id_col).alias(idc),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias(f"_g_{idc}"),
+    )
+    verified = (
+        cand.join(grams(fresh, "_new_id"), "_new_id")
+        .join(grams(reference, "_ref_id"), "_ref_id")
+        .withColumn(
+            "_j",
+            F.size(F.array_intersect("_g__new_id", "_g__ref_id")).cast("double")
+            / F.size(F.array_distinct(F.concat("_g__new_id", "_g__ref_id"))),
+        )
+        .where(F.round(F.col("_j"), 4) >= jaccard_threshold)
+        .select(F.col("_new_id").alias(id_col))
+        .distinct()
+    )
+    return fresh.join(verified, id_col, "left_anti")

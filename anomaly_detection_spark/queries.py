@@ -2202,7 +2202,30 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the sha256-derived stub features aren't ANSI-SQL-expressible.
 # ---------------------------------------------------------------------------
 
-@register("multimodal_features")
+# The fake-decode stub derives features from sha256(payload) — pure
+# hex arithmetic, so DuckDB can reproduce the ENTIRE mapInPandas path
+# byte-for-byte and this is a full oracle, not a rows-only check: the
+# oracle proves the Arrow batch plumbing delivers every blob intact.
+_MM_FEATS = ",\n       ".join(
+    "round(("
+    + " + ".join(
+        f"CAST('0x' || substr(hx, {8 * i + 2 * j + 1}, 2) AS INT)" for j in range(4)
+    )
+    + f") / 4.0 / 255.0, 6) AS f{i}"
+    for i in range(8)
+)
+
+
+@register("multimodal_features", f"""
+WITH h AS (
+    SELECT doc_id, sha256(text) AS hx,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+)
+SELECT doc_id, n_bytes,
+       {_MM_FEATS}
+FROM h
+""")
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anomaly_detection_spark.pipeline.multimodal import (
         attach_binary_payload, extract_features,
@@ -2210,7 +2233,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     with_payload = attach_binary_payload(docs, "text")
-    return extract_features(with_payload, fake=True)
+    feats = extract_features(with_payload, fake=True)
+    return feats.select(
+        "doc_id", "n_bytes",
+        *[F.round(F.element_at("features", i + 1), 6).alias(f"f{i}")
+          for i in range(8)],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3693,6 +3721,86 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anomaly_detection_spark.pipeline.text import quality_classifier
     docs = load_table(spark, "documents", sf_dir)
     return quality_classifier(docs).select("doc_id", "quality_score")
+
+
+# ---------------------------------------------------------------------------
+# Incremental (append-mode) dedup: clean a new batch against the
+# EXISTING corpus — the daily-ingest shape.  The batch is the %10>=8
+# slice plus planted exact copies (+2M ids) and near copies (+3M ids,
+# one appended token) of reference docs; the query returns batch
+# survivors.  Exact pass = digest anti-join; near pass = minhash
+# band-bucket candidates batch↔reference only (never ref×ref), exact
+# Jaccard verify.  Full oracle: DuckDB brute-forces the batch×ref
+# similarity (same planted-pair safety argument as minhash_near_dups).
+# ---------------------------------------------------------------------------
+
+@register("incremental_dedup_docs", r"""
+WITH ref AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8
+), batch0 AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+    UNION ALL
+    SELECT doc_id + 2000000, text FROM documents
+    WHERE doc_id % 10 < 8 AND doc_id % 50 = 0
+    UNION ALL
+    SELECT doc_id + 3000000, text || ' extraneous' FROM documents
+    WHERE doc_id % 10 < 8 AND doc_id % 50 = 10
+), fresh AS (
+    SELECT b.doc_id, b.text FROM batch0 b
+    WHERE md5(trim(lower(regexp_replace(b.text, '\s+', ' ', 'g')))) NOT IN (
+        SELECT md5(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) FROM ref
+    )
+), bg AS (
+    SELECT doc_id, list_distinct([
+        array_to_string(toks[i:i+2], ' ')
+        for i in range(1, greatest(len(toks) - 2, 1) + 1)
+    ]) AS g
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM fresh)
+), rg AS (
+    SELECT list_distinct([
+        array_to_string(toks[i:i+2], ' ')
+        for i in range(1, greatest(len(toks) - 2, 1) + 1)
+    ]) AS g
+    FROM (SELECT string_split_regex(trim(text), '\s+') AS toks FROM ref)
+), near AS (
+    SELECT DISTINCT b.doc_id FROM bg b JOIN rg r
+    ON round(CAST(len(list_intersect(b.g, r.g)) AS DOUBLE)
+             / len(list_distinct(list_concat(b.g, r.g))), 4) >= 0.5
+)
+SELECT f.doc_id,
+       md5(trim(lower(regexp_replace(f.text, '\s+', ' ', 'g')))) AS content_md5
+FROM fresh f
+WHERE f.doc_id NOT IN (SELECT doc_id FROM near)
+""")
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.dedup import dedup_against_reference
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    ref = docs.where(F.col("doc_id") % 10 < 8)
+    batch = (
+        docs.where(F.col("doc_id") % 10 >= 8)
+        .unionByName(
+            ref.where(F.col("doc_id") % 50 == 0)
+            .select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+        )
+        .unionByName(
+            ref.where(F.col("doc_id") % 50 == 10)
+            .select(
+                (F.col("doc_id") + 3_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" extraneous")).alias("text"),
+            )
+        )
+    )
+    kept = dedup_against_reference(
+        batch, ref, "text", "doc_id",
+        num_hashes=64, bands=16, shingle_n=3, jaccard_threshold=0.5,
+    )
+    return kept.select(
+        "doc_id",
+        F.md5(
+            F.trim(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+            .cast("binary")
+        ).alias("content_md5"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -324,3 +324,25 @@ def test_quality_classifier_orders_sanely(spark):
     assert s[1] > s[2], "natural prose must beat pure repetition"
     assert s[1] > s[3], "natural prose must beat symbol noise"
     assert all(0.0 <= v <= 1.0 for v in s.values())
+
+
+def test_incremental_dedup_drops_planted_only(spark, sf_dir):
+    """Append-mode dedup: batch rows exactly or nearly matching the
+    reference are dropped; genuinely new rows survive."""
+    from anomaly_detection_spark.pipeline.dedup import dedup_against_reference
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    ref = docs.where(F.col("doc_id") < 400)
+    exact_copy = ref.where(F.col("doc_id") == 3).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    near_copy = ref.where(F.col("doc_id") == 5).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    new_docs = docs.where(F.col("doc_id") >= 450)
+    batch = new_docs.unionByName(exact_copy).unionByName(near_copy)
+    kept = {r.doc_id for r in dedup_against_reference(batch, ref).collect()}
+    assert 2_000_003 not in kept, "exact copy of a reference doc must drop"
+    assert 3_000_005 not in kept, "near copy of a reference doc must drop"
+    surviving_new = {r.doc_id for r in new_docs.collect()} & kept
+    assert len(surviving_new) >= 1, "genuinely new docs must survive"
