@@ -3804,6 +3804,141 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Declarative data-quality validation (the dbt-test / expectations
+# shape): each rule is a predicate; the report counts violations per
+# rule in ONE scan — F.count with conditional predicates aggregates
+# map-side, so the whole report is a single reduce of partial counters
+# regardless of rule count.
+# ---------------------------------------------------------------------------
+
+@register("validate_events", """
+SELECT 'value_in_range' AS rule,
+       count(*) FILTER (WHERE value < 0 OR value > 250 OR value IS NULL)
+           AS n_violations,
+       count(*) AS n_rows,
+       round(count(*) FILTER (WHERE value < 0 OR value > 250 OR value IS NULL)
+             / CAST(count(*) AS DOUBLE), 6) AS violation_rate
+FROM events
+UNION ALL
+SELECT 'ts_not_null', count(*) FILTER (WHERE ts IS NULL), count(*),
+       round(count(*) FILTER (WHERE ts IS NULL) / CAST(count(*) AS DOUBLE), 6)
+FROM events
+UNION ALL
+SELECT 'known_event_type',
+       count(*) FILTER (WHERE event_type NOT IN
+           ('click', 'view', 'purchase', 'login', 'error')),
+       count(*),
+       round(count(*) FILTER (WHERE event_type NOT IN
+           ('click', 'view', 'purchase', 'login', 'error'))
+             / CAST(count(*) AS DOUBLE), 6)
+FROM events
+UNION ALL
+SELECT 'user_id_positive', count(*) FILTER (WHERE user_id <= 0), count(*),
+       round(count(*) FILTER (WHERE user_id <= 0) / CAST(count(*) AS DOUBLE), 6)
+FROM events
+""")
+def q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    rules = {
+        "value_in_range": (F.col("value") < 0) | (F.col("value") > 250)
+                          | F.col("value").isNull(),
+        "ts_not_null": F.col("ts").isNull(),
+        "known_event_type": ~F.col("event_type").isin(
+            "click", "view", "purchase", "login", "error"),
+        "user_id_positive": F.col("user_id") <= 0,
+    }
+    # one scan: every rule aggregates as a conditional counter in the
+    # same reduce; the per-rule rows are a cheap unpivot of ONE result row
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.count(F.when(pred, 1)).alias(f"_v_{name}")
+          for name, pred in rules.items()],
+    )
+    per_rule = [
+        agg.select(
+            F.lit(name).alias("rule"),
+            F.col(f"_v_{name}").alias("n_violations"),
+            "n_rows",
+            F.round(F.col(f"_v_{name}") / F.col("n_rows").cast("double"), 6)
+                .alias("violation_rate"),
+        )
+        for name in rules
+    ]
+    out = per_rule[0]
+    for p in per_rule[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (corpus-version audit): compare two corpus versions by
+# content digest — added / removed / changed / unchanged per id, one
+# full outer join on the id, digests computed map-side.  The "new"
+# snapshot is derived in-query with planted edits (every 25th doc
+# rewritten, every 40th dropped, 5 fresh ids appended).
+# ---------------------------------------------------------------------------
+
+@register("snapshot_diff_docs", """
+WITH old AS (
+    SELECT doc_id, md5(text) AS fp FROM documents
+), new AS (
+    SELECT doc_id, md5(CASE WHEN doc_id % 25 = 0
+                            THEN 'rewritten body ' || CAST(doc_id AS VARCHAR)
+                            ELSE text END) AS fp
+    FROM documents WHERE doc_id % 40 <> 0
+    UNION ALL
+    SELECT doc_id + 9000000,
+           md5('brand new doc ' || CAST(doc_id AS VARCHAR))
+    FROM documents WHERE doc_id < 5
+)
+SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old.doc_id IS NULL THEN 'added'
+            WHEN new.doc_id IS NULL THEN 'removed'
+            WHEN old.fp <> new.fp THEN 'changed'
+            ELSE 'unchanged' END AS change_type
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+""")
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    new = (
+        docs.where(F.col("doc_id") % 40 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 25 == 0,
+                    F.concat(F.lit("rewritten body "),
+                             F.col("doc_id").cast("string")),
+                ).otherwise(F.col("text")).cast("binary")
+            ).alias("fp"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") < 5).select(
+                (F.col("doc_id") + 9_000_000).alias("doc_id"),
+                F.md5(
+                    F.concat(F.lit("brand new doc "),
+                             F.col("doc_id").cast("string")).cast("binary")
+                ).alias("fp"),
+            )
+        )
+    )
+    o, n = old.alias("o"), new.alias("n")
+    return (
+        o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+            F.when(F.col("o.doc_id").isNull(), "added")
+            .when(F.col("n.doc_id").isNull(), "removed")
+            .when(F.col("o.fp") != F.col("n.fp"), "changed")
+            .otherwise("unchanged").alias("change_type"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

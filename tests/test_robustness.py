@@ -96,3 +96,58 @@ def test_partitioning_invariance_minhash(spark, sf_dir):
                docs.repartition(3), "text", "doc_id",
                jaccard_threshold=0.5).collect()}
     assert got == base
+
+
+def test_new_text_ops_empty_input(spark):
+    from anomaly_detection_spark.pipeline.redact import pii_counts, redact_pii
+    from anomaly_detection_spark.pipeline.text import (
+        boilerplate_ngrams, quality_classifier, tf_idf_top_terms,
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert redact_pii(pii_counts(empty)).count() == 0
+    assert tf_idf_top_terms(empty).count() == 0
+    assert boilerplate_ngrams(empty).count() == 0
+    assert quality_classifier(empty).count() == 0
+
+
+def test_incremental_dedup_empty_sides(spark, sf_dir):
+    from anomaly_detection_spark.pipeline.dedup import dedup_against_reference
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text").limit(5)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    # empty batch -> empty out; empty reference -> batch passes through
+    assert dedup_against_reference(empty, docs).count() == 0
+    assert dedup_against_reference(docs, empty).count() == 5
+
+
+def test_partitioning_invariance_curated_corpus(spark, sf_dir):
+    from anomaly_detection_spark import queries as reg
+    base = reg.QUERIES["curated_corpus"](spark, sf_dir)
+    rows = sorted((r.doc_id, r.n_tokens, r.split) for r in base.collect())
+    # same result when the scan arrives as one partition
+    docs1 = load_table(spark, "documents", sf_dir).coalesce(1)
+    docs1.createOrReplaceTempView("_docs_1p")
+    # re-run the registered query unchanged (it reloads from sf_dir);
+    # partitioning of the SOURCE is what varies across cluster layouts,
+    # so compare against an explicit repartitioned rebuild
+    from anomaly_detection_spark.pipeline.decontaminate import hash_split
+    from pyspark.sql.window import Window as W
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stats = docs1.repartition(13).select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double")
+                / F.size(toks), 4).alias("dup_token_frac"),
+        F.md5(F.trim(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+              .cast("binary")).alias("fp"),
+    ).where((F.col("n_tokens") >= 30) & (F.col("dup_token_frac") <= 0.6))
+    deduped = (
+        stats.withColumn("_rn", F.row_number().over(
+            W.partitionBy("fp").orderBy("doc_id")))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "n_tokens", "dup_token_frac")
+    )
+    rebuilt = sorted(
+        (r.doc_id, r.n_tokens, r.split)
+        for r in hash_split(deduped, "doc_id").collect()
+    )
+    assert rows == rebuilt

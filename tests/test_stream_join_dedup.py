@@ -106,3 +106,58 @@ def test_stream_dedup_within_watermark(spark):
         assert got == [1, 2, 3]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_curated_ingest(spark):
+    """Each microbatch is curated against the already-accepted corpus:
+    exact and near copies of earlier-ingested docs are dropped, fresh
+    docs are appended — including near-dups of docs accepted in a
+    PREVIOUS trigger."""
+    import tempfile, shutil, os
+    from anomaly_detection_spark.streaming.ingest import make_curated_ingest
+
+    d = tempfile.mkdtemp()
+    src = os.path.join(d, "src")
+    corpus = os.path.join(d, "corpus")
+    ckpt = os.path.join(d, "ckpt")
+    os.makedirs(src)
+
+    doc_schema = "doc_id long, text string"
+    base = {
+        0: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        1: "one two three four five six seven eight nine ten eleven",
+        2: "red orange yellow green blue indigo violet pink brown black",
+    }
+    b0 = [(i, t) for i, t in base.items()]
+    b1 = [
+        (10, "completely different words here about spark and parquet files"),
+        (11, base[1]),                       # exact copy of doc 1 -> drop
+        (12, base[2] + " extra"),            # near copy of doc 2 -> drop
+    ]
+    b2 = [
+        (20, "final batch brings this genuinely novel document body text"),
+        (21, b1[0][1] + " tail"),            # near copy of doc 10 (accepted in b1) -> drop
+        (22, "final batch brings this genuinely novel document body text"),  # exact dup of 20 IN-batch -> drop
+    ]
+    for i, rows in enumerate([b0, b1, b2]):
+        spark.createDataFrame(rows, doc_schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i}")
+        )
+
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            make_curated_ingest(corpus, jaccard_threshold=0.5)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    shutil.rmtree(d, ignore_errors=True)
+    assert got == {0, 1, 2, 10, 20}, got
