@@ -93,3 +93,67 @@ def as_of_join(
     elif how != "left":
         raise ValueError(f"unsupported how: {how}")
     return out.drop("_asof_matched")
+
+
+def as_of_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Backward as-of join via ``cogroup().applyInPandas`` — the
+    alternative physical strategy to :func:`as_of_join`'s union+window
+    plan.
+
+    Both sides shuffle ONCE on the keys; each co-group is merged with
+    ``pd.merge_asof`` (sorted two-pointer, O(n+m) per key).  Choose
+    this form when per-key payload width makes the union+window's
+    struct forward-fill memory-heavy, or when the merge needs pandas
+    semantics (tolerance windows, nearest-direction) that the window
+    rewrite doesn't express; the built-in expression form wins when a
+    Python stage is unwanted in the plan.  Output matches
+    :func:`as_of_join` with ``how='left'``.
+    """
+    import pandas as pd
+
+    keys = list(keys)
+    payload_cols = list(payload_cols)
+    out_fields = left.schema.fields + [
+        right.schema[p] for p in payload_cols
+    ]
+    from pyspark.sql.types import StructType
+    schema = StructType(out_fields)
+    lcols = left.columns
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf):
+            return pd.DataFrame(columns=lcols + payload_cols)
+        lp = lpdf.sort_values(left_ts, kind="mergesort")
+        if not len(rpdf):
+            out = lp.copy()
+            for p in payload_cols:
+                out[p] = None
+            return out[lcols + payload_cols]
+        # prefix right-side columns so names can never collide with
+        # left columns (incl. right_ts appearing in payload_cols)
+        rcols = [right_ts] + [p for p in payload_cols if p != right_ts]
+        rp = (
+            rpdf[rcols]
+            .sort_values(right_ts, kind="mergesort")
+            .rename(columns={c: f"_p_{c}" for c in rcols})
+        )
+        merged = pd.merge_asof(
+            lp, rp, left_on=left_ts, right_on=f"_p_{right_ts}"
+        )
+        out = merged[lcols].copy()
+        for p in payload_cols:
+            out[p] = merged[f"_p_{p}"]
+        return out
+
+    return (
+        left.groupby(*keys)
+        .cogroup(right.groupby(*keys))
+        .applyInPandas(merge, schema=schema)
+    )

@@ -173,3 +173,31 @@ def test_as_of_join_null_payload_does_not_bleed(spark):
     # matched row is rts=20: tag comes from it, price must stay NULL
     assert row.asof_tag == "new"
     assert row.asof_price is None
+
+
+def test_asof_cogrouped_matches_window_form(spark, sf_dir):
+    """The cogroup().applyInPandas as-of strategy must produce exactly
+    the union+window strategy's result on real data (same keys, same
+    backward semantics, NULLs for unmatched)."""
+    from anomaly_detection_spark.operators.asof import (
+        as_of_join, as_of_join_cogrouped,
+    )
+    from anomaly_detection_spark.sources.tables import load_table
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.col("ts").alias("pts")
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("ets"), F.col("value").alias("err_value")
+    )
+    a = as_of_join(
+        purchases, errors, ["user_id"], "pts", "ets", ["ets", "err_value"]
+    )
+    b = as_of_join_cogrouped(
+        purchases, errors, ["user_id"], "pts", "ets", ["ets", "err_value"]
+    )
+    ka = sorted(map(tuple, a.select(
+        "user_id", "event_id", "asof_ets", "asof_err_value").collect()))
+    kb = sorted(map(tuple, b.select(
+        "user_id", "event_id", "ets", "err_value").collect()))
+    assert ka == kb and len(ka) > 0
