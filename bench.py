@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "hash_split_docs",
     "tfidf_top_terms",
     "curated_corpus",
+    "validate_events",
+    "snapshot_diff_docs",
 ]
 
 
