@@ -299,15 +299,35 @@ def lsh_ann_topk(
     dim: int = 64,
     n_planes: int = 8,
     seed: int = 42,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket, exact cosine
-    re-rank on candidates. Recall < 1 by construction; raise recall
-    with fewer planes or multi-probe (future work)."""
+    re-rank on candidates.
+
+    ``n_probes`` > 1 enables multi-probe: each query also probes
+    ``n_probes - 1`` buckets at Hamming distance 1 (one sign bit
+    flipped, fixed bit order) — the standard recall boost without
+    extra hash tables (Lv et al., VLDB'07).  Candidate volume grows
+    ~linearly in probes, still bucket-bounded; the corpus side is
+    untouched.  A margin-ranked probe order (flip the lowest-|dot|
+    bits first) is the refinement when probe budget is tight.
+    """
     v = sign_lsh_buckets(vectors, vec_col, dim, n_planes, seed)
     q = sign_lsh_buckets(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")),
         "_qvec", dim, n_planes, seed,
     )
+    if n_probes > 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long")
+                for i in range(min(n_probes - 1, n_planes))
+            ],
+        )
+        # probe buckets are pairwise distinct, so no (query, vector)
+        # pair can be generated twice — no dedup stage needed
+        q = q.withColumn("bucket", F.explode(probes))
     cand = v.join(F.broadcast(q), "bucket").select(
         query_id_col, id_col,
         F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias("cosine"),

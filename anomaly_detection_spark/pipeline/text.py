@@ -202,21 +202,25 @@ def tf_idf_top_terms(
     Classic smooth-idf weighting: ``tf · (ln((N+1)/(df+1)) + 1)``.
 
     Scale shape (100 TB): term frequencies are one shuffle keyed
-    (doc, term) with map-side combine; document frequencies aggregate
-    the ALREADY-distinct (doc, term) pairs, so the df pass shuffles
-    vocabulary-sized data, not corpus-sized; the vocab (term → df) is
-    broadcast back; the final top-k is a per-doc window with
-    ``WindowGroupLimit`` pushdown. No pass touches raw text twice.
+    (doc, term) with map-side combine; document frequencies come from
+    a COUNT window over the tf table partitioned by term (the tf rows
+    are already one-per-(doc, term), so the window count IS the df) —
+    no join back, no second scan of the raw text; the final top-k is a
+    per-doc window with ``WindowGroupLimit`` pushdown.  Three keyed
+    shuffles total — (doc,term), term, doc — each moving slim
+    (id, term, count) rows, never documents.
     """
+    from pyspark.sql.window import Window
+
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    w_term = Window.partitionBy("term")
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(w_term))
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col), "term", "tf",
@@ -227,8 +231,6 @@ def tf_idf_top_terms(
             ).alias("score"),
         )
     )
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -346,3 +346,32 @@ def test_incremental_dedup_drops_planted_only(spark, sf_dir):
     assert 3_000_005 not in kept, "near copy of a reference doc must drop"
     surviving_new = {r.doc_id for r in new_docs.collect()} & kept
     assert len(surviving_new) >= 1, "genuinely new docs must survive"
+
+
+def test_lsh_multiprobe_improves_recall(spark, sf_dir):
+    """Multi-probe (Hamming-1 buckets) must recover at least as many
+    true top-1 neighbors as single-probe, and most of them absolutely."""
+    from anomaly_detection_spark.pipeline.similarity import lsh_ann_topk
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") < 30).collect()
+    rng = np.random.default_rng(7)
+    noisy = [
+        (int(r.vec_id),
+         [float(x) + float(e) for x, e in
+          zip(r.embedding, rng.normal(0, 0.02, len(r.embedding)))])
+        for r in base
+    ]
+    queries = spark.createDataFrame(
+        noisy, "query_id long, embedding array<float>"
+    )
+
+    def recall_at_1(n_probes):
+        top = lsh_ann_topk(
+            emb, queries, k=1, n_planes=8, n_probes=n_probes
+        ).collect()
+        return sum(1 for r in top if r.vec_id == r.query_id and r.rank == 1)
+
+    single, multi = recall_at_1(1), recall_at_1(9)
+    assert multi >= single
+    assert multi >= 24, (single, multi)  # >=80% of 30 planted neighbors
+    assert multi - single >= 3, (single, multi)  # probes add real recall
