@@ -3939,6 +3939,145 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-series trend (drift) detection: least-squares slope of value vs
+# time per user — regr_slope semantics, but computed from EXACT integer
+# sums (x on a 1e-3-day grid, y on the 1e-4 value grid) so the result
+# is fold-order-independent and bit-identical across engines; built-in
+# regr_slope accumulates doubles in partition order and cannot promise
+# that.  One shuffle on the series key.
+# ---------------------------------------------------------------------------
+
+@register("trend_per_user", """
+WITH g AS (
+    SELECT user_id,
+           CAST(round((epoch(ts) - 1704067200.0) / 86400.0 * 1000, 0) AS BIGINT)
+               AS xq,
+           CAST(round(value * 10000, 0) AS BIGINT) AS yq
+    FROM events
+), s AS (
+    SELECT user_id, count(*) AS n,
+           CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+           CAST(sum(xq * yq) AS BIGINT) AS sxy,
+           CAST(sum(xq * xq) AS BIGINT) AS sxx
+    FROM g GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       round(0.1 * (n * sxy - sx * sy)
+             / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0), 6)
+           AS slope_per_day
+FROM s
+""")
+def q_trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    xq = F.round(
+        (epoch_seconds("ts") - F.lit(1704067200.0)) / 86400.0 * 1000, 0
+    ).cast("long")
+    yq = F.round(F.col("value") * 10000, 0).cast("long")
+    s = ev.select("user_id", xq.alias("xq"), yq.alias("yq")).groupBy(
+        "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"), F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    return s.select(
+        "user_id", F.col("n").cast("long").alias("n"),
+        F.round(
+            0.1 * (n * sxy - sx * sy)
+            / F.nullif((n * sxx - sx * sx).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("slope_per_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (PSI — population stability index) per event type
+# between the first and second half of the month: fixed-width value
+# bins, smoothed shares, Σ (p−q)·ln(p/q).  Per-bin terms are quantized
+# to a 1e-8 grid and integer-summed so the 11-term sum is
+# fold-order-independent (the engine's standard stabilization).  Two
+# keyed shuffles (bin counts, per-type rollup); bins live in a
+# generated dimension so empty bins participate with share 0.
+# ---------------------------------------------------------------------------
+
+@register("psi_drift_events", """
+WITH binned AS (
+    SELECT event_type,
+           least(CAST(floor(value / 25) AS INT), 10) AS bin,
+           CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END AS period
+    FROM events
+), counts AS (
+    SELECT event_type, bin, period, count(*) AS c
+    FROM binned GROUP BY event_type, bin, period
+), dims AS (
+    SELECT DISTINCT event_type, b.bin, p.period
+    FROM binned, (SELECT unnest(generate_series(0, 10)) AS bin) b,
+         (SELECT unnest(['a', 'b']) AS period) p
+), filled AS (
+    SELECT d.event_type, d.bin, d.period, coalesce(c.c, 0) AS c
+    FROM dims d LEFT JOIN counts c
+      ON d.event_type = c.event_type AND d.bin = c.bin AND d.period = c.period
+), shares AS (
+    SELECT event_type, bin, period,
+           greatest(c / CAST(sum(c) OVER (PARTITION BY event_type, period)
+                             AS DOUBLE), 1e-6) AS share
+    FROM filled
+), terms AS (
+    SELECT a.event_type, a.bin,
+           CAST(round((a.share - b.share) * ln(a.share / b.share) * 100000000,
+                      0) AS BIGINT) AS tq
+    FROM (SELECT * FROM shares WHERE period = 'a') a
+    JOIN (SELECT * FROM shares WHERE period = 'b') b
+      ON a.event_type = b.event_type AND a.bin = b.bin
+)
+SELECT event_type, round(CAST(sum(tq) AS BIGINT) / 100000000.0, 4) AS psi
+FROM terms GROUP BY event_type
+""")
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    binned = ev.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 25).cast("int"), F.lit(10)).alias("bin"),
+        F.when(F.col("ts") < ntz_lit("2024-01-16"), "a").otherwise("b")
+            .alias("period"),
+    )
+    counts = binned.groupBy("event_type", "bin", "period").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dims = (
+        binned.select("event_type").distinct()
+        .crossJoin(spark.range(11).select(F.col("id").cast("int").alias("bin")))
+        .crossJoin(spark.createDataFrame([("a",), ("b",)], "period string"))
+    )
+    filled = dims.join(counts, ["event_type", "bin", "period"], "left").select(
+        "event_type", "bin", "period", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    w = Window.partitionBy("event_type", "period")
+    shares = filled.select(
+        "event_type", "bin", "period",
+        F.greatest(
+            F.col("c") / F.sum("c").over(w).cast("double"), F.lit(1e-6)
+        ).alias("share"),
+    )
+    a = shares.where(F.col("period") == "a").select(
+        "event_type", "bin", F.col("share").alias("pa")
+    )
+    b = shares.where(F.col("period") == "b").select(
+        "event_type", "bin", F.col("share").alias("pb")
+    )
+    terms = a.join(b, ["event_type", "bin"]).select(
+        "event_type",
+        F.round((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))
+                * 100_000_000, 0).cast("long").alias("tq"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.round(F.sum("tq") / 100_000_000.0, 4).alias("psi")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

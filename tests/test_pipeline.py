@@ -375,3 +375,36 @@ def test_lsh_multiprobe_improves_recall(spark, sf_dir):
     assert multi >= single
     assert multi >= 24, (single, multi)  # >=80% of 30 planted neighbors
     assert multi - single >= 3, (single, multi)  # probes add real recall
+
+
+def test_trend_and_psi_sanity(spark, sf_dir):
+    """Planted ramp -> positive slope; identical periods -> PSI ~ 0."""
+    import datetime as dt
+    from anomaly_detection_spark import queries as reg
+    rows = [
+        (9_000_001, dt.datetime(2024, 1, 1) + dt.timedelta(days=d), 10.0 + 5.0 * d)
+        for d in range(20)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, value double")
+    from anomaly_detection_spark.operators.temporal import epoch_seconds
+    xq = F.round((epoch_seconds("ts") - F.lit(1704067200.0)) / 86400.0 * 1000, 0).cast("long")
+    yq = F.round(F.col("value") * 10000, 0).cast("long")
+    s = df.select("user_id", xq.alias("xq"), yq.alias("yq")).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"), F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+    ).collect()[0]
+    slope = 0.1 * (s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx)
+    assert abs(slope - 5.0) < 1e-3, slope
+
+    psi = {r.event_type: r.psi
+           for r in reg.QUERIES["psi_drift_events"](spark, sf_dir).collect()}
+    # the fixture drifts mid-month (seasonal synthetic values), so PSI
+    # is decisively non-zero — and must be finite, non-negative, and
+    # reproducible
+    assert all(0.0 <= v < 5.0 for v in psi.values()), psi
+    assert any(v > 0.1 for v in psi.values()), psi
+    again = {r.event_type: r.psi
+             for r in reg.QUERIES["psi_drift_events"](spark, sf_dir).collect()}
+    assert again == psi
