@@ -4078,6 +4078,67 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Passage-level duplicate detection (exact substring-block dedup, the
+# Lee et al. 2022 "Deduplicating Training Data" shape at chunk
+# granularity): 16-token aligned chunks, digest-grouped; passages
+# appearing in ≥2 distinct docs are repeated boilerplate/copy
+# candidates.  Planted: every 25th doc re-appears with an extended
+# tail, so its head chunks are cross-doc duplicates by construction.
+# Scale: the only shuffle moves (chunk_digest, doc_id) pairs.
+# ---------------------------------------------------------------------------
+
+@register("duplicate_passages", r"""
+WITH aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 4000000, text || ' trailing extra words'
+    FROM documents WHERE doc_id % 25 = 0
+), toks AS (
+    SELECT doc_id, string_split_regex(text, '\s+') AS t FROM aug
+), chunks AS (
+    SELECT doc_id, array_to_string(t[u.s + 1 : u.s + 16], ' ') AS chunk_text
+    FROM toks, LATERAL unnest(generate_series(0, len(t) - 1, 16)) AS u(s)
+)
+SELECT md5(chunk_text) AS passage_md5,
+       count(DISTINCT doc_id) AS n_docs,
+       array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids
+FROM chunks
+GROUP BY chunk_text
+HAVING count(DISTINCT doc_id) >= 2
+""")
+def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.chunking import chunk_documents
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    aug = docs.unionByName(
+        docs.where(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 4_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" trailing extra words")).alias("text"),
+        )
+    )
+    chunks = chunk_documents(aug, chunk_tokens=16, stride_tokens=16).select(
+        "doc_id", "chunk_text"
+    )
+    return (
+        chunks.groupBy("chunk_text")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .select(
+            F.md5(F.col("chunk_text").cast("binary")).alias("passage_md5"),
+            "n_docs", "doc_ids",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
