@@ -133,6 +133,49 @@ def _signature_udf(num_hashes: int, shingle_n: int, seed: int = 42):
     return sig_udf
 
 
+def _signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, shingle_n: int
+) -> DataFrame:
+    """(id, sig) minhash signature table via the vectorized kernel,
+    with the single-file repartition guard applied first."""
+    # a single parquet file scans as ONE partition; spread rows across
+    # the cluster before the CPU-heavy signature map — at real scale
+    # the input has many splits and this is skipped
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    n_files = len(df.inputFiles())
+    if 0 < n_files < parallelism:
+        df = df.repartition(parallelism)
+    tok_hashes = F.transform(
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+        lambda t: F.pmod(F.xxhash64(t), F.lit(_M32)),
+    )
+    return df.select(
+        F.col(id_col),
+        _signature_udf(num_hashes, shingle_n)(tok_hashes).alias("sig"),
+    )
+
+
+def _explode_band_buckets(
+    sig: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Slim (band, bucket, id) triples from a signature table.
+
+    Band bucket = xxhash64 of the band's signature SLICE (hash
+    functions take arrays natively) — no per-element extraction, no
+    string concat, same collision property (equal band slices ⇒ equal
+    bucket).  Only these triples ever shuffle; the wide signature
+    arrays stay put."""
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band))
+                for b in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    ).select("band", "bucket", id_col)
+
+
 def _minhash_sig_and_candidates(
     df: DataFrame,
     text_col: str,
@@ -146,21 +189,7 @@ def _minhash_sig_and_candidates(
     distinct candidate (id_a, id_b) pairs from band-bucket collisions).
     Callers attach their own similarity (estimated or exact)."""
     rows_per_band = num_hashes // bands
-    # a single parquet file scans as ONE partition; spread rows across
-    # the cluster before the CPU-heavy signature map — at real scale
-    # the input has many splits and this is skipped
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    n_files = len(df.inputFiles())
-    if 0 < n_files < parallelism:
-        df = df.repartition(parallelism)
-    tok_hashes = F.transform(
-        F.split(F.trim(F.col(text_col)), r"\s+"),
-        lambda t: F.pmod(F.xxhash64(t), F.lit(_M32)),
-    )
-    sig = df.select(
-        F.col(id_col),
-        _signature_udf(num_hashes, shingle_n)(tok_hashes).alias("sig"),
-    )
+    sig = _signatures(df, text_col, id_col, num_hashes, shingle_n)
     # the estimated-similarity caller consumes the signature table three
     # times (banding + two pair re-attaches): persist so tokenizing/
     # hashing runs once. Size is n_docs × (id + 64 longs) ≈ 0.5 KB/doc —
@@ -169,22 +198,7 @@ def _minhash_sig_and_candidates(
     if persist_signatures:
         from pyspark import StorageLevel
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    # band bucket = xxhash64 of the band's signature SLICE (hash
-    # functions take arrays natively) — no per-element extraction, no
-    # string concat: a far smaller codegen unit and cheaper at runtime,
-    # with the same collision property (equal band slices ⇒ equal
-    # bucket). Shuffles only (band, bucket, id) triples — signatures
-    # are re-attached to the (tiny) deduped pair set afterwards, so the
-    # wide arrays never ride the candidate join.
-    slim = sig.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band))
-                for b in range(bands)
-            ])
-        ).alias("band", "bucket"),
-    ).select("band", "bucket", id_col)
+    slim = _explode_band_buckets(sig, id_col, bands, rows_per_band)
     a, b = slim.alias("a"), slim.alias("b")
     pairs = (
         a.join(
@@ -450,24 +464,12 @@ def dedup_against_reference(
     )
 
     rows_per_band = num_hashes // bands
+
     def _slim(df: DataFrame) -> DataFrame:
-        tok_hashes = F.transform(
-            F.split(F.trim(F.col(text_col)), r"\s+"),
-            lambda t: F.pmod(F.xxhash64(t), F.lit(_M32)),
+        return _explode_band_buckets(
+            _signatures(df, text_col, id_col, num_hashes, shingle_n),
+            id_col, bands, rows_per_band,
         )
-        sig = df.select(
-            F.col(id_col),
-            _signature_udf(num_hashes, shingle_n)(tok_hashes).alias("sig"),
-        )
-        return sig.select(
-            F.col(id_col),
-            F.posexplode(
-                F.array(*[
-                    F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band))
-                    for b in range(bands)
-                ])
-            ).alias("band", "bucket"),
-        ).select("band", "bucket", id_col)
 
     cand = (
         _slim(fresh).alias("n")
