@@ -3848,26 +3848,24 @@ def q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id_positive": F.col("user_id") <= 0,
     }
     # one scan: every rule aggregates as a conditional counter in the
-    # same reduce; the per-rule rows are a cheap unpivot of ONE result row
+    # same reduce; the per-rule rows come from a stack() unpivot of the
+    # ONE result row (a union of selects would re-scan events per rule)
     agg = ev.agg(
         F.count(F.lit(1)).alias("n_rows"),
         *[F.count(F.when(pred, 1)).alias(f"_v_{name}")
           for name, pred in rules.items()],
     )
-    per_rule = [
-        agg.select(
-            F.lit(name).alias("rule"),
-            F.col(f"_v_{name}").alias("n_violations"),
-            "n_rows",
-            F.round(F.col(f"_v_{name}") / F.col("n_rows").cast("double"), 6)
-                .alias("violation_rate"),
-        )
-        for name in rules
-    ]
-    out = per_rule[0]
-    for p in per_rule[1:]:
-        out = out.unionByName(p)
-    return out
+    stack_args = ", ".join(
+        f"'{name}', _v_{name}" for name in rules
+    )
+    return agg.select(
+        F.expr(f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)"),
+        "n_rows",
+    ).select(
+        "rule", "n_violations", "n_rows",
+        F.round(F.col("n_violations") / F.col("n_rows").cast("double"), 6)
+            .alias("violation_rate"),
+    )
 
 
 # ---------------------------------------------------------------------------
