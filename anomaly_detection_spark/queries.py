@@ -4019,8 +4019,8 @@ WITH binned AS (
       ON d.event_type = c.event_type AND d.bin = c.bin AND d.period = c.period
 ), shares AS (
     SELECT event_type, bin, period,
-           greatest(c / CAST(sum(c) OVER (PARTITION BY event_type, period)
-                             AS DOUBLE), 1e-6) AS share
+           greatest(coalesce(c / CAST(sum(c) OVER (PARTITION BY event_type,
+                             period) AS DOUBLE), 0), 1e-6) AS share
     FROM filled
 ), terms AS (
     SELECT a.event_type, a.bin,
@@ -4056,7 +4056,9 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares = filled.select(
         "event_type", "bin", "period",
         F.greatest(
-            F.col("c") / F.sum("c").over(w).cast("double"), F.lit(1e-6)
+            F.coalesce(F.col("c") / F.sum("c").over(w).cast("double"),
+                       F.lit(0.0)),
+            F.lit(1e-6),
         ).alias("share"),
     )
     a = shares.where(F.col("period") == "a").select(
