@@ -4139,6 +4139,125 @@ def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-weighted average per series (trapezoidal integral over irregular
+# sampling intervals) — the right "mean" for unevenly-spaced feeds,
+# where the plain AVG over-weights bursts.  Exact integer arithmetic:
+# values on the 1e-4 grid, interval lengths in integer milliseconds,
+# the ×2 trapezoid factor folded out of the integer sums; one shuffle
+# on the series key.  Bounds: Σ dt per key ≤ the observation span, so
+# the integer sums cannot overflow at any row count.
+# ---------------------------------------------------------------------------
+
+@register("time_weighted_avg_user", """
+WITH seg AS (
+    SELECT user_id,
+           CAST(round(value * 10000, 0) AS BIGINT) AS vq,
+           lag(CAST(round(value * 10000, 0) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pvq,
+           CAST(round((epoch(ts) - lag(epoch(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)) * 1000, 0)
+               AS BIGINT) AS dt_ms
+    FROM events
+)
+SELECT user_id,
+       count(*) AS n_segments,
+       round(0.00005 * CAST(sum((pvq + vq) * dt_ms) AS DOUBLE)
+             / CAST(sum(dt_ms) AS DOUBLE), 6) AS twa
+FROM seg
+WHERE pvq IS NOT NULL
+GROUP BY user_id
+""")
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    vq = F.round(F.col("value") * 10000, 0).cast("long")
+    seg = ev.select(
+        "user_id",
+        vq.alias("vq"),
+        F.lag(vq).over(w).alias("pvq"),
+        F.round((epoch_seconds("ts") - F.lag(epoch_seconds("ts")).over(w))
+                * 1000, 0).cast("long").alias("dt_ms"),
+    ).where(F.col("pvq").isNotNull())
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.round(
+            F.lit(0.00005)
+            * F.sum((F.col("pvq") + F.col("vq")) * F.col("dt_ms")).cast("double")
+            / F.sum("dt_ms").cast("double"),
+            6,
+        ).alias("twa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA control-chart statistic per series over the trailing-28 window
+# (the classic drift detector alongside the reference's z-score).  The
+# geometric weights are PYTHON-COMPUTED literals baked into BOTH the
+# Spark expression and the oracle SQL — no cross-engine pow() trust —
+# and per-term products are quantized to a 1e-6 grid and integer-
+# summed, so the weighted mean is bit-identical everywhere.  Same
+# single series-key shuffle as every trailing-window operator here.
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+_EWMA_SPAN = 28
+_EWMA_W = [(1.0 - _EWMA_ALPHA) ** k for k in range(_EWMA_SPAN)]
+_EWMA_W_SQL = "[" + ", ".join(repr(w) for w in _EWMA_W) + "]"
+
+
+@register("ewma_events", f"""
+WITH win AS (
+    SELECT user_id, event_id,
+           list(round(value, 4)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_EWMA_SPAN - 1} PRECEDING AND CURRENT ROW) AS l
+    FROM events
+), t AS (
+    SELECT user_id, event_id,
+           CAST(list_sum(list_transform(generate_series(1, len(l)),
+               i -> CAST(round(l[i] * ({_EWMA_W_SQL})[len(l) - i + 1] * 1000000,
+                               0) AS BIGINT))) AS BIGINT) AS num_q,
+           CAST(list_sum(list_transform(generate_series(1, len(l)),
+               i -> CAST(round(({_EWMA_W_SQL})[len(l) - i + 1] * 1000000, 0)
+                         AS BIGINT))) AS BIGINT) AS den_q
+    FROM win
+)
+SELECT user_id, event_id,
+       round(CAST(num_q AS DOUBLE) / den_q, 4) AS ewma
+FROM t
+""")
+def q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_SPAN - 1), 0)
+    )
+    weights = F.array(*[F.lit(x) for x in _EWMA_W])
+    lst = F.collect_list(F.round("value", 4)).over(w)
+    with_l = ev.select("user_id", "event_id", lst.alias("l"))
+    m = F.size("l")
+    idx = F.sequence(F.lit(1), m)
+    num_q = F.aggregate(
+        idx, F.lit(0).cast("long"),
+        lambda acc, i: acc + F.round(
+            F.element_at("l", i.cast("int"))
+            * F.element_at(weights, (m - i + 1).cast("int")) * 1_000_000, 0
+        ).cast("long"),
+    )
+    den_q = F.aggregate(
+        idx, F.lit(0).cast("long"),
+        lambda acc, i: acc + F.round(
+            F.element_at(weights, (m - i + 1).cast("int")) * 1_000_000, 0
+        ).cast("long"),
+    )
+    return with_l.select(
+        "user_id", "event_id",
+        F.round(num_q.cast("double") / den_q, 4).alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
