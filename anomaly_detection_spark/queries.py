@@ -4258,6 +4258,75 @@ def q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Seasonal-naive forecast error (MASE, Hyndman & Koehler 2006) per
+# series: how predictable is each feed under the naive-7 seasonal
+# forecast, scaled by the naive-1 in-sample error.  The summary the
+# detector family feeds on — a series with MASE >> 1 is dominated by
+# its shocks.  Exact integer |diff| sums on the 1e-4 grid; one
+# series-key shuffle.
+# ---------------------------------------------------------------------------
+
+@register("forecast_error_mase_user", """
+WITH q AS (
+    SELECT user_id,
+           CAST(round(value * 10000, 0) AS BIGINT) AS vq,
+           lag(CAST(round(value * 10000, 0) AS BIGINT), 7)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v7,
+           lag(CAST(round(value * 10000, 0) AS BIGINT), 1)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v1
+    FROM events
+)
+, a AS (
+    SELECT user_id,
+           count(*) FILTER (WHERE v7 IS NOT NULL) AS n7,
+           CAST(sum(abs(vq - v7)) FILTER (WHERE v7 IS NOT NULL) AS BIGINT)
+               AS s7,
+           count(*) FILTER (WHERE v1 IS NOT NULL) AS n1,
+           CAST(sum(abs(vq - v1)) FILTER (WHERE v1 IS NOT NULL) AS BIGINT)
+               AS s1
+    FROM q GROUP BY user_id
+)
+SELECT user_id, n7 AS n_forecasts,
+       floor(CAST(s7 AS DOUBLE) / n7 + 0.5) / 10000 AS naive7_mae,
+       CASE WHEN s1 > 0 THEN
+           floor((CAST(s7 AS DOUBLE) / n7) / (CAST(s1 AS DOUBLE) / n1)
+                 * 10000 + 0.5) / 10000
+       ELSE NULL END AS mase
+FROM a
+""")
+def q_forecast_error_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    vq = F.round(F.col("value") * 10000, 0).cast("long")
+    q = ev.select(
+        "user_id", vq.alias("vq"),
+        F.lag(vq, 7).over(w).alias("v7"),
+        F.lag(vq, 1).over(w).alias("v1"),
+    )
+    e7 = F.abs(F.col("vq") - F.col("v7"))
+    e1 = F.abs(F.col("vq") - F.col("v1"))
+    agg = q.groupBy("user_id").agg(
+        F.count(F.when(F.col("v7").isNotNull(), 1)).alias("n_forecasts"),
+        F.sum(F.when(F.col("v7").isNotNull(), e7)).alias("s7"),
+        F.count(F.when(F.col("v1").isNotNull(), 1)).alias("n1"),
+        F.sum(F.when(F.col("v1").isNotNull(), e1)).alias("s1"),
+    )
+    # C-style exact rounding (operators/rounding): the integer-grid mean
+    # lands exactly on 4-dp boundaries, where F.round's decimal-repr
+    # behavior diverges from engines that round the binary double
+    mae7 = F.col("s7").cast("double") / F.col("n_forecasts")
+    mae1 = F.col("s1").cast("double") / F.col("n1")
+    return agg.select(
+        "user_id", F.col("n_forecasts").cast("long").alias("n_forecasts"),
+        (F.floor(mae7 + F.lit(0.5)) / 10000).alias("naive7_mae"),
+        F.when(
+            F.col("s1") > 0,
+            F.floor(mae7 / mae1 * 10000 + F.lit(0.5)) / 10000,
+        ).alias("mase"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
