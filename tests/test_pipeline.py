@@ -454,3 +454,43 @@ def test_ewma_and_twa_sanity(spark):
     got = {(r.user_id, r.event_id): r.ewma for r in out.collect()}
     assert all(abs(got[(1, i)] - 100.0) < 1e-9 for i in range(10))
     assert 100.0 < got[(2, 105)] < got[(2, 109)] < 200.0
+
+
+def test_ewma_matches_pandas_ewm(spark):
+    """For series no longer than the trailing span, the registered EWMA
+    equals pandas ewm(alpha, adjust=True) — an independent
+    implementation of the same finite-window normalized weights."""
+    import datetime as dt
+    from anomaly_detection_spark.queries import _EWMA_ALPHA, _EWMA_SPAN, _EWMA_W
+    rng_vals = [103.2, 99.7, 120.4, 88.1, 95.0, 101.3, 140.9, 77.7,
+                100.0, 115.5, 92.3, 108.8]
+    assert len(rng_vals) <= _EWMA_SPAN
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(5, base + dt.timedelta(hours=i), float(v), i)
+         for i, v in enumerate(rng_vals)],
+        "user_id long, ts timestamp_ntz, value double, event_id long",
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-(_EWMA_SPAN - 1), 0))
+    weights = F.array(*[F.lit(x) for x in _EWMA_W])
+    lst = F.collect_list(F.round("value", 4)).over(w)
+    with_l = df.select("event_id", lst.alias("l"))
+    m = F.size("l")
+    idx = F.sequence(F.lit(1), m)
+    num_q = F.aggregate(idx, F.lit(0).cast("long"),
+        lambda acc, i: acc + F.round(F.element_at("l", i.cast("int"))
+            * F.element_at(weights, (m - i + 1).cast("int")) * 1_000_000, 0
+        ).cast("long"))
+    den_q = F.aggregate(idx, F.lit(0).cast("long"),
+        lambda acc, i: acc + F.round(
+            F.element_at(weights, (m - i + 1).cast("int")) * 1_000_000, 0
+        ).cast("long"))
+    got = {r.event_id: r.ewma for r in with_l.select(
+        "event_id", F.round(num_q.cast("double") / den_q, 4).alias("ewma")
+    ).collect()}
+    exp = pd.Series(rng_vals).ewm(alpha=_EWMA_ALPHA, adjust=True).mean()
+    for i in range(len(rng_vals)):
+        assert abs(got[i] - round(float(exp.iloc[i]), 4)) <= 1e-3, (i, got[i], exp.iloc[i])
