@@ -4331,11 +4331,51 @@ def q_forecast_error_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
 # order) for its CORRECTNESS gate.  Round 1 therefore verified registrations
-# #1-50 and never saw #51-80.  ``DRIVER_PRIORITY`` front-loads (a) the 30
-# queries with no driver row yet and (b) queries whose implementation changed
-# this round and must be re-verified; everything else follows in registration
-# order (already driver-green in CORRECTNESS_r01.json).
+# #1-50 and never saw #51-80.  Ordering is rotation-aware: any query that
+# already has a fully-green row in a past ``CORRECTNESS_r*.json`` yields its
+# slot to queries the driver has never verified, so successive rounds sweep
+# the whole registry without manual list maintenance.  ``DRIVER_PRIORITY``
+# remains a manual override lane for queries whose implementation changed
+# (their old green row no longer vouches for the current code).
 # ---------------------------------------------------------------------------
+
+
+def _driver_green() -> set[str]:
+    """Names with rows/schema/hash all true in any past CORRECTNESS file."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and all(
+                row.get(k) for k in ("rows_match", "schema_match", "hash_match")
+            ):
+                green.add(name)
+    return green
+
+
+# Queries whose implementation changed since their last green driver row:
+# re-verify even though a past round vouched for the old code.
+DRIVER_REVERIFY: list[str] = [
+    # round 2: distributed two-pass ranking / multi-seed capped LSH /
+    # DataFrame-native IVF probes / raw-value filter order / exact-Jaccard
+    # minhash oracle / error-bound HLL oracle replaced the r01 forms
+    "rank_family_orders",
+    "embedding_near_dups",
+    "ivf_topk_embeddings",
+    "minhash_near_dups",
+    "union_all_extremes",
+    "rule_flags_events",
+    "approx_distinct_users",
+]
 
 DRIVER_PRIORITY: list[str] = [
     # -- no CORRECTNESS_r01 row (registrations #51-80) --
@@ -4369,14 +4409,6 @@ DRIVER_PRIORITY: list[str] = [
     "stats_corr_covar",
     "approx_percentiles_events",
     "array_functions_per_user",
-    # -- changed or newly oracled this round: re-verify --
-    "rank_family_orders",
-    "embedding_near_dups",
-    "ivf_topk_embeddings",
-    "minhash_near_dups",
-    "union_all_extremes",
-    "rule_flags_events",
-    "approx_distinct_users",
     # -- new this round: no driver row yet --
     "tpch_q9_profit_by_nation_year",
     "tpch_q12_priority_buckets",
@@ -4395,9 +4427,20 @@ DRIVER_PRIORITY: list[str] = [
 
 
 def _ordered(names: dict[str, object]) -> list[str]:
-    prio = [n for n in DRIVER_PRIORITY if n in names]
-    rest = [n for n in names if n not in set(prio)]
-    return prio + rest
+    """Driver-facing order: changed queries first, then never-driver-green
+    queries (manual priority list first, then registration order), then the
+    already-green remainder.  Oracle-paired queries outrank rows-only ones
+    within each tier — a green oracle row is the strongest signal the
+    driver can record, so rows-only queries never consume a capped slot
+    that an unverified oracle pair could use."""
+    green = _driver_green()
+    order = list(names)
+    # stable sort: registration order breaks all remaining ties
+    order.sort(key=lambda n: (n not in DRIVER_REVERIFY and n in green,
+                              n not in ORACLES,
+                              DRIVER_PRIORITY.index(n) if n in DRIVER_PRIORITY
+                              else len(DRIVER_PRIORITY)))
+    return order
 
 
 def queries() -> dict[str, QueryFn]:
