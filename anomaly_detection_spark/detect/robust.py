@@ -1,0 +1,143 @@
+"""Robust-statistics detectors: rolling-median/Hampel and CUSUM.
+
+Both are exact-integer constructions on the 1e-4 value grid (see
+``operators/rounding.py``): medians and MADs are computed as doubled /
+quadrupled longs (2*median and 4*MAD of longs are longs), and CUSUM's
+mean-centering is scaled by the series length so every intermediate is
+an integer.  Identical integers divide to identical doubles on any
+engine and any partitioning — the determinism contract the rest of the
+engine follows.
+
+Shuffle shape: every window pass partitions by the series key, so each
+detector costs exactly one exchange regardless of how many window
+functions it stacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from anomaly_detection_spark.operators.rounding import quantized
+
+_D38 = "decimal(38,0)"
+
+
+def rolling_median_hampel(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str = "value",
+    window: int = 15,
+    n_sigmas: float = 3.0,
+) -> DataFrame:
+    """Append ``roll_median``, ``roll_mad``, ``hampel_outlier`` over a
+    trailing-``window`` frame per series (Hampel 1974; the robust
+    cousin of the z-score rule: flag |x - med| > n_sigmas*1.4826*MAD).
+
+    The window list is bounded (``window`` elements), sorted once, and
+    all median/MAD arithmetic is JVM array expressions over doubled
+    integers — no Python, no FP-boundary coin flips.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window - 1), 0)
+    )
+    vq = quantized(F.col(value_col), 4)
+    base = df.withColumn("_vq", vq).withColumn(
+        "_s", F.array_sort(F.collect_list(vq).over(w))
+    )
+    n = F.size("_s")
+    med2 = F.when(
+        n % 2 == 1, 2 * F.element_at("_s", ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        F.element_at("_s", (n / 2).cast("int"))
+        + F.element_at("_s", (n / 2 + 1).cast("int"))
+    )
+    with_med = base.withColumn("_n", n).withColumn("_med2", med2)
+    d = F.array_sort(F.transform("_s", lambda x: F.abs(2 * x - F.col("_med2"))))
+    with_d = with_med.withColumn("_d", d)
+    nn = F.col("_n")
+    mad4 = F.when(
+        nn % 2 == 1, 2 * F.element_at("_d", ((nn + 1) / 2).cast("int"))
+    ).otherwise(
+        F.element_at("_d", (nn / 2).cast("int"))
+        + F.element_at("_d", (nn / 2 + 1).cast("int"))
+    )
+    thresh = float(n_sigmas * 1.4826)
+    return (
+        with_d.withColumn("_mad4", mad4)
+        .withColumn("roll_median", F.col("_med2").cast("double") / 20000)
+        .withColumn("roll_mad", F.col("_mad4").cast("double") / 40000)
+        .withColumn(
+            "hampel_outlier",
+            (2 * F.abs(2 * F.col("_vq") - F.col("_med2"))).cast("double")
+            > thresh * F.col("_mad4"),
+        )
+        .drop("_vq", "_s", "_n", "_med2", "_d", "_mad4")
+    )
+
+
+def cusum(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str = "value",
+    threshold_sigmas: float = 5.0,
+) -> DataFrame:
+    """Append ``cusum_pos``, ``cusum_neg``, ``shift_flag`` (Page 1954).
+
+    The recursion C+_i = max(0, C+_{i-1} + d_i) is rewritten into its
+    closed window form C+_i = R_i - min(0, min_{j<=i} R_j) over
+    mean-centered prefix sums — running sum + running min, no
+    iteration.  Centering stays exact by scaling by the series length:
+    R_i*n = n*prefix_i - i*sum, integer arithmetic in decimal(38,0),
+    divided back to double once.  ``shift_flag`` compares C+ against
+    ``threshold_sigmas`` sample standard deviations from the same
+    exact integer sums.
+    """
+    wp = Window.partitionBy(*key_cols)
+    wo = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wr = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    vq = quantized(F.col(value_col), 4)
+    st = (
+        df.withColumn("_vq", vq)
+        .withColumn("_n", F.count(F.lit(1)).over(wp))
+        .withColumn("_sq", F.sum("_vq").over(wp))
+        .withColumn("_sq2", F.sum(F.col("_vq") * F.col("_vq")).over(wp))
+        .withColumn("_prefix", F.sum("_vq").over(wo))
+        .withColumn("_i", F.row_number().over(wr))
+    )
+    rn = (
+        F.col("_n").cast(_D38) * F.col("_prefix").cast(_D38)
+        - F.col("_i").cast(_D38) * F.col("_sq").cast(_D38)
+    )
+    m = (
+        st.withColumn("_rn", rn)
+        .withColumn("_runmin", F.min("_rn").over(wo))
+        .withColumn("_runmax", F.max("_rn").over(wo))
+    )
+    zero = F.lit(0).cast(_D38)
+    denom = F.col("_n") * 10000.0
+    cpos = (F.col("_rn") - F.least(F.col("_runmin"), zero)).cast("double") / denom
+    cneg = (F.greatest(F.col("_runmax"), zero) - F.col("_rn")).cast("double") / denom
+    var_num = (
+        F.col("_n").cast(_D38) * F.col("_sq2").cast(_D38)
+        - F.col("_sq").cast(_D38) * F.col("_sq").cast(_D38)
+    ).cast("double")
+    sigma = (
+        F.sqrt(var_num / (F.col("_n") * (F.col("_n") - 1)).cast("double")) / 10000.0
+    )
+    return (
+        m.withColumn("cusum_pos", cpos)
+        .withColumn("cusum_neg", cneg)
+        .withColumn("shift_flag", cpos > threshold_sigmas * sigma)
+        .drop("_vq", "_n", "_sq", "_sq2", "_prefix", "_i", "_rn",
+              "_runmin", "_runmax")
+    )

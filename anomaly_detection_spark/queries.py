@@ -4327,6 +4327,230 @@ def q_forecast_error_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Event-funnel conversion (view -> click -> purchase).  The classic
+# product-analytics sequence match: step k's timestamp is the user's
+# first qualifying event STRICTLY AFTER step k-1.  Spark shape: three
+# chained window-min passes over the SAME user_id partitioning — the
+# planner inserts exactly one exchange, and the per-user rollup that
+# follows reuses it (hash partitioning already satisfied), so the whole
+# funnel is a single shuffle; the 3-row summary is a global partial agg.
+# ---------------------------------------------------------------------------
+
+@register("funnel_conversion_steps", """
+WITH t1s AS (
+    SELECT user_id, ts, event_type,
+           min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+    FROM events
+), t2s AS (
+    SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+    FROM t1s
+), t3s AS (
+    SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+    FROM t2s
+), pu AS (
+    SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+    FROM t3s GROUP BY user_id
+), s AS (
+    SELECT count(*) AS n, count(t1) AS c1, count(t2) AS c2, count(t3) AS c3
+    FROM pu
+)
+SELECT step, stage, users, round(CAST(users AS DOUBLE) / n, 6) AS conv_rate
+FROM (
+    SELECT 1 AS step, 'view' AS stage, c1 AS users, n FROM s
+    UNION ALL SELECT 2, 'click_after_view', c2, n FROM s
+    UNION ALL SELECT 3, 'purchase_after_click', c3, n FROM s
+)
+ORDER BY step
+""")
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.operators.funnel import funnel_summary, funnel_times
+
+    ev = load_table(spark, "events", sf_dir)
+    steps = [
+        ("view", F.col("event_type") == "view"),
+        ("click_after_view", F.col("event_type") == "click"),
+        ("purchase_after_click", F.col("event_type") == "purchase"),
+    ]
+    per_user = funnel_times(ev, steps)
+    return funnel_summary(per_user, [n for n, _ in steps])
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: cohort = ISO week of a user's first event; a cohort
+# member is "retained at offset k" if active in cohort_week + k.  The
+# week grid is exact (both engines truncate to Monday; the offset is a
+# whole number of days divisible by 7), and retention is a ratio of two
+# exact counts.  Shuffle shape: user-keyed first-seen agg, user-keyed
+# distinct activity, user-keyed join, then a slim (cohort, offset)
+# rollup; cohort sizes are a tiny aggregate joined broadcast.
+# ---------------------------------------------------------------------------
+
+@register("cohort_retention_events", """
+WITH first_seen AS (
+    SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+    FROM events
+), joined AS (
+    SELECT f.cohort_week,
+           CAST((a.active_week - f.cohort_week) // 7 AS INT) AS week_offset,
+           a.user_id
+    FROM activity a JOIN first_seen f USING (user_id)
+), sizes AS (
+    SELECT cohort_week, count(*) AS cohort_users
+    FROM first_seen GROUP BY cohort_week
+)
+SELECT j.cohort_week, j.week_offset,
+       s.cohort_users,
+       count(*) AS active_users,
+       round(CAST(count(*) AS DOUBLE) / s.cohort_users, 6) AS retention
+FROM joined j JOIN sizes s USING (cohort_week)
+GROUP BY j.cohort_week, j.week_offset, s.cohort_users
+""")
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    joined = activity.join(first_seen, "user_id").select(
+        "cohort_week",
+        (F.datediff("active_week", "cohort_week") / 7).cast("int")
+        .alias("week_offset"),
+        "user_id",
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    return (
+        joined.join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", "week_offset", "cohort_users")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .select(
+            "cohort_week", "week_offset", "cohort_users", "active_users",
+            F.round(
+                F.col("active_users").cast("double") / F.col("cohort_users"), 6
+            ).alias("retention"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling median + Hampel outlier filter (trailing 15 observations per
+# series).  The robust cousin of the reference's z-score rule: flag
+# |x - median| > 3 * 1.4826 * MAD.  Exactness across engines comes from
+# doubled-integer medians on the 1e-4 grid: 2*median and 4*MAD of longs
+# are themselves longs, so both engines compare identical integers and
+# divide identical integers for the output doubles — no FP-boundary
+# coin flips.  One series-key shuffle; the window list is bounded (15),
+# and everything after the collect is JVM array expressions.
+# ---------------------------------------------------------------------------
+
+@register("rolling_median_hampel", """
+WITH win AS (
+    SELECT user_id, event_id, round(value, 4) AS value,
+           CAST(round(value * 10000, 0) AS BIGINT) AS vq,
+           list_sort(list(CAST(round(value * 10000, 0) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)) AS s
+    FROM events
+), med AS (
+    SELECT *, len(s) AS n,
+           CASE WHEN len(s) % 2 = 1 THEN 2 * s[(len(s) + 1) // 2]
+                ELSE s[len(s) // 2] + s[len(s) // 2 + 1] END AS med2
+    FROM win
+), dev AS (
+    SELECT *, list_sort(list_transform(s, x -> abs(2 * x - med2))) AS d
+    FROM med
+), madt AS (
+    SELECT *, CASE WHEN n % 2 = 1 THEN 2 * d[(n + 1) // 2]
+                   ELSE d[n // 2] + d[n // 2 + 1] END AS mad4
+    FROM dev
+)
+SELECT user_id, event_id, value,
+       CAST(med2 AS DOUBLE) / 20000 AS roll_median,
+       CAST(mad4 AS DOUBLE) / 40000 AS roll_mad,
+       (CAST(2 * abs(2 * vq - med2) AS DOUBLE) > 4.4478 * mad4)
+           AS hampel_outlier
+FROM madt
+""")
+def q_rolling_median_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.detect.robust import rolling_median_hampel
+
+    ev = load_table(spark, "events", sf_dir)
+    out = rolling_median_hampel(
+        ev, ["user_id"], ["ts", "event_id"], "value", window=15, n_sigmas=3.0
+    )
+    return out.select(
+        "user_id", "event_id", F.round("value", 4).alias("value"),
+        "roll_median", "roll_mad", "hampel_outlier",
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM level-shift detection per series (Page 1954).  The recursion
+# C+_i = max(0, C+_{i-1} + d_i) is rewritten into its closed window
+# form C+_i = R_i - min(0, min_{j<=i} R_j) over centered prefix sums —
+# running sum + running min, no iteration.  Centering by the per-series
+# mean stays EXACT by scaling everything by n: R_i*n = n*prefix_i -
+# i*sum, integer arithmetic in decimal(38,0) (Spark) / HUGEINT
+# (DuckDB), divided back to double once at the end.  The shift flag
+# compares against 5 sigma from the same exact integer sums.  All six
+# window passes share the one user_id exchange.
+# ---------------------------------------------------------------------------
+
+@register("cusum_shift_events", """
+WITH q AS (
+    SELECT user_id, event_id, ts,
+           CAST(round(value * 10000, 0) AS BIGINT) AS vq
+    FROM events
+), st AS (
+    SELECT user_id, event_id, ts, vq,
+           count(*) OVER wp AS n,
+           sum(vq) OVER wp AS sq,
+           sum(vq * vq) OVER wp AS sq2,
+           sum(vq) OVER wo AS prefix,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+    FROM q
+    WINDOW wp AS (PARTITION BY user_id),
+           wo AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING)
+), r AS (
+    SELECT user_id, event_id, ts, n, sq, sq2,
+           n * prefix - i * sq AS rn
+    FROM st
+), m AS (
+    SELECT user_id, event_id, n, sq, sq2, rn,
+           min(rn) OVER wo AS runmin,
+           max(rn) OVER wo AS runmax
+    FROM r
+    WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING)
+)
+SELECT user_id, event_id,
+       CAST(rn - least(runmin, 0) AS DOUBLE) / (n * 10000.0) AS cusum_pos,
+       CAST(greatest(runmax, 0) - rn AS DOUBLE) / (n * 10000.0) AS cusum_neg,
+       (CAST(rn - least(runmin, 0) AS DOUBLE) / (n * 10000.0)
+           > 5 * sqrt(CAST(n * sq2 - sq * sq AS DOUBLE)
+                      / CAST(n * (n - 1) AS DOUBLE)) / 10000.0)
+           AS shift_flag
+FROM m
+""")
+def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.detect.robust import cusum
+
+    ev = load_table(spark, "events", sf_dir)
+    out = cusum(ev, ["user_id"], ["ts", "event_id"], "value", threshold_sigmas=5.0)
+    return out.select("user_id", "event_id", "cusum_pos", "cusum_neg", "shift_flag")
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

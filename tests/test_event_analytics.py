@@ -1,0 +1,124 @@
+"""Semantic tests for the event-analytics operators (funnel, cohort,
+Hampel, CUSUM) on planted data — the oracle differential in
+test_oracle_parity pins cross-engine agreement; these pin that the
+operators detect what they claim to detect."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.detect.robust import cusum, rolling_median_hampel
+from anomaly_detection_spark.operators.funnel import funnel_summary, funnel_times
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double"
+    )
+
+
+def _ts(i):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)
+
+
+def test_funnel_strict_ordering(spark):
+    rows = [
+        # user 1: full funnel in order
+        (1, 1, _ts(0), "view", 0.0),
+        (1, 2, _ts(1), "click", 0.0),
+        (1, 3, _ts(2), "purchase", 0.0),
+        # user 2: purchase BEFORE click -> completes step 2 only
+        (2, 4, _ts(0), "view", 0.0),
+        (2, 5, _ts(2), "click", 0.0),
+        (2, 6, _ts(1), "purchase", 0.0),
+        # user 3: never views -> completes nothing (click ignored)
+        (3, 7, _ts(0), "click", 0.0),
+    ]
+    steps = [
+        ("s_view", F.col("event_type") == "view"),
+        ("s_click", F.col("event_type") == "click"),
+        ("s_purchase", F.col("event_type") == "purchase"),
+    ]
+    pu = funnel_times(_events(spark, rows), steps).orderBy("user_id").collect()
+    assert [r["s_view"] is not None for r in pu] == [True, True, False]
+    assert [r["s_click"] is not None for r in pu] == [True, True, False]
+    assert [r["s_purchase"] is not None for r in pu] == [True, False, False]
+
+    summary = funnel_summary(
+        funnel_times(_events(spark, rows), steps), [n for n, _ in steps]
+    ).collect()
+    assert [(r["step"], r["users"]) for r in summary] == [(1, 2), (2, 2), (3, 1)]
+    assert abs(summary[2]["conv_rate"] - 1 / 3) < 1e-6
+
+
+def test_hampel_flags_planted_spike_median_robust(spark):
+    # constant series with one huge spike: the spike is flagged, and the
+    # rolling median STAYS at the baseline through the spike (robustness
+    # — a rolling mean would smear)
+    rows = []
+    for i in range(30):
+        v = 500.0 if i == 20 else 10.0 + (0.01 if i % 2 else -0.01)
+        rows.append((1, i, _ts(i), "tick", v))
+    out = (
+        rolling_median_hampel(
+            _events(spark, rows), ["user_id"], ["ts", "event_id"], "value",
+            window=15,
+        )
+        .orderBy("event_id")
+        .collect()
+    )
+    flagged = [r["event_id"] for r in out if r["hampel_outlier"]]
+    assert flagged == [20]
+    assert abs(out[20]["roll_median"] - 10.0) < 0.02
+    # MAD is tiny (alternating +-0.01) and never polluted by the spike
+    assert all(r["roll_mad"] <= 0.02 for r in out[2:])
+
+
+def test_cusum_detects_level_shift_at_shift_point(spark):
+    # flat at 100 for 40 obs, then a +3 step: C+ grows linearly after
+    # the shift and crosses 5 sigma well before the series ends
+    rows = [
+        (1, i, _ts(i), "tick", 100.0 + (3.0 if i >= 40 else 0.0))
+        for i in range(80)
+    ]
+    out = (
+        cusum(_events(spark, rows), ["user_id"], ["ts", "event_id"], "value")
+        .orderBy("event_id")
+        .collect()
+    )
+    flagged = [r["event_id"] for r in out if r["shift_flag"]]
+    assert flagged, "level shift never flagged"
+    assert min(flagged) >= 40, "flag fired before the shift"
+    # C+ is maximal at the end of the shifted run, C- stays ~0 after it
+    assert out[-1]["cusum_pos"] > out[45]["cusum_pos"] > 0
+    # no-shift control: same construction, flat everywhere
+    flat = [(1, i, _ts(i), "tick", 100.0 + (0.5 if i % 2 else -0.5))
+            for i in range(80)]
+    out_flat = cusum(
+        _events(spark, flat), ["user_id"], ["ts", "event_id"], "value"
+    ).collect()
+    assert not any(r["shift_flag"] for r in out_flat)
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    # differential vs the textbook recursion C+_i = max(0, C+_{i-1} + d_i)
+    import random
+
+    rng = random.Random(7)
+    vals = [round(rng.uniform(50, 150), 4) for _ in range(60)]
+    rows = [(1, i, _ts(i), "tick", v) for i, v in enumerate(vals)]
+    out = (
+        cusum(_events(spark, rows), ["user_id"], ["ts", "event_id"], "value")
+        .orderBy("event_id")
+        .collect()
+    )
+    mu = sum(vals) / len(vals)
+    cp = cn = 0.0
+    for i, v in enumerate(vals):
+        cp = max(0.0, cp + (v - mu))
+        cn = max(0.0, cn + (mu - v))
+        assert abs(out[i]["cusum_pos"] - cp) < 1e-6, i
+        assert abs(out[i]["cusum_neg"] - cn) < 1e-6, i

@@ -303,3 +303,34 @@ def test_curated_corpus_append_safe(spark, sf_dir):
     }
     for doc_id, v in before.items():
         assert after[doc_id] == v, doc_id
+
+
+def test_robust_detectors_single_exchange(spark, sf_dir):
+    """Hampel and CUSUM stack many window passes, but all share the
+    series-key partitioning — exactly ONE hash exchange each."""
+    from anomaly_detection_spark.detect.robust import cusum, rolling_median_hampel
+
+    ev = load_table(spark, "events", sf_dir)
+    for out in (
+        rolling_median_hampel(ev, ["user_id"], ["ts", "event_id"], "value"),
+        cusum(ev, ["user_id"], ["ts", "event_id"], "value"),
+    ):
+        plan = _physical_plan(out)
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_funnel_single_shuffle(spark, sf_dir):
+    """The chained window-min funnel + per-user rollup reuses one
+    user_id exchange; the summary adds only a single-partition gather
+    of pre-aggregated partials."""
+    from anomaly_detection_spark.operators.funnel import funnel_summary, funnel_times
+
+    ev = load_table(spark, "events", sf_dir)
+    steps = [
+        ("s_view", F.col("event_type") == "view"),
+        ("s_click", F.col("event_type") == "click"),
+        ("s_purchase", F.col("event_type") == "purchase"),
+    ]
+    pu = funnel_times(ev, steps)
+    plan = _physical_plan(pu)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
