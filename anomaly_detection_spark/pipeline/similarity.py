@@ -392,3 +392,196 @@ def cluster_balanced_sample(
         assigned.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= per_cluster)
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    cosine_threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): assign every vector to its nearest centroid,
+    compare pairs ONLY within a cluster, and mark a vector as a
+    duplicate when some lower-id cluster-mate has cosine >= threshold.
+    Returns (vec_id, kept_id, cosine): one row per REMOVED vector,
+    ``kept_id`` = its lowest-id qualifying neighbour (with that pair's
+    cosine) — deterministic, no greedy chaining.
+
+    Scale: this is the whole point of the construction — the quadratic
+    candidate step is bounded per cluster, and the cluster count grows
+    with the corpus (k ~ n/avg_cluster_size), so per-cluster work stays
+    constant while clusters parallelize perfectly.  The only fact-fact
+    shuffle keys on cluster_id; centroids are broadcast.
+    """
+    assigned = assign_nearest_centroid(
+        vectors, centroids, id_col, vec_col, centroid_id_col
+    ).select(id_col, "cluster_id")
+    slim = assigned.join(
+        vectors.select(id_col, vec_col), id_col
+    ).select("cluster_id", F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    a, b = slim.alias("a"), slim.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("b._id").alias(id_col),
+            F.col("a._id").alias("kept_id"),
+            F.round(cosine_similarity(F.col("a._v"), F.col("b._v")), 6)
+            .alias("cosine"),
+        )
+        .where(F.col("cosine") >= cosine_threshold)
+    )
+    # lowest-id qualifying neighbour, with ITS cosine: min over the
+    # (kept_id, cosine) struct orders by kept_id first
+    return (
+        pairs.groupBy(id_col)
+        .agg(F.min(F.struct("kept_id", "cosine")).alias("_k"))
+        .select(id_col, F.col("_k.kept_id").alias("kept_id"),
+                F.col("_k.cosine").alias("cosine"))
+    )
+
+
+def pq_codebooks_from_rows(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_codes: int = 16,
+    n_subspaces: int = 8,
+    grid_scale: int = 4,
+) -> list[list[list[int]]]:
+    """Deterministic PQ codebooks: codeword (s, c) is the s-th subspace
+    slice of training row c (the ``n_codes`` lowest-id vectors),
+    quantized to the 1e-``grid_scale`` integer grid.  Collecting
+    ``n_codes`` rows to the driver is index BUILD, not query execution
+    — the artifact is m*k*(dim/m) ints, broadcast into the plan as
+    literals (a real deployment would swap in sampled-KMeans codebooks
+    the same way).  Integer codewords make every PQ distance an exact
+    integer: encode argmins and ADC scores are bit-identical on any
+    engine and any partitioning."""
+    rows = (
+        vectors.select(id_col, vec_col)
+        .where(F.col(id_col) < n_codes)
+        .orderBy(id_col)
+        .collect()
+    )
+    scale = float(10 ** grid_scale)
+    dim = len(rows[0][vec_col])
+    sub = dim // n_subspaces
+    books: list[list[list[int]]] = []
+    for s in range(n_subspaces):
+        book = []
+        for r in rows:
+            v = r[vec_col]
+            book.append(
+                [int(round(float(x) * scale)) for x in v[s * sub:(s + 1) * sub]]
+            )
+        books.append(book)
+    return books
+
+
+def _pq_quantize(vec_col, grid_scale: int = 4):
+    scale = 10 ** grid_scale
+    return F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale, 0).cast("long")
+    )
+
+
+def _pq_sqdist_int(a, b):
+    """Exact integer squared distance between two long arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[int]]],
+    vec_col: str = "embedding",
+    grid_scale: int = 4,
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Append ``out_col``: array<int> of per-subspace codeword indices
+    (0-based), the m-byte PQ compression of the vector.  Map-only: the
+    codebooks ride the plan as literals, and each subspace argmin is a
+    JVM ``array_min`` over (distance, code) structs — exact integers,
+    ties to the lower code."""
+    n_sub = len(codebooks)
+    sub = len(codebooks[0][0])
+    vq = _pq_quantize(vec_col, grid_scale)
+    codes = []
+    for s, book in enumerate(codebooks):
+        book_lit = F.array(
+            *[F.array(*[F.lit(x) for x in w]) for w in book]
+        )
+        vslice = F.slice(vq, s * sub + 1, sub)
+        scored = F.transform(
+            book_lit,
+            lambda w, i: F.struct(
+                _pq_sqdist_int(vslice, w).alias("d"), i.alias("c")
+            ),
+        )
+        codes.append(F.array_min(scored)["c"])
+    return vectors.withColumn(out_col, F.array(*codes))
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    grid_scale: int = 4,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC, Jegou et al. TPAMI 2011):
+    the corpus is scanned as m-byte codes, each query precomputes a
+    (subspace x codeword) lookup table of exact integer distances, and
+    the approximate distance is m table lookups + adds per corpus row.
+
+    Returns (query_id, vec_id, adc_dist, rank) — ``adc_dist`` on the
+    original value scale.  Shuffle shape: corpus encode is map-only,
+    queries (with LUTs) broadcast, and the only exchange is the
+    per-query top-k window.  At 100 TB the encoded corpus is ~dim/32x
+    smaller than raw vectors — the scan, not the math, is the point.
+    """
+    n_sub = len(codebooks)
+    sub = len(codebooks[0][0])
+    encoded = pq_encode(vectors, codebooks, vec_col, grid_scale, "_code")
+
+    qv = _pq_quantize(vec_col, grid_scale)
+    luts = []
+    for s, book in enumerate(codebooks):
+        book_lit = F.array(*[F.array(*[F.lit(x) for x in w]) for w in book])
+        qslice = F.slice(qv, s * sub + 1, sub)
+        luts.append(
+            F.transform(book_lit, lambda w: _pq_sqdist_int(qslice, w))
+        )
+    q = queries.select(
+        F.col(query_id_col), F.array(*luts).alias("_lut")
+    )
+    scale2 = float(10 ** (2 * grid_scale))
+    adc_q = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at("_lut", (s + 1).cast("int")),
+            (F.element_at("_code", (s + 1).cast("int")) + 1).cast("int"),
+        ),
+    )
+    scored = encoded.crossJoin(F.broadcast(q)).select(
+        query_id_col, id_col, (adc_q.cast("double") / scale2).alias("adc_dist")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

@@ -4327,6 +4327,123 @@ def q_forecast_error_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (Abbas et al. 2023): nearest-centroid
+# clusters bound the quadratic pair step — the 100 TB shape where k
+# grows with the corpus so per-cluster work is constant.  Deterministic
+# seed centroids (vec_id < 8) keep the whole construction — assignment,
+# candidate pairs, removal decisions — reproducible in the DuckDB
+# oracle; planted x2-scaled copies (+1M ids) guarantee non-empty,
+# deterministic dedup output (cosine is scale-invariant BIT-EXACTLY:
+# doubling every float32 component doubles dot and norm exactly).
+# ---------------------------------------------------------------------------
+
+@register("semantic_dedup_embeddings", """
+WITH aug AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000,
+           list_transform(embedding::DOUBLE[], x -> x * 2)
+    FROM embeddings
+), c AS (
+    SELECT vec_id AS centroid_id, v AS cvec FROM aug WHERE vec_id < 8
+), scored AS (
+    SELECT a.vec_id, c.centroid_id AS cluster_id,
+           round(list_cosine_similarity(a.v, c.cvec), 6) AS cos_c
+    FROM aug a CROSS JOIN c
+), assigned AS (
+    SELECT vec_id, cluster_id FROM scored
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cos_c DESC, cluster_id) = 1
+), sl AS (
+    SELECT s.cluster_id, s.vec_id AS id, a.v
+    FROM assigned s JOIN aug a ON s.vec_id = a.vec_id
+), pairs AS (
+    SELECT b.id AS vec_id, a.id AS kept_id,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM sl a JOIN sl b ON a.cluster_id = b.cluster_id AND a.id < b.id
+)
+SELECT vec_id, kept_id, cosine FROM pairs
+WHERE cosine >= 0.95
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY kept_id) = 1
+""")
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.similarity import semantic_dedup
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    planted = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2).cast("float"))
+        .alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    centroids = corpus.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return semantic_dedup(corpus, centroids, cosine_threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ADC top-k (Jegou et al. TPAMI 2011) — the
+# compressed-corpus ANN scan: m=8 subspaces x 16 codewords, asymmetric
+# distance = m LUT lookups per corpus row.  Codebooks are the 16
+# lowest-id vectors' subspace slices QUANTIZED TO THE 1e-4 INTEGER
+# GRID, so encode argmins and ADC scores are exact integer arithmetic
+# — the full approximation pipeline (codebooks, code assignment, LUTs,
+# ranking) is reproduced bit-exactly by the oracle.  Corpus encode is
+# map-only; queries broadcast with their LUTs; the one exchange is the
+# per-query top-k window.
+# ---------------------------------------------------------------------------
+
+@register("pq_topk_embeddings", """
+WITH qv AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+               x -> CAST(round(x * 10000, 0) AS BIGINT)) AS vq
+    FROM embeddings
+), cb AS (
+    SELECT gs.s, q.vec_id AS code, q.vq[gs.s*8+1 : gs.s*8+8] AS w
+    FROM qv q CROSS JOIN generate_series(0, 7) gs(s)
+    WHERE q.vec_id < 16
+), enc AS (
+    SELECT v.vec_id, cb.s, cb.code
+    FROM qv v CROSS JOIN cb
+    QUALIFY row_number() OVER (
+        PARTITION BY v.vec_id, cb.s
+        ORDER BY list_sum(list_transform(generate_series(1, 8),
+            i -> (v.vq[cb.s*8+i] - cb.w[i]) * (v.vq[cb.s*8+i] - cb.w[i]))),
+        cb.code) = 1
+), lut AS (
+    SELECT p.vec_id AS query_id, cb.s, cb.code,
+           list_sum(list_transform(generate_series(1, 8),
+               i -> (p.vq[cb.s*8+i] - cb.w[i]) * (p.vq[cb.s*8+i] - cb.w[i])))
+               AS d
+    FROM qv p CROSS JOIN cb
+    WHERE p.vec_id < 5
+), adc AS (
+    SELECT l.query_id, e.vec_id, CAST(sum(l.d) AS BIGINT) AS adcq
+    FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+    GROUP BY l.query_id, e.vec_id
+)
+SELECT query_id, vec_id, CAST(adcq AS DOUBLE) / 100000000 AS adc_dist,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY adcq, vec_id)
+            AS INT) AS rank
+FROM adc
+QUALIFY rank <= 5
+""")
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.similarity import (
+        pq_codebooks_from_rows, pq_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    books = pq_codebooks_from_rows(emb, n_codes=16, n_subspaces=8)
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, q, books, k=5)
+
+
+# ---------------------------------------------------------------------------
 # Event-funnel conversion (view -> click -> purchase).  The classic
 # product-analytics sequence match: step k's timestamp is the user's
 # first qualifying event STRICTLY AFTER step k-1.  Spark shape: three
