@@ -4444,6 +4444,36 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Heavy hitters: two-pass Misra-Gries sketch (pipeline/sketches.py) —
+# map-only bounded-memory candidate pass, then a broadcast exact-count
+# verify.  Because the verify pass makes the OUTPUT exact (all words
+# with share >= phi, exact counts), a sketch-backed algorithm gets a
+# full SQL oracle: DuckDB just computes the exact answer directly.
+# ---------------------------------------------------------------------------
+
+@register("heavy_hitter_words", """
+WITH f AS (
+    SELECT w AS item
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE length(w) >= 4
+), n AS (SELECT count(*) AS n FROM f)
+SELECT item, count(*) AS cnt,
+       round(CAST(count(*) AS DOUBLE) / any_value(n.n), 6) AS share
+FROM f, n
+GROUP BY item
+HAVING CAST(count(*) AS DOUBLE) >= 0.03 * any_value(n.n)
+""")
+def q_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.sketches import heavy_hitters_exact
+
+    docs = load_table(spark, "documents", sf_dir)
+    items = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("item")
+    ).where(F.length("item") >= 4)
+    return heavy_hitters_exact(items, phi=0.03)
+
+
+# ---------------------------------------------------------------------------
 # Event-funnel conversion (view -> click -> purchase).  The classic
 # product-analytics sequence match: step k's timestamp is the user's
 # first qualifying event STRICTLY AFTER step k-1.  Spark shape: three
