@@ -1,0 +1,111 @@
+"""Z-order layout: per-file min/max spans must be narrow on BOTH
+curve columns (vs a single-column sort, which leaves the other
+column's span full-width), and a 2-D box filter must prune most
+row groups by parquet statistics alone."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.operators.layout import zorder_code, zorder_write
+from anomaly_detection_spark.sources.tables import load_table
+
+
+def _file_spans(path, col):
+    """Per-file (min, max) of ``col`` from parquet footers."""
+    spans = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        lo = min(md.row_group(g).column(idx).statistics.min
+                 for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max
+                 for g in range(md.num_row_groups))
+        spans.append((lo, hi))
+    return spans
+
+
+def _total_span(spans):
+    return sum(hi - lo for lo, hi in spans)
+
+
+@pytest.fixture(scope="module")
+def paths(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("layout")
+    ev = load_table(spark, "events", "/root/testdata/sf0.01").select(
+        "user_id", "value", "event_type"
+    )
+    single = str(base / "single")
+    zord = str(base / "zorder")
+    # single-column sort: tight on user_id, full-width on value
+    (
+        ev.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite").parquet(single)
+    )
+    zorder_write(ev, ["user_id", "value"], zord, n_files=16, bits=8)
+    return single, zord
+
+
+def test_zorder_narrows_both_dimensions(paths):
+    single, zord = paths
+    # user_id: single-sort is optimal there; z-order must still be far
+    # better than "every file spans everything" (16 files x full range)
+    full_uid = 150.0 * 16
+    assert _total_span(_file_spans(zord, "user_id")) < 0.5 * full_uid
+    # value: single-sort files span ~the whole range; z-order must cut
+    # the total span at least 2x
+    sv = _total_span(_file_spans(single, "value"))
+    zv = _total_span(_file_spans(zord, "value"))
+    assert zv < 0.5 * sv, (zv, sv)
+
+
+def test_zorder_filter_on_secondary_dim_prunes_files(paths):
+    single, zord = paths
+    # the motivating case: a filter on the NON-sort column.  The
+    # user_id-sorted layout cannot prune it at all (every file spans
+    # ~the full value range); z-order prunes by footer stats alone.
+    def candidates(path):
+        return sum(
+            1 for vl, vh in _file_spans(path, "value")
+            if not (vh < 95 or vl > 105)
+        )
+
+    n_single, n_zord = candidates(single), candidates(zord)
+    assert n_single >= 15, n_single          # single-sort: no pruning
+    assert n_zord <= n_single // 2, (n_zord, n_single)
+
+    # and on the primary dim the 2-D layout stays competitive: a
+    # selective user_id slice must not candidate-match most files
+    def uid_candidates(path):
+        return sum(
+            1 for ul, uh in _file_spans(path, "user_id")
+            if not (uh < 40 or ul > 60)
+        )
+
+    # 16 files =~ 2 curve bits per dim: a 14%-wide slice can touch at
+    # most ~half the files plus boundary neighbours
+    assert uid_candidates(zord) <= 10, uid_candidates(zord)
+
+
+def test_zorder_code_is_deterministic_and_bounded(spark):
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    boundaries = {
+        "user_id": [50.0, 100.0],
+        "value": [50.0, 150.0],
+    }
+    # 2 boundaries -> bits must give 2^bits - 1 == len(boundaries)... use
+    # explicit tiny grid: bits=2 needs 3 cut points; supply 3
+    boundaries = {
+        "user_id": [40.0, 80.0, 120.0],
+        "value": [50.0, 100.0, 150.0],
+    }
+    coded = zorder_code(ev, ["user_id", "value"], bits=2, boundaries=boundaries)
+    vals = [r["_zorder"] for r in coded.select("_zorder").collect()]
+    assert all(0 <= v < 16 for v in vals)
+    vals2 = [r["_zorder"] for r in coded.select("_zorder").collect()]
+    assert vals == vals2
