@@ -20,6 +20,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _spread_single_file(df: DataFrame) -> DataFrame:
+    """A table backed by fewer files than cores scans as 1-2 partitions
+    — spread rows before CPU-heavy map work / self-joins.  At real
+    scale inputs have many splits and this is a no-op."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def _dot(a, b):
     # cast elements to double BEFORE multiplying: float32 products in
     # double are exact, so the result matches engines (e.g. DuckDB)
@@ -247,10 +261,7 @@ def embedding_near_duplicates(
     # a single parquet file scans as 1-2 partitions: spread rows across
     # the cluster before the Arrow kernel and the bucket self-join — at
     # real scale the input has many splits and this is skipped
-    parallelism = vectors.sparkSession.sparkContext.defaultParallelism
-    n_files = len(vectors.inputFiles())
-    if 0 < n_files < parallelism:
-        vectors = vectors.repartition(parallelism)
+    vectors = _spread_single_file(vectors)
     with_buckets = vectors.select(
         F.col(id_col), _buckets(F.col(vec_col)).alias("_bkts")
     )
@@ -258,6 +269,9 @@ def embedding_near_duplicates(
         F.col(id_col),
         F.posexplode("_bkts").alias("_seed", "bucket"),
     ).select("_seed", "bucket", id_col)
+    # the triple feeds three consumers (bucket-size cap, both sides of
+    # the self-join): persist so the Arrow kernel runs ONCE, not 3x
+    slim = slim.persist()
     if max_bucket_size is not None:
         sizes = (
             slim.groupBy("_seed", "bucket")
@@ -280,11 +294,25 @@ def embedding_near_duplicates(
         )
         .distinct()
     )
-    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # precompute each vector's norm ONCE (sqrt(dot(v,v)) per row) so the
+    # per-pair verify runs one 64-element fold instead of three — same
+    # arithmetic, same bits: sqrt(da)*sqrt(db) exactly as before
+    with_norm = vectors.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
+    )
+    va = with_norm.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
+    )
+    vb = with_norm.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+    )
     pairs = cand.join(va, "id_a").join(vb, "id_b").select(
         "id_a", "id_b",
-        F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        F.round(
+            _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+        ).alias("cosine"),
     )
     return pairs.where(F.col("cosine") >= cosine_threshold)
 
@@ -352,12 +380,20 @@ def assign_nearest_centroid(
     inside the sort). Ties break on the lower centroid id.
     """
     c = centroids.select(
-        F.col(centroid_id_col), F.col(vec_col).alias("_cvec")
+        F.col(centroid_id_col), F.col(vec_col).alias("_cvec"),
+        _norm(F.col(vec_col)).alias("_cn"),
     )
-    scored = vectors.crossJoin(F.broadcast(c)).select(
+    # same arithmetic as cosine_similarity — dot/(sqrt(da)*sqrt(db)) —
+    # but each row's norm is computed ONCE instead of once per centroid
+    scored = vectors.withColumn("_vn", _norm(F.col(vec_col))).crossJoin(
+        F.broadcast(c)
+    ).select(
         id_col,
         F.col(centroid_id_col).alias("cluster_id"),
-        F.round(cosine_similarity(F.col(vec_col), F.col("_cvec")), 6).alias("cosine"),
+        F.round(
+            _dot(F.col(vec_col), F.col("_cvec")) / (F.col("_vn") * F.col("_cn")),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("cosine"), F.asc("cluster_id"))
     return (
@@ -416,12 +452,19 @@ def semantic_dedup(
     constant while clusters parallelize perfectly.  The only fact-fact
     shuffle keys on cluster_id; centroids are broadcast.
     """
+    vectors = _spread_single_file(vectors)
     assigned = assign_nearest_centroid(
         vectors, centroids, id_col, vec_col, centroid_id_col
     ).select(id_col, "cluster_id")
+    # norms computed once per vector (identical bits to the per-pair
+    # form: dot/(sqrt(da)*sqrt(db)) either way)
     slim = assigned.join(
-        vectors.select(id_col, vec_col), id_col
-    ).select("cluster_id", F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        vectors.select(id_col, vec_col, _norm(F.col(vec_col)).alias("_n")),
+        id_col,
+    ).select(
+        "cluster_id", F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        F.col("_n"),
+    )
     a, b = slim.alias("a"), slim.alias("b")
     pairs = (
         a.join(
@@ -432,8 +475,11 @@ def semantic_dedup(
         .select(
             F.col("b._id").alias(id_col),
             F.col("a._id").alias("kept_id"),
-            F.round(cosine_similarity(F.col("a._v"), F.col("b._v")), 6)
-            .alias("cosine"),
+            F.round(
+                _dot(F.col("a._v"), F.col("b._v"))
+                / (F.col("a._n") * F.col("b._n")),
+                6,
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= cosine_threshold)
     )
@@ -515,6 +561,7 @@ def pq_encode(
     ties to the lower code."""
     n_sub = len(codebooks)
     sub = len(codebooks[0][0])
+    vectors = _spread_single_file(vectors)
     vq = _pq_quantize(vec_col, grid_scale)
     codes = []
     for s, book in enumerate(codebooks):

@@ -4330,7 +4330,8 @@ def q_forecast_error_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup-style semantic dedup (Abbas et al. 2023): nearest-centroid
 # clusters bound the quadratic pair step — the 100 TB shape where k
 # grows with the corpus so per-cluster work is constant.  Deterministic
-# seed centroids (vec_id < 8) keep the whole construction — assignment,
+# seed centroids (vec_id < 64 — cluster count is the knob that
+# bounds the quadratic) keep the whole construction — assignment,
 # candidate pairs, removal decisions — reproducible in the DuckDB
 # oracle; planted x2-scaled copies (+1M ids) guarantee non-empty,
 # deterministic dedup output (cosine is scale-invariant BIT-EXACTLY:
@@ -4345,7 +4346,7 @@ WITH aug AS (
            list_transform(embedding::DOUBLE[], x -> x * 2)
     FROM embeddings
 ), c AS (
-    SELECT vec_id AS centroid_id, v AS cvec FROM aug WHERE vec_id < 8
+    SELECT vec_id AS centroid_id, v AS cvec FROM aug WHERE vec_id < 64
 ), scored AS (
     SELECT a.vec_id, c.centroid_id AS cluster_id,
            round(list_cosine_similarity(a.v, c.cvec), 6) AS cos_c
@@ -4376,7 +4377,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("embedding"),
     )
     corpus = emb.unionByName(planted)
-    centroids = corpus.where(F.col("vec_id") < 8).select(
+    centroids = corpus.where(F.col("vec_id") < 64).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     return semantic_dedup(corpus, centroids, cosine_threshold=0.95)

@@ -49,6 +49,12 @@ BENCH_QUERIES = [
     "curated_corpus",
     "validate_events",
     "snapshot_diff_docs",
+    "rolling_median_hampel",
+    "cusum_shift_events",
+    "funnel_conversion_steps",
+    "semantic_dedup_embeddings",
+    "pq_topk_embeddings",
+    "heavy_hitter_words",
 ]
 
 
