@@ -1,0 +1,121 @@
+"""Training-mixture sampling: draw a corpus of exactly ``total_n``
+documents matching target domain weights (largest-remainder / Hamilton
+apportionment), selecting deterministically within each domain.
+
+The pretraining-data use case: a mixture spec like "40 % en, 20 % zh,
+…" must become an exact document list that is reproducible across
+engines, partitionings, and reruns — so no ``rand()``, no
+``monotonically_increasing_id``, and no float arithmetic in the quota
+law (one engine's ``0.4`` is DECIMAL, another's is binary double; their
+``floor`` disagrees).  Weights are integer parts of an integer
+denominator and the whole apportionment runs in exact integer space.
+Selection within a domain orders by a portable md5 content hash (same
+idiom as ``hash_split`` / ``cluster_balanced_sample``), which any
+engine with md5 + hex parsing replicates bit-for-bit.
+
+Scale shape: the apportionment runs on the per-domain COUNT table
+(#domains rows — trivially small, broadcast back), and the per-domain
+selection is one ``row_number`` window over the domain partitioning —
+a single shuffle of the corpus at 100 TB.  A domain so hot it skews its
+window task can be pre-split with the standard salt-and-restitch
+(``operators/skew.py``); domain counts in real mixtures are few.
+
+Quota law (documented, both engines implement it identically):
+``ideal_d = total_n * parts_d / denom``; ``base_d = ideal_d DIV denom``
+(integer); the ``total_n - sum(base)`` leftover units go to the largest
+integer remainders ``(total_n * parts_d) MOD denom`` (ties broken by
+domain name); finally ``quota_d`` is capped at the domain's available
+count — a shortfall is NOT redistributed (the caller asked for at most
+``parts_d/denom`` of domain ``d``; silently backfilling from other
+domains would corrupt the mixture).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _md5_rank64(salt: str, key) -> F.Column:
+    """Portable 60-bit integer from md5 — identical in DuckDB via
+    ``CAST('0x' || substr(md5(salt || x), 1, 15) AS BIGINT)``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string")).cast("binary")), 1, 15),
+        16, 10,
+    ).cast("bigint")
+
+
+def mixture_quotas(
+    counts: DataFrame,
+    parts: Mapping[str, int],
+    total_n: int,
+    denom: int | None = None,
+    domain_col: str = "domain",
+    count_col: str = "n_avail",
+) -> DataFrame:
+    """Largest-remainder quotas over a (domain, count) table, in exact
+    integer arithmetic.  ``parts`` are integer weight numerators;
+    ``denom`` defaults to ``sum(parts)``.
+
+    Returns (domain, n_avail, quota).  Domains absent from ``parts``
+    get part 0 (quota 0 — excluded from the mixture).
+    """
+    denom = int(denom if denom is not None else sum(parts.values()))
+    if denom <= 0:
+        raise ValueError("weights must sum to a positive denominator")
+    pmap = F.create_map(*[F.lit(x) for kv in parts.items() for x in kv])
+    numer = F.coalesce(pmap[F.col(domain_col)].cast("long"), F.lit(0)) * F.lit(total_n)
+    d = counts.select(
+        F.col(domain_col).alias("domain"),
+        F.col(count_col).cast("long").alias("n_avail"),
+        # integer floor-division: operands are integral and < 2^53, and a
+        # rational p/q is never within a double ulp of an integer unless
+        # exactly integral, so divide-then-truncate is the true DIV
+        (numer / denom).cast("long").alias("base"),
+        (numer % denom).alias("rem"),
+    )
+    leftover = F.lit(total_n) - F.sum("base").over(Window.partitionBy())
+    rank = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("rem").desc(), F.col("domain").asc())
+    )
+    # #domains rows: the empty-partition window is a deliberate
+    # single-task pass over a tiny relation, not a scale hazard
+    return d.select(
+        "domain", "n_avail",
+        F.least(
+            F.col("base") + F.when(rank <= leftover, 1).otherwise(0),
+            F.col("n_avail"),
+        ).alias("quota"),
+    )
+
+
+def weighted_mixture_sample(
+    df: DataFrame,
+    parts: Mapping[str, int],
+    total_n: int,
+    denom: int | None = None,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix:",
+) -> DataFrame:
+    """Deterministic mixture draw: per-domain md5-hash order, cut at the
+    largest-remainder quota.  Output: (id, domain, sample_rank, quota).
+    """
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_avail")
+    )
+    quotas = mixture_quotas(counts, parts, total_n, denom)
+    hx = _md5_rank64(salt, F.col(id_col))
+    wd = Window.partitionBy(domain_col).orderBy(hx.asc(), F.col(id_col).asc())
+    ranked = df.select(
+        F.col(id_col), F.col(domain_col).alias("domain"),
+        F.row_number().over(wd).alias("sample_rank"),
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "domain")
+        .where(F.col("sample_rank") <= F.col("quota"))
+        .select(id_col, "domain", "sample_rank", "quota")
+    )

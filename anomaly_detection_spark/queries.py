@@ -4699,6 +4699,128 @@ def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter runtime join pruning (operators/bloomjoin.py).  The dim
+# side (customers in one market segment with high balance) folds into a
+# bitmap via a distributed bit_or aggregation; the orders fact table is
+# semi-filtered against the bitmap BEFORE its join shuffle.  Bloom false
+# positives die in the exact join, so the result — and the oracle — is
+# the plain inner join.  At 100 TB this is the shape for dims too large
+# to broadcast as rows but whose key set compresses into KB of bits.
+# ---------------------------------------------------------------------------
+
+@register("bloom_pruned_join", """
+WITH dim AS (
+    SELECT c_custkey, c_nationkey FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000
+)
+SELECT d.c_nationkey AS nationkey,
+       count(*) AS n_orders,
+       round(sum(round(o.o_totalprice, 4)), 4) AS total_price
+FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+GROUP BY d.c_nationkey
+""")
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.operators.bloomjoin import bloom_filtered_join
+
+    orders = load_table(spark, "orders", sf_dir)
+    dim = (
+        load_table(spark, "customer", sf_dir)
+        .where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 5000))
+        .select("c_custkey", "c_nationkey")
+    )
+    joined = bloom_filtered_join(orders, dim, "o_custkey", "c_custkey")
+    return joined.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.round("o_totalprice", 4)), 4).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted training-mixture sampling (pipeline/mixture.py): exactly 200
+# docs at a 40/20/15/15/10 lang mixture via largest-remainder integer
+# apportionment + portable md5-hash order within each domain.  Every
+# step is exact integer / hash arithmetic, so Spark and DuckDB produce
+# the identical document list.
+# ---------------------------------------------------------------------------
+
+@register("mixture_sample_docs", """
+WITH counts AS (
+    SELECT lang AS domain, count(*) AS n_avail FROM documents GROUP BY lang
+), sized AS (
+    SELECT domain, n_avail,
+           200 * (CASE domain WHEN 'en' THEN 400 WHEN 'zh' THEN 200
+                              WHEN 'de' THEN 150 WHEN 'fr' THEN 150
+                              WHEN 'es' THEN 100 ELSE 0 END) AS numer
+    FROM counts
+), quotas AS (
+    SELECT domain, n_avail,
+           least(numer // 1000
+                 + CASE WHEN row_number() OVER
+                             (ORDER BY numer % 1000 DESC, domain ASC)
+                        <= 200 - sum(numer // 1000) OVER () THEN 1 ELSE 0 END,
+                 n_avail) AS quota
+    FROM sized
+), ranked AS (
+    SELECT doc_id, lang AS domain,
+           CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                             AS BIGINT) ASC, doc_id ASC
+           ) AS INT) AS sample_rank
+    FROM documents
+)
+SELECT r.doc_id, r.domain, r.sample_rank, q.quota
+FROM ranked r JOIN quotas q USING (domain)
+WHERE r.sample_rank <= q.quota
+""")
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.mixture import weighted_mixture_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return weighted_mixture_sample(
+        docs,
+        parts={"en": 400, "zh": 200, "de": 150, "fr": 150, "es": 100},
+        total_n=200,
+        denom=1000,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-duplicate prefixes (pipeline/editdist.py): pairs
+# of documents whose normalized 24-char prefixes are within Levenshtein
+# distance 1.  Spark side: PassJoin-style pigeonhole segment blocking
+# (two equi-joins) + exact verify.  Oracle side: brute-force all pairs
+# (with the exact-safe |Δlen| <= 1 prefilter) — so a green row also
+# PROVES the blocking misses no pair.  Non-ASCII chars fold to '#'
+# (stated normalization) so byte-based and char-based levenshtein
+# implementations agree.
+# ---------------------------------------------------------------------------
+
+@register("editdist_near_dups", r"""
+WITH p AS (
+    SELECT doc_id,
+           regexp_replace(lower(substr(text, 1, 24)), '[^\x00-\x7F]', '#', 'g')
+               AS pfx
+    FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       a.pfx AS pfx_a, b.pfx AS pfx_b,
+       CAST(levenshtein(a.pfx, b.pfx) AS INT) AS edit_distance
+FROM p a JOIN p b
+  ON a.doc_id < b.doc_id
+ AND abs(length(a.pfx) - length(b.pfx)) <= 1
+WHERE levenshtein(a.pfx, b.pfx) <= 1
+""")
+def q_editdist_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.editdist import (
+        edit_distance_near_duplicates,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return edit_distance_near_duplicates(docs, prefix_len=24)
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "semantic_dedup_embeddings",
     "pq_topk_embeddings",
     "heavy_hitter_words",
+    "bloom_pruned_join",
+    "mixture_sample_docs",
+    "editdist_near_dups",
 ]
 
 
