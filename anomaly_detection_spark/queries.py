@@ -4821,6 +4821,98 @@ def q_editdist_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (operators/incremental.py): the
+# per-user rollup is maintained as base-state + delta-state merged with
+# the aggregation's merge functions (sum/sum, min/min, max/max; avg
+# derived from merged sums) — the materialized-view pattern.  The
+# oracle is the FULL recompute over all events, so a green row proves
+# merge == recompute.  Sums ride the 100x integer grid (values are
+# 2-dp) so merge order cannot perturb float folds.
+# ---------------------------------------------------------------------------
+
+@register("incremental_agg_events", """
+SELECT user_id,
+       count(value) AS n,
+       round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS sum_value,
+       round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+             / (count(value) * 100.0), 4) AS avg_value,
+       min(ts) AS min_ts,
+       max(ts) AS max_ts
+FROM events
+GROUP BY user_id
+""")
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.operators.incremental import merge_agg_states
+
+    ev = load_table(spark, "events", sf_dir)
+    cutoff = ntz_lit("2024-01-20 00:00:00")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count("value").alias("n"),
+            F.sum(cents).alias("sum_cents"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+
+    merged = merge_agg_states(
+        [state(ev.where(F.col("ts") < cutoff)),      # yesterday's state
+         state(ev.where(F.col("ts") >= cutoff))],    # today's delta
+        keys=["user_id"],
+        merges={
+            "n": F.sum("n"),
+            "sum_cents": F.sum("sum_cents"),
+            "min_ts": F.min("min_ts"),
+            "max_ts": F.max("max_ts"),
+        },
+    )
+    return merged.select(
+        "user_id",
+        "n",
+        F.round(F.col("sum_cents").cast("double") / 100.0, 2).alias("sum_value"),
+        F.round(F.col("sum_cents").cast("double") / (F.col("n") * 100.0), 4)
+            .alias("avg_value"),
+        "min_ts",
+        "max_ts",
+    )
+
+
+# ---------------------------------------------------------------------------
+# VariantType JSON path (Spark 4): parse the events.props JSON ONCE
+# into the binary Variant encoding, then extract typed fields with
+# variant_get — the modern scale path for semi-structured columns
+# (parse cost paid once per row, shredded binary access after; contrast
+# get_json_object which re-parses per extraction).  Oracle: DuckDB
+# native JSON extraction.
+# ---------------------------------------------------------------------------
+
+@register("variant_props_stats", """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(min(CAST(props->>'k' AS INT)) AS INT) AS min_k,
+       CAST(max(CAST(props->>'k' AS INT)) AS INT) AS max_k,
+       CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+""")
+def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "bloom_pruned_join",
     "mixture_sample_docs",
     "editdist_near_dups",
+    "incremental_agg_events",
+    "variant_props_stats",
 ]
 
 
