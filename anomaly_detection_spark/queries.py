@@ -4913,6 +4913,52 @@ def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental distinct-count maintenance: Datasketches HLL states built
+# per time slice, UNIONED (the mergeable-summary property that makes
+# sketches work at 100 TB — per-partition states merge associatively,
+# so daily states roll up without re-reading history), then estimated.
+# Like approx_distinct_users, the estimate itself is engine-specific;
+# the checkable contract is (a) the exact count and (b) booleans
+# asserting the merged estimate is within the configured error bound
+# AND exactly equals the single-pass sketch estimate (merge
+# transparency).  Oracle expects both TRUE.
+# ---------------------------------------------------------------------------
+
+@register("incremental_distinct_users", """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS merged_within_5pct,
+       TRUE AS merge_transparent
+FROM events GROUP BY event_type
+""")
+def q_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    cutoff = ntz_lit("2024-01-20 00:00:00")
+    base = ev.where(F.col("ts") < cutoff).groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("state")
+    )
+    delta = ev.where(F.col("ts") >= cutoff).groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("state")
+    )
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("state")).alias("merged_est"))
+    )
+    single = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14)))
+            .alias("single_est"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return merged.join(single, "event_type").select(
+        "event_type", "exact_users",
+        (F.abs(F.col("merged_est") - F.col("exact_users"))
+         <= 0.05 * F.col("exact_users")).alias("merged_within_5pct"),
+        (F.col("merged_est") == F.col("single_est")).alias("merge_transparent"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
