@@ -169,3 +169,53 @@ def test_editdist_no_duplicate_pairs(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     out = edit_distance_near_duplicates(docs)
     assert out.count() == out.select("id_a", "id_b").distinct().count()
+
+
+# ----------------------------------------------------------- plan shapes
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bloom_prune_filter_precedes_join_exchange(spark, sf_dir):
+    """The scale contract: the bitmap ride-along is a BROADCAST (no
+    shuffle of the fact side to meet the bitmap), and the surviving
+    plan still pushes fact-scan filters.  A hash exchange BEFORE the
+    bloom filter would defeat the whole point."""
+    from anomaly_detection_spark.operators.bloomjoin import (
+        bloom_prune, build_bloom_bitmap,
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    dim = load_table(spark, "customer", sf_dir).where(F.col("c_acctbal") > 7000)
+    bitmap = build_bloom_bitmap(dim, "c_custkey", n_bits=1 << 16)
+    pruned = bloom_prune(orders, "o_custkey", bitmap)
+    plan = _physical_plan(pruned)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # pruning is map-side only: no hash/range exchange in this subplan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_mixture_sample_single_corpus_shuffle(spark, sf_dir):
+    """One hash exchange for the corpus (the domain window); the quota
+    table joins as a broadcast."""
+    from anomaly_detection_spark.pipeline.mixture import weighted_mixture_sample
+    docs = load_table(spark, "documents", sf_dir)
+    out = weighted_mixture_sample(
+        docs, {"en": 400, "zh": 200, "de": 150, "fr": 150, "es": 100}, 100,
+        denom=1000,
+    )
+    plan = _physical_plan(out)
+    # corpus-shaped exchanges: the ranked window's hashpartitioning on
+    # lang + the counts aggregation; the quota join must be broadcast
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_editdist_no_cartesian(spark, sf_dir):
+    """Candidate generation is equi-join blocking — a cartesian product
+    anywhere means the pigeonhole rewrite regressed."""
+    docs = load_table(spark, "documents", sf_dir)
+    plan = _physical_plan(edit_distance_near_duplicates(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
