@@ -328,6 +328,7 @@ def lsh_ann_topk(
     n_planes: int = 8,
     seed: int = 42,
     n_probes: int = 1,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket, exact cosine
     re-rank on candidates.
@@ -339,27 +340,49 @@ def lsh_ann_topk(
     ~linearly in probes, still bucket-bounded; the corpus side is
     untouched.  A margin-ranked probe order (flip the lowest-|dot|
     bits first) is the refinement when probe budget is tight.
+
+    ``n_tables`` > 1 builds L independent hash tables (seeded plane
+    sets) and unions their candidates — the classic LSH recall lever:
+    a true neighbor is missed only if it collides with the query in
+    NONE of the L tables, so the miss rate decays geometrically in L.
+    Probing composes with it (each table is multi-probed).  Each
+    table's candidate join stays a map-side broadcast (the corpus is
+    NEVER shuffled); scored candidates from all tables union narrowly
+    and deduplicate on the slim (query, id, cosine) triples before the
+    top-k window.
     """
-    v = sign_lsh_buckets(vectors, vec_col, dim, n_planes, seed)
-    q = sign_lsh_buckets(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")),
-        "_qvec", dim, n_planes, seed,
-    )
-    if n_probes > 1:
-        probes = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long")
-                for i in range(min(n_probes - 1, n_planes))
-            ],
+    def _per_table(t: int) -> DataFrame:
+        tseed = seed + 1000003 * t
+        v = sign_lsh_buckets(vectors, vec_col, dim, n_planes, tseed)
+        q = sign_lsh_buckets(
+            queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")),
+            "_qvec", dim, n_planes, tseed,
         )
-        # probe buckets are pairwise distinct, so no (query, vector)
-        # pair can be generated twice — no dedup stage needed
-        q = q.withColumn("bucket", F.explode(probes))
-    cand = v.join(F.broadcast(q), "bucket").select(
-        query_id_col, id_col,
-        F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias("cosine"),
-    )
+        if n_probes > 1:
+            probes = F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i)).cast("long")
+                    for i in range(min(n_probes - 1, n_planes))
+                ],
+            )
+            # probe buckets are pairwise distinct, so within ONE table
+            # no (query, vector) pair is generated twice
+            q = q.withColumn("bucket", F.explode(probes))
+        return v.join(F.broadcast(q), "bucket").select(
+            query_id_col, id_col,
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("_qvec")), 6
+            ).alias("cosine"),
+        )
+
+    cand = _per_table(0)
+    for t in range(1, n_tables):
+        cand = cand.unionByName(_per_table(t))
+    if n_tables > 1:
+        # a pair found by several tables has the same cosine everywhere
+        # — dropDuplicates keeps one copy of the slim scored triple
+        cand = cand.dropDuplicates([query_id_col, id_col])
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 

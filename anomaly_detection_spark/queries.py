@@ -4959,6 +4959,123 @@ def q_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Epoch shuffle-and-shard: the deterministic global permutation a
+# training job needs — every doc gets a shard (uniform md5 bucket) and
+# a position within its shard (md5 order with a different salt, so
+# shard assignment and intra-shard order are independent permutations).
+# Engine-reproducible and append-stable like hash_split; at 100 TB this
+# is one hash-partitioned window per shard — no global sort, no driver
+# state.  repartition(shard) + sortWithinPartitions on the same keys
+# writes the shards physically; the query registers the logical
+# assignment so the oracle can pin it.
+# ---------------------------------------------------------------------------
+
+@register("shard_corpus_docs", """
+WITH a AS (
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) % 8 AS INT) AS shard_id,
+           CAST('0x' || substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) AS h
+    FROM documents
+)
+SELECT doc_id, shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id)
+            AS INT) AS pos_in_shard
+FROM a
+""")
+def q_shard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+
+    def md5_int(salt: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))
+                      .cast("binary")), 1, 15,
+            ), 16, 10,
+        ).cast("bigint")
+
+    a = docs.select(
+        "doc_id",
+        F.pmod(md5_int("shard:"), F.lit(8)).cast("int").alias("shard_id"),
+        md5_int("order:").alias("h"),
+    )
+    w = Window.partitionBy("shard_id").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return a.select(
+        "doc_id", "shard_id", F.row_number().over(w).alias("pos_in_shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation — the metric that governs every approximate
+# index at 100 TB.  Recall@5 of the sign-LSH index against the exact
+# brute-force top-5, computed entirely in-engine.  The recall VALUE
+# depends on the seeded plane sets, so — like the HLL queries — the
+# oracle checks the exact universe (#queries, k) plus the checkable
+# contracts: (a) multi-probe recall >= single-probe recall and
+# (b) 8-table recall >= 1-table recall — both structural invariants
+# (the bigger config's candidate set is a SUPERSET, and exact re-rank
+# of a superset never loses an exact-top-k hit); and (c) the absolute
+# floor the 8-table/3-probe index clears on this corpus (deterministic:
+# fixed seeds, fixed data).  The floor is honest, not impressive —
+# these synthetic embeddings are near-uniform on the sphere, so exact
+# top-5 neighbors sit at wide angles where LSH is intrinsically weak;
+# near-duplicate retrieval (the dedup use case, tight angles) is where
+# the planted-pair oracles of lsh_ann_topk/embedding_near_dups pin
+# recall ~1.
+# ---------------------------------------------------------------------------
+
+@register("ann_recall_eval", """
+SELECT count(*) AS n_queries,
+       5 AS k,
+       TRUE AS multiprobe_ge_singleprobe,
+       TRUE AS multitable_ge_singletable,
+       TRUE AS recall_8t3p_ge_030
+FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10)
+""")
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.similarity import (
+        brute_force_topk, lsh_ann_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    probes = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, probes, k=5).select(
+        "query_id", F.col("vec_id").alias("exact_id")
+    )
+
+    def recall(ann: DataFrame, name: str) -> DataFrame:
+        hit = exact.join(
+            ann.select("query_id", F.col("vec_id").alias("ann_id")),
+            (exact["query_id"] == ann["query_id"])
+            & (F.col("exact_id") == F.col("ann_id")),
+            "left",
+        ).select(
+            exact["query_id"],
+            F.when(F.col("ann_id").isNotNull(), 1).otherwise(0).alias("hit"),
+        )
+        return hit.groupBy("query_id").agg(
+            (F.sum("hit") / F.count(F.lit(1))).alias(name)
+        )
+
+    r_1t1p = recall(lsh_ann_topk(emb, probes, k=5), "r_1t1p")
+    r_1t3p = recall(lsh_ann_topk(emb, probes, k=5, n_probes=3), "r_1t3p")
+    r_8t3p = recall(
+        lsh_ann_topk(emb, probes, k=5, n_probes=3, n_tables=8), "r_8t3p"
+    )
+    per_q = r_1t1p.join(r_1t3p, "query_id").join(r_8t3p, "query_id")
+    return per_q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.lit(5).alias("k"),
+        (F.avg("r_1t3p") >= F.avg("r_1t1p")).alias("multiprobe_ge_singleprobe"),
+        (F.avg("r_8t3p") >= F.avg("r_1t3p")).alias("multitable_ge_singletable"),
+        (F.avg("r_8t3p") >= 0.3).alias("recall_8t3p_ge_030"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -11,6 +11,9 @@ operators composed the way a pretraining data job would chain them:
    eval set)
 6. deterministic train/val/test split (portable md5 hash)
 7. release data card (per-source/lang profile of the final corpus)
+8. language-mixture draw (largest-remainder quotas, md5 order)
+9. epoch shuffle-and-shard of the train split (deterministic global
+   permutation, one window per shard)
 
 Every stage is the scale-shaped variant: digest-only shuffles,
 bucketed LSH candidates (not n²), map-only quality metrics, a
@@ -93,10 +96,50 @@ def curate(spark, sf_dir: str):
         F.sum("n_tokens").alias("total_tokens"),
     )
     data_card = [tuple(r) for r in card.orderBy("source", "lang").collect()]
+
+    # 8: draw the training mixture (40/20/15/15/10 across langs)
+    from anomaly_detection_spark.pipeline.mixture import weighted_mixture_sample
+
+    train = docs.where(F.col("split") == "train")
+    n_train = train.count()
+    drawn = weighted_mixture_sample(
+        train,
+        parts={"en": 400, "zh": 200, "de": 150, "fr": 150, "es": 100},
+        total_n=min(200, n_train), denom=1000,
+    )
+    mix_card = {
+        r["domain"]: r["n"]
+        for r in drawn.groupBy("domain").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    # 9: epoch shuffle-and-shard: uniform md5 shard + independent md5
+    # intra-shard order; repartition+sortWithinPartitions writes it
+    from pyspark.sql.window import Window
+
+    def md5_int(salt):
+        return F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))
+                  .cast("binary")), 1, 15), 16, 10).cast("bigint")
+
+    sharded = train.join(drawn.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id",
+        F.pmod(md5_int("shard:"), F.lit(4)).cast("int").alias("shard_id"),
+        md5_int("order:").alias("_h"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("_h", "doc_id")
+    sharded = sharded.withColumn("pos", F.row_number().over(w)).drop("_h")
+    shard_sizes = {
+        r["shard_id"]: r["n"]
+        for r in sharded.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
     return {
         "input": n0, "after_exact_dedup": n1, "after_near_dedup": n2,
         "after_quality": n3, "after_decontamination": n4, "splits": mix,
-        "data_card": data_card,
+        "data_card": data_card, "mixture": mix_card,
+        "shard_sizes": shard_sizes,
     }
 
 

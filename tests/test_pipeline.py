@@ -494,3 +494,32 @@ def test_ewma_matches_pandas_ewm(spark):
     exp = pd.Series(rng_vals).ewm(alpha=_EWMA_ALPHA, adjust=True).mean()
     for i in range(len(rng_vals)):
         assert abs(got[i] - round(float(exp.iloc[i]), 4)) <= 1e-3, (i, got[i], exp.iloc[i])
+
+
+def test_lsh_multitable_improves_recall(spark, sf_dir):
+    """L independent hash tables: recall is monotone in L (candidate
+    superset re-ranked exactly), and near-duplicate queries (tight
+    angles) are nearly all recovered with 4 tables even single-probe."""
+    from anomaly_detection_spark.pipeline.similarity import lsh_ann_topk
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") < 30).collect()
+    rng = np.random.default_rng(11)
+    noisy = [
+        (int(r.vec_id),
+         [float(x) + float(e) for x, e in
+          zip(r.embedding, rng.normal(0, 0.05, len(r.embedding)))])
+        for r in base
+    ]
+    queries = spark.createDataFrame(
+        noisy, "query_id long, embedding array<float>"
+    )
+
+    def recall_at_1(n_tables):
+        top = lsh_ann_topk(
+            emb, queries, k=1, n_planes=8, n_tables=n_tables
+        ).collect()
+        return sum(1 for r in top if r.vec_id == r.query_id and r.rank == 1)
+
+    one, four = recall_at_1(1), recall_at_1(4)
+    assert four >= one
+    assert four >= 24, (one, four)  # >=80% of 30 planted neighbors
