@@ -87,3 +87,129 @@ def extract_features(
             })
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def decode_image_stub(blob: bytes, fake: bool = False, size: int = 16) -> np.ndarray:
+    """Codec boundary for images.  Real decode needs PIL — not in this
+    container.  ``fake=True`` expands the blob's sha256 into a
+    deterministic (size, size, 3) uint8 raster (stable across
+    runs/machines), so the REAL resize math downstream has real pixels
+    to chew on."""
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires PIL/libjpeg not present in this "
+            "environment; pass fake=True for the deterministic stub"
+        )
+    need = size * size * 3
+    out = bytearray()
+    counter = 0
+    seed = hashlib.sha256(blob).digest()
+    while len(out) < need:
+        out += hashlib.sha256(seed + counter.to_bytes(4, "big")).digest()
+        counter += 1
+    return np.frombuffer(bytes(out[:need]), dtype=np.uint8).reshape(size, size, 3)
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize — pure numpy, REAL math (only the codec
+    is stubbed).  Index map: src = floor(dst * in/out)."""
+    in_h, in_w = img.shape[:2]
+    rows = (np.arange(out_h) * in_h // out_h).clip(0, in_h - 1)
+    cols = (np.arange(out_w) * in_w // out_w).clip(0, in_w - 1)
+    return img[rows][:, cols]
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    fake: bool = True,
+) -> DataFrame:
+    """``mapInPandas`` image resize: decode (stub) → nearest-neighbor
+    resize (real numpy) → emit the resized raster as bytes + new dims
+    + a pixel digest (the cross-run determinism witness).
+
+    Partition-preserving, no shuffle; batch memory = one Arrow batch of
+    rasters (bound it with arrow.maxRecordsPerBatch for real images).
+    """
+    schema = (
+        f"{id_col} long, width int, height int, "
+        "resized binary, pixel_digest string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                resize_nearest(decode_image_stub(b, fake=fake), out_w, out_h)
+                for b in pdf[payload_col]
+            ]
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "width": out_w,
+                "height": out_h,
+                "resized": [r.tobytes() for r in resized],
+                "pixel_digest": [
+                    hashlib.sha256(r.tobytes()).hexdigest() for r in resized
+                ],
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    k: int = 4,
+    frame_ms: int = 40,
+    payload_col: str = "payload",
+    meta_col: str = "media_meta",
+    id_col: str = "doc_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Uniform video frame sampling via ``mapInPandas`` (1 input row →
+    up to ``k`` frame rows — a flatMap, still shuffle-free).
+
+    Schedule (pure integer math, so any engine can replicate it):
+    ``n_frames = max(1, duration_ms // frame_ms)`` total frames; sample
+    ``s = min(k, n_frames)`` of them at
+    ``frame_idx_j = j * (n_frames - 1) // (s - 1)`` (j = 0..s-1; just
+    frame 0 when s == 1), ``ts_ms = frame_idx * frame_ms``.  Each
+    frame's feature vector comes from the stubbed decode of
+    (blob, frame_idx) — deterministic, real Arrow plumbing.
+    """
+    schema = (
+        f"{id_col} long, n_frames int, frame_idx int, ts_ms long, "
+        "features array<double>"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                id_col: [], "n_frames": [], "frame_idx": [], "ts_ms": [],
+                "features": [],
+            }
+            for rid, blob, meta in zip(
+                pdf[id_col], pdf[payload_col], pdf[meta_col]
+            ):
+                duration = int(meta["duration_ms"])
+                n_frames = max(1, duration // frame_ms)
+                s = min(k, n_frames)
+                idxs = (
+                    [j * (n_frames - 1) // (s - 1) for j in range(s)]
+                    if s > 1 else [0]
+                )
+                for idx in idxs:
+                    frame_blob = bytes(blob) + idx.to_bytes(4, "big")
+                    out[id_col].append(rid)
+                    out["n_frames"].append(n_frames)
+                    out["frame_idx"].append(idx)
+                    out["ts_ms"].append(idx * frame_ms)
+                    out["features"].append(
+                        decode_stub(frame_blob, fake=fake).tolist()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col, meta_col).mapInPandas(
+        run, schema=schema
+    )

@@ -5076,6 +5076,48 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal frame sampling (pipeline/multimodal.py:sample_frames):
+# video payloads (demo: text bytes with duration_ms = byte length)
+# fan out to k uniformly-spaced frame rows via mapInPandas — a
+# shuffle-free flatMap over Arrow batches.  The sampling schedule is
+# pure integer math, so the oracle replicates it exactly with
+# generate_series; the per-frame feature vectors (stubbed decode) are
+# pinned separately by multimodal_features' sha256 oracle and dropped
+# here.
+# ---------------------------------------------------------------------------
+
+@register("frame_sample_media", """
+WITH m AS (
+    SELECT doc_id,
+           greatest(1, octet_length(encode(text)) // 40) AS n_frames
+    FROM documents
+), s AS (
+    SELECT doc_id, n_frames, least(4, n_frames) AS s FROM m
+), j AS (
+    SELECT doc_id, n_frames, s,
+           unnest(generate_series(0, s - 1)) AS jj
+    FROM s
+)
+SELECT doc_id,
+       CAST(n_frames AS INT) AS n_frames,
+       CAST(CASE WHEN s > 1 THEN jj * (n_frames - 1) // (s - 1)
+                 ELSE 0 END AS INT) AS frame_idx,
+       CAST((CASE WHEN s > 1 THEN jj * (n_frames - 1) // (s - 1)
+                  ELSE 0 END) * 40 AS BIGINT) AS ts_ms
+FROM j
+""")
+def q_frame_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.multimodal import (
+        attach_binary_payload, sample_frames,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    with_payload = attach_binary_payload(docs, "text")
+    frames = sample_frames(with_payload, k=4, frame_ms=40, fake=True)
+    return frames.select("doc_id", "n_frames", "frame_idx", "ts_ms")
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -523,3 +523,59 @@ def test_lsh_multitable_improves_recall(spark, sf_dir):
     one, four = recall_at_1(1), recall_at_1(4)
     assert four >= one
     assert four >= 24, (one, four)  # >=80% of 30 planted neighbors
+
+
+def test_resize_images_plumbing(spark, sf_dir):
+    """Real nearest-neighbor math over stub-decoded rasters: exact
+    dims, deterministic pixel digest, identity resize == decode, and
+    a shuffle-free plan."""
+    from anomaly_detection_spark.pipeline.multimodal import (
+        decode_image_stub, resize_images, resize_nearest,
+    )
+    docs = load_table(spark, "documents", sf_dir).limit(8)
+    wp = attach_binary_payload(docs, "text")
+    out = resize_images(wp, out_w=4, out_h=6, fake=True).collect()
+    assert len(out) == 8
+    assert all(r.width == 4 and r.height == 6 for r in out)
+    assert all(len(r.resized) == 4 * 6 * 3 for r in out)
+    # digest matches a local recompute of the same decode+resize
+    row = wp.select("doc_id", "payload").first()
+    import hashlib
+    local = resize_nearest(
+        decode_image_stub(bytes(row.payload), fake=True), 4, 6
+    )
+    got = {r.doc_id: r.pixel_digest for r in out}[row.doc_id]
+    assert got == hashlib.sha256(local.tobytes()).hexdigest()
+    # identity resize reproduces the decoded raster exactly
+    img = decode_image_stub(b"xyz", fake=True)
+    assert (resize_nearest(img, 16, 16) == img).all()
+    # plan over the un-limited table (limit itself inserts an Exchange)
+    full = attach_binary_payload(
+        load_table(spark, "documents", sf_dir), "text"
+    )
+    plan = resize_images(full, 4, 6)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_sample_frames_schedule_and_flatmap(spark, sf_dir):
+    """Uniform schedule: short payloads emit fewer frames; long ones
+    exactly k; ts = idx * frame_ms; 1-row → n-rows without a shuffle."""
+    from anomaly_detection_spark.pipeline.multimodal import sample_frames
+    rows = [(1, "x" * 39), (2, "x" * 40), (3, "x" * 200), (4, "x" * 4000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wp = attach_binary_payload(docs, "text")
+    out = sample_frames(wp, k=4, frame_ms=40, fake=True).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 39 bytes → 1 frame; 40 → 1 frame (40//40); 200 → 5 frames sample 4
+    assert len(by_doc[1]) == 1 and by_doc[1][0].frame_idx == 0
+    assert len(by_doc[2]) == 1
+    assert len(by_doc[3]) == 4
+    assert [r.frame_idx for r in sorted(by_doc[3], key=lambda r: r.frame_idx)] \
+        == [0, 1, 2, 4]  # j*(5-1)//3 = 0,1,2,4
+    assert all(r.ts_ms == r.frame_idx * 40 for r in out)
+    assert all(len(r.features) == 8 for r in out)
+    plan = sample_frames(wp, k=4)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
