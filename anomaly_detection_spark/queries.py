@@ -5118,6 +5118,122 @@ def q_frame_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift statistic: did the value
+# distribution shift between the first and second half of the window?
+# KS = max |EDF_a - EDF_b| over the pooled sample — computed with ONE
+# sort-free trick: pool both samples, sort by value via a single
+# window, and track the running difference of normalized counts.  The
+# exact statistic (ties handled by evaluating the EDF AFTER all equal
+# values at each point, per the right-continuous EDF definition), on
+# the 4-dp value grid, so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+@register("ks_drift_events", """
+WITH labeled AS (
+    SELECT round(value, 4) AS v,
+           CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS in_a
+    FROM events
+), counts AS (
+    SELECT v, CAST(sum(in_a) AS BIGINT) AS na_here,
+           CAST(sum(1 - in_a) AS BIGINT) AS nb_here
+    FROM labeled GROUP BY v
+), tot AS (
+    SELECT CAST(sum(na_here) AS DOUBLE) AS na,
+           CAST(sum(nb_here) AS DOUBLE) AS nb FROM counts
+), edf AS (
+    SELECT sum(na_here) OVER (ORDER BY v) / (SELECT na FROM tot) AS fa,
+           sum(nb_here) OVER (ORDER BY v) / (SELECT nb FROM tot) AS fb
+    FROM counts
+)
+SELECT CAST((SELECT na FROM tot) AS BIGINT) AS n_a,
+       CAST((SELECT nb FROM tot) AS BIGINT) AS n_b,
+       round(max(abs(fa - fb)), 6) AS ks_stat
+FROM edf
+""")
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    cutoff = ntz_lit("2024-01-16 00:00:00")
+    labeled = ev.select(
+        F.round("value", 4).alias("v"),
+        F.when(F.col("ts") < cutoff, 1).otherwise(0).alias("in_a"),
+    )
+    # collapse ties first: the EDF step points are distinct values, so
+    # the ordered window below walks |distinct values| rows, not rows
+    counts = labeled.groupBy("v").agg(
+        F.sum("in_a").alias("na_here"),
+        F.sum(1 - F.col("in_a")).alias("nb_here"),
+    )
+    tot = counts.agg(
+        F.sum("na_here").cast("double").alias("na"),
+        F.sum("nb_here").cast("double").alias("nb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    # the ordered-by-value running sum is a single-task window over the
+    # DISTINCT-value relation (bounded: 4-dp grid), not the event table;
+    # at 100 TB pre-bucket values or sample — documented trade-off
+    edf = counts.crossJoin(F.broadcast(tot)).select(
+        (F.sum("na_here").over(w) / F.col("na")).alias("fa"),
+        (F.sum("nb_here").over(w) / F.col("nb")).alias("fb"),
+        "na", "nb",
+    )
+    return edf.agg(
+        F.first("na").cast("bigint").alias("n_a"),
+        F.first("nb").cast("bigint").alias("n_b"),
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-significant-digit audit — the classic fabricated-data
+# screen, squarely in the reference's data-ingestion-QA mission.
+# First significant digit via string manipulation on the 4-dp-rounded
+# absolute value (portable: no log10 float edge cases), observed share
+# vs Benford expectation log10(1 + 1/d), and the chi-square deviation
+# statistic per digit.
+# ---------------------------------------------------------------------------
+
+@register("benford_digit_audit", """
+WITH d AS (
+    SELECT CAST(substr(regexp_replace(
+               CAST(CAST(round(abs(value) * 10000, 0) AS BIGINT) AS VARCHAR),
+               '^0+', ''), 1, 1) AS INT) AS digit
+    FROM events WHERE round(abs(value) * 10000, 0) >= 1
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d)
+SELECT digit,
+       count(*) AS n_obs,
+       round(count(*) / (SELECT n FROM n), 6) AS obs_share,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+       round(pow(count(*) / (SELECT n FROM n) - log10(1.0 + 1.0 / digit), 2)
+             / log10(1.0 + 1.0 / digit), 8) AS chi_term
+FROM d GROUP BY digit
+""")
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    # first significant digit of |value| on the 4-dp grid: strip the
+    # integer's leading zeros (none — it's an integer >= 1), take char 1
+    scaled = F.round(F.abs("value") * 10000, 0).cast("bigint")
+    d = ev.where(scaled >= 1).select(
+        F.substring(
+            F.regexp_replace(scaled.cast("string"), "^0+", ""), 1, 1
+        ).cast("int").alias("digit")
+    )
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit", "n_obs",
+            F.round(F.col("n_obs") / F.col("n"), 6).alias("obs_share"),
+            F.round(benford, 6).alias("benford_share"),
+            F.round(
+                F.pow(F.col("n_obs") / F.col("n") - benford, 2) / benford, 8
+            ).alias("chi_term"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

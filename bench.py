@@ -60,6 +60,10 @@ BENCH_QUERIES = [
     "editdist_near_dups",
     "incremental_agg_events",
     "variant_props_stats",
+    "shard_corpus_docs",
+    "frame_sample_media",
+    "ks_drift_events",
+    "benford_digit_audit",
 ]
 
 
