@@ -66,29 +66,30 @@ def mixture_quotas(
     denom = int(denom if denom is not None else sum(parts.values()))
     if denom <= 0:
         raise ValueError("weights must sum to a positive denominator")
-    pmap = F.create_map(*[F.lit(x) for kv in parts.items() for x in kv])
-    numer = F.coalesce(pmap[F.col(domain_col)].cast("long"), F.lit(0)) * F.lit(total_n)
-    d = counts.select(
-        F.col(domain_col).alias("domain"),
-        F.col(count_col).cast("long").alias("n_avail"),
-        # integer floor-division: operands are integral and < 2^53, and a
-        # rational p/q is never within a double ulp of an integer unless
-        # exactly integral, so divide-then-truncate is the true DIV
-        (numer / denom).cast("long").alias("base"),
-        (numer % denom).alias("rem"),
-    )
-    leftover = F.lit(total_n) - F.sum("base").over(Window.partitionBy())
-    rank = F.row_number().over(
-        Window.partitionBy().orderBy(F.col("rem").desc(), F.col("domain").asc())
-    )
-    # #domains rows: the empty-partition window is a deliberate
-    # single-task pass over a tiny relation, not a scale hazard
-    return d.select(
-        "domain", "n_avail",
-        F.least(
-            F.col("base") + F.when(rank <= leftover, 1).otherwise(0),
-            F.col("n_avail"),
-        ).alias("quota"),
+    # The counts relation is #domains rows — metadata, not data.  Pull
+    # it to the driver (like a Bloom bitmap or IVF centroid set) and
+    # run the quota law in exact Python integers; the result broadcasts
+    # back as a literal table, so the quota side contributes ZERO
+    # exchanges to the plan.  The law seeds from the WEIGHTS, not just
+    # observed domains: a weighted domain with zero available rows
+    # still consumes its base units (quota capped at 0, units lost,
+    # never redistributed).
+    avail = {
+        r[0]: int(r[1])
+        for r in counts.select(domain_col, count_col).collect()
+    }
+    domains = sorted(set(avail) | set(parts))
+    numer = {d: int(parts.get(d, 0)) * int(total_n) for d in domains}
+    base = {d: numer[d] // denom for d in domains}
+    rem = {d: numer[d] % denom for d in domains}
+    leftover = int(total_n) - sum(base.values())
+    for d in sorted(domains, key=lambda d: (-rem[d], d))[:max(leftover, 0)]:
+        base[d] += 1
+    rows = [
+        (d, avail.get(d, 0), min(base[d], avail.get(d, 0))) for d in domains
+    ]
+    return counts.sparkSession.createDataFrame(
+        rows, "domain string, n_avail long, quota long"
     )
 
 

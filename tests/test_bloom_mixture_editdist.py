@@ -219,3 +219,15 @@ def test_editdist_no_cartesian(spark, sf_dir):
     plan = _physical_plan(edit_distance_near_duplicates(docs))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_mixture_empty_weighted_domain_not_backfilled(spark):
+    """A weighted domain with ZERO available rows still consumes its
+    base units (quota 0, units lost) — they must not leak into other
+    domains via the leftover pool."""
+    counts = spark.createDataFrame(
+        [("a", 1000)], "domain string, n_avail long"
+    )
+    q = {r["domain"]: r["quota"] for r in
+         mixture_quotas(counts, {"a": 50, "b": 50}, 100).collect()}
+    assert q == {"a": 50, "b": 0}
