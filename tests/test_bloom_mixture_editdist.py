@@ -231,3 +231,62 @@ def test_mixture_empty_weighted_domain_not_backfilled(spark):
     q = {r["domain"]: r["quota"] for r in
          mixture_quotas(counts, {"a": 50, "b": 50}, 100).collect()}
     assert q == {"a": 50, "b": 0}
+
+
+# ------------------------------------------------------- property tests
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.text(alphabet="abé日", min_size=0, max_size=30),
+        min_size=2, max_size=12,
+    )
+)
+def test_editdist_complete_on_random_strings(spark, texts):
+    """Blocking completeness under hypothesis: arbitrary short strings
+    (including the short band, unicode folding, empty strings) must
+    reproduce brute force exactly."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"])
+           for r in edit_distance_near_duplicates(docs).collect()}
+    assert got == _brute_pairs(rows)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    avail=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(min_value=0, max_value=40), min_size=1, max_size=4,
+    ),
+    parts=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d", "ghost"]),
+        st.integers(min_value=0, max_value=10), min_size=1, max_size=5,
+    ),
+    total=st.integers(min_value=0, max_value=60),
+)
+def test_mixture_quota_law_invariants(avail, parts, total):
+    """The quota law in pure Python mirrors mixture_quotas exactly
+    (same code path, driver-side): check the lawbook invariants."""
+    denom = sum(parts.values())
+    if denom <= 0:
+        return
+    domains = sorted(set(avail) | set(parts))
+    numer = {d: parts.get(d, 0) * total for d in domains}
+    base = {d: numer[d] // denom for d in domains}
+    rem = {d: numer[d] % denom for d in domains}
+    leftover = total - sum(base.values())
+    for d in sorted(domains, key=lambda d: (-rem[d], d))[:max(leftover, 0)]:
+        base[d] += 1
+    quota = {d: min(base[d], avail.get(d, 0)) for d in domains}
+    # invariants: bounded by availability and ask; uncapped sum == total
+    assert all(quota[d] <= avail.get(d, 0) for d in domains)
+    assert sum(base.values()) == total
+    assert all(quota[d] <= base[d] for d in domains)
+    # zero-weight domains never sample
+    assert all(quota[d] == 0 for d in domains if parts.get(d, 0) == 0)
