@@ -50,3 +50,84 @@ def make_curated_ingest(
         batch.write.mode("append").parquet(corpus_path)
 
     return on_batch
+
+
+def make_incremental_rollup(
+    state_path: str,
+    keys,
+    updates,
+    merges,
+):
+    """Build a ``foreachBatch`` callback maintaining a keyed aggregate
+    state table — the streaming form of the materialized-view pattern
+    (`operators.incremental.merge_agg_states`): per trigger, aggregate
+    ONLY the microbatch (``updates``: column-name → phase-1 aggregate)
+    and merge it into the stored state (``merges``: column-name →
+    merge aggregate over state ∪ delta rows).
+
+    State is VERSIONED (``state_path/v=N``): each trigger reads the
+    newest version and writes N+1, because Spark cannot safely
+    overwrite a parquet path it is lazily reading in the same job —
+    and versioning buys time-travel/rollback for free, the same way
+    table formats do.  Readers use :func:`read_rollup_state`.  A
+    re-delivered batch after a crash re-merges its rows (counts/sums
+    are NOT idempotent under redelivery) — production would stamp the
+    version directory with the batch id and skip versions already
+    written (exactly-once via rename atomicity); the test exercises the
+    happy path.
+    """
+    import re
+
+    from anomaly_detection_spark.operators.incremental import merge_agg_states
+
+    keys = list(keys)
+
+    def _latest(spark, path):
+        sc = spark.sparkContext
+        hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return None, 0
+        versions = []
+        for st in fs.listStatus(hpath):
+            m = re.fullmatch(r"v=(\d+)", st.getPath().getName())
+            if m:
+                versions.append(int(m.group(1)))
+        if not versions:
+            return None, 0
+        n = max(versions)
+        return spark.read.parquet(f"{path}/v={n}"), n
+
+    def on_batch(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = batch_df.groupBy(*keys).agg(
+            *[expr.alias(name) for name, expr in updates.items()]
+        )
+        state, n = _latest(spark, state_path)
+        merged = (
+            merge_agg_states([state, delta], keys, merges)
+            if state is not None else delta
+        )
+        merged.write.mode("overwrite").parquet(f"{state_path}/v={n + 1}")
+
+    return on_batch
+
+
+def read_rollup_state(spark, state_path: str):
+    """Read the newest version of a :func:`make_incremental_rollup`
+    state table (None if nothing has been written yet)."""
+    import re
+
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    versions = []
+    for st in fs.listStatus(hpath):
+        m = re.fullmatch(r"v=(\d+)", st.getPath().getName())
+        if m:
+            versions.append(int(m.group(1)))
+    if not versions:
+        return None
+    return spark.read.parquet(f"{state_path}/v={max(versions)}")

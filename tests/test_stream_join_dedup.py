@@ -161,3 +161,65 @@ def test_streaming_curated_ingest(spark):
     got = {r.doc_id for r in spark.read.parquet(corpus).collect()}
     shutil.rmtree(d, ignore_errors=True)
     assert got == {0, 1, 2, 10, 20}, got
+
+
+def test_streaming_incremental_rollup(spark):
+    """Three triggers of events maintain a per-user rollup state; the
+    final state must equal the full GROUP BY over everything fed —
+    merge == recompute, continuously."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_spark.streaming.ingest import (
+        make_incremental_rollup, read_rollup_state,
+    )
+
+    d = tempfile.mkdtemp()
+    src, state, ckpt = (os.path.join(d, x) for x in ("src", "state", "ckpt"))
+    os.makedirs(src)
+    schema = "user_id long, v long"
+
+    batches = [
+        [(1, 10), (1, 20), (2, 5)],
+        [(1, 1), (3, 7), (3, 8)],
+        [(2, 100), (1, 2)],
+    ]
+    cents = F.col("v")
+    on_batch = make_incremental_rollup(
+        state,
+        keys=["user_id"],
+        updates={"n": F.count("v"), "s": F.sum(cents),
+                 "mn": F.min("v"), "mx": F.max("v")},
+        merges={"n": F.sum("n"), "s": F.sum("s"),
+                "mn": F.min("mn"), "mx": F.max("mx")},
+    )
+
+    stream = (
+        spark.readStream.schema(schema).parquet(src)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = stream.start()
+        q.awaitTermination(120)
+
+    got = {
+        r.user_id: (r.n, r.s, r.mn, r.mx)
+        for r in read_rollup_state(spark, state).collect()
+    }
+    all_rows = [r for b in batches for r in b]
+    full = spark.createDataFrame(all_rows, schema).groupBy("user_id").agg(
+        F.count("v").alias("n"), F.sum("v").alias("s"),
+        F.min("v").alias("mn"), F.max("v").alias("mx"),
+    )
+    want = {r.user_id: (r.n, r.s, r.mn, r.mx) for r in full.collect()}
+    assert got == want
+    # versioning: one state version per trigger that saw data
+    import glob
+    assert len(glob.glob(os.path.join(state, "v=*"))) >= 3
