@@ -123,6 +123,16 @@ def main() -> None:
         cur = hash_split(exact_dedup(cur, "text", "doc_id"), "doc_id")
         n_curated = cur.count()
         t_curate = round(time.monotonic() - t0, 2)
+
+        # edit-distance near-dup: candidate volume must track prefix-dup
+        # density (the token-suffix replication keeps copies' prefixes
+        # distinct, so pairs stay ~linear in K), never n².
+        from anomaly_detection_spark.pipeline.editdist import (
+            edit_distance_near_duplicates,
+        )
+        t0 = time.monotonic()
+        n_ed_pairs = edit_distance_near_duplicates(docs).count()
+        t_editdist = round(time.monotonic() - t0, 2)
         docs.unpersist()
         print(json.dumps({
             "k": k, "rows": n_rows, "series": n_flags,
@@ -133,6 +143,7 @@ def main() -> None:
             "contaminated": n_contam, "decontam_sec": t_decontam,
             "curated": n_curated, "curate_sec": t_curate,
             "curate_docs_per_sec": round(n_docs / t_curate, 1),
+            "editdist_pairs": n_ed_pairs, "editdist_sec": t_editdist,
         }), flush=True)
 
 
