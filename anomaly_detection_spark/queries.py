@@ -5234,6 +5234,125 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# OHLC resampling bars — the ticker-domain downsample: per (user, day),
+# open/high/low/close with first/last picked by an exact total order
+# (µs since the corpus epoch, then event_id) packed into one long —
+# offsetting by the corpus start keeps (Δµs · 10^6 + event_id) inside
+# 63 bits for multi-year spans, and both engines compute the identical
+# scalar.  Spark max_by/min_by == DuckDB arg_max/arg_min; one shuffle,
+# map-side partial aggregation (each stat folds associatively).
+# ---------------------------------------------------------------------------
+
+_OHLC_KEY_SQL = ("(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))"
+                 " * 1000000 + event_id")
+
+@register("ohlc_bars_events", f"""
+SELECT user_id,
+       CAST(date_trunc('day', ts) AS DATE) AS bar_date,
+       round(arg_min(value, {_OHLC_KEY_SQL}), 4) AS open,
+       round(max(value), 4) AS high,
+       round(min(value), 4) AS low,
+       round(arg_max(value, {_OHLC_KEY_SQL}), 4) AS close,
+       count(*) AS n_ticks
+FROM events
+GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+""")
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    base_us = 1704067200 * 1_000_000  # 2024-01-01 00:00:00 UTC in µs
+    order_key = (
+        (F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(base_us))
+        * 1_000_000 + F.col("event_id")
+    )
+    return ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("bar_date")
+    ).agg(
+        F.round(F.min_by("value", order_key), 4).alias("open"),
+        F.round(F.max("value"), 4).alias("high"),
+        F.round(F.min("value"), 4).alias("low"),
+        F.round(F.max_by("value", order_key), 4).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window DISTINCT users — the hard sliding stat (distinct does
+# not decompose across overlapping panes, unlike counts/sums).  Exact
+# form: explode each event into the hopping windows that contain it
+# (window/hop = 2h/1h → 2 windows/event), then count_distinct per
+# window.  At 100 TB the overlap factor (window/hop) multiplies the
+# shuffle — keep it small, or swap count_distinct for the mergeable
+# HLL state (incremental_distinct_users) when approximation is
+# acceptable.
+# ---------------------------------------------------------------------------
+
+@register("sliding_distinct_users", """
+WITH exploded AS (
+    SELECT user_id,
+           date_trunc('hour', ts) - j * INTERVAL 1 HOUR AS win_start
+    FROM events, (SELECT unnest(generate_series(0, 1)) AS j)
+)
+SELECT win_start,
+       count(DISTINCT user_id) AS distinct_users
+FROM exploded
+GROUP BY win_start
+""")
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    # window(ts, '2 hours', '1 hour') assigns each event its 2 hopping
+    # panes natively; the oracle replicates the pane math by hand
+    win = F.window("ts", "2 hours", "1 hour")
+    return (
+        ev.select("user_id", win.alias("w"))
+        .groupBy(F.col("w.start").alias("win_start"))
+        .agg(F.countDistinct("user_id").alias("distinct_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain top-p quality filter — "keep the best half of every
+# language" (quality-score percent_rank within lang).  The standard
+# curation cut that respects domain balance instead of letting one
+# domain's score scale dominate a global threshold.  Deterministic
+# tie-break on doc_id; one shuffle (the lang window).
+# ---------------------------------------------------------------------------
+
+@register("quality_topp_docs", """
+WITH scored AS (
+    SELECT doc_id, lang,
+           round(CAST(length(text) AS DOUBLE)
+                 / greatest(len(string_split_regex(trim(text), '\\s+')), 1), 4)
+               AS chars_per_token
+    FROM documents
+), ranked AS (
+    SELECT doc_id, lang, chars_per_token,
+           percent_rank() OVER (PARTITION BY lang
+                                ORDER BY chars_per_token ASC, doc_id ASC)
+               AS pr
+    FROM scored
+)
+SELECT doc_id, lang, chars_per_token, round(pr, 6) AS quality_pctile
+FROM ranked WHERE pr >= 0.5
+""")
+def q_quality_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    cpt = F.round(
+        F.length("text").cast("double")
+        / F.greatest(F.size(F.split(F.trim("text"), r"\s+")), F.lit(1)),
+        4,
+    )
+    scored = docs.select("doc_id", "lang", cpt.alias("chars_per_token"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("chars_per_token").asc(), F.col("doc_id").asc()
+    )
+    ranked = scored.withColumn("pr", F.percent_rank().over(w))
+    return ranked.where(F.col("pr") >= 0.5).select(
+        "doc_id", "lang", "chars_per_token",
+        F.round("pr", 6).alias("quality_pctile"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
