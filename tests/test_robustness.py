@@ -151,3 +151,29 @@ def test_partitioning_invariance_curated_corpus(spark, sf_dir):
         for r in hash_split(deduped, "doc_id").collect()
     )
     assert rows == rebuilt
+
+
+def test_observed_metrics_single_pass(spark, sf_dir, tmp_path):
+    """Validation counters ride the SAME job as the real work (a
+    filtered parquet write): one pass yields the output AND the
+    metrics, and the metric values match an independent recompute."""
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_spark.operators.observe import with_observed_metrics
+    from anomaly_detection_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    observed, obs = with_observed_metrics(ev, {
+        "n_rows": F.count(F.lit(1)),
+        "n_over_250": F.count(F.when(F.col("value") > 250, 1)),
+        "n_null_props": F.count(F.when(F.col("props").isNull(), 1)),
+    })
+    out = str(tmp_path / "curated")
+    observed.where(F.col("value") <= 250).write.parquet(out)
+
+    got = obs.get
+    assert got["n_rows"] == ev.count()
+    assert got["n_over_250"] == ev.where(F.col("value") > 250).count()
+    assert got["n_null_props"] == ev.where(F.col("props").isNull()).count()
+    # and the job's real output reflects the filter the metrics describe
+    assert spark.read.parquet(out).count() == got["n_rows"] - got["n_over_250"]

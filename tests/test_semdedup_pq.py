@@ -127,3 +127,50 @@ def test_semantic_dedup_no_cartesian(spark, sf_dir):
     # (the broadcast centroid scoring is the only nested-loop, and it is
     # a BROADCAST NLJ over K rows, not a fact-fact cartesian)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_index_persistence_roundtrip(spark, sf_dir, tmp_path):
+    """Build-once/reuse: topk over a LOADED index must equal topk over
+    the freshly built one bit-for-bit, across IVF and PQ; versions are
+    append-only and the catalog records params."""
+    import pyspark.sql.functions as F
+
+    from anomaly_detection_spark.pipeline.index_io import (
+        index_catalog, load_ivf_centroids, load_pq_codebooks,
+        save_ivf_centroids, save_pq_codebooks,
+    )
+    from anomaly_detection_spark.pipeline.similarity import (
+        ivf_index, ivf_topk, pq_codebooks_from_rows, pq_topk,
+    )
+
+    path = str(tmp_path / "indexes")
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    # IVF: persist centroids, reload, expect identical results
+    indexed, centroids = ivf_index(emb, n_clusters=8)
+    v1 = save_ivf_centroids(spark, path, centroids, {"n_clusters": 8})
+    loaded = load_ivf_centroids(spark, path)
+    assert loaded == [[float(x) for x in c] for c in centroids]
+    fresh = ivf_topk(emb, q, k=5, n_clusters=8, centroids=centroids)
+    reused = ivf_topk(emb, q, k=5, n_clusters=8, centroids=loaded)
+    assert sorted(map(tuple, fresh.collect())) == \
+        sorted(map(tuple, reused.collect()))
+
+    # PQ: same contract
+    books = pq_codebooks_from_rows(emb, n_codes=16, n_subspaces=8)
+    save_pq_codebooks(spark, path, books, {"n_subspaces": 8})
+    books2 = load_pq_codebooks(spark, path)
+    assert books2 == books
+    f = pq_topk(emb, q, books, k=3)
+    r = pq_topk(emb, q, books2, k=3)
+    assert sorted(map(tuple, f.collect())) == sorted(map(tuple, r.collect()))
+
+    # versioning appends; catalog sees both kinds
+    v2 = save_ivf_centroids(spark, path, centroids, {"n_clusters": 8})
+    assert v2 == v1 + 1
+    cat = {(r.kind, r.v) for r in index_catalog(spark, path).collect()}
+    assert ("ivf_centroids", 1) in cat and ("ivf_centroids", 2) in cat
+    assert ("pq_codebooks", 1) in cat
