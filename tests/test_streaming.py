@@ -328,3 +328,55 @@ def test_staleness_timeout_fires_stale_then_recovers(spark, stream_dir):
         assert (7, "RECOVERED") in rows(), "fresh data never produced RECOVERED"
     finally:
         q.stop()
+
+
+def test_streaming_session_windows(spark, stream_dir):
+    """Native session windows (session_window + watermark) in a stream:
+    gaps > 30 min split sessions; closed sessions emit once the
+    watermark passes; results match the batch session_window over the
+    same rows."""
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    src = os.path.join(stream_dir, "src")
+    os.makedirs(src)
+    rows = [
+        (1, base + dt.timedelta(minutes=0), 1.0),
+        (1, base + dt.timedelta(minutes=10), 2.0),   # same session
+        (1, base + dt.timedelta(minutes=60), 3.0),   # gap 50m → new session
+        (2, base + dt.timedelta(minutes=5), 4.0),
+    ]
+    _write_batch(spark, src, rows, 1)
+    # event-time sentinel far ahead so every session closes
+    _write_batch(spark, src, [(9, base + dt.timedelta(days=3), 0.0)], 2)
+
+    stream = spark.readStream.schema(SCHEMA) \
+        .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    # watermarks require TIMESTAMP (not NTZ); UTC session makes the
+    # cast lossless
+    agg = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .select("user_id", F.col("sw.start").alias("start"), "n", "s")
+    )
+    got = {(r.user_id, r.start): (r.n, r.s)
+           for r in _drain(spark, agg, "sess1", src).collect()}
+
+    batch = (
+        spark.createDataFrame(rows + [(9, base + dt.timedelta(days=3), 0.0)],
+                              SCHEMA)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .select("user_id", F.col("sw.start").alias("start"), "n", "s")
+    )
+    # the sentinel's own session never closes (nothing advances the
+    # watermark past it) — compare the real users only
+    want = {(r.user_id, r.start): (r.n, r.s) for r in batch.collect()
+            if r.user_id != 9}
+    assert got == want
+    # structure: user 1 has two sessions, the first holding 2 events
+    assert got[(1, base)] == (2, 3.0)
+    assert got[(1, base + dt.timedelta(minutes=60))] == (1, 3.0)
