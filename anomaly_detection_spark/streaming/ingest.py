@@ -65,16 +65,18 @@ def make_incremental_rollup(
     and merge it into the stored state (``merges``: column-name →
     merge aggregate over state ∪ delta rows).
 
-    State is VERSIONED (``state_path/v=N``): each trigger reads the
-    newest version and writes N+1, because Spark cannot safely
-    overwrite a parquet path it is lazily reading in the same job —
-    and versioning buys time-travel/rollback for free, the same way
-    table formats do.  Readers use :func:`read_rollup_state`.  A
-    re-delivered batch after a crash re-merges its rows (counts/sums
-    are NOT idempotent under redelivery) — production would stamp the
-    version directory with the batch id and skip versions already
-    written (exactly-once via rename atomicity); the test exercises the
-    happy path.
+    State is VERSIONED by the Structured Streaming batch id
+    (``state_path/v=<batch_id + 1>``): each trigger reads the newest
+    version below its own and writes its stamped one, because Spark
+    cannot safely overwrite a parquet path it is lazily reading in the
+    same job — and versioning buys time-travel/rollback for free, the
+    same way table formats do.  Readers use :func:`read_rollup_state`.
+
+    Exactly-once under redelivery: counts/sums are NOT idempotent if a
+    batch merges twice, so a re-delivered batch (same ``batch_id``
+    after a crash) detects its own already-committed version directory
+    and SKIPS the merge — the batch-id stamp is the transaction marker,
+    the same contract Spark's file sinks get from their commit log.
     """
     import re
 
@@ -82,33 +84,38 @@ def make_incremental_rollup(
 
     keys = list(keys)
 
-    def _latest(spark, path):
+    def _fs(spark):
         sc = spark.sparkContext
-        hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        hpath = sc._jvm.org.apache.hadoop.fs.Path(state_path)
+        return hpath, hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+
+    def _versions(spark):
+        hpath, fs = _fs(spark)
         if not fs.exists(hpath):
-            return None, 0
-        versions = []
+            return []
+        out = []
         for st in fs.listStatus(hpath):
             m = re.fullmatch(r"v=(\d+)", st.getPath().getName())
             if m:
-                versions.append(int(m.group(1)))
-        if not versions:
-            return None, 0
-        n = max(versions)
-        return spark.read.parquet(f"{path}/v={n}"), n
+                out.append(int(m.group(1)))
+        return sorted(out)
 
     def on_batch(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        mine = int(batch_id) + 1
+        done = _versions(spark)
+        if mine in done:
+            return  # redelivered batch: its merge already committed
+        prev = [v for v in done if v < mine]
         delta = batch_df.groupBy(*keys).agg(
             *[expr.alias(name) for name, expr in updates.items()]
         )
-        state, n = _latest(spark, state_path)
-        merged = (
-            merge_agg_states([state, delta], keys, merges)
-            if state is not None else delta
-        )
-        merged.write.mode("overwrite").parquet(f"{state_path}/v={n + 1}")
+        if prev:
+            state = spark.read.parquet(f"{state_path}/v={prev[-1]}")
+            merged = merge_agg_states([state, delta], keys, merges)
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(f"{state_path}/v={mine}")
 
     return on_batch
 

@@ -223,3 +223,33 @@ def test_streaming_incremental_rollup(spark):
     # versioning: one state version per trigger that saw data
     import glob
     assert len(glob.glob(os.path.join(state, "v=*"))) >= 3
+
+
+def test_incremental_rollup_redelivery_idempotent(spark):
+    """A crashed trigger redelivers its batch with the SAME batch id;
+    the stamped version directory is the transaction marker, so the
+    second delivery must not double-merge."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_spark.streaming.ingest import (
+        make_incremental_rollup, read_rollup_state,
+    )
+
+    state = os.path.join(tempfile.mkdtemp(), "state")
+    on_batch = make_incremental_rollup(
+        state, keys=["k"],
+        updates={"n": F.count("v"), "s": F.sum("v")},
+        merges={"n": F.sum("n"), "s": F.sum("s")},
+    )
+    schema = "k long, v long"
+    b0 = spark.createDataFrame([(1, 10), (1, 5)], schema)
+    b1 = spark.createDataFrame([(1, 100)], schema)
+
+    on_batch(b0, 0)
+    on_batch(b1, 1)
+    on_batch(b1, 1)   # redelivery of batch 1 — must be a no-op
+    got = {r.k: (r.n, r.s) for r in read_rollup_state(spark, state).collect()}
+    assert got == {1: (3, 115)}
