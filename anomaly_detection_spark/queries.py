@@ -5353,6 +5353,90 @@ def q_quality_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE): transitive closure of the
+# edit-distance duplicate graph — "every doc transitively downstream
+# of src in the dup chain".  The edge set is a DAG (id_a < id_b), so
+# UNION ALL recursion terminates (Spark doesn't support UNION-dedup in
+# the recursive member yet); duplicate paths collapse in the final
+# GROUP BY.  The Spark side feeds the SAME operator output
+# (edit_distance_near_duplicates) into the recursion via a temp view —
+# DataFrame operators and recursive SQL composing in one query.
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_CLOSURE_SQL = """
+WITH RECURSIVE reach(src, dst) AS (
+    SELECT id_a, id_b FROM {edges}
+    UNION ALL
+    SELECT r.src, p.id_b
+    FROM reach r JOIN {edges} p ON r.dst = p.id_a
+)
+SELECT src, dst FROM reach GROUP BY src, dst
+"""
+
+@register("recursive_dup_closure", r"""
+WITH RECURSIVE p AS (
+    SELECT doc_id,
+           regexp_replace(lower(substr(text, 1, 24)), '[^\x00-\x7F]', '#', 'g')
+               AS pfx
+    FROM documents
+), edges AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM p a JOIN p b
+      ON a.doc_id < b.doc_id
+     AND abs(length(a.pfx) - length(b.pfx)) <= 1
+    WHERE levenshtein(a.pfx, b.pfx) <= 1
+), reach(src, dst) AS (
+    SELECT id_a, id_b FROM edges
+    UNION ALL
+    SELECT r.src, e.id_b FROM reach r JOIN edges e ON r.dst = e.id_a
+)
+SELECT src, dst FROM reach GROUP BY src, dst
+""")
+def q_recursive_dup_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.editdist import (
+        edit_distance_near_duplicates,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    edges = edit_distance_near_duplicates(docs).select("id_a", "id_b")
+    edges.createOrReplaceTempView("editdist_edges_tv")
+    return spark.sql(_RECURSIVE_CLOSURE_SQL.format(edges="editdist_edges_tv"))
+
+
+# ---------------------------------------------------------------------------
+# Correlated LATERAL subquery (Spark 3.2+ LATERAL): per-customer top-2
+# orders by price — the SQL-surface twin of the window top-N idiom,
+# here as a correlated ORDER BY + LIMIT subquery that the optimizer
+# decorrelates.  Deterministic tie-break on o_orderkey.
+# ---------------------------------------------------------------------------
+
+@register("lateral_top2_orders", """
+SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 4) AS totalprice
+FROM customer c,
+LATERAL (
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+) t
+WHERE c.c_mktsegment = 'MACHINERY'
+""")
+def q_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("customer_tv")
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_tv")
+    return spark.sql("""
+        SELECT c.c_custkey, t.o_orderkey,
+               round(t.o_totalprice, 4) AS totalprice
+        FROM customer_tv c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders_tv o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'MACHINERY'
+    """)
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
