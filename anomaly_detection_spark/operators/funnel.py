@@ -22,15 +22,34 @@ def funnel_times(
     steps: list[tuple[str, Column]],
     user_col: str = "user_id",
     ts_col: str = "ts",
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """One row per entity with a timestamp column per step (named after
-    the step), NULL from the first step the entity never completed."""
+    the step), NULL from the first step the entity never completed.
+
+    ``within_seconds`` bounds each step's conversion window: step k
+    must occur within that many seconds AFTER step k-1 (the realistic
+    funnel — an ad click a month after the view is not a conversion).
+    Note the first-touch subtlety this inherits: each step's time is
+    the FIRST qualifying event, so a later in-window pair is not
+    credited if the first step-k event fell outside the window —
+    standard first-touch attribution, stated rather than hidden.
+    """
     w = Window.partitionBy(user_col)
     cur = df
     prev_ts: Column | None = None
     names: list[str] = []
     for name, pred in steps:
-        cond = pred if prev_ts is None else pred & (F.col(ts_col) > prev_ts)
+        if prev_ts is None:
+            cond = pred
+        else:
+            cond = pred & (F.col(ts_col) > prev_ts)
+            if within_seconds is not None:
+                cond = cond & (
+                    F.unix_micros(F.col(ts_col).cast("timestamp"))
+                    - F.unix_micros(prev_ts.cast("timestamp"))
+                    <= int(within_seconds) * 1_000_000
+                )
         cur = cur.withColumn(
             f"_t_{name}", F.min(F.when(cond, F.col(ts_col))).over(w)
         )

@@ -5437,6 +5437,168 @@ def q_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-bounded funnel: each step must convert within 24h of the prior
+# step (first-touch attribution; the unbounded variant is
+# funnel_conversion_steps).  Same single-exchange chained-window-min
+# plan — the bound is one more conjunct in each step's CASE.
+# ---------------------------------------------------------------------------
+
+@register("funnel_time_bounded", """
+WITH t1s AS (
+    SELECT user_id, ts, event_type,
+           min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+    FROM events
+), t2s AS (
+    SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+                        AND epoch_us(ts) - epoch_us(t1) <= 86400000000
+                       THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+    FROM t1s
+), t3s AS (
+    SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+                        AND epoch_us(ts) - epoch_us(t2) <= 86400000000
+                       THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+    FROM t2s
+), pu AS (
+    SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+    FROM t3s GROUP BY user_id
+), s AS (
+    SELECT count(*) AS n, count(t1) AS c1, count(t2) AS c2, count(t3) AS c3
+    FROM pu
+)
+SELECT step, stage, users, round(CAST(users AS DOUBLE) / n, 6) AS conv_rate
+FROM (
+    SELECT 1 AS step, 'view' AS stage, c1 AS users, n FROM s
+    UNION ALL SELECT 2, 'click_24h', c2, n FROM s
+    UNION ALL SELECT 3, 'purchase_24h', c3, n FROM s
+)
+ORDER BY step
+""")
+def q_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.operators.funnel import (
+        funnel_summary, funnel_times,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    per_user = funnel_times(
+        ev,
+        steps=[
+            ("view", F.col("event_type") == "view"),
+            ("click_24h", F.col("event_type") == "click"),
+            ("purchase_24h", F.col("event_type") == "purchase"),
+        ],
+        within_seconds=86400,
+    )
+    return funnel_summary(per_user, ["view", "click_24h", "purchase_24h"])
+
+
+# ---------------------------------------------------------------------------
+# Per-series IQR outlier flags — the SQL-expressible twin of the R
+# engine's anomalize rule (M3: flag remainder outside q25/q75 ± 3·IQR),
+# applied directly to values per series.  Exact interpolated
+# percentiles (Spark percentile == DuckDB quantile_cont) computed once
+# per series and joined back broadcast-free via a window — one shuffle.
+# ---------------------------------------------------------------------------
+
+@register("iqr_flags_events", """
+WITH q AS (
+    SELECT user_id,
+           quantile_cont(value, 0.25) AS q25,
+           quantile_cont(value, 0.75) AS q75
+    FROM events GROUP BY user_id
+)
+SELECT e.user_id, e.event_id, round(e.value, 4) AS value,
+       round(q.q25 - 3 * (q.q75 - q.q25), 4) AS lo,
+       round(q.q75 + 3 * (q.q75 - q.q25), 4) AS hi,
+       CAST(e.value < q.q25 - 3 * (q.q75 - q.q25)
+            OR e.value > q.q75 + 3 * (q.q75 - q.q25) AS BOOLEAN)
+           AS iqr_outlier
+FROM events e JOIN q USING (user_id)
+""")
+def q_iqr_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    wp = Window.partitionBy("user_id")
+    q25 = F.expr("percentile(value, 0.25)").over(wp)
+    q75 = F.expr("percentile(value, 0.75)").over(wp)
+    lo = q25 - 3 * (q75 - q25)
+    hi = q75 + 3 * (q75 - q25)
+    return ev.select(
+        "user_id", "event_id",
+        F.round("value", 4).alias("value"),
+        F.round(lo, 4).alias("lo"),
+        F.round(hi, 4).alias("hi"),
+        ((F.col("value") < lo) | (F.col("value") > hi)).alias("iqr_outlier"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonal baseline flags: each observation vs its own
+# series' same-weekday history (exact integer-grid mean/stddev) — the
+# seasonality-aware variant of the z-score rule for series whose
+# weekly profile dominates (the reference's freight tickers are
+# exactly that shape).  One shuffle on (user, dow).
+# ---------------------------------------------------------------------------
+
+@register("dow_baseline_flags", """
+WITH g AS (
+    SELECT user_id, event_id, ts, round(value, 4) AS value,
+           -- DuckDB Sunday=0 -> Spark Sunday=1
+           CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(round(value * 10000, 0) AS BIGINT) AS cents
+    FROM events
+), stats AS (
+    SELECT user_id, dow,
+           count(*) AS n,
+           round(CAST(sum(cents) AS DOUBLE) / (count(*) * 10000.0), 4)
+               AS dow_mean,
+           CASE WHEN count(*) >= 2 THEN
+             round(sqrt(CAST(count(*) * sum(cents * cents)
+                             - sum(cents) * sum(cents) AS DOUBLE)
+                        / CAST(count(*) * (count(*) - 1) AS DOUBLE))
+                   / 10000.0, 4) END AS dow_std
+    FROM g GROUP BY user_id, dow
+)
+SELECT g.user_id, g.event_id, g.value, g.dow,
+       s.dow_mean, s.dow_std,
+       CASE WHEN s.dow_std IS NOT NULL AND s.dow_std != 0
+            THEN round(abs(g.value - s.dow_mean) / s.dow_std, 4)
+            ELSE 0.0 END AS dow_z,
+       CASE WHEN s.dow_std IS NOT NULL AND s.dow_std != 0
+             AND abs(g.value - s.dow_mean) / s.dow_std >= 3.0
+            THEN 1 ELSE 0 END AS dow_flag
+FROM g JOIN stats s USING (user_id, dow)
+""")
+def q_dow_baseline_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 10000, 0).cast("bigint")
+    g = ev.select(
+        "user_id", "event_id",
+        F.round("value", 4).alias("value"),
+        F.dayofweek("ts").alias("dow"),
+        cents.alias("cents"),
+    )
+    w = Window.partitionBy("user_id", "dow")
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum("cents").over(w)
+    s2 = F.sum(F.col("cents") * F.col("cents")).over(w)
+    # exact integer sums + C-style rounding: both engines round the
+    # same bit-identical double (operators/rounding.py)
+    dow_mean = exact_mean(s1, n, 4, 4)
+    dow_std = exact_stddev_samp(s1, s2, n, 4, 4)
+    z_raw = F.abs(F.col("value") - dow_mean) / dow_std
+    guard = dow_std.isNotNull() & (dow_std != 0)
+    return g.select(
+        "user_id", "event_id", "value", "dow",
+        dow_mean.alias("dow_mean"),
+        dow_std.alias("dow_std"),
+        F.when(guard, c_round(z_raw, 4)).otherwise(0.0).alias("dow_z"),
+        F.when(guard & (z_raw >= 3.0), 1).otherwise(0).alias("dow_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -64,6 +64,11 @@ BENCH_QUERIES = [
     "frame_sample_media",
     "ks_drift_events",
     "benford_digit_audit",
+    "ohlc_bars_events",
+    "sliding_distinct_users",
+    "quality_topp_docs",
+    "lateral_top2_orders",
+    "recursive_dup_closure",
 ]
 
 
