@@ -5599,6 +5599,156 @@ def q_dow_baseline_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Changepoint localization (binary-segmentation step 1): per series,
+# the index maximizing the centered-prefix CUSUM statistic
+# |n·P_i − i·S| — the most likely single level-shift point.  The whole
+# argmax runs on EXACT integers (cents-grid prefix sums in
+# decimal(38,0) / HUGEINT), so the located index can never flip on a
+# float ulp; only the reported means/stat drop to double at the end.
+# Extends detect/robust.py's CUSUM (which flags threshold crossings)
+# with the standard "where" question.
+# ---------------------------------------------------------------------------
+
+@register("changepoint_argmax_user", """
+WITH g AS (
+    SELECT user_id, event_id, ts,
+           CAST(round(value * 10000, 0) AS BIGINT) AS cents,
+           CAST(row_number() OVER w AS INT) AS i,
+           count(*) OVER (PARTITION BY user_id) AS n,
+           sum(CAST(round(value * 10000, 0) AS BIGINT))
+               OVER (PARTITION BY user_id) AS s,
+           sum(CAST(round(value * 10000, 0) AS BIGINT)) OVER w AS p
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+), d AS (
+    SELECT user_id, i, n, ts, p, s,
+           abs(CAST(n AS HUGEINT) * CAST(p AS HUGEINT)
+               - CAST(i AS HUGEINT) * CAST(s AS HUGEINT)) AS absd
+    FROM g WHERE i < n
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n,
+       i AS cp_index,
+       ts AS cp_ts,
+       round(CAST(absd AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0), 4)
+           AS cusum_stat,
+       round(CAST(p AS DOUBLE) / (i * 10000.0), 4) AS mean_before,
+       round(CAST(s - p AS DOUBLE) / ((n - i) * 10000.0), 4) AS mean_after
+FROM d
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY absd DESC, i ASC) = 1
+""")
+def q_changepoint_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    wo = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wp = Window.partitionBy("user_id")
+    cents = F.round(F.col("value") * 10000, 0).cast("bigint")
+    dec = "decimal(38,0)"
+    g = ev.select(
+        "user_id", "event_id", "ts",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum(cents).over(wp).alias("s"),
+        F.sum(cents).over(wo).alias("p"),
+    ).where(F.col("i") < F.col("n"))
+    absd = F.abs(
+        F.col("n").cast(dec) * F.col("p").cast(dec)
+        - F.col("i").cast(dec) * F.col("s").cast(dec)
+    )
+    d = g.withColumn("_absd", absd)
+    pick = Window.partitionBy("user_id").orderBy(
+        F.col("_absd").desc(), F.col("i").asc()
+    )
+    return (
+        d.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("i").alias("cp_index"),
+            F.col("ts").alias("cp_ts"),
+            c_round(
+                F.col("_absd").cast("double")
+                / (F.col("n").cast("double") * 10000.0), 4
+            ).alias("cusum_stat"),
+            exact_mean(F.col("p"), F.col("i"), 4, 4).alias("mean_before"),
+            exact_mean(F.col("s") - F.col("p"), F.col("n") - F.col("i"), 4, 4)
+                .alias("mean_after"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy + type-token-ratio quality signals — map-only:
+# per-doc char histogram via filter/size over the doc's own char array
+# (bounded by the alphabet, not the corpus), entropy terms quantized to
+# the 1e-8 grid and integer-summed (the PSI convention) so fold order
+# cannot perturb the float sum; TTR from exact distinct/total counts.
+# Low-entropy docs are boilerplate/garbage; low TTR is repetition.
+# ---------------------------------------------------------------------------
+
+@register("char_entropy_docs", """
+WITH c AS (
+    SELECT doc_id,
+           string_split_regex(lower(text), '') AS chars,
+           string_split_regex(trim(text), '\\s+') AS toks
+    FROM documents
+), terms AS (
+    SELECT doc_id, len(chars) AS n_chars, len(toks) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           list_transform(
+               list_distinct(chars),
+               ch -> CAST(round(
+                   -(len(list_filter(chars, x -> x = ch))
+                     / CAST(len(chars) AS DOUBLE))
+                   * log2(len(list_filter(chars, x -> x = ch))
+                          / CAST(len(chars) AS DOUBLE)) * 100000000,
+                   0) AS BIGINT)
+           ) AS tq
+    FROM c WHERE len(chars) > 0
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(list_sum(tq) AS DOUBLE) / 100000000.0, 4) AS char_entropy,
+       round(CAST(n_distinct_tokens AS DOUBLE) / n_tokens, 4) AS ttr
+FROM terms
+""")
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    chars = F.split(F.lower("text"), "")
+    toks = F.split(F.trim("text"), r"\s+")
+    c = docs.select(
+        "doc_id", chars.alias("chars"), toks.alias("toks")
+    ).where(F.size("chars") > 0)
+    n_chars = F.size("chars").cast("double")
+
+    def term(ch):
+        cnt = F.size(F.filter(F.col("chars"), lambda x: x == ch))
+        p = cnt / n_chars
+        return F.round(-(p * F.log2(p)) * 100000000, 0).cast("bigint")
+
+    tq = F.transform(F.array_distinct("chars"), term)
+    return c.select(
+        "doc_id",
+        F.size("chars").cast("bigint").alias("n_chars"),
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.aggregate(tq, F.lit(0).cast("bigint"), lambda a, x: a + x)
+            .cast("double") / 100000000.0, 4,
+        ).alias("char_entropy"),
+        F.round(
+            F.size(F.array_distinct("toks")).cast("double") / F.size("toks"), 4
+        ).alias("ttr"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
