@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from anomaly_detection_spark.operators.rounding import quantized
+from anomaly_detection_spark.operators.rounding import c_round, quantized
 
 _D38 = "decimal(38,0)"
 
@@ -140,4 +140,65 @@ def cusum(
         .withColumn("shift_flag", cpos > threshold_sigmas * sigma)
         .drop("_vq", "_n", "_sq", "_sq2", "_prefix", "_i", "_rn",
               "_runmin", "_runmax")
+    )
+
+
+def robust_z(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str = "value",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Append ``series_median``, ``series_mad``, ``robust_z``,
+    ``robust_flag`` — the modified z-score (Iglewicz & Hoaglin 1993:
+    0.6745·|x − med| / MAD, flag at 3.5), the outlier rule that a
+    single wild spike cannot poison the way it poisons mean/stddev.
+
+    Same exact-integer discipline as :func:`rolling_median_hampel`:
+    medians/MADs as doubled/quadrupled longs over the series' sorted
+    cents array, so both the flag and the reported stats are
+    FP-coin-flip-free and reproducible in any engine.  The per-series
+    value list is materialized once (series here are bounded, like the
+    reference's trailing-28 model); unbounded series would use the
+    two-pass percentile form instead.
+    """
+    wp = Window.partitionBy(*key_cols)
+    vq = quantized(F.col(value_col), 4)
+    base = df.withColumn("_vq", vq).withColumn(
+        "_s", F.array_sort(F.collect_list(vq).over(wp))
+    )
+    n = F.size("_s")
+    med2 = F.when(
+        n % 2 == 1, 2 * F.element_at("_s", ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        F.element_at("_s", (n / 2).cast("int"))
+        + F.element_at("_s", (n / 2 + 1).cast("int"))
+    )
+    with_med = base.withColumn("_med2", med2)
+    d = F.array_sort(F.transform("_s", lambda x: F.abs(2 * x - F.col("_med2"))))
+    with_d = with_med.withColumn("_d", d)
+    mad4 = F.when(
+        n % 2 == 1, 2 * F.element_at("_d", ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        F.element_at("_d", (n / 2).cast("int"))
+        + F.element_at("_d", (n / 2 + 1).cast("int"))
+    )
+    # z = 0.6745·|x−med|/MAD = 0.6745·2·|2c−med2| / mad4 (exact ints)
+    z_raw = (
+        0.6745 * 2 * F.abs(2 * F.col("_vq") - F.col("_med2")).cast("double")
+        / F.col("_mad4")
+    )
+    return (
+        with_d.withColumn("_mad4", mad4)
+        .withColumn("series_median", F.col("_med2").cast("double") / 20000)
+        .withColumn("series_mad", F.col("_mad4").cast("double") / 40000)
+        .withColumn(
+            "robust_z",
+            F.when(F.col("_mad4") != 0, c_round(z_raw, 4)).otherwise(0.0),
+        )
+        .withColumn(
+            "robust_flag",
+            F.when((F.col("_mad4") != 0) & (z_raw >= threshold), 1).otherwise(0),
+        )
+        .drop("_vq", "_s", "_med2", "_d", "_mad4")
     )

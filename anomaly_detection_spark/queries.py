@@ -5749,6 +5749,51 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Modified z-score (median/MAD robust outlier rule, Iglewicz-Hoaglin
+# 3.5 threshold) per series — the spike rule a wild outlier cannot
+# poison.  Doubled/quadrupled-integer medians (detect/robust.py), so
+# the flag is FP-coin-flip-free; the oracle uses DuckDB's median/mad
+# whose half-values are exactly representable at this grid.
+# ---------------------------------------------------------------------------
+
+@register("robust_z_events", """
+WITH g AS (
+    SELECT user_id, event_id, round(value, 4) AS value,
+           CAST(round(value * 10000, 0) AS BIGINT) AS cents
+    FROM events
+), m AS (
+    SELECT user_id,
+           CAST(2 * median(cents) AS BIGINT) AS med2,
+           CAST(4 * mad(cents) AS BIGINT) AS mad4
+    FROM g GROUP BY user_id
+)
+SELECT g.user_id, g.event_id, g.value,
+       med2 / 20000.0 AS series_median,
+       mad4 / 40000.0 AS series_mad,
+       CASE WHEN mad4 != 0
+            -- C-style floor(x*1e4+0.5) rounding: same form as the
+            -- engine's c_round, so both sides round the same double
+            THEN floor(CAST(0.6745 AS DOUBLE) * 2 * abs(2 * cents - med2)
+                       / mad4 * 10000 + 0.5) / 10000
+            ELSE 0.0 END AS robust_z,
+       CASE WHEN mad4 != 0
+             AND CAST(0.6745 AS DOUBLE) * 2 * abs(2 * cents - med2) / mad4 >= 3.5
+            THEN 1 ELSE 0 END AS robust_flag
+FROM g JOIN m USING (user_id)
+""")
+def q_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.detect.robust import robust_z
+
+    ev = load_table(spark, "events", sf_dir)
+    out = robust_z(ev, ["user_id"], "value", threshold=3.5)
+    return out.select(
+        "user_id", "event_id",
+        F.round("value", 4).alias("value"),
+        "series_median", "series_mad", "robust_z", "robust_flag",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
