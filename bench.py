@@ -69,6 +69,12 @@ BENCH_QUERIES = [
     "quality_topp_docs",
     "lateral_top2_orders",
     "recursive_dup_closure",
+    "funnel_time_bounded",
+    "iqr_flags_events",
+    "dow_baseline_flags",
+    "changepoint_argmax_user",
+    "char_entropy_docs",
+    "robust_z_events",
 ]
 
 

@@ -122,3 +122,46 @@ def test_cusum_closed_form_matches_recursion(spark):
         cn = max(0.0, cn + (mu - v))
         assert abs(out[i]["cusum_pos"] - cp) < 1e-6, i
         assert abs(out[i]["cusum_neg"] - cn) < 1e-6, i
+
+
+def test_funnel_within_seconds_bound(spark):
+    """Step credit requires conversion INSIDE the window; the unbounded
+    funnel credits the same user."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_spark.operators.funnel import funnel_times
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, "view"),
+        (1, base + dt.timedelta(hours=30), "click"),   # outside 24h
+        (2, base, "view"),
+        (2, base + dt.timedelta(hours=2), "click"),    # inside
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_type string")
+    steps = [("view", F.col("event_type") == "view"),
+             ("click", F.col("event_type") == "click")]
+    bounded = {r.user_id: r.click
+               for r in funnel_times(ev, steps, within_seconds=86400).collect()}
+    unbounded = {r.user_id: r.click
+                 for r in funnel_times(ev, steps).collect()}
+    assert bounded[1] is None and unbounded[1] is not None
+    assert bounded[2] is not None
+
+
+def test_robust_z_flags_planted_outlier_not_poisoned(spark):
+    """One wild spike must be flagged AND must not poison the rule for
+    the rest (the failure mode of mean/stddev z-scores)."""
+    import datetime as dt
+
+    from anomaly_detection_spark.detect.robust import robust_z
+
+    rows = [(1, i, 100.0 + (i % 3)) for i in range(20)] + [(1, 99, 100000.0)]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    out = {r.event_id: r for r in robust_z(ev, ["user_id"], "value").collect()}
+    assert out[99].robust_flag == 1            # spike flagged
+    assert all(out[i].robust_flag == 0 for i in range(20))  # rest clean
+    # median/MAD ignore the spike: median stays at the bulk level
+    assert abs(out[0].series_median - 101.0) <= 1.0
