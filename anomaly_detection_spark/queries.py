@@ -5794,6 +5794,112 @@ def q_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Ensemble anomaly detection: three independent per-event rules —
+# modified z (median/MAD), IQR band, day-of-week baseline z — vote,
+# and consensus >= 2 flags the event.  Ensembling is the standard
+# robustness move (single-rule false positives rarely agree); the
+# engine side is pure composition of already-verified operators joined
+# on (user_id, event_id), so the plan is three single-shuffle branches
+# + two joins on the same key.
+# ---------------------------------------------------------------------------
+
+@register("anomaly_ensemble_events", """
+WITH g AS (
+    SELECT user_id, event_id, ts, value AS raw_value,
+           round(value, 4) AS value,
+           CAST(round(value * 10000, 0) AS BIGINT) AS cents,
+           CAST(dayofweek(ts) + 1 AS INT) AS dow
+    FROM events
+), m AS (
+    SELECT user_id,
+           CAST(2 * median(cents) AS BIGINT) AS med2,
+           CAST(4 * mad(cents) AS BIGINT) AS mad4,
+           quantile_cont(raw_value, 0.25) AS q25,
+           quantile_cont(raw_value, 0.75) AS q75
+    FROM g GROUP BY user_id
+), dw AS (
+    SELECT user_id, dow,
+           count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS s1,
+           CAST(sum(cents * cents) AS HUGEINT) AS s2
+    FROM g GROUP BY user_id, dow
+), flags AS (
+    SELECT g.user_id, g.event_id, g.value,
+           CASE WHEN m.mad4 != 0
+                 AND CAST(0.6745 AS DOUBLE) * 2 * abs(2 * g.cents - m.med2)
+                     / m.mad4 >= 3.5
+                THEN 1 ELSE 0 END AS robust_vote,
+           CASE WHEN g.raw_value < m.q25 - 3 * (m.q75 - m.q25)
+                  OR g.raw_value > m.q75 + 3 * (m.q75 - m.q25)
+                THEN 1 ELSE 0 END AS iqr_vote,
+           CASE WHEN dw.n >= 2
+                 AND sqrt(CAST(dw.n * dw.s2 - CAST(dw.s1 AS HUGEINT) * dw.s1
+                               AS DOUBLE)
+                          / CAST(dw.n * (dw.n - 1) AS DOUBLE)) != 0
+                 AND abs(g.cents - CAST(dw.s1 AS DOUBLE) / dw.n)
+                     / sqrt(CAST(dw.n * dw.s2
+                                 - CAST(dw.s1 AS HUGEINT) * dw.s1 AS DOUBLE)
+                            / CAST(dw.n * (dw.n - 1) AS DOUBLE)) >= 3.0
+                THEN 1 ELSE 0 END AS dow_vote
+    FROM g JOIN m USING (user_id) JOIN dw USING (user_id, dow)
+)
+SELECT user_id, event_id, value,
+       robust_vote, iqr_vote, dow_vote,
+       robust_vote + iqr_vote + dow_vote AS votes,
+       CAST(robust_vote + iqr_vote + dow_vote >= 2 AS BOOLEAN) AS consensus
+FROM flags
+""")
+def q_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.detect.robust import robust_z
+
+    ev = load_table(spark, "events", sf_dir)
+
+    rz = robust_z(ev, ["user_id"], "value", threshold=3.5).select(
+        "user_id", "event_id", F.col("robust_flag").alias("robust_vote")
+    )
+
+    wp = Window.partitionBy("user_id")
+    q25 = F.expr("percentile(value, 0.25)").over(wp)
+    q75 = F.expr("percentile(value, 0.75)").over(wp)
+    iqr_vote = F.when(
+        (F.col("value") < q25 - 3 * (q75 - q25))
+        | (F.col("value") > q75 + 3 * (q75 - q25)), 1
+    ).otherwise(0)
+
+    wd = Window.partitionBy("user_id", F.dayofweek("ts"))
+    cents = F.round(F.col("value") * 10000, 0).cast("bigint")
+    n = F.count(F.lit(1)).over(wd)
+    s1 = F.sum(cents).over(wd)
+    s2 = F.sum(cents * cents).over(wd)
+    dec = "decimal(38,0)"
+    # dow z on RAW cents vs the unrounded per-dow mean/std (the
+    # ensemble votes on raw stats; dow_baseline_flags reports the
+    # grid-rounded presentation form)
+    var_num = (n.cast(dec) * s2.cast(dec) - s1.cast(dec) * s1.cast(dec)) \
+        .cast("double")
+    dow_std_raw = F.sqrt(var_num / (n * (n - 1)).cast("double"))
+    dow_z_raw = F.abs(cents - s1.cast("double") / n) / dow_std_raw
+    dow_vote = F.when(
+        (n >= 2) & (dow_std_raw != 0) & (dow_z_raw >= 3.0), 1
+    ).otherwise(0)
+
+    base = ev.select(
+        "user_id", "event_id",
+        F.round("value", 4).alias("value"),
+        iqr_vote.alias("iqr_vote"),
+        dow_vote.alias("dow_vote"),
+    )
+    out = base.join(rz, ["user_id", "event_id"])
+    votes = F.col("robust_vote") + F.col("iqr_vote") + F.col("dow_vote")
+    return out.select(
+        "user_id", "event_id", "value",
+        "robust_vote", "iqr_vote", "dow_vote",
+        votes.alias("votes"),
+        (votes >= 2).alias("consensus"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
