@@ -599,6 +599,13 @@ def pq_encode(
             ),
         )
         codes.append(F.array_min(scored)["c"])
+    # NOTE(perf): an "optimized" flat unrolling of this (materialized
+    # quantized dims + per-codeword expression arithmetic + F.least)
+    # measures ~6x SLOWER: CollapseProject re-inlines the quantized
+    # dims into every codeword expression and the resulting tree
+    # evaluates interpreted. The HOF form keeps the per-subspace work
+    # array-local; at 2k rows the remaining cost is dominated by fixed
+    # per-query plan overhead, not per-row math.
     return vectors.withColumn(out_col, F.array(*codes))
 
 
