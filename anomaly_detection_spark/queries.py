@@ -5900,6 +5900,68 @@ def q_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Session path analysis: the ordered event-type sequence each session
+# follows (sessionization reused from sessionize_events: >30 min gap
+# splits), rolled up to path frequencies — the exploratory cousin of
+# the funnel ("what do users actually do?").  Spark: sort_array over
+# (ts, event_id, type) structs makes the in-session order exact and
+# deterministic; the rollup shuffles slim (path, 1) pairs with
+# map-side combine, never raw events twice.
+# ---------------------------------------------------------------------------
+
+@register("session_paths_events", """
+WITH gaps AS (
+    SELECT user_id, event_id, ts, event_type,
+           CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT *, CAST(sum(new_session)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+               AS session_no
+    FROM gaps
+), paths AS (
+    SELECT user_id, session_no,
+           array_to_string(list(event_type ORDER BY ts, event_id), '>')
+               AS path
+    FROM sess GROUP BY user_id, session_no
+)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY path HAVING count(*) >= 10
+""")
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        (epoch_seconds(F.col("ts")) - epoch_seconds(prev_ts) > 1800)
+        | prev_ts.isNull(), 1
+    ).otherwise(0)
+    sess = ev.withColumn("new_session", new_session).withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("bigint"),
+    )
+    ordered = F.transform(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+            )
+        ),
+        lambda s: s["event_type"],
+    )
+    paths = sess.groupBy("user_id", "session_no").agg(
+        F.array_join(ordered, ">").alias("path")
+    )
+    return (
+        paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+        .where(F.col("n_sessions") >= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
