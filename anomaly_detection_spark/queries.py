@@ -5962,6 +5962,46 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Event-type Markov transitions: P(next type | type) within a user's
+# stream — the path-analysis rollup's probabilistic form.  One lag
+# window (same user partitioning as everything else) + a slim
+# (from, to) count rollup; probabilities as exact count ratios.
+# ---------------------------------------------------------------------------
+
+@register("markov_transitions_events", """
+WITH steps AS (
+    SELECT event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_type
+    FROM events
+), pairs AS (
+    SELECT from_type, to_type, count(*) AS n
+    FROM steps WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY from_type), 6) AS p
+FROM pairs
+""")
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    pairs = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wf), 6).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
