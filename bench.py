@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "changepoint_argmax_user",
     "char_entropy_docs",
     "robust_z_events",
+    "anomaly_ensemble_events",
+    "session_paths_events",
+    "markov_transitions_events",
 ]
 
 
