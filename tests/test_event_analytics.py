@@ -165,3 +165,45 @@ def test_robust_z_flags_planted_outlier_not_poisoned(spark):
     assert all(out[i].robust_flag == 0 for i in range(20))  # rest clean
     # median/MAD ignore the spike: median stays at the bulk level
     assert abs(out[0].series_median - 101.0) <= 1.0
+
+
+def test_anomaly_ensemble_consensus_on_planted_spike(spark, sf_dir):
+    """Corrupt one event to an extreme value: the robust and IQR rules
+    must both vote, producing a consensus flag on exactly that event
+    (plus any organic ones)."""
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_spark import queries as reg
+    from anomaly_detection_spark.sources.tables import load_table
+
+    name = "anomaly_ensemble_events"
+    base = reg.QUERIES[name](spark, sf_dir)
+    organic = {(r.user_id, r.event_id) for r in
+               base.where("consensus").collect()}
+
+    ev = load_table(spark, "events", sf_dir)
+    target = ev.orderBy("event_id").first()
+    spiked = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") == target.event_id, 99999.0)
+        .otherwise(F.col("value")),
+    )
+    spiked.createOrReplaceTempView("_ens_spiked")
+
+    # rebuild the same ensemble over the corrupted table
+    from anomaly_detection_spark.detect.robust import robust_z
+    rz = robust_z(spiked, ["user_id"], "value").select(
+        "user_id", "event_id", F.col("robust_flag").alias("robust_vote"))
+    from pyspark.sql.window import Window
+    wp = Window.partitionBy("user_id")
+    q25 = F.expr("percentile(value, 0.25)").over(wp)
+    q75 = F.expr("percentile(value, 0.75)").over(wp)
+    iqr_vote = F.when(
+        (F.col("value") < q25 - 3 * (q75 - q25))
+        | (F.col("value") > q75 + 3 * (q75 - q25)), 1).otherwise(0)
+    flags = spiked.select(
+        "user_id", "event_id", iqr_vote.alias("iqr_vote")
+    ).join(rz, ["user_id", "event_id"])
+    got = {(r.user_id, r.event_id) for r in
+           flags.where("robust_vote + iqr_vote >= 2").collect()}
+    assert (target.user_id, target.event_id) in got
