@@ -6002,6 +6002,82 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Weekly seasonality strength per series: the between-weekday share of
+# total variance (eta-squared of the dow factor) — the diagnostic that
+# says WHICH series the day-of-week baseline rule is valid for.  All
+# sums ride the exact cents grid; the variance ratio is a ratio of
+# exact integers scaled identically, so both engines hold the same
+# double.  One shuffle on (user, dow) + a broadcast-size rollup.
+# ---------------------------------------------------------------------------
+
+@register("seasonality_strength_user", """
+WITH g AS (
+    SELECT user_id,
+           CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(round(value * 10000, 0) AS BIGINT) AS cents
+    FROM events
+), per_dow AS (
+    SELECT user_id, dow, count(*) AS n_d,
+           CAST(sum(cents) AS HUGEINT) AS s_d
+    FROM g GROUP BY user_id, dow
+), tot AS (
+    SELECT user_id, CAST(sum(n_d) AS BIGINT) AS n,
+           CAST(sum(s_d) AS HUGEINT) AS s,
+           CAST(sum(ss) AS HUGEINT) AS ss
+    FROM (SELECT user_id, n_d, s_d,
+                 (SELECT sum(CAST(cents AS HUGEINT) * cents) FROM g g2
+                  WHERE g2.user_id = per_dow.user_id AND g2.dow = per_dow.dow)
+                     AS ss
+          FROM per_dow)
+    GROUP BY user_id
+), between_ss AS (
+    SELECT p.user_id,
+           sum(CAST(p.s_d * p.s_d AS DOUBLE) / p.n_d) AS sum_sq_over_n
+    FROM per_dow p GROUP BY p.user_id
+)
+SELECT t.user_id, t.n,
+       round((b.sum_sq_over_n - CAST(t.s * t.s AS DOUBLE) / t.n)
+             / (CAST(t.ss AS DOUBLE) - CAST(t.s * t.s AS DOUBLE) / t.n), 6)
+           AS seasonality_strength
+FROM tot t JOIN between_ss b USING (user_id)
+WHERE CAST(t.ss AS DOUBLE) - CAST(t.s * t.s AS DOUBLE) / t.n != 0
+""")
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 10000, 0).cast("bigint")
+    dec = "decimal(38,0)"
+    g = ev.select(
+        "user_id",
+        F.dayofweek("ts").alias("dow"),
+        cents.alias("cents"),
+    )
+    per_dow = g.groupBy("user_id", "dow").agg(
+        F.count(F.lit(1)).alias("n_d"),
+        F.sum("cents").cast(dec).alias("s_d"),
+        F.sum(F.col("cents").cast(dec) * F.col("cents")).alias("ss_d"),
+    )
+    tot = per_dow.groupBy("user_id").agg(
+        F.sum("n_d").cast("bigint").alias("n"),
+        F.sum("s_d").cast(dec).alias("s"),
+        F.sum("ss_d").cast(dec).alias("ss"),
+        F.sum(
+            F.col("s_d").cast("double") * F.col("s_d").cast("double")
+            / F.col("n_d")
+        ).alias("sum_sq_over_n"),
+    )
+    total_ss = F.col("ss").cast("double") - (
+        F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    )
+    between = F.col("sum_sq_over_n") - (
+        F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    )
+    return tot.where(total_ss != 0).select(
+        "user_id", "n",
+        F.round(between / total_ss, 6).alias("seasonality_strength"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
