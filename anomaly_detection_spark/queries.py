@@ -6078,6 +6078,68 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Lag-7 autocorrelation per series: Pearson r between each observation
+# and its 7-back neighbor — weekly memory, the time-domain complement
+# of seasonality_strength's variance decomposition.  All sums exact on
+# the cents grid in decimal(38,0)/HUGEINT; the ratio drops to double
+# once, with the floor-form rounding both engines share.
+# ---------------------------------------------------------------------------
+
+@register("autocorr_lag7_user", """
+WITH g AS (
+    SELECT user_id,
+           CAST(round(value * 10000, 0) AS BIGINT) AS x,
+           lag(CAST(round(value * 10000, 0) AS BIGINT), 7)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+    FROM events
+), p AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+           CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+           CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+           CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+           CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+    FROM g WHERE y IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n,
+       floor(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS acf_lag7
+FROM p
+WHERE n >= 2 AND n * sxx - sx * sx != 0 AND n * syy - sy * sy != 0
+""")
+def q_autocorr_lag7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    dec = "decimal(38,0)"
+    cents = F.round(F.col("value") * 10000, 0).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        cents.alias("x"),
+        F.lag(cents, 7).over(w).alias("y"),
+    ).where(F.col("y").isNotNull())
+    p = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast(dec)
+    cov_n = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx_n = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary_n = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return p.where(
+        (F.col("n") >= 2) & (varx_n != 0) & (vary_n != 0)
+    ).select(
+        "user_id", "n",
+        c_round(cov_n / F.sqrt(varx_n * vary_n), 6).alias("acf_lag7"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
