@@ -6140,6 +6140,46 @@ def q_autocorr_lag7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Inter-event gap histogram: per event type, log2-minute buckets of
+# the per-user arrival gaps — the feed-cadence diagnostic behind the
+# staleness rule (is this series hourly? daily? bursty?).  Gap seconds
+# are exact integer epoch differences; bucket = floor(log2(minutes)),
+# sub-minute gaps pinned to bucket 0.
+# ---------------------------------------------------------------------------
+
+@register("gap_histogram_events", """
+WITH g AS (
+    SELECT event_type,
+           epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)) AS gap_s
+    FROM events
+)
+SELECT event_type,
+       CAST(greatest(floor(log2(gap_s / 60.0)), 0) AS INT) AS bucket,
+       count(*) AS n_gaps,
+       CAST(floor(min(gap_s)) AS BIGINT) AS min_gap_s,
+       CAST(floor(max(gap_s)) AS BIGINT) AS max_gap_s
+FROM g WHERE gap_s IS NOT NULL AND gap_s > 0
+GROUP BY event_type, CAST(greatest(floor(log2(gap_s / 60.0)), 0) AS INT)
+""")
+def q_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = epoch_seconds(F.col("ts")) - epoch_seconds(F.lag("ts").over(w))
+    g = ev.select("event_type", gap_s.alias("gap_s")).where(
+        F.col("gap_s").isNotNull() & (F.col("gap_s") > 0)
+    )
+    bucket = F.greatest(
+        F.floor(F.log2(F.col("gap_s") / 60.0)), F.lit(0)
+    ).cast("int")
+    return g.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.floor(F.min("gap_s")).cast("bigint").alias("min_gap_s"),
+        F.floor(F.max("gap_s")).cast("bigint").alias("max_gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
