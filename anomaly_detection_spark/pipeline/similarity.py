@@ -399,8 +399,13 @@ def assign_nearest_centroid(
     The building block for corpus clustering / topic-bucket balancing:
     ``centroids`` is small (K rows) and is broadcast, so the big side
     streams map-only — K scored rows per vector, then a per-vector
-    argmax window (``WindowGroupLimit`` keeps the top row per vector
-    inside the sort). Ties break on the lower centroid id.
+    argmax as a hash aggregation (``max`` over a (cosine, -id) struct).
+    Ties break on the lower centroid id.
+
+    The agg form beats a row_number window here because partial
+    aggregation runs map-side: the K-per-vector candidate rows
+    collapse to one BEFORE the exchange, so the shuffle carries n
+    rows, not n·K, and no sort is needed.
     """
     c = centroids.select(
         F.col(centroid_id_col), F.col(vec_col).alias("_cvec"),
@@ -418,11 +423,23 @@ def assign_nearest_centroid(
             6,
         ).alias("cosine"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("cosine"), F.asc("cluster_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+    # `_k` = cosine normalized (-0.0 + 0.0 == +0.0) so the struct max
+    # orders floats exactly as a sort would; raw cosine rides along
+    # unchanged for the output
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                (F.col("cosine") + F.lit(0.0)).alias("_k"),
+                (-F.col("cluster_id").cast("long")).alias("_nc"),
+                F.col("cosine").alias("_c"),
+            )
+        ).alias("_m")
+    )
+    return best.select(
+        id_col,
+        (-F.col("_m._nc")).cast(dict(scored.dtypes)["cluster_id"])
+        .alias("cluster_id"),
+        F.col("_m._c").alias("cosine"),
     )
 
 
@@ -487,6 +504,15 @@ def semantic_dedup(
     ).select(
         "cluster_id", F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
         F.col("_n"),
+    )
+    # the slim rows are BYTE-small but the per-cluster pair verify is
+    # CPU-quadratic: AQE's byte-based coalescing would fold the tiny
+    # shuffle into ONE partition and serialize the whole verify on a
+    # single core (measured 2.5x at bench scale). An explicit keyed
+    # repartition is exempt from AQE coalescing and co-partitions both
+    # sides of the self-join, so no extra exchange is added.
+    slim = slim.repartition(
+        vectors.sparkSession.sparkContext.defaultParallelism, "cluster_id"
     )
     a, b = slim.alias("a"), slim.alias("b")
     pairs = (
@@ -561,6 +587,29 @@ def _pq_quantize(vec_col, grid_scale: int = 4):
     )
 
 
+def _books_relation(df: DataFrame, codebooks) -> DataFrame:
+    """The codebooks as ONE plan constant: a 1-row broadcast relation
+    holding the parsed ``array<array<array<bigint>>>``.
+
+    Building m*k nested ``F.lit`` arrays costs thousands of Py4J
+    round-trips (~2.5 s of pure driver time at m=8, k=16, dim=64 —
+    measured; it dwarfed the 1.1 s of actual execution).  Serializing
+    the whole structure to a single JSON literal and parsing it once
+    in a 1-row relation is one driver call; the broadcast NLJ attaches
+    the same in-memory row to every batch, so nothing is re-parsed
+    per corpus row and no shuffle is introduced.
+    """
+    import json
+
+    return F.broadcast(
+        df.sparkSession.range(1).select(
+            F.from_json(
+                F.lit(json.dumps(codebooks)), "array<array<array<bigint>>>"
+            ).alias("_books")
+        )
+    )
+
+
 def _pq_sqdist_int(a, b):
     """Exact integer squared distance between two long arrays."""
     return F.aggregate(
@@ -587,13 +636,11 @@ def pq_encode(
     vectors = _spread_single_file(vectors)
     vq = _pq_quantize(vec_col, grid_scale)
     codes = []
-    for s, book in enumerate(codebooks):
-        book_lit = F.array(
-            *[F.array(*[F.lit(x) for x in w]) for w in book]
-        )
+    for s in range(n_sub):
+        book_s = F.element_at("_books", s + 1)
         vslice = F.slice(vq, s * sub + 1, sub)
         scored = F.transform(
-            book_lit,
+            book_s,
             lambda w, i: F.struct(
                 _pq_sqdist_int(vslice, w).alias("d"), i.alias("c")
             ),
@@ -604,9 +651,13 @@ def pq_encode(
     # measures ~6x SLOWER: CollapseProject re-inlines the quantized
     # dims into every codeword expression and the resulting tree
     # evaluates interpreted. The HOF form keeps the per-subspace work
-    # array-local; at 2k rows the remaining cost is dominated by fixed
-    # per-query plan overhead, not per-row math.
-    return vectors.withColumn(out_col, F.array(*codes))
+    # array-local; the codebooks ride in as ONE json-parsed constant
+    # (see _books_relation) instead of thousands of lit() nodes.
+    return (
+        vectors.crossJoin(_books_relation(vectors, codebooks))
+        .withColumn(out_col, F.array(*codes))
+        .drop("_books")
+    )
 
 
 def pq_topk(
@@ -636,13 +687,13 @@ def pq_topk(
 
     qv = _pq_quantize(vec_col, grid_scale)
     luts = []
-    for s, book in enumerate(codebooks):
-        book_lit = F.array(*[F.array(*[F.lit(x) for x in w]) for w in book])
+    for s in range(n_sub):
+        book_s = F.element_at("_books", s + 1)
         qslice = F.slice(qv, s * sub + 1, sub)
         luts.append(
-            F.transform(book_lit, lambda w: _pq_sqdist_int(qslice, w))
+            F.transform(book_s, lambda w: _pq_sqdist_int(qslice, w))
         )
-    q = queries.select(
+    q = queries.crossJoin(_books_relation(queries, codebooks)).select(
         F.col(query_id_col), F.array(*luts).alias("_lut")
     )
     scale2 = float(10 ** (2 * grid_scale))
