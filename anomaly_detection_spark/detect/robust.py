@@ -202,3 +202,82 @@ def robust_z(
         )
         .drop("_vq", "_s", "_med2", "_d", "_mad4")
     )
+
+
+def holt_smoothing(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str = "value",
+) -> DataFrame:
+    """Holt double-exponential smoothing per series (level + trend
+    state; Holt 1957), with alpha = 1/2 and beta = 1/4 realized as
+    EXACT integer recursions on the 1e-4 value grid:
+
+        l_1 = v_1,  b_1 = 0
+        l_i = floor((v_i + l_{i-1} + b_{i-1}) / 2)
+        b_i = floor((3·b_{i-1} + (l_i - l_{i-1})) / 4)
+
+    A float Holt recursion drifts by ulps after enough steps and can
+    diverge between engines; the floor'd integer form is bit-identical
+    everywhere (Python ``//`` is floor division; the SQL oracle uses
+    ``floor(x / 2.0)`` — exact for these magnitudes, and floor ==
+    truncate is NOT assumed since the trend state goes negative).
+
+    Output: key_cols + (rn, level, trend, forecast) where forecast is
+    the one-step-ahead ``level + trend``, all as exact grid doubles
+    (integer / 10⁴ — no rounding step to disagree on).
+
+    True sequential state per series → ``applyInPandas`` (the same
+    engine shape as ``detect/stl.py``): one exchange on the series
+    key, Python loop bounded by series length.
+    """
+    import math
+
+    import pandas as pd
+
+    keys = list(key_cols)
+    order = list(order_cols)
+    key_fields = ", ".join(
+        f"{k} {df.schema[k].dataType.simpleString()}" for k in keys
+    )
+    out_schema = (
+        f"{key_fields}, rn bigint, level double, trend double, forecast double"
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        vals = pdf[value_col].to_numpy()
+        # half-away-from-zero to the 1e-4 grid (Spark/DuckDB round(x,0))
+        vq = [
+            int(math.copysign(math.floor(abs(float(v)) * 10000 + 0.5), v))
+            for v in vals
+        ]
+        levels: list[int] = []
+        trends: list[int] = []
+        l_prev, b_prev = 0, 0
+        for i, v in enumerate(vq):
+            if i == 0:
+                l_cur, b_cur = v, 0
+            else:
+                l_cur = (v + l_prev + b_prev) // 2
+                b_cur = (3 * b_prev + (l_cur - l_prev)) // 4
+            levels.append(l_cur)
+            trends.append(b_cur)
+            l_prev, b_prev = l_cur, b_cur
+        out = pd.DataFrame({k: pdf[k].to_numpy() for k in keys})
+        out["rn"] = range(1, len(vq) + 1)
+        out["level"] = [x / 10000.0 for x in levels]
+        out["trend"] = [x / 10000.0 for x in trends]
+        out["forecast"] = [
+            (x + y) / 10000.0 for x, y in zip(levels, trends)
+        ]
+        return out
+
+    # project to the needed columns before the grouped map and pin the
+    # shuffle width so AQE's byte-based coalescing can't serialize the
+    # Python stage (same rationale as detect/stl.py)
+    slim = df.select(*keys, *order, value_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *keys
+    )
+    return slim.groupBy(*keys).applyInPandas(smooth, schema=out_schema)

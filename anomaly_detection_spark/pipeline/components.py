@@ -72,3 +72,61 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Canonical-representative selection: within each near-dup family
+    (a connected component of ``pairs``), KEEP the highest-``score_col``
+    document (ties → lower id) and emit one row per REMOVED document:
+
+        (id_col, component, kept_<id_col>, score_col, kept_<score_col>)
+
+    This is the retention step real curation pipelines run after
+    pair-level dedup — "drop near-dups, keep the longest/highest-
+    quality copy" — composed from :func:`connected_components` plus a
+    broadcast-free argmax.  Docs in no component (no near-dup) are
+    implicitly kept and never emitted.
+
+    Scale shape: components is the iterative part (bounded by graph
+    diameter); the argmax is a map-side-combinable struct-max per
+    component, and the only fact-table touch is one slim join of
+    (id, score) onto the component labels.
+    """
+    comps = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    scored = comps.join(
+        docs.select(
+            F.col(id_col).alias("node"), F.col(score_col).alias("_score")
+        ),
+        "node",
+    )
+    best = scored.groupBy("component").agg(
+        F.max(
+            F.struct(
+                F.col("_score").alias("_s"),
+                (-F.col("node")).alias("_ni"),
+            )
+        ).alias("_m")
+    ).select(
+        "component",
+        (-F.col("_m._ni")).alias("_kept_id"),
+        F.col("_m._s").alias("_kept_score"),
+    )
+    return (
+        scored.join(best, "component")
+        .where(F.col("node") != F.col("_kept_id"))
+        .select(
+            F.col("node").alias(id_col),
+            "component",
+            F.col("_kept_id").alias(f"kept_{id_col}"),
+            F.col("_score").alias(score_col),
+            F.col("_kept_score").alias(f"kept_{score_col}"),
+        )
+    )

@@ -5398,7 +5398,15 @@ def q_recursive_dup_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, "documents", sf_dir)
-    edges = edit_distance_near_duplicates(docs).select("id_a", "id_b")
+    # materialize the edge set ONCE: the recursive member re-evaluates
+    # the temp view's logical plan every iteration, so without this the
+    # whole PassJoin+levenshtein pipeline re-runs per recursion depth
+    # (measured 3.0s -> ~1s at sf0.1)
+    edges = (
+        edit_distance_near_duplicates(docs)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     edges.createOrReplaceTempView("editdist_edges_tv")
     return spark.sql(_RECURSIVE_CLOSURE_SQL.format(edges="editdist_edges_tv"))
 
@@ -6180,6 +6188,152 @@ def q_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dup-family canonical selection: after pair-level near-dup detection,
+# keep the highest-n_chars doc of each connected family ("keep the
+# longest copy"), emit the removed docs.  Composition of
+# minhash_exact_near_duplicates + connected_components + a map-side
+# struct-max argmax; the oracle recomputes the same families with a
+# recursive CTE and the same keep rule with a window.
+# ---------------------------------------------------------------------------
+
+@register("dup_family_keep_best", r"""
+WITH RECURSIVE sh AS (
+    SELECT doc_id, list_distinct([
+        array_to_string(toks[i:i+2], ' ')
+        for i in range(1, greatest(len(toks) - 2, 1) + 1)
+    ]) AS grams
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          FROM documents)
+),
+p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.5
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM p
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM p
+),
+reach AS (
+    SELECT src AS node, src AS r FROM edges
+    UNION
+    SELECT e.dst AS node, reach.r AS r FROM reach JOIN edges e ON e.src = reach.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+scored AS (
+    SELECT c.node, c.component, d.n_chars
+    FROM comp c JOIN documents d ON d.doc_id = c.node
+),
+best AS (
+    SELECT component, node AS kept_doc_id, n_chars AS kept_n_chars
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY component
+                               ORDER BY n_chars DESC, node ASC) = 1
+)
+SELECT s.node AS doc_id, s.component, b.kept_doc_id,
+       s.n_chars, b.kept_n_chars
+FROM scored s JOIN best b USING (component)
+WHERE s.node != b.kept_doc_id
+""")
+def q_dup_family_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.components import dedup_keep_best
+    from anomaly_detection_spark.pipeline.dedup import (
+        minhash_exact_near_duplicates,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_exact_near_duplicates(
+        docs, "text", "doc_id", jaccard_threshold=0.5
+    )
+    return dedup_keep_best(docs, pairs, id_col="doc_id", score_col="n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Per-series winsorization: clip each user's values at their own exact
+# p05/p95 (interpolated percentiles, Spark percentile == DuckDB
+# quantile_cont) — the standard outlier-robust preprocessing step
+# before training-statistics aggregation.  One shuffle (the per-user
+# percentile window).
+# ---------------------------------------------------------------------------
+
+@register("winsorize_events", """
+WITH q AS (
+    SELECT user_id,
+           quantile_cont(value, 0.05) AS p05,
+           quantile_cont(value, 0.95) AS p95
+    FROM events GROUP BY user_id
+)
+SELECT e.user_id, e.event_id,
+       round(e.value, 4) AS value,
+       round(CASE WHEN e.value < q.p05 THEN q.p05
+                  WHEN e.value > q.p95 THEN q.p95
+                  ELSE e.value END, 4) AS value_winsorized,
+       CAST(e.value < q.p05 OR e.value > q.p95 AS BOOLEAN) AS clipped
+FROM events e JOIN q USING (user_id)
+""")
+def q_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    wp = Window.partitionBy("user_id")
+    p05 = F.expr("percentile(value, 0.05)").over(wp)
+    p95 = F.expr("percentile(value, 0.95)").over(wp)
+    v = F.col("value")
+    return ev.select(
+        "user_id", "event_id",
+        F.round(v, 4).alias("value"),
+        F.round(
+            F.when(v < p05, p05).when(v > p95, p95).otherwise(v), 4
+        ).alias("value_winsorized"),
+        ((v < p05) | (v > p95)).alias("clipped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt double-exponential smoothing per series (detect/robust.py):
+# level+trend state with alpha=1/2, beta=1/4 as EXACT integer floor
+# recursions on the 1e-4 grid, so the sequential state is bit-identical
+# across engines.  Spark side is the applyInPandas engine shape; the
+# oracle replays the same recursion with a recursive CTE stepping every
+# series one row per iteration.
+# ---------------------------------------------------------------------------
+
+@register("holt_smoothing_user", """
+WITH RECURSIVE base AS (
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn,
+           CAST(round(value * 10000, 0) AS BIGINT) AS vq
+    FROM events
+), s AS (
+    SELECT user_id, rn, vq AS l, CAST(0 AS BIGINT) AS b
+    FROM base WHERE rn = 1
+    UNION ALL
+    SELECT nxt.user_id, nxt.rn,
+           CAST(floor((nxt.vq + s.l + s.b) / 2.0) AS BIGINT) AS l,
+           CAST(floor((3 * s.b
+                       + (CAST(floor((nxt.vq + s.l + s.b) / 2.0) AS BIGINT)
+                          - s.l)) / 4.0) AS BIGINT) AS b
+    FROM s JOIN base nxt
+      ON nxt.user_id = s.user_id AND nxt.rn = s.rn + 1
+)
+SELECT user_id, rn,
+       l / 10000.0 AS level,
+       b / 10000.0 AS trend,
+       (l + b) / 10000.0 AS forecast
+FROM s
+""")
+def q_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.detect.robust import holt_smoothing
+
+    ev = load_table(spark, "events", sf_dir)
+    return holt_smoothing(
+        ev, key_cols=["user_id"], order_cols=["ts", "event_id"],
+        value_col="value",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
@@ -6276,6 +6430,9 @@ DRIVER_PRIORITY: list[str] = [
     "lsh_ann_topk",
     "repetition_stats_docs",
     "unigram_logprob_docs",
+    "dup_family_keep_best",
+    "winsorize_events",
+    "holt_smoothing_user",
 ]
 
 

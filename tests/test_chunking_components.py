@@ -73,3 +73,27 @@ def test_components_match_union_find_on_minhash_pairs(spark, sf_dir):
         for r in connected_components(pairs, src="id_a", dst="id_b").collect()
     }
     assert got == _union_find(edges)
+
+
+def test_dedup_keep_best_planted_families(spark):
+    from anomaly_detection_spark.pipeline.components import dedup_keep_best
+
+    # family A = {1,2,3} (chain), family B = {10,11}; 20 is isolated
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 70), (10, 40), (11, 40), (20, 99)],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    removed = {
+        r.doc_id: (r.component, r.kept_doc_id, r.kept_n_chars)
+        for r in dedup_keep_best(docs, pairs).collect()
+    }
+    # A keeps 2 (highest n_chars); B ties at 40 -> keeps lower id 10;
+    # isolated 20 never emitted
+    assert removed == {
+        1: (1, 2, 90),
+        3: (1, 2, 90),
+        11: (10, 10, 40),
+    }

@@ -177,3 +177,30 @@ def test_observed_metrics_single_pass(spark, sf_dir, tmp_path):
     assert got["n_null_props"] == ev.where(F.col("props").isNull()).count()
     # and the job's real output reflects the filter the metrics describe
     assert spark.read.parquet(out).count() == got["n_rows"] - got["n_over_250"]
+
+
+def test_holt_smoothing_matches_reference_recursion(spark):
+    from anomaly_detection_spark.detect.robust import holt_smoothing
+
+    # planted ramp with a level shift; exact integer reference recursion
+    vals = [10.0, 10.5, 11.0, 11.5, 30.0, 30.5, 31.0, 31.5, 32.0]
+    rows = [(1, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+    got = {
+        r.rn: (r.level, r.trend, r.forecast)
+        for r in holt_smoothing(
+            df, ["user_id"], ["ts"], "value"
+        ).collect()
+    }
+    l, b = None, None
+    for i, v in enumerate(vals):
+        vq = int(round(v * 10000))
+        if i == 0:
+            l, b = vq, 0
+        else:
+            l_new = (vq + l + b) // 2
+            b = (3 * b + (l_new - l)) // 4
+            l = l_new
+        assert got[i + 1] == (l / 10000.0, b / 10000.0, (l + b) / 10000.0)
+    # after the sustained ramp the trend state must be positive
+    assert got[len(vals)][1] > 0
