@@ -6334,6 +6334,153 @@ def q_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Term co-occurrence association (PMI-style lift): for frequent
+# within-document term pairs, lift = P(a,b)/(P(a)P(b)) computed as
+# n_pair·N/(n_a·n_b) — exact integers divided ONCE, so no libm log()
+# whose last ulp could differ between engines.  Slim shuffle shape:
+# (doc, term) distinct pairs, per-doc self-join bounded by doc length,
+# map-side-combined pair counts.
+# ---------------------------------------------------------------------------
+
+@register("term_cooccurrence_lift", r"""
+WITH dt AS (
+    SELECT DISTINCT doc_id, w AS term
+    FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+          FROM documents)
+    WHERE length(w) >= 4
+), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+tc AS (SELECT term, count(*) AS n_term FROM dt GROUP BY term),
+pc AS (
+    SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_pair
+    FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY a.term, b.term
+    HAVING count(*) >= 5
+)
+SELECT term_a, term_b, n_pair,
+       round(CAST(n_pair AS DOUBLE) * (SELECT n_docs FROM n)
+             / (ta.n_term * tb.n_term), 6) AS lift
+FROM pc JOIN tc ta ON ta.term = pc.term_a
+        JOIN tc tb ON tb.term = pc.term_b
+ORDER BY lift DESC, term_a, term_b
+LIMIT 50
+""")
+def q_term_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    # per-doc sorted distinct-term array; pair generation is MAP-SIDE
+    # array combinatorics (bounded by doc length), never a fact-fact
+    # self-join — the pair stream goes straight into one partial-agg
+    # shuffle keyed on the pair
+    terms_arr = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.split(F.trim("text"), r"\s+"),
+                lambda w: F.length(w) >= 4,
+            )
+        )
+    )
+    dtarr = docs.select("doc_id", terms_arr.alias("_ts"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ts"), i + 2, F.size(F.col("_ts"))),
+                lambda y: F.struct(x.alias("term_a"), y.alias("term_b")),
+            ),
+        )
+    )
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    tc = (
+        dtarr.select(F.explode("_ts").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_term"))
+    )
+    pc = (
+        dtarr.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.term_a").alias("term_a"),
+                 F.col("p.term_b").alias("term_b"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= 5)
+    )
+    ta = tc.select(F.col("term").alias("term_a"), F.col("n_term").alias("_na"))
+    tb = tc.select(F.col("term").alias("term_b"), F.col("n_term").alias("_nb"))
+    return (
+        pc.join(F.broadcast(ta), "term_a")
+        .join(F.broadcast(tb), "term_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a", "term_b", "n_pair",
+            F.round(
+                F.col("n_pair").cast("double") * F.col("n_docs")
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "term_a", "term_b")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus novelty curve: per document (in doc_id ingestion order), the
+# fraction of its distinct 3-gram shingles never seen in ANY earlier
+# document — the diversity/staleness diagnostic a corpus builder
+# watches while appending crawl snapshots.  first-seen = min(doc_id)
+# per gram via one gram-keyed window; per-doc rollup is the second and
+# final shuffle.
+# ---------------------------------------------------------------------------
+
+@register("novelty_curve_docs", r"""
+WITH g AS (
+    -- DuckDB list slices are INCLUSIVE: [i:i+2] is the 3-token gram
+    SELECT DISTINCT doc_id,
+           array_to_string(toks[i:i+2], ' ') AS gram
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          FROM documents),
+         LATERAL unnest(generate_series(1, greatest(len(toks) - 3, 0) + 1))
+             AS u(i)
+), fs AS (
+    SELECT doc_id, gram,
+           min(doc_id) OVER (PARTITION BY gram) AS first_doc
+    FROM g
+)
+SELECT doc_id,
+       count(*) AS n_grams,
+       count(*) FILTER (WHERE first_doc = doc_id) AS n_novel,
+       round(CAST(count(*) FILTER (WHERE first_doc = doc_id) AS DOUBLE)
+             / count(*), 6) AS novelty
+FROM fs GROUP BY doc_id
+""")
+def q_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    n = F.size("toks")
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - 3, F.lit(0)) + 1),
+                lambda i: F.array_join(F.slice("toks", i, 3), " "),
+            )
+        ).alias("gram"),
+    ).distinct()
+    w = Window.partitionBy("gram")
+    fs = grams.withColumn("first_doc", F.min("doc_id").over(w))
+    return fs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias(
+            "n_novel"
+        ),
+        F.round(
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+            .cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("novelty"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
@@ -6433,6 +6580,8 @@ DRIVER_PRIORITY: list[str] = [
     "dup_family_keep_best",
     "winsorize_events",
     "holt_smoothing_user",
+    "term_cooccurrence_lift",
+    "novelty_curve_docs",
 ]
 
 
