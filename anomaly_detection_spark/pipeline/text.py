@@ -352,3 +352,100 @@ def quality_classifier(
         + F.lit(w["log_tokens"]) * logn
     )
     return df.withColumn(out_col, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4))
+
+
+def textrank_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_len: int = 4,
+    n_iter: int = 8,
+    scale: int = 10**12,
+) -> DataFrame:
+    """TextRank keyword scoring (Mihalcea & Tarau, EMNLP 2004):
+    PageRank with damping 0.85 over the within-document term
+    co-occurrence graph (undirected, unweighted; terms of length >=
+    ``min_len``; isolated terms have no edges and are out of scope).
+
+    The power iteration runs in EXACT integer arithmetic so ``n_iter``
+    steps produce bit-identical scores on any engine and partitioning:
+    ranks live on a ``scale`` integer grid, 0.85 is the rational 17/20,
+    and every division is an integral ``div`` (all values nonnegative,
+    so truncation == floor):
+
+        pr_0       = scale div N
+        pr_{k+1}(v) = (3·scale) div (20·N)
+                      + (17 · Σ_{u~v} (pr_k(u) div deg(u))) div 20
+
+    Returns (term, score) with the raw integer score — no float
+    boundary for an oracle to disagree on.
+
+    Scale shape: pair edges are MAP-SIDE array combinatorics per doc
+    (never a fact self-join); each iteration is one edge-keyed join +
+    one partial-agg shuffle, ``localCheckpoint`` truncating lineage —
+    the components.py iterative discipline.  The node count enters the
+    plan as a broadcast 1-row aggregate, not a driver collect.
+    """
+    terms_arr = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.split(F.trim(text_col), r"\s+"),
+                lambda w: F.length(w) >= min_len,
+            )
+        )
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ts"), i + 2, F.size(F.col("_ts"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    und = (
+        docs.select(terms_arr.alias("_ts"))
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
+        .distinct()
+    )
+    edges = und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = edges.select(F.col("src").alias("term")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    ranks = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select(
+            "term",
+            F.expr(f"CAST({scale} AS BIGINT) div _n").alias("pr"),
+            F.expr(f"CAST({3 * scale} AS BIGINT) div (20 * _n)").alias("_base"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(
+                ranks.select(F.col("term").alias("src"), "pr"), "src"
+            )
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("term"),
+                F.expr("pr div deg").alias("_c"),
+            )
+            .groupBy("term")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = (
+            ranks.join(contrib, "term", "left")
+            .select(
+                "term",
+                (
+                    F.col("_base")
+                    + F.expr("(17 * coalesce(_s, CAST(0 AS BIGINT))) div 20")
+                ).alias("pr"),
+                "_base",
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("term", F.col("pr").alias("score"))

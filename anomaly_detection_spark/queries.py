@@ -6481,6 +6481,171 @@ def q_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TextRank keyword scoring (pipeline/text.py:textrank_terms): damped
+# PageRank over the within-document term co-occurrence graph, power
+# iteration in EXACT integer arithmetic (17/20 damping, integral
+# divisions, nonneg domain) so 8 iterations are bit-identical across
+# engines.  A recursive CTE can't aggregate per iteration, so the
+# oracle UNROLLS the 8 steps as chained CTEs built by a Python loop —
+# a full-value oracle for an iterative graph algorithm.
+# ---------------------------------------------------------------------------
+
+def _textrank_oracle_sql(n_iter: int = 8, scale: int = 10**12) -> str:
+    head = r"""
+WITH und AS (
+    SELECT DISTINCT ts[i] AS src, ts[j] AS dst
+    FROM (SELECT list_sort(list_distinct(list_filter(
+              string_split_regex(trim(text), '\s+'),
+              w -> length(w) >= 4))) AS ts
+          FROM documents),
+         LATERAL unnest(generate_series(1, len(ts))) AS u(i),
+         LATERAL unnest(generate_series(1, len(ts))) AS v(j)
+    WHERE i < j
+),
+edges AS (SELECT src, dst FROM und
+          UNION ALL SELECT dst, src FROM und),
+deg AS (SELECT src AS term, count(*) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS term FROM edges),
+n AS (SELECT count(*) AS n FROM nodes),
+pr0 AS (SELECT term,
+               CAST({scale} // (SELECT n FROM n) AS BIGINT) AS pr
+        FROM nodes)"""
+    step = r""",
+pr{k} AS (
+    SELECT nd.term,
+           CAST((SELECT {base} // (20 * n) FROM n)
+                + (17 * coalesce(c.s, 0)) // 20 AS BIGINT) AS pr
+    FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS term, CAST(sum(p.pr // d.deg) AS BIGINT) AS s
+        FROM edges e JOIN pr{j} p ON p.term = e.src
+                     JOIN deg d ON d.term = e.src
+        GROUP BY e.dst) c ON c.term = nd.term
+)"""
+    sql = head.format(scale=scale)
+    for k in range(1, n_iter + 1):
+        sql += step.format(k=k, j=k - 1, base=3 * scale)
+    sql += (
+        f"\nSELECT term, pr AS score FROM pr{n_iter} "
+        "ORDER BY score DESC, term LIMIT 30"
+    )
+    return sql
+
+
+@register("textrank_keywords", _textrank_oracle_sql())
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.text import textrank_terms
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        textrank_terms(docs)
+        .orderBy(F.desc("score"), "term")
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document containment detection (quoted/subset duplicates): the
+# asymmetric cousin of Jaccard near-dup — containment(A in B) =
+# |g(A) ∩ g(B)| / |g(A)| catches a short doc embedded in a longer one
+# that symmetric similarity misses.  Candidates come from RARE-shingle
+# blocking (grams with document frequency <= 5): a rare shared gram is
+# strong evidence, and candidate volume is bounded by df² per gram —
+# the standard scalable candidate generator (Broder-style), mirrored
+# exactly by the oracle.
+# ---------------------------------------------------------------------------
+
+@register("containment_rare_gram", r"""
+WITH g AS (
+    -- DuckDB list slices are INCLUSIVE: [i:i+2] is the 3-token gram
+    SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          FROM documents),
+         LATERAL unnest(generate_series(1, greatest(len(toks) - 3, 0) + 1))
+             AS u(i)
+), sz AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 5),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM g a JOIN rare r ON a.gram = r.gram
+         JOIN g b ON b.gram = r.gram AND a.doc_id < b.doc_id
+), inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS n_common
+    FROM cand c JOIN g ga ON ga.doc_id = c.id_a
+                JOIN g gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+    GROUP BY c.id_a, c.id_b
+)
+SELECT CASE WHEN sa.n_grams <= sb.n_grams THEN i.id_a ELSE i.id_b END
+           AS contained_id,
+       CASE WHEN sa.n_grams <= sb.n_grams THEN i.id_b ELSE i.id_a END
+           AS container_id,
+       i.n_common,
+       least(sa.n_grams, sb.n_grams) AS n_contained_grams,
+       round(CAST(i.n_common AS DOUBLE)
+             / least(sa.n_grams, sb.n_grams), 6) AS containment
+FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
+             JOIN sz sb ON sb.doc_id = i.id_b
+WHERE CAST(i.n_common AS DOUBLE) / least(sa.n_grams, sb.n_grams) >= 0.8
+""")
+def q_containment_rare_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    n = F.size("toks")
+    g = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - 3, F.lit(0)) + 1),
+                lambda i: F.array_join(F.slice("toks", i, 3), " "),
+            )
+        ).alias("gram"),
+    ).distinct()
+    sz = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    rare = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= 5)
+        .select("gram")
+    )
+    rg = g.join(rare, "gram")
+    a = rg.select(F.col("gram"), F.col("doc_id").alias("id_a"))
+    b = rg.select(F.col("gram"), F.col("doc_id").alias("id_b"))
+    cand = (
+        a.join(b, "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ga = g.select(F.col("doc_id").alias("id_a"), "gram")
+    gb = g.select(F.col("doc_id").alias("id_b"), "gram")
+    inter = (
+        cand.join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sz.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("_na"))
+    sb = sz.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("_nb"))
+    mn = F.least("_na", "_nb")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.col("n_common").cast("double") / mn >= 0.8)
+        .select(
+            F.when(F.col("_na") <= F.col("_nb"), F.col("id_a"))
+            .otherwise(F.col("id_b")).alias("contained_id"),
+            F.when(F.col("_na") <= F.col("_nb"), F.col("id_b"))
+            .otherwise(F.col("id_a")).alias("container_id"),
+            "n_common",
+            mn.alias("n_contained_grams"),
+            F.round(F.col("n_common").cast("double") / mn, 6)
+            .alias("containment"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
@@ -6582,6 +6747,8 @@ DRIVER_PRIORITY: list[str] = [
     "holt_smoothing_user",
     "term_cooccurrence_lift",
     "novelty_curve_docs",
+    "textrank_keywords",
+    "containment_rare_gram",
 ]
 
 
