@@ -6659,15 +6659,20 @@ def q_containment_rare_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _driver_green() -> set[str]:
-    """Names with rows/schema/hash all true in any past CORRECTNESS file."""
+def _driver_green(min_round: int = 0) -> set[str]:
+    """Names with rows/schema/hash all true in a past CORRECTNESS file
+    from round >= ``min_round``."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m and int(m.group(1)) < min_round:
+            continue
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -6682,7 +6687,11 @@ def _driver_green() -> set[str]:
 
 
 # Queries whose implementation changed since their last green driver row:
-# re-verify even though a past round vouched for the old code.
+# re-verify even though a past round vouched for the old code.  A name
+# automatically yields its front-of-queue slot once a round >=
+# DRIVER_REVERIFY_SINCE gives it a fresh green row (that row DOES vouch
+# for the current code), so the list self-retires without manual edits.
+DRIVER_REVERIFY_SINCE = 2
 DRIVER_REVERIFY: list[str] = [
     # round 2: distributed two-pass ranking / multi-seed capped LSH /
     # DataFrame-native IVF probes / raw-value filter order / exact-Jaccard
@@ -6760,9 +6769,16 @@ def _ordered(names: dict[str, object]) -> list[str]:
     driver can record, so rows-only queries never consume a capped slot
     that an unverified oracle pair could use."""
     green = _driver_green()
+    fresh = _driver_green(min_round=DRIVER_REVERIFY_SINCE)
     order = list(names)
-    # stable sort: registration order breaks all remaining ties
-    order.sort(key=lambda n: (n not in DRIVER_REVERIFY and n in green,
+    # stable sort: registration order breaks all remaining ties.
+    # Changed-implementation queries (DRIVER_REVERIFY, minus those a
+    # fresh round already re-greened) outrank even the never-checked
+    # backlog: a query whose old green row no longer vouches for the
+    # current code must land a fresh row THIS round, while a brand-new
+    # query can wait for the next sweep.
+    order.sort(key=lambda n: (n not in DRIVER_REVERIFY or n in fresh,
+                              n in green,
                               n not in ORACLES,
                               DRIVER_PRIORITY.index(n) if n in DRIVER_PRIORITY
                               else len(DRIVER_PRIORITY)))

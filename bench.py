@@ -78,6 +78,10 @@ BENCH_QUERIES = [
     "anomaly_ensemble_events",
     "session_paths_events",
     "markov_transitions_events",
+    "winsorize_events",
+    "holt_smoothing_user",
+    "novelty_curve_docs",
+    "term_cooccurrence_lift",
 ]
 
 

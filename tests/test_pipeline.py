@@ -579,3 +579,45 @@ def test_sample_frames_schedule_and_flatmap(spark, sf_dir):
     assert all(len(r.features) == 8 for r in out)
     plan = sample_frames(wp, k=4)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_textrank_matches_python_reference(spark):
+    from anomaly_detection_spark.pipeline.text import textrank_terms
+
+    # star: "huba" co-occurs with everything; spokes only with huba
+    docs = spark.createDataFrame(
+        [("huba spoke1",), ("huba spoke2",), ("huba spoke3",),
+         ("huba spoke4",)],
+        "text string",
+    )
+    got = {r.term: r.score for r in textrank_terms(docs, n_iter=8).collect()}
+
+    # same integer recursion in plain python
+    edges = {("huba", f"spoke{i}") for i in range(1, 5)}
+    und = edges | {(b, a) for a, b in edges}
+    nodes = sorted({n for e in und for n in e})
+    deg = {n: sum(1 for a, _ in und if a == n) for n in nodes}
+    scale = 10**12
+    n = len(nodes)
+    pr = {v: scale // n for v in nodes}
+    base = (3 * scale) // (20 * n)
+    for _ in range(8):
+        contrib = {v: 0 for v in nodes}
+        for a, b in und:
+            contrib[b] += pr[a] // deg[a]
+        pr = {v: base + (17 * contrib[v]) // 20 for v in nodes}
+    assert got == pr
+    assert max(got, key=got.get) == "huba"
+
+
+def test_containment_planted_subset(spark, sf_dir):
+    from anomaly_detection_spark import queries as reg
+
+    # the registered query at sf0.001 must find the planted containment
+    # relationships deterministically and orient them small-into-large
+    rows = reg.QUERIES["containment_rare_gram"](spark, sf_dir).collect()
+    for r in rows:
+        assert 0.8 <= r.containment <= 1.0
+        assert r.n_common <= r.n_contained_grams
+    # a fully-contained pair exists in the fixture corpus (exact dups)
+    assert any(r.containment == 1.0 for r in rows)
