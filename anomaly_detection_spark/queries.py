@@ -6646,6 +6646,53 @@ def q_containment_rare_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SimHash Hamming-radius near-dup pairs (pipeline/dedup.py:
+# simhash_hamming_pairs) — the Manku WWW'07 banded construction:
+# radius+1 disjoint bands make banding a COMPLETE candidate generator
+# by pigeonhole, exact popcount(xor) verify on candidates.  Built on
+# the md5-bit portable SimHash so the ENTIRE pipeline (fingerprint,
+# bands, verify) gets a full value oracle.
+# ---------------------------------------------------------------------------
+
+def _simhash_hamming_oracle_sql(radius: int = 3, bits: int = 16) -> str:
+    from anomaly_detection_spark.pipeline.dedup import (
+        simhash_portable_oracle_sql,
+    )
+
+    n_bands = radius + 1
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    inner = simhash_portable_oracle_sql("documents", "text", "doc_id", bits)
+    return f"""
+WITH sh AS ({inner}),
+bands AS (
+    SELECT doc_id, simhash, i AS band_idx,
+           (simhash >> (i * {band_bits})) & {mask} AS band_val
+    FROM sh, LATERAL unnest(generate_series(0, {n_bands - 1})) AS u(i)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.simhash AS sha, b.simhash AS shb
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sha, shb)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sha, shb)) <= {radius}
+"""
+
+
+@register("simhash_hamming_pairs", _simhash_hamming_oracle_sql())
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.dedup import simhash_hamming_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return simhash_hamming_pairs(docs, radius=3, bits=16)
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
@@ -6758,6 +6805,7 @@ DRIVER_PRIORITY: list[str] = [
     "novelty_curve_docs",
     "textrank_keywords",
     "containment_rare_gram",
+    "simhash_hamming_pairs",
 ]
 
 

@@ -621,3 +621,32 @@ def test_containment_planted_subset(spark, sf_dir):
         assert r.n_common <= r.n_contained_grams
     # a fully-contained pair exists in the fixture corpus (exact dups)
     assert any(r.containment == 1.0 for r in rows)
+
+
+def test_simhash_hamming_banding_complete(spark, sf_dir):
+    """Pigeonhole completeness: the banded candidate join must find
+    EVERY pair within the radius — differential vs brute-force all
+    pairs over the collected fingerprints."""
+    from itertools import combinations
+
+    from anomaly_detection_spark.pipeline.dedup import (
+        simhash_hamming_pairs, simhash_portable,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).limit(300)
+    fps = {
+        r.doc_id: r.sh
+        for r in docs.select(
+            "doc_id", simhash_portable("text", 16).alias("sh")
+        ).collect()
+    }
+    expect = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a, b in combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_hamming_pairs(docs, radius=3).collect()
+    }
+    assert got == expect and expect
