@@ -533,9 +533,39 @@ def simhash_hamming_pairs(
         raise ValueError("bits must divide evenly into radius+1 bands")
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
-    h = docs.select(
-        F.col(id_col),
-        simhash_portable(text_col, bits, shingle_n).alias("_sh"),
+    # fingerprint = JVM md5 shingle hashes + ONE Arrow-batched numpy
+    # majority vote.  The pure-expression form (`simhash_portable`)
+    # runs `bits` interpreted array filters per row — fine at 16 bits,
+    # but 48-bit fingerprints measured 141 s at sf0.1 vs ~8 s for the
+    # vectorized kernel, bit-identically (same vals, same
+    # ones*2 >= total rule the oracle replays).
+    n_hex = (bits + 3) // 4
+    vals_expr = F.transform(
+        shingles(text_col, shingle_n),
+        lambda g: F.conv(
+            F.substring(F.md5(g.cast("binary")), 1, n_hex), 16, 10
+        ).cast("long"),
+    )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _fp(vals: pd.Series) -> pd.Series:
+        shifts = np.arange(bits, dtype=np.int64)
+        weights = (np.int64(1) << shifts)
+        out = []
+        for v in vals:
+            a = np.asarray(v, dtype=np.int64)
+            ones = ((a[:, None] >> shifts) & 1).sum(axis=0)
+            out.append(int(weights[ones * 2 >= len(a)].sum()))
+        return pd.Series(out, dtype="int64")
+
+    from anomaly_detection_spark.pipeline.similarity import (
+        _spread_single_file,
+    )
+
+    h = _spread_single_file(docs).select(
+        F.col(id_col), _fp(vals_expr).alias("_sh")
     ).persist()
     bands = h.select(
         id_col, "_sh",

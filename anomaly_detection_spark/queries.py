@@ -6654,7 +6654,7 @@ def q_containment_rare_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bands, verify) gets a full value oracle.
 # ---------------------------------------------------------------------------
 
-def _simhash_hamming_oracle_sql(radius: int = 3, bits: int = 16) -> str:
+def _simhash_hamming_oracle_sql(radius: int = 3, bits: int = 48) -> str:
     from anomaly_detection_spark.pipeline.dedup import (
         simhash_portable_oracle_sql,
     )
@@ -6689,7 +6689,11 @@ def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anomaly_detection_spark.pipeline.dedup import simhash_hamming_pairs
 
     docs = load_table(spark, "documents", sf_dir)
-    return simhash_hamming_pairs(docs, radius=3, bits=16)
+    # 48-bit fingerprint -> 12-bit bands: bucket density ~n/4096 per
+    # band value, so candidate volume tracks true near-dup density.
+    # (4-bit bands off a 16-bit hash would put ~n/16 docs per bucket —
+    # quadratic at corpus scale.)
+    return simhash_hamming_pairs(docs, radius=3, bits=48)
 
 
 # ---------------------------------------------------------------------------

@@ -79,6 +79,14 @@ def main() -> None:
         t0 = time.monotonic()
         n_stl = stl_iqr_detect(df, ["user_id"], "ts", "value").count()
         t_stl = round(time.monotonic() - t0, 2)
+
+        # Holt smoothing: sequential per-series state via applyInPandas
+        # — wall time should track ROWS (python loop per series),
+        # another probe of the Arrow-batched engine shape
+        from anomaly_detection_spark.detect.robust import holt_smoothing
+        t0 = time.monotonic()
+        n_holt = holt_smoothing(df, ["user_id"], ["ts", "event_id"]).count()
+        t_holt = round(time.monotonic() - t0, 2)
         df.unpersist()
 
         from anomaly_detection_spark.pipeline.dedup import minhash_exact_near_duplicates
@@ -133,6 +141,43 @@ def main() -> None:
         t0 = time.monotonic()
         n_ed_pairs = edit_distance_near_duplicates(docs).count()
         t_editdist = round(time.monotonic() - t0, 2)
+
+        # SimHash Hamming dedup: replicas' token spaces are disjoint so
+        # fingerprints are quasi-random across copies — candidate volume
+        # must track in-copy duplicate density, not n²
+        from anomaly_detection_spark.pipeline.dedup import (
+            simhash_hamming_pairs,
+        )
+        t0 = time.monotonic()
+        n_ham = simhash_hamming_pairs(docs, radius=3, bits=48).count()
+        t_hamming = round(time.monotonic() - t0, 2)
+
+        # novelty curve: gram-keyed window min — disjoint replica grams
+        # keep per-gram partitions bounded, so the pass stays linear
+        from anomaly_detection_spark.queries import q_novelty_curve  # noqa: F401
+        from pyspark.sql.window import Window
+        toks = docs.select(
+            "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+        )
+        nsz = F.size("toks")
+        grams = toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(nsz - 3, F.lit(0)) + 1),
+                    lambda i: F.array_join(F.slice("toks", i, 3), " "),
+                )
+            ).alias("gram"),
+        ).distinct()
+        t0 = time.monotonic()
+        wg = Window.partitionBy("gram")
+        n_novel_docs = (
+            grams.withColumn("first_doc", F.min("doc_id").over(wg))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .count()
+        )
+        t_novelty = round(time.monotonic() - t0, 2)
         docs.unpersist()
         print(json.dumps({
             "k": k, "rows": n_rows, "series": n_flags,
@@ -144,6 +189,9 @@ def main() -> None:
             "curated": n_curated, "curate_sec": t_curate,
             "curate_docs_per_sec": round(n_docs / t_curate, 1),
             "editdist_pairs": n_ed_pairs, "editdist_sec": t_editdist,
+            "holt_sec": t_holt, "holt_rows": n_holt,
+            "hamming_pairs": n_ham, "hamming_sec": t_hamming,
+            "novelty_docs": n_novel_docs, "novelty_sec": t_novelty,
         }), flush=True)
 
 

@@ -204,3 +204,21 @@ def test_holt_smoothing_matches_reference_recursion(spark):
         assert got[i + 1] == (l / 10000.0, b / 10000.0, (l + b) / 10000.0)
     # after the sustained ramp the trend state must be positive
     assert got[len(vals)][1] > 0
+
+
+def test_new_ops_empty_inputs(spark):
+    from anomaly_detection_spark.detect.robust import holt_smoothing
+    from anomaly_detection_spark.pipeline.components import dedup_keep_best
+    from anomaly_detection_spark.pipeline.dedup import simhash_hamming_pairs
+    from anomaly_detection_spark.pipeline.text import textrank_terms
+
+    docs = spark.createDataFrame([], "doc_id long, text string, n_chars long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    ev = spark.createDataFrame([], "user_id long, ts timestamp_ntz, "
+                                   "event_id long, value double")
+    assert simhash_hamming_pairs(docs).count() == 0
+    assert dedup_keep_best(docs, pairs).count() == 0
+    assert textrank_terms(docs).count() == 0
+    out = holt_smoothing(ev, ["user_id"], ["ts", "event_id"])
+    assert out.count() == 0
+    assert {"rn", "level", "trend", "forecast"} <= set(out.columns)
