@@ -449,3 +449,82 @@ def textrank_terms(
             .localCheckpoint()
         )
     return ranks.select("term", F.col("pr").alias("score"))
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 12,
+) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al., ACL 2016) —
+    the tokenizer-construction step of an LLM data pipeline, run the
+    way industrial trainers do: on the WORD-COUNT table, never the raw
+    corpus.  Corpus size only affects the one word-count shuffle; every
+    merge iteration works on |vocab| rows.
+
+    Each iteration: count adjacent symbol pairs weighted by word
+    frequency (slim pair rollup with map-side combine), pick the
+    global argmax (max count, ties to the lexicographically smallest
+    pair — deterministic), and apply the merge left-to-right greedily
+    via a JVM array fold.  The per-iteration driver traffic is ONE row
+    (the winning pair) — the unavoidable global decision of BPE — and
+    ``localCheckpoint`` keeps the growing plan bounded, as in
+    components.py.
+
+    Returns the merge table: (rank, left, right, merged, pair_count).
+    """
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(text_col), r"\s+")).alias("word")
+        )
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select(F.split("word", "").alias("syms"), "wc")
+        .localCheckpoint()
+    )
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = words.where(F.size("syms") >= 2).select(
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, F.size("syms") - 1),
+                    F.slice("syms", 2, F.size("syms") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+            "wc",
+        ).groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r")).agg(
+            F.sum("wc").alias("n")
+        )
+        top = pairs.orderBy(F.desc("n"), "l", "r").limit(1).collect()
+        if not top:
+            break
+        left, right, n = top[0]["l"], top[0]["r"], top[0]["n"]
+        merged = left + right
+        merges.append((rank, left, right, merged, int(n)))
+        # greedy left-to-right merge: fold the symbol array, joining an
+        # (left, right) adjacency into one symbol; a freshly-merged
+        # symbol never re-merges with the next element in the same pass
+        # (standard BPE application order)
+        lit_l, lit_r, lit_m = F.lit(left), F.lit(right), F.lit(merged)
+        merged_syms = F.aggregate(
+            "syms",
+            F.expr("CAST(array() AS ARRAY<STRING>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == lit_l)
+                & (x == lit_r),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(lit_m)
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = words.select(
+            merged_syms.alias("syms"), "wc"
+        ).localCheckpoint()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, "
+                "pair_count bigint",
+    )

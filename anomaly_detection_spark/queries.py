@@ -6697,6 +6697,22 @@ def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE merge training (pipeline/text.py:bpe_train) — rows-only: each
+# iteration's merge application is a data-dependent sequential fold
+# over symbol arrays, outside ANSI SQL (the exact-equality differential
+# vs a pure-python Sennrich reference lives in
+# test_pipeline.py::test_bpe_train_matches_python_reference).
+# ---------------------------------------------------------------------------
+
+@register("bpe_merges_docs")
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.text import bpe_train
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bpe_train(docs, n_merges=12)
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -109,3 +109,29 @@ def test_zorder_code_is_deterministic_and_bounded(spark):
     assert all(0 <= v < 16 for v in vals)
     vals2 = [r["_zorder"] for r in coded.select("_zorder").collect()]
     assert vals == vals2
+
+
+def test_dynamic_partition_pruning_in_plan(spark, sf_dir, tmp_path):
+    """A date-partitioned fact joined to a filtered dim must get a
+    runtime partition-pruning subquery (Spark DPP): only the dim's
+    surviving dates are scanned, without a static date literal in the
+    fact filter — the core scan-avoidance mechanism for partitioned
+    100 TB facts."""
+    from anomaly_detection_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    fact_path = str(tmp_path / "events_by_date")
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+
+    dim = (
+        ev.select("event_date").distinct()
+        .withColumn("is_hot", F.dayofmonth("event_date") <= 2)
+    )
+    joined = fact.join(dim.where("is_hot"), "event_date").groupBy(
+        "event_date"
+    ).count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

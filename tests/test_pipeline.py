@@ -650,3 +650,44 @@ def test_simhash_hamming_banding_complete(spark, sf_dir):
         for r in simhash_hamming_pairs(docs, radius=3).collect()
     }
     assert got == expect and expect
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    from collections import Counter
+
+    from anomaly_detection_spark.pipeline.text import bpe_train
+
+    docs = load_table(spark, "documents", sf_dir).limit(200)
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_train(docs, n_merges=8).orderBy("rank").collect()
+    ]
+
+    # reference BPE (Sennrich) in plain python on the same corpus
+    words = Counter()
+    for (text,) in docs.select("text").collect():
+        for w in text.strip().split():
+            if w:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    expect = []
+    for rank in range(1, 9):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += words[w]
+        if not pc:
+            break
+        # max count, ties to lexicographically smallest pair
+        (l, r), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rank, l, r, l + r, n))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if out and out[-1] == l and syms[i] == r:
+                    out[-1] = l + r
+                else:
+                    out.append(syms[i])
+                i += 1
+            vocab[w] = out
+    assert got == expect and len(got) == 8
