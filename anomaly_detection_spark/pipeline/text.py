@@ -8,6 +8,8 @@ map-only (no shuffle at all).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -528,3 +530,66 @@ def bpe_train(
         merges, "rank int, left string, right string, merged string, "
                 "pair_count bigint",
     )
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a TRAINED merge table (from :func:`bpe_train`):
+    each word's characters are re-merged by applying the merges in
+    rank order, exhaustively and left-to-right — exactly the
+    training-time application, so segmenting the training corpus
+    reproduces the trainer's final symbol state.
+
+    ``merges`` is the bpe_train DataFrame (collected here — it is the
+    tokenizer artifact, a few hundred rows at most) or a list of
+    (left, right) pairs in rank order.  Segmentation is an
+    Arrow-batched kernel with a per-batch word memo — Zipf's law makes
+    the memo hit rate high, so per-batch work tracks DISTINCT words.
+
+    Returns (id_col, tokens array<string>, n_tokens_bpe).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r["left"], r["right"]) for r in merges.orderBy("rank").collect()
+        ]
+    merge_list = list(merges)
+
+    @pandas_udf("array<string>")
+    def _seg(texts: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+
+        def seg_word(w: str) -> list[str]:
+            hit = memo.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w)
+            for left, right in merge_list:
+                i, out = 0, []
+                while i < len(syms):
+                    if out and out[-1] == left and syms[i] == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(syms[i])
+                    i += 1
+                syms = out
+            memo[w] = syms
+            return syms
+
+        out = []
+        for t in texts:
+            toks: list[str] = []
+            for w in (t or "").strip().split():
+                if w:
+                    toks.extend(seg_word(w))
+            out.append(toks)
+        return pd.Series(out)
+
+    return docs.select(
+        F.col(id_col), _seg(F.col(text_col)).alias("tokens")
+    ).withColumn("n_tokens_bpe", F.size("tokens"))

@@ -6712,6 +6712,19 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, n_merges=12)
 
 
+@register("bpe_tokenize_docs")
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-tokenize round trip: token counts under the corpus's
+    own trained merges (rows-only — sequential merge application; the
+    lossless-reconstruction and compression invariants are pinned by
+    test_bpe_segment_roundtrip_and_compression)."""
+    from anomaly_detection_spark.pipeline.text import bpe_segment, bpe_train
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = bpe_train(docs, n_merges=12)
+    return bpe_segment(docs, merges).select("doc_id", "n_tokens_bpe")
+
+
 # ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #

@@ -691,3 +691,23 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
                 i += 1
             vocab[w] = out
     assert got == expect and len(got) == 8
+
+
+def test_bpe_segment_roundtrip_and_compression(spark, sf_dir):
+    from anomaly_detection_spark.pipeline.text import bpe_segment, bpe_train
+
+    docs = load_table(spark, "documents", sf_dir).limit(150)
+    merges = bpe_train(docs, n_merges=10)
+    seg = bpe_segment(docs, merges).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert len(seg) == len(texts)
+    for r in seg:
+        chars = "".join(texts[r.doc_id].strip().split())
+        # lossless: concatenated tokens reproduce the word characters
+        assert "".join(r.tokens) == chars
+        # merges only ever shrink the token stream
+        assert r.n_tokens_bpe <= len(chars)
+    # the trained merges actually compress on the training corpus
+    assert sum(r.n_tokens_bpe for r in seg) < sum(
+        len("".join(t.strip().split())) for t in texts.values()
+    )
