@@ -74,3 +74,24 @@ def test_enrichment_and_detection(spark):
     assert spike.alleged_freq == "daily"
     # measured frequency: daily cadence → 1.0 day
     assert abs(spike.frequency - 1.0) < 1e-9
+
+
+def test_detect_facade_dispatches_all_methods(spark, sf_dir):
+    from anomaly_detection_spark.detect.api import METHODS, detect
+    from anomaly_detection_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir).limit(2000)
+    expected_cols = {
+        "rules": "absolute_standard_deviations_from_avg",
+        "stl": "score",
+        "shesd": "residual",
+        "hampel": "hampel_outlier",
+        "cusum": "shift_flag",
+        "robust_z": "robust_flag",
+        "holt": "forecast",
+    }
+    assert set(expected_cols) == set(METHODS)
+    for method, col in expected_cols.items():
+        out = detect(ev, ["user_id"], "ts", "value", method=method)
+        assert col in out.columns, method
+        assert out.count() >= 0, method

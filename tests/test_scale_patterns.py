@@ -334,3 +334,33 @@ def test_funnel_single_shuffle(spark, sf_dir):
     pu = funnel_times(ev, steps)
     plan = _physical_plan(pu)
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_aqe_runtime_broadcast_conversion(spark, sf_dir):
+    """With static broadcast estimation disabled, AQE must still
+    convert the shuffle join to a broadcast join at RUNTIME, once the
+    filtered side's true (tiny) materialized size is known — the
+    mechanism that rescues join plans whose static size estimates are
+    wrong, which at 100 TB is most of them."""
+    static_key = "spark.sql.autoBroadcastJoinThreshold"
+    adaptive_key = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    old_static = spark.conf.get(static_key)
+    try:
+        spark.conf.set(static_key, "-1")
+        spark.conf.set(adaptive_key, "10m")
+        ev = load_table(spark, "events", sf_dir)
+        small = (
+            load_table(spark, "customer", sf_dir)
+            .where(F.col("c_custkey") % 97 == 0)
+            .select(F.col("c_custkey").alias("user_id"))
+        )
+        joined = ev.join(small, "user_id").groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        assert len(joined.collect()) >= 0  # execute THIS plan: AQE
+        # re-plans mid-flight and executedPlan becomes the final plan
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        spark.conf.set(static_key, old_static)
+        spark.conf.unset(adaptive_key)
