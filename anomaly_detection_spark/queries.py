@@ -6726,6 +6726,109 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training: for each probe
+# vector, the most-cosine-similar corpus vector with a DIFFERENT label
+# (the hard negative) and the most similar with the SAME label (the
+# positive) — the standard pair-construction step for embedding-model
+# fine-tuning.  Probe set broadcasts; corpus streams map-side; one
+# argmax aggregation per (probe, polarity).
+# ---------------------------------------------------------------------------
+
+@register("hard_negatives_embeddings", """
+WITH v AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+), probes AS (SELECT * FROM v WHERE vec_id < 8),
+scored AS (
+    SELECT p.vec_id AS query_id, c.vec_id, p.label = c.label AS same_label,
+           round(list_cosine_similarity(p.emb, c.emb), 6) AS cosine
+    FROM probes p JOIN v c ON c.vec_id != p.vec_id
+)
+SELECT query_id, same_label, vec_id, cosine
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id, same_label
+                           ORDER BY cosine DESC, vec_id) = 1
+""")
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.similarity import (
+        _dot, _norm,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", "embedding"
+    )
+    probes = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("_qlabel"),
+        F.col("embedding").alias("_qvec"),
+        _norm(F.col("embedding")).alias("_qn"),
+    )
+    scored = (
+        emb.withColumn("_n", _norm(F.col("embedding")))
+        .crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            (F.col("label") == F.col("_qlabel")).alias("same_label"),
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("_qvec"))
+                / (F.col("_n") * F.col("_qn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    # argmax as a map-side-combinable struct max (ties -> lower vec_id)
+    best = scored.groupBy("query_id", "same_label").agg(
+        F.max(
+            F.struct(
+                (F.col("cosine") + F.lit(0.0)).alias("_k"),
+                (-F.col("vec_id")).alias("_ni"),
+                F.col("cosine").alias("_c"),
+            )
+        ).alias("_m")
+    )
+    return best.select(
+        "query_id", "same_label",
+        (-F.col("_m._ni")).alias("vec_id"),
+        F.col("_m._c").alias("cosine"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit: quasi-identifier combinations shared by fewer
+# than k distinct users are re-identification risks — the privacy
+# check a dataset release runs next to PII redaction.  One shuffle on
+# the quasi-identifier tuple.
+# ---------------------------------------------------------------------------
+
+@register("k_anonymity_audit", """
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS DATE) AS event_day,
+       CAST(floor(value / 50) AS BIGINT) AS value_band,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_rows
+FROM events
+GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE),
+         CAST(floor(value / 50) AS BIGINT)
+HAVING count(DISTINCT user_id) < 5
+""")
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("day", "ts")).alias("event_day"),
+            F.floor(F.col("value") / 50).alias("value_band"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .where(F.col("n_users") < 5)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
