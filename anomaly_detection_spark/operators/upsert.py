@@ -60,3 +60,40 @@ def scd2_apply(
         .select(*target.columns)
     )
     return closed.unionByName(fresh)
+
+
+def cdc_apply(
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Reconstruct current state from a CDC change log (the
+    Debezium/binlog apply step): per key, the change with the highest
+    ``seq_col`` wins, and a winning delete removes the key entirely.
+
+    Handles out-of-order delivery by construction — the argmax over
+    sequence is order-independent, so late rows and replays land
+    identically on any partitioning (idempotent apply).
+
+    One shuffle on the key; the argmax is a map-side-combinable
+    struct-max (no per-key sort, no window), so the change log can be
+    arbitrarily deep per key without memory pressure.
+    """
+    keys = list(key_cols)
+    payload = [c for c in changes.columns if c not in keys]
+    latest = changes.groupBy(*keys).agg(
+        F.max(
+            F.struct(
+                F.col(seq_col).alias("_seq"),
+                *[F.col(c).alias(c) for c in payload if c != seq_col],
+            )
+        ).alias("_m")
+    )
+    out = latest.select(
+        *keys,
+        *[F.col(f"_m.{c}").alias(c) for c in payload if c != seq_col],
+        F.col("_m._seq").alias(seq_col),
+    )
+    return out.where(F.col(op_col) != delete_op)

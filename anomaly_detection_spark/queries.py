@@ -6829,6 +6829,113 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CDC apply (operators/upsert.py:cdc_apply): reconstruct current state
+# from a Debezium/binlog-shaped change log — per key the highest-seq
+# change wins, winning deletes drop the key.  Argmax as a map-side
+# struct max (order-independent => idempotent under replay and
+# out-of-order delivery).  Change rows are synthesized
+# deterministically from lineitem.
+# ---------------------------------------------------------------------------
+
+@register("cdc_apply_lineitem", """
+WITH changes AS (
+    SELECT l_orderkey AS key, l_linenumber AS seq,
+           CASE WHEN l_returnflag = 'R' THEN 'D'
+                WHEN l_linenumber = 1 THEN 'I' ELSE 'U' END AS op,
+           round(l_extendedprice, 4) AS val
+    FROM lineitem
+)
+SELECT key, op, val, seq
+FROM changes
+-- the fixture's (orderkey, linenumber) is NOT unique, so mirror the
+-- operator's full struct order (seq, then payload) as the tie-break;
+-- rows tying on all three are identical, so the pick is deterministic
+QUALIFY row_number() OVER (PARTITION BY key
+                           ORDER BY seq DESC, op DESC, val DESC) = 1
+  AND op != 'D'
+""")
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.operators.upsert import cdc_apply
+
+    li = load_table(spark, "lineitem", sf_dir)
+    changes = li.select(
+        F.col("l_orderkey").alias("key"),
+        F.col("l_linenumber").alias("seq"),
+        F.when(F.col("l_returnflag") == "R", "D")
+        .when(F.col("l_linenumber") == 1, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.round("l_extendedprice", 4).alias("val"),
+    )
+    return cdc_apply(changes, ["key"], "seq")
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: each purchase is credited to the user's most
+# recent click STRICTLY before it (within 7 days); revenue rolls up by
+# the attributed click's day.  One series-key exchange — the window
+# and the per-day rollup reuse the event ordering; exact cents-grid
+# revenue sums.
+# ---------------------------------------------------------------------------
+
+@register("attribution_last_touch", """
+WITH w AS (
+    SELECT user_id, ts, event_type, value,
+           max(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_ts
+    FROM events
+), attributed AS (
+    SELECT CAST(date_trunc('day', last_click_ts) AS DATE) AS click_day,
+           CAST(round(value * 10000, 0) AS BIGINT) AS cents
+    FROM w
+    WHERE event_type = 'purchase'
+      AND last_click_ts IS NOT NULL
+      AND epoch(ts) - epoch(last_click_ts) <= 7 * 86400
+)
+SELECT click_day,
+       count(*) AS n_purchases,
+       round(CAST(sum(cents) AS DOUBLE) / 10000.0, 4) AS attributed_revenue
+FROM attributed GROUP BY click_day
+""")
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.operators.temporal import epoch_seconds
+
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    attributed = (
+        ev.withColumn("last_click_ts", last_click)
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click_ts").isNotNull()
+            & (
+                epoch_seconds(F.col("ts"))
+                - epoch_seconds(F.col("last_click_ts"))
+                <= 7 * 86400
+            )
+        )
+        .select(
+            F.to_date(F.date_trunc("day", "last_click_ts")).alias("click_day"),
+            F.round(F.col("value") * 10000, 0).cast("long").alias("_cents"),
+        )
+    )
+    return attributed.groupBy("click_day").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("_cents").cast("double") / 10000.0, 4).alias(
+            "attributed_revenue"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -201,3 +201,33 @@ def test_asof_cogrouped_matches_window_form(spark, sf_dir):
     kb = sorted(map(tuple, b.select(
         "user_id", "event_id", "ets", "err_value").collect()))
     assert ka == kb and len(ka) > 0
+
+
+def test_cdc_apply_out_of_order_delete_replay(spark):
+    from anomaly_detection_spark.operators.upsert import cdc_apply
+
+    # key 1: I(1) U(3) U(2) delivered out of order -> seq 3 wins
+    # key 2: I(1) then D(2) -> key disappears
+    # key 3: single insert; replay of (1,'U',3,...) must change nothing
+    rows = [
+        (1, 2, "U", 10.0), (1, 1, "I", 5.0), (1, 3, "U", 20.0),
+        (2, 1, "I", 7.0), (2, 2, "D", 0.0),
+        (3, 1, "I", 1.0),
+    ]
+    changes = spark.createDataFrame(
+        rows, "key long, seq long, op string, val double"
+    )
+    got = {
+        r.key: (r.seq, r.op, r.val)
+        for r in cdc_apply(changes, ["key"], "seq").collect()
+    }
+    assert got == {1: (3, "U", 20.0), 3: (1, "I", 1.0)}
+    replay = changes.unionAll(
+        spark.createDataFrame([(1, 3, "U", 20.0)],
+                              "key long, seq long, op string, val double")
+    )
+    got2 = {
+        r.key: (r.seq, r.op, r.val)
+        for r in cdc_apply(replay, ["key"], "seq").collect()
+    }
+    assert got2 == got
