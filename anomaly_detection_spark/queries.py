@@ -6936,6 +6936,122 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Rolling correlation: trailing-14 Pearson correlation between each
+# observation and its lag-1 value, per series — the windowed
+# autocorrelation diagnostic (is the series locally trending or
+# mean-reverting?).  Every Σ term is an exact cents-grid integer over
+# the window frame, so numerator and variance terms are identical
+# doubles on any engine; one series-key exchange.
+# ---------------------------------------------------------------------------
+
+@register("rolling_corr_events", """
+WITH b AS (
+    SELECT user_id, event_id, ts,
+           CAST(round(value * 10000, 0) AS BIGINT) AS x,
+           lag(CAST(round(value * 10000, 0) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+    FROM events
+), w AS (
+    SELECT user_id, event_id,
+           count(*) OVER win AS n,
+           sum(x) OVER win AS sx, sum(y) OVER win AS sy,
+           sum(x * y) OVER win AS sxy,
+           sum(x * x) OVER win AS sxx, sum(y * y) OVER win AS syy
+    FROM b WHERE y IS NOT NULL
+    WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, CAST(n AS BIGINT) AS n,
+       CASE WHEN n >= 3
+             AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN round((n * sxy - sx * sy)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+       END AS roll_corr
+FROM w
+""")
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = F.round(F.col("value") * 10000, 0).cast("long")
+    b = ev.select(
+        "user_id", "event_id", "ts",
+        x.alias("x"), F.lag(x).over(wo).alias("y"),
+    ).where(F.col("y").isNotNull())
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-13, 0)
+    )
+    n = F.count(F.lit(1)).over(win)
+    sx, sy = F.sum("x").over(win), F.sum("y").over(win)
+    sxy = F.sum(F.col("x") * F.col("y")).over(win)
+    sxx = F.sum(F.col("x") * F.col("x")).over(win)
+    syy = F.sum(F.col("y") * F.col("y")).over(win)
+    num = n * sxy - sx * sy
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    return b.select(
+        "user_id", "event_id",
+        n.cast("bigint").alias("n"),
+        F.when(
+            (n >= 3) & (vx > 0) & (vy > 0),
+            F.round(
+                num / F.sqrt(vx.cast("double") * vy.cast("double")), 6
+            ),
+        ).alias("roll_corr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the near-dup graph: the density diagnostic that
+# distinguishes tight duplicate cliques from loose chains (a family of
+# n mutual near-dups has C(n,3) triangles; a chain has none).  The
+# oriented-edge join (i<j<k) is the standard distributed construction
+# — each triangle is counted exactly once, candidate volume bounded by
+# the graph's degeneracy, never all triples.
+# ---------------------------------------------------------------------------
+
+@register("dup_graph_triangles", r"""
+WITH p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM (SELECT doc_id, list_distinct([
+              array_to_string(toks[i:i+2], ' ')
+              for i in range(1, greatest(len(toks) - 2, 1) + 1)
+          ]) AS grams
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents)) a
+    JOIN (SELECT doc_id, list_distinct([
+              array_to_string(toks[i:i+2], ' ')
+              for i in range(1, greatest(len(toks) - 2, 1) + 1)
+          ]) AS grams
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents)) b
+      ON a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.5
+)
+SELECT e1.id_a AS id_i, e1.id_b AS id_j, e2.id_b AS id_k
+FROM p e1 JOIN p e2 ON e2.id_a = e1.id_b
+          JOIN p e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+""")
+def q_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.dedup import (
+        minhash_exact_near_duplicates,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    p = minhash_exact_near_duplicates(
+        docs, "text", "doc_id", jaccard_threshold=0.5
+    ).select("id_a", "id_b").localCheckpoint()
+    e1 = p.select(F.col("id_a").alias("id_i"), F.col("id_b").alias("id_j"))
+    e2 = p.select(F.col("id_a").alias("id_j"), F.col("id_b").alias("id_k"))
+    e3 = p.select(F.col("id_a").alias("id_i"), F.col("id_b").alias("id_k"))
+    return e1.join(e2, "id_j").join(e3, ["id_i", "id_k"]).select(
+        "id_i", "id_j", "id_k"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
