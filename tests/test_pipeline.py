@@ -633,7 +633,7 @@ def test_simhash_hamming_banding_complete(spark, sf_dir):
         simhash_hamming_pairs, simhash_portable,
     )
 
-    docs = load_table(spark, "documents", sf_dir).limit(300)
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 300)
     fps = {
         r.doc_id: r.sh
         for r in docs.select(
@@ -657,7 +657,7 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
 
     from anomaly_detection_spark.pipeline.text import bpe_train
 
-    docs = load_table(spark, "documents", sf_dir).limit(200)
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 200)
     got = [
         (r.rank, r.left, r.right, r.merged, r.pair_count)
         for r in bpe_train(docs, n_merges=8).orderBy("rank").collect()
@@ -696,7 +696,7 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
 def test_bpe_segment_roundtrip_and_compression(spark, sf_dir):
     from anomaly_detection_spark.pipeline.text import bpe_segment, bpe_train
 
-    docs = load_table(spark, "documents", sf_dir).limit(150)
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 150)
     merges = bpe_train(docs, n_merges=10)
     seg = bpe_segment(docs, merges).collect()
     texts = {r.doc_id: r.text for r in docs.collect()}

@@ -222,3 +222,49 @@ def test_new_ops_empty_inputs(spark):
     out = holt_smoothing(ev, ["user_id"], ["ts", "event_id"])
     assert out.count() == 0
     assert {"rn", "level", "trend", "forecast"} <= set(out.columns)
+
+
+@pytest.mark.parametrize("n_parts", [1, 7])
+def test_partitioning_invariance_new_ops(spark, sf_dir, n_parts):
+    """holt / hamming-dedup / cdc_apply must produce identical rows
+    whatever the input layout (the exact-integer / struct-max designs
+    exist precisely for this)."""
+    from anomaly_detection_spark.detect.robust import holt_smoothing
+    from anomaly_detection_spark.operators.upsert import cdc_apply
+    from anomaly_detection_spark.pipeline.dedup import simhash_hamming_pairs
+
+    ev = load_table(spark, "events", sf_dir)
+    base_h = sorted(
+        (r.user_id, r.rn, r.level, r.trend)
+        for r in holt_smoothing(ev, ["user_id"], ["ts", "event_id"]).collect()
+    )
+    got_h = sorted(
+        (r.user_id, r.rn, r.level, r.trend)
+        for r in holt_smoothing(
+            ev.repartition(n_parts), ["user_id"], ["ts", "event_id"]
+        ).collect()
+    )
+    assert got_h == base_h
+
+    docs = load_table(spark, "documents", sf_dir)
+    base_s = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_hamming_pairs(docs).collect()
+    )
+    got_s = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_hamming_pairs(docs.repartition(n_parts)).collect()
+    )
+    assert got_s == base_s
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("key"),
+        F.col("l_linenumber").alias("seq"),
+        F.lit("U").alias("op"),
+        F.round("l_extendedprice", 4).alias("val"),
+    )
+    base_c = sorted(map(tuple, cdc_apply(li, ["key"], "seq").collect()))
+    got_c = sorted(
+        map(tuple, cdc_apply(li.repartition(n_parts), ["key"], "seq").collect())
+    )
+    assert got_c == base_c
