@@ -7052,6 +7052,53 @@ def q_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ANALYZE-style column profiler: per-column (non-null count, null
+# count, exact NDV) for the whole table in ONE scan — Spark computes
+# all 18 aggregates in a single pass (multiple COUNT DISTINCTs plan as
+# one Expand), then unpivots the 1-row result with stack(); the
+# statistics that feed CBO join ordering and data-quality dashboards.
+# ---------------------------------------------------------------------------
+
+@register("profile_columns_events", """
+SELECT 'event_id' AS col_name, count(event_id) AS n_non_null,
+       count(*) - count(event_id) AS n_null,
+       count(DISTINCT event_id) AS ndv FROM events
+UNION ALL
+SELECT 'ts', count(ts), count(*) - count(ts), count(DISTINCT ts) FROM events
+UNION ALL
+SELECT 'user_id', count(user_id), count(*) - count(user_id),
+       count(DISTINCT user_id) FROM events
+UNION ALL
+SELECT 'event_type', count(event_type), count(*) - count(event_type),
+       count(DISTINCT event_type) FROM events
+UNION ALL
+SELECT 'value', count(value), count(*) - count(value),
+       count(DISTINCT value) FROM events
+UNION ALL
+SELECT 'props', count(props), count(*) - count(props),
+       count(DISTINCT props) FROM events
+""")
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"_n_{c}"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"_z_{c}"),
+            F.countDistinct(c).alias(f"_d_{c}"),
+        ]
+    one = ev.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _n_{c}, _z_{c}, _d_{c}" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_non_null, n_null, ndv)"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -364,3 +364,14 @@ def test_aqe_runtime_broadcast_conversion(spark, sf_dir):
     finally:
         spark.conf.set(static_key, old_static)
         spark.conf.unset(adaptive_key)
+
+
+def test_column_profiler_single_scan(spark, sf_dir):
+    """All 18 profile aggregates (count/nulls/NDV x 6 columns) must
+    come from ONE table scan — the whole point of the stacked-agg
+    profiler vs per-column queries."""
+    from anomaly_detection_spark import queries as reg
+
+    df = reg.QUERIES["profile_columns_events"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
