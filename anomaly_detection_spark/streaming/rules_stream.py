@@ -384,3 +384,100 @@ def staleness_monitor(
             GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def _make_session_histogram_update(key, ts_col, type_col, gap_seconds):
+    import pandas as pd
+
+    gap_us = int(gap_seconds * 1_000_000)
+
+    def _emit(k, start_us, last_us, types, counts):
+        n = sum(counts)
+        # top type: max count, ties to the lexicographically first type
+        top_i = min(range(len(types)),
+                    key=lambda i: (-counts[i], types[i]))
+        return pd.DataFrame([{
+            key: k,
+            "session_start": pd.Timestamp(start_us, unit="us"),
+            "session_end": pd.Timestamp(last_us, unit="us"),
+            "n_events": n,
+            "n_types": len(types),
+            "top_type": types[top_i],
+            "top_count": counts[top_i],
+        }])
+
+    def update(keys, pdfs, state):
+        (k,) = keys
+        if state.hasTimedOut:
+            start_us, last_us, types, counts = state.get
+            state.remove()
+            yield _emit(k, start_us, last_us, list(types), list(counts))
+            return
+        if state.exists:
+            start_us, last_us, types, counts = state.get
+            types, counts = list(types), list(counts)
+        else:
+            start_us, last_us, types, counts = None, None, [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, et in zip(pdf[ts_col], pdf[type_col]):
+                ts_us = int(pd.Timestamp(ts).value // 1000)
+                if last_us is not None and ts_us - last_us > gap_us:
+                    # gap observed in-stream: close the session NOW
+                    yield _emit(k, start_us, last_us, types, counts)
+                    start_us, types, counts = None, [], []
+                if start_us is None:
+                    start_us = ts_us
+                last_us = ts_us if last_us is None else max(last_us, ts_us)
+                if et in types:
+                    counts[types.index(et)] += 1
+                else:
+                    types.append(et)
+                    counts.append(1)
+        if last_us is not None:
+            state.update((start_us, last_us, types, counts))
+            # close via watermark when the stream goes quiet past the gap
+            state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+
+    return update
+
+
+def stateful_session_histogram(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    gap_seconds: float = 1800.0,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-session categorical histograms with EVENT-TIME timeout
+    emission: each key's session accumulates an event-type → count map
+    in state; the session closes (one output row: bounds, volume,
+    distinct types, top type) either when a later event reveals a gap
+    > ``gap_seconds``, or when the WATERMARK passes the last event +
+    gap — the event-time-timer path that ``session_window`` cannot
+    express for arbitrary per-session aggregates like categorical
+    argmax.
+
+    State per live key is O(distinct types in one session), bounded by
+    the type vocabulary — safe at any key cardinality.
+    """
+    out_schema = (
+        f"{key} long, session_start timestamp_ntz, "
+        "session_end timestamp_ntz, n_events long, n_types long, "
+        "top_type string, top_count long"
+    )
+    state_schema = (
+        "start_us long, last_us long, types array<string>, "
+        "counts array<long>"
+    )
+    update = _make_session_histogram_update(key, ts_col, type_col, gap_seconds)
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

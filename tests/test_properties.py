@@ -4,6 +4,7 @@ oracle, flag monotonicity, NULL-first-row semantics."""
 from __future__ import annotations
 
 import datetime as dt
+import math
 
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -106,3 +107,81 @@ def test_emit_eval_date(spark):
     ).collect()
     assert len(out) == 1
     assert out[0].date_recorded == dt.datetime(2024, 1, 3)
+
+
+def _python_holt(vals: list[float]):
+    out = []
+    l = b = 0
+    for i, v in enumerate(vals):
+        vq = int(math.copysign(math.floor(abs(v) * 10000 + 0.5), v))
+        if i == 0:
+            l, b = vq, 0
+        else:
+            l_new = (vq + l + b) // 2
+            b = (3 * b + (l_new - l)) // 4
+            l = l_new
+        out.append((l / 10000.0, b / 10000.0))
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(
+    st.floats(min_value=-500, max_value=500,
+              allow_nan=False, allow_infinity=False),
+    min_size=1, max_size=30,
+))
+def test_holt_matches_python_oracle(spark, vals):
+    from anomaly_detection_spark.detect.robust import holt_smoothing
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(days=i), i, float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, value double"
+    )
+    got = [
+        (r.level, r.trend)
+        for r in holt_smoothing(df, ["user_id"], ["ts", "event_id"])
+        .orderBy("rn").collect()
+    ]
+    assert got == _python_holt([float(v) for v in vals])
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edge_idx=st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)),
+    min_size=1, max_size=12,
+))
+def test_textrank_matches_python_on_random_graphs(spark, edge_idx):
+    from anomaly_detection_spark.pipeline.text import textrank_terms
+
+    # words w0..w7 (length >= 4 via prefix); docs of two words = edges
+    pairs = sorted({
+        (f"word{a}", f"word{b}") for a, b in edge_idx if a != b
+    })
+    if not pairs:
+        return
+    docs = spark.createDataFrame(
+        [(f"{a} {b}",) for a, b in pairs], "text string"
+    )
+    got = {r.term: r.score
+           for r in textrank_terms(docs, n_iter=4).collect()}
+
+    und = {(min(a, b), max(a, b)) for a, b in pairs}
+    und |= {(b, a) for a, b in und}
+    nodes = sorted({n for e in und for n in e})
+    deg = {n: sum(1 for x, _ in und if x == n) for n in nodes}
+    scale = 10**12
+    n = len(nodes)
+    pr = {v: scale // n for v in nodes}
+    base = (3 * scale) // (20 * n)
+    for _ in range(4):
+        contrib = {v: 0 for v in nodes}
+        for a, b in und:
+            contrib[b] += pr[a] // deg[a]
+        pr = {v: base + (17 * contrib[v]) // 20 for v in nodes}
+    assert got == pr

@@ -380,3 +380,62 @@ def test_streaming_session_windows(spark, stream_dir):
     # structure: user 1 has two sessions, the first holding 2 events
     assert got[(1, base)] == (2, 3.0)
     assert got[(1, base + dt.timedelta(minutes=60))] == (1, 3.0)
+
+
+def test_session_histogram_gap_split_and_event_time_timeout(spark, stream_dir):
+    """Sessions close two ways: a later in-stream event revealing the
+    gap (immediate emit), and the WATERMARK passing last_event + gap
+    (event-time timeout emit). Both must carry the right categorical
+    histogram."""
+    from anomaly_detection_spark.streaming.rules_stream import (
+        stateful_session_histogram,
+    )
+
+    tschema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    base = dt.datetime(2024, 1, 1)
+    src = os.path.join(stream_dir, "src")
+    os.makedirs(src)
+
+    def wb(rows, n):
+        spark.createDataFrame(rows, tschema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"b{n}"))
+
+    wb([
+        (1, base + dt.timedelta(minutes=0), "view"),
+        (1, base + dt.timedelta(minutes=5), "view"),
+        (1, base + dt.timedelta(minutes=10), "click"),
+        (2, base + dt.timedelta(minutes=0), "purchase"),
+    ], 1)
+    # user 1 reappears past the 30-min gap -> session A closes in-stream
+    wb([(1, base + dt.timedelta(hours=3), "click")], 2)
+    # far-future rows push the watermark past everyone's last+gap ->
+    # event-time timeouts close user 1's session B and user 2's session
+    wb([(3, base + dt.timedelta(hours=10), "view")], 3)
+    wb([(3, base + dt.timedelta(hours=10, minutes=1), "view")], 4)
+
+    stream = spark.readStream.schema(tschema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    out = stateful_session_histogram(
+        stream, "user_id", "ts", "event_type", gap_seconds=1800.0
+    )
+    got = {
+        (r.user_id, r.session_start): (
+            r.session_end, r.n_events, r.n_types, r.top_type, r.top_count
+        )
+        for r in _drain(spark, out, "sh1", src).collect()
+    }
+    assert got[(1, base)] == (
+        base + dt.timedelta(minutes=10), 3, 2, "view", 2
+    )
+    assert got[(1, base + dt.timedelta(hours=3))] == (
+        base + dt.timedelta(hours=3), 1, 1, "click", 1
+    )
+    assert got[(2, base)] == (base, 1, 1, "purchase", 1)
+    # user 3's session is still open (watermark never passed it)
+    assert not any(k[0] == 3 for k in got)
