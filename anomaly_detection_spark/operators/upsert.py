@@ -81,6 +81,23 @@ def cdc_apply(
     struct-max (no per-key sort, no window), so the change log can be
     arbitrarily deep per key without memory pressure.
     """
+    return cdc_reduce(changes, key_cols, seq_col).where(
+        F.col(op_col) != delete_op
+    )
+
+
+def cdc_reduce(
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+) -> DataFrame:
+    """Per-key highest-``seq_col`` change, INCLUDING winning deletes
+    (tombstones).  This is the associative inner step of CDC apply —
+    ``cdc_reduce(a ∪ b) == cdc_reduce(cdc_reduce(a) ∪ b)`` — which is
+    what lets a *streaming* apply fold each microbatch into stored
+    state; tombstones must stay in state so late lower-seq rows can't
+    resurrect a deleted key.  Readers filter ``op != 'D'``.
+    """
     keys = list(key_cols)
     payload = [c for c in changes.columns if c not in keys]
     latest = changes.groupBy(*keys).agg(
@@ -91,9 +108,8 @@ def cdc_apply(
             )
         ).alias("_m")
     )
-    out = latest.select(
+    return latest.select(
         *keys,
         *[F.col(f"_m.{c}").alias(c) for c in payload if c != seq_col],
         F.col("_m._seq").alias(seq_col),
     )
-    return out.where(F.col(op_col) != delete_op)

@@ -138,3 +138,71 @@ def read_rollup_state(spark, state_path: str):
     if not versions:
         return None
     return spark.read.parquet(f"{state_path}/v={max(versions)}")
+
+
+def make_cdc_apply(
+    state_path: str,
+    key_cols,
+    seq_col: str,
+):
+    """``foreachBatch`` callback maintaining the CURRENT-STATE table of
+    a CDC change stream — the streaming Debezium/binlog apply (what a
+    table format's streaming MERGE does): per trigger, reduce the
+    microbatch per key (highest sequence wins, tombstones kept) and
+    fold it into the stored state with the same reduce.
+
+    The reduce is associative and idempotent (max-seq), so out-of-order
+    delivery ACROSS triggers and whole-batch replays both land on the
+    same state; tombstones stay in state so a late lower-seq row can
+    never resurrect a deleted key.  State is batch-id-version-stamped
+    exactly like :func:`make_incremental_rollup` (lazy-read safety,
+    time travel, redelivery detection).  Read the live view with
+    :func:`read_cdc_state`.
+    """
+    import re
+
+    from anomaly_detection_spark.operators.upsert import cdc_reduce
+
+    keys = list(key_cols)
+
+    def _versions(spark):
+        sc = spark.sparkContext
+        hpath = sc._jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return []
+        out = []
+        for st in fs.listStatus(hpath):
+            m = re.fullmatch(r"v=(\d+)", st.getPath().getName())
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def on_batch(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        mine = int(batch_id) + 1
+        done = _versions(spark)
+        if mine in done:
+            return  # redelivered batch already committed
+        delta = cdc_reduce(batch_df, keys, seq_col)
+        prev = [v for v in done if v < mine]
+        if prev:
+            state = spark.read.parquet(f"{state_path}/v={prev[-1]}")
+            merged = cdc_reduce(state.unionByName(delta), keys, seq_col)
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(f"{state_path}/v={mine}")
+
+    return on_batch
+
+
+def read_cdc_state(spark, state_path: str, op_col: str = "op",
+                   delete_op: str = "D"):
+    """Live view of a :func:`make_cdc_apply` state table: newest
+    version, tombstones filtered out (None before the first commit)."""
+    from pyspark.sql import functions as F
+
+    state = read_rollup_state(spark, state_path)
+    if state is None:
+        return None
+    return state.where(F.col(op_col) != delete_op)

@@ -253,3 +253,53 @@ def test_incremental_rollup_redelivery_idempotent(spark):
     on_batch(b1, 1)   # redelivery of batch 1 — must be a no-op
     got = {r.k: (r.n, r.s) for r in read_rollup_state(spark, state).collect()}
     assert got == {1: (3, 115)}
+
+
+def test_streaming_cdc_apply_matches_batch(spark):
+    """Three triggers of CDC changes maintain the current-state table;
+    the final live view must equal batch cdc_apply over everything fed
+    — including a delete, a later-seq resurrect, and a late lower-seq
+    row that must NOT resurrect a deleted key."""
+    import os
+    import tempfile
+
+    from anomaly_detection_spark.operators.upsert import cdc_apply
+    from anomaly_detection_spark.streaming.ingest import (
+        make_cdc_apply, read_cdc_state,
+    )
+
+    d = tempfile.mkdtemp()
+    src, state, ckpt = (os.path.join(d, x) for x in ("src", "state", "ckpt"))
+    os.makedirs(src)
+    schema = "key long, seq long, op string, val double"
+
+    batches = [
+        [(1, 1, "I", 5.0), (2, 1, "I", 7.0)],
+        [(1, 3, "U", 20.0), (2, 2, "D", 0.0), (3, 1, "I", 1.0)],
+        # late lower-seq row for deleted key 2 (stays dead) +
+        # higher-seq resurrect for key 2 is NOT sent; key 1 late U(2)
+        [(2, 1, "U", 9.0), (1, 2, "U", 10.0)],
+    ]
+    on_batch = make_cdc_apply(state, ["key"], "seq")
+    stream = (
+        spark.readStream.schema(schema).parquet(src)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+    )
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = stream.start()
+        q.awaitTermination(120)
+
+    got = sorted(map(tuple, read_cdc_state(spark, state).collect()))
+    all_rows = [r for b in batches for r in b]
+    want = sorted(map(tuple, cdc_apply(
+        spark.createDataFrame(all_rows, schema), ["key"], "seq"
+    ).collect()))
+    assert got == want
+    # key 2 stays deleted; keys 1 and 3 live at their max seq
+    keys = {t[0] for t in got}
+    assert keys == {1, 3}
