@@ -74,3 +74,42 @@ def stream_interval_join(
     for k in keys:
         out = out.drop(r[k])
     return out
+
+
+def stream_interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    interval_seconds: int,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: matched rows emit as in
+    :func:`stream_interval_join`; an UNMATCHED left row emits with
+    NULL right columns only once the WATERMARK proves no future right
+    row can still fall inside its interval — the "error with no
+    purchase within 30 min" alerting shape, where the *absence* of a
+    match is the signal.
+
+    Same bounded-state argument as the inner form; the outer-null
+    emission is inherently watermark-delayed (correctness requires
+    waiting out the interval), which is the documented Spark semantic,
+    not a limitation of this operator.
+    """
+    l = left.withColumn(left_ts, F.col(left_ts).cast("timestamp"))
+    r = right.withColumn(right_ts, F.col(right_ts).cast("timestamp"))
+    l = l.withWatermark(left_ts, watermark)
+    r = r.withWatermark(right_ts, watermark)
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (l[k] == r[k])
+    cond = (
+        cond
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] < l[left_ts] + F.expr(f"INTERVAL {interval_seconds} SECONDS"))
+    )
+    out = l.join(r, cond, "leftOuter")
+    for k in keys:
+        out = out.drop(r[k])
+    return out

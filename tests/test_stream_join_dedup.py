@@ -303,3 +303,54 @@ def test_streaming_cdc_apply_matches_batch(spark):
     # key 2 stays deleted; keys 1 and 3 live at their max seq
     keys = {t[0] for t in got}
     assert keys == {1, 3}
+
+
+def test_stream_interval_join_outer_emits_unmatched_after_watermark(spark):
+    """LEFT OUTER stream-stream interval join: the matched pair emits
+    normally; an error with NO purchase in its 30-min interval emits
+    with NULL right columns once the watermark proves no match can
+    still arrive; a still-open left row does not emit."""
+    from anomaly_detection_spark.streaming.joins import (
+        stream_interval_join_outer,
+    )
+
+    d = tempfile.mkdtemp()
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    batches = [
+        [_mk(1, 1, 0, "error"), _mk(2, 1, 10, "purchase"),
+         _mk(3, 2, 0, "error")],                 # u2: never matched
+        [_mk(4, 9, 300, "error")],               # watermark pusher
+        [_mk(5, 8, 302, "purchase")],            # extra trigger (user 8:
+                                                 # right-only, never emits)
+    ]
+    for i, chunk in enumerate(batches):
+        spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i}")
+        )
+    stream = _stream(spark, src)
+    errors = stream.where(F.col("kind") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id",
+        F.col("ts").alias("err_ts"),
+    )
+    purchases = stream.where(F.col("kind") == "purchase").select(
+        F.col("event_id").alias("pur_id"), "user_id",
+        F.col("ts").alias("pur_ts"),
+    )
+    out = stream_interval_join_outer(
+        errors, purchases, ["user_id"], "err_ts", "pur_ts",
+        interval_seconds=1800, watermark="30 minutes",
+    )
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("soj").option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r.err_id: (r.pur_id, r.pur_ts)
+            for r in spark.sql("SELECT * FROM soj").collect()}
+    assert rows[1] == (2, BASE + dt.timedelta(minutes=10))
+    assert rows[3] == (None, None)   # watermark-proven unmatched
+    assert 4 not in rows             # still open, must not emit
+    shutil.rmtree(d, ignore_errors=True)
