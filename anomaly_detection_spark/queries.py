@@ -7099,6 +7099,67 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Scalar int8 embedding quantization: per-vector max-abs scaling to
+# the signed-byte grid — the standard 4x storage compression for
+# embedding stores (PQ's simpler cousin; dequantization error bounded
+# by scale/2 per dimension).  Map-only; every step is exact arithmetic
+# on round()ed values, so the whole codec is oracle-checkable.
+# ---------------------------------------------------------------------------
+
+@register("quantize_embeddings_int8", """
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), s AS (
+    SELECT vec_id, emb,
+           list_max(list_transform(emb, x -> abs(x))) / 127 AS scale
+    FROM v
+), q AS (
+    SELECT vec_id, scale,
+           list_transform(emb, x -> CAST(round(x / scale, 0) AS TINYINT))
+               AS q8,
+           list_max(list_transform(emb,
+               x -> abs(round(x / scale, 0) * scale - x))) AS max_err
+    FROM s WHERE scale > 0
+)
+SELECT vec_id, round(scale, 8) AS scale,
+       q8[1] AS q0, q8[2] AS q1, q8[3] AS q2,
+       round(max_err, 8) AS max_abs_err,
+       CAST(max_err <= scale / 2 + 1e-12 AS BOOLEAN) AS within_bound
+FROM q
+""")
+def q_quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    embd = F.transform("embedding", lambda x: x.cast("double"))
+    scale = (
+        F.array_max(F.transform(embd, lambda x: F.abs(x))) / 127
+    )
+    s = emb.select("vec_id", embd.alias("_e"), scale.alias("_scale")).where(
+        F.col("_scale") > 0
+    )
+    q8 = F.transform(
+        F.col("_e"),
+        lambda x: F.round(x / F.col("_scale"), 0).cast("tinyint"),
+    )
+    max_err = F.array_max(
+        F.transform(
+            F.col("_e"),
+            lambda x: F.abs(
+                F.round(x / F.col("_scale"), 0) * F.col("_scale") - x
+            ),
+        )
+    )
+    return s.select(
+        "vec_id",
+        F.round("_scale", 8).alias("scale"),
+        F.element_at(q8, 1).alias("q0"),
+        F.element_at(q8, 2).alias("q1"),
+        F.element_at(q8, 3).alias("q2"),
+        F.round(max_err, 8).alias("max_abs_err"),
+        (max_err <= F.col("_scale") / 2 + 1e-12).alias("within_bound"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
