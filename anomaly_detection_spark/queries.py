@@ -7160,6 +7160,109 @@ def q_quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact trimmed mean per series: drop the lowest/highest 10% of
+# observations (floor(n/10) each side of the sorted array) and average
+# the rest on the exact cents grid — the robust location estimate
+# between mean (spike-poisoned) and median (throws away data).
+# Map-only per-series array math after one collect_list window; the
+# trim arithmetic is pure integers so both engines divide the same
+# sum by the same count.
+# ---------------------------------------------------------------------------
+
+@register("trimmed_mean_events", """
+WITH s AS (
+    SELECT user_id,
+           list_sort(list(CAST(round(value * 10000, 0) AS BIGINT))) AS v
+    FROM events GROUP BY user_id
+), t AS (
+    SELECT user_id, len(v) AS n, len(v) // 10 AS k,
+           v[(len(v) // 10 + 1):(len(v) - len(v) // 10)] AS core
+    FROM s
+)
+SELECT user_id, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_trimmed_each,
+       round(CAST(list_sum(core) AS DOUBLE)
+             / (len(core) * 10000.0), 4) AS trimmed_mean
+FROM t WHERE len(core) > 0
+""")
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 10000, 0).cast("long")
+    s = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(cents)).alias("v")
+    )
+    n = F.size("v")
+    k = F.floor(n / 10).cast("int")
+    core = F.slice(F.col("v"), k + 1, n - 2 * k)
+    t = s.select(
+        "user_id", n.cast("bigint").alias("n"),
+        k.cast("bigint").alias("n_trimmed_each"), core.alias("core"),
+    ).where(F.size("core") > 0)
+    csum = F.aggregate(
+        "core", F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return t.select(
+        "user_id", "n", "n_trimmed_each",
+        F.round(
+            csum.cast("double") / (F.size("core") * 10000.0), 4
+        ).alias("trimmed_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Peak detection: an observation is a peak when it exceeds both
+# neighbors AND clears the series' trailing-7 average by a prominence
+# margin — the spike-shape rule (vs the z-score magnitude rule) a feed
+# monitor runs alongside the flags engine.  One series-key exchange.
+# ---------------------------------------------------------------------------
+
+@register("peak_detection_events", """
+WITH w AS (
+    SELECT user_id, event_id, ts, round(value, 4) AS value,
+           lag(value) OVER win AS prev_v,
+           lead(value) OVER win AS next_v,
+           avg(value) OVER (win ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+               AS base7
+    FROM events
+    WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, value,
+       round(base7, 4) AS baseline,
+       round(value - base7, 4) AS prominence
+FROM w
+WHERE prev_v IS NOT NULL AND next_v IS NOT NULL AND base7 IS NOT NULL
+  AND value > prev_v AND value > next_v
+  AND value - base7 >= 50
+""")
+def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_v = F.lag("value").over(win)
+    next_v = F.lead("value").over(win)
+    base7 = F.avg("value").over(win.rowsBetween(-7, -1))
+    w = ev.select(
+        "user_id", "event_id",
+        F.round("value", 4).alias("value"),
+        F.col("value").alias("_raw"),
+        prev_v.alias("_prev"), next_v.alias("_next"), base7.alias("_b7"),
+    )
+    return (
+        w.where(
+            F.col("_prev").isNotNull()
+            & F.col("_next").isNotNull()
+            & F.col("_b7").isNotNull()
+            & (F.col("_raw") > F.col("_prev"))
+            & (F.col("_raw") > F.col("_next"))
+            & (F.col("_raw") - F.col("_b7") >= 50)
+        )
+        .select(
+            "user_id", "event_id", "value",
+            F.round("_b7", 4).alias("baseline"),
+            F.round(F.col("_raw") - F.col("_b7"), 4).alias("prominence"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
