@@ -7263,6 +7263,110 @@ def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Driver rows for the skew-handling operators (operators/skew.py) and
+# the cogrouped as-of strategy (operators/asof.py): each oracle is the
+# PLAIN form of the computation, so a green row proves the
+# skew-mitigated / alternative-physical-strategy implementation is
+# result-identical to the straightforward one.
+# ---------------------------------------------------------------------------
+
+@register("salted_agg_events", """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+       round(min(value), 4) AS min_v,
+       round(max(value), 4) AS max_v
+FROM events GROUP BY event_type
+""")
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.col("value"),
+        F.round(F.col("value") * 10000, 0).cast("long").alias("_cents"),
+    )
+    out = salted_agg(
+        ev, ["event_type"],
+        {
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "sum_cents": (F.sum("_cents"), F.sum("sum_cents")),
+            "min_v": (F.min("value"), F.min("min_v")),
+            "max_v": (F.max("value"), F.max("max_v")),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type", "n", "sum_cents",
+        F.round("min_v", 4).alias("min_v"),
+        F.round("max_v", 4).alias("max_v"),
+    )
+
+
+@register("salted_join_orders", """
+SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment,
+       round(o.o_totalprice, 4) AS totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+""")
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.operators.skew import salted_join
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias(
+            "totalprice"
+        )
+    )
+    c = (
+        load_table(spark, "customer", sf_dir)
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    )
+    return salted_join(o, c, ["o_custkey"], n_salts=8).select(
+        "o_orderkey", "o_custkey", "c_mktsegment", "totalprice"
+    )
+
+
+@register("asof_cogrouped_error_purchase", """
+WITH p AS (
+    SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+e AS (
+    SELECT user_id, ts AS err_ts, event_id AS err_event_id
+    FROM events WHERE event_type = 'error'
+)
+SELECT p.user_id, p.event_id, CAST(p.ts AS TIMESTAMP) AS ts,
+       CAST(e.err_ts AS TIMESTAMP) AS asof_err_ts,
+       e.err_event_id AS asof_err_event_id
+FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND e.err_ts <= p.ts
+""")
+def q_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same ASOF semantics as ``asof_last_error_before_purchase`` but
+    through the cogroup().applyInPandas merge_asof strategy — a green
+    row pins the two physical strategies equal on driver data."""
+    from anomaly_detection_spark.operators.asof import as_of_join_cogrouped
+
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        F.col("event_id").alias("err_event_id"),
+    )
+    return as_of_join_cogrouped(
+        purchases, errors, ["user_id"], "ts", "err_ts",
+        payload_cols=["err_ts", "err_event_id"],
+    ).select(
+        "user_id", "event_id", "ts",
+        F.col("err_ts").alias("asof_err_ts"),
+        F.col("err_event_id").alias("asof_err_event_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
