@@ -7367,6 +7367,112 @@ def q_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Consistent-hash sharding with virtual nodes: each doc hashes to a
+# ring position; its shard is the owner of the next vnode clockwise
+# (Karger et al. 1997) — the assignment scheme whose defining property
+# is MINIMAL MOVEMENT when capacity changes: going 8 -> 9 shards moves
+# only the docs landing in the new shard's arcs (~1/9 of the corpus),
+# vs ~8/9 under mod-N.  Both assignments and the moved flag are
+# emitted so the property is checkable as data.  All ring arithmetic
+# is portable md5-hex integers; the ring (128/144 rows) broadcasts,
+# and the clockwise-successor argmin is the (wrapped, pos) struct-min.
+# ---------------------------------------------------------------------------
+
+_RING_SQL = """
+    SELECT s, CAST('0x' || substr(md5('shard:' || s || ':' || v), 1, 12)
+               AS BIGINT) AS pos
+    FROM generate_series(0, {max_shard}) t(s),
+         generate_series(0, 15) u(v)
+"""
+
+@register("consistent_hash_shards", f"""
+WITH ring8 AS ({_RING_SQL.format(max_shard=7)}),
+ring9 AS ({_RING_SQL.format(max_shard=8)}),
+d AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5('doc:' || doc_id), 1, 12) AS BIGINT)
+               AS dpos
+    FROM documents
+),
+a8 AS (
+    -- single-integer successor key: wrapped-flag in the high bit above
+    -- the 48-bit ring position (positions are distinct, so no ties)
+    SELECT d.doc_id, d.dpos,
+           min_by(r.s, CAST(r.pos < d.dpos AS BIGINT) * 281474976710656
+                       + r.pos) AS shard8
+    FROM d CROSS JOIN ring8 r GROUP BY d.doc_id, d.dpos
+),
+a9 AS (
+    SELECT d.doc_id,
+           min_by(r.s, CAST(r.pos < d.dpos AS BIGINT) * 281474976710656
+                       + r.pos) AS shard9
+    FROM d CROSS JOIN ring9 r GROUP BY d.doc_id
+)
+SELECT a8.doc_id, a8.dpos AS ring_pos, a8.shard8, a9.shard9,
+       CAST(a8.shard8 != a9.shard9 AS BOOLEAN) AS moved,
+       CAST(a8.shard8 != a9.shard9 AND a9.shard9 != 8 AS BOOLEAN)
+           AS moved_wrongly
+FROM a8 JOIN a9 ON a9.doc_id = a8.doc_id
+""")
+def q_consistent_hash_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+
+    def ring(n_shards: int) -> DataFrame:
+        base = spark.range(n_shards * 16).select(
+            (F.col("id") / 16).cast("long").alias("s"),
+            F.pmod(F.col("id"), 16).alias("v"),
+        )
+        pos = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("shard:"), F.col("s").cast("string"),
+                        F.lit(":"), F.col("v").cast("string"),
+                    ).cast("binary")
+                ),
+                1, 12,
+            ),
+            16, 10,
+        ).cast("long")
+        return base.select("s", pos.alias("pos"))
+
+    dpos = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))
+                  .cast("binary")),
+            1, 12,
+        ),
+        16, 10,
+    ).cast("long")
+    d = docs.select("doc_id", dpos.alias("dpos"))
+
+    def assign(dd: DataFrame, rg: DataFrame, out: str) -> DataFrame:
+        # clockwise successor: smallest pos >= dpos, wrapping to the
+        # ring's global minimum — min over (wrapped, pos, shard)
+        scored = dd.crossJoin(F.broadcast(rg)).select(
+            "doc_id", "dpos",
+            F.struct(
+                (
+                    (F.col("pos") < F.col("dpos")).cast("bigint")
+                    * (1 << 48) + F.col("pos")
+                ).alias("_k"),
+                F.col("s").alias("_s"),
+            ).alias("_cand"),
+        )
+        return scored.groupBy("doc_id", "dpos").agg(
+            F.min("_cand").alias("_m")
+        ).select("doc_id", "dpos", F.col("_m._s").alias(out))
+    a8 = assign(d, ring(8), "shard8")
+    a9 = assign(d, ring(9), "shard9").drop("dpos")
+    return a8.join(a9, "doc_id").select(
+        "doc_id", F.col("dpos").alias("ring_pos"), "shard8", "shard9",
+        (F.col("shard8") != F.col("shard9")).alias("moved"),
+        ((F.col("shard8") != F.col("shard9")) & (F.col("shard9") != 8))
+        .alias("moved_wrongly"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
