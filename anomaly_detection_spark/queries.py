@@ -7473,6 +7473,87 @@ def q_consistent_hash_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Pipeline telemetry: the two reports a corpus job publishes after
+# every run — per-source exact-duplicate rates (which upstream feeds
+# are redundant?) and post-split distribution balance (did the hash
+# split skew any language?).  Pure rollups over already-verified
+# operators; exact integer shares.
+# ---------------------------------------------------------------------------
+
+@register("dedup_rate_by_source", """
+WITH d AS (
+    SELECT source, md5(text) AS h,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+               AS rn
+    FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(*) FILTER (WHERE rn > 1) AS n_dup_copies,
+       round(CAST(count(*) FILTER (WHERE rn > 1) AS DOUBLE)
+             / count(*), 6) AS dup_rate
+FROM d GROUP BY source
+""")
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    d = docs.select("source", F.row_number().over(w).alias("rn"))
+    dup = F.count(F.when(F.col("rn") > 1, 1))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dup.alias("n_dup_copies"),
+        F.round(dup.cast("double") / F.count(F.lit(1)), 6).alias("dup_rate"),
+    )
+
+
+@register("split_balance_audit", """
+WITH s AS (
+    SELECT lang,
+           CASE WHEN CAST('0x' || substr(md5('split:' || doc_id), 1, 8)
+                      AS BIGINT) % 100 < 90 THEN 'train'
+                WHEN CAST('0x' || substr(md5('split:' || doc_id), 1, 8)
+                      AS BIGINT) % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+), tot AS (SELECT lang, count(*) AS n_lang FROM s GROUP BY lang)
+SELECT s.lang, s.split, count(*) AS n_docs,
+       round(CAST(count(*) AS DOUBLE) / any_value(t.n_lang), 6)
+           AS share_within_lang
+FROM s JOIN tot t ON t.lang = s.lang
+GROUP BY s.lang, s.split
+""")
+def q_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"),
+                               F.col("doc_id").cast("string"))
+                      .cast("binary")),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    s = docs.select(
+        "lang",
+        F.when(bucket < 90, "train").when(bucket < 95, "val")
+        .otherwise("test").alias("split"),
+    )
+    counts = s.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = s.groupBy("lang").agg(F.count(F.lit(1)).alias("_n_lang"))
+    return counts.join(F.broadcast(tot), "lang").select(
+        "lang", "split", "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("_n_lang"), 6
+        ).alias("share_within_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
