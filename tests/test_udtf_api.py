@@ -3,6 +3,8 @@ row-for-row (same numpy kernels, two execution surfaces)."""
 
 from __future__ import annotations
 
+import pandas as pd
+
 from anomaly_detection_spark.detect.stl import stl_iqr_detect
 from anomaly_detection_spark.detect.udtf_api import register_detect_udtf
 from anomaly_detection_spark.sources.tables import load_table
@@ -52,3 +54,36 @@ def test_udtf_min_points_gate(spark):
             PARTITION BY k ORDER BY ts)
     """)
     assert out.count() == 0
+
+
+def test_grouped_agg_pandas_udf_matches_builtin(spark, sf_dir):
+    """The GROUPED_AGG pandas UDF surface (the last pandas-API variant
+    the engine exposes nowhere else): a vectorized mean must equal the
+    built-in JVM avg both as a groupBy aggregate and over a window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from anomaly_detection_spark.sources.tables import load_table
+
+    @pandas_udf("double")
+    def pmean(v: pd.Series) -> float:
+        return float(v.mean())
+
+    ev = load_table(spark, "events", sf_dir).select("user_id", "value")
+    a = {
+        r.user_id: round(r.m, 6)
+        for r in ev.groupBy("user_id").agg(pmean("value").alias("m")).collect()
+    }
+    b = {
+        r.user_id: round(r.m, 6)
+        for r in ev.groupBy("user_id").agg(F.avg("value").alias("m")).collect()
+    }
+    assert a == b
+    w = Window.partitionBy("user_id")
+    c = ev.select(
+        "user_id",
+        pmean("value").over(w).alias("pm"),
+        F.avg("value").over(w).alias("jm"),
+    ).where(F.round("pm", 6) != F.round("jm", 6)).count()
+    assert c == 0
