@@ -7554,6 +7554,63 @@ def q_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# User-behavior similarity: Jaccard over each user's set of in-session
+# event-type bigrams (the behavioral "shingles" — dedup machinery
+# transferred to entity analytics).  Profiles are per-KEY rows (series
+# cardinality, tiny next to events), so the pair join is an all-pairs
+# over profiles with map-side array intersection; at larger key counts
+# the MinHash/LSH path drops in unchanged because the profile IS a
+# shingle set.
+# ---------------------------------------------------------------------------
+
+@register("user_behavior_similarity", """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+), prof AS (
+    SELECT user_id,
+           list_sort(list_distinct(list(event_type || '>' || next_type)))
+               AS grams
+    FROM seq WHERE next_type IS NOT NULL GROUP BY user_id
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))), 6)
+           AS jaccard
+FROM prof a JOIN prof b ON a.user_id < b.user_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+""")
+def q_user_behavior_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.concat(
+            F.col("event_type"), F.lit(">"),
+            F.lead("event_type").over(w),
+        ).alias("gram"),
+    ).where(F.col("gram").isNotNull())
+    prof = seq.groupBy("user_id").agg(
+        F.array_sort(F.array_distinct(F.collect_list("gram"))).alias("grams")
+    )
+    a = prof.select(F.col("user_id").alias("user_a"),
+                    F.col("grams").alias("_ga"))
+    b = prof.select(F.col("user_id").alias("user_b"),
+                    F.col("grams").alias("_gb"))
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    union = F.size(F.array_distinct(F.concat("_ga", "_gb")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, F.col("user_a") < F.col("user_b"))
+        .where(jac >= 0.8)
+        .select("user_a", "user_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
