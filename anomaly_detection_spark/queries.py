@@ -7611,6 +7611,53 @@ def q_user_behavior_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Transition dwell times: how long users sit between consecutive event
+# types — the timing companion to markov_transitions_events (where do
+# journeys stall?).  Exact integer second-sums per (from, to) pair;
+# one series exchange then a slim pair rollup.
+# ---------------------------------------------------------------------------
+
+@register("transition_dwell_events", """
+WITH seq AS (
+    SELECT user_id, event_type AS from_type,
+           lead(event_type) OVER w AS to_type,
+           epoch(lead(ts) OVER w) - epoch(ts) AS gap_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT from_type, to_type,
+       count(*) AS n,
+       CAST(sum(CAST(floor(gap_s) AS BIGINT)) AS BIGINT) AS total_s,
+       round(CAST(sum(CAST(floor(gap_s) AS BIGINT)) AS DOUBLE)
+             / count(*), 4) AS mean_gap_s,
+       CAST(max(CAST(floor(gap_s) AS BIGINT)) AS BIGINT) AS max_gap_s
+FROM seq WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+""")
+def q_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.operators.temporal import epoch_seconds
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.floor(
+        epoch_seconds(F.lead("ts").over(w)) - epoch_seconds(F.col("ts"))
+    ).cast("long")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+        gap.alias("gap_s"),
+    ).where(F.col("to_type").isNotNull())
+    return seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap_s").alias("total_s"),
+        F.round(
+            F.sum("gap_s").cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
