@@ -7658,6 +7658,58 @@ def q_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact Gini coefficient per event type: value-concentration measured
+# by the sorted-rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n, with
+# every Σ an exact cents-grid integer — rank assignment among tied
+# values cannot change Σ(i·x_i) (equal x, fixed rank-block sum), so
+# the statistic is deterministic on any engine and partitioning.
+# One type-key sort window + a slim rollup.
+# ---------------------------------------------------------------------------
+
+@register("gini_by_event_type", """
+WITH r AS (
+    SELECT event_type,
+           CAST(round(value * 10000, 0) AS BIGINT) AS cents,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rk
+    FROM events
+), agg AS (
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS s,
+           CAST(sum(rk * cents) AS BIGINT) AS t
+    FROM r GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(2.0 * t / (n * CAST(s AS DOUBLE))
+             - (n + 1.0) / n, 6) AS gini
+FROM agg WHERE s > 0
+""")
+def q_gini_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cents = F.round(F.col("value") * 10000, 0).cast("long")
+    r = ev.select(
+        "event_type", cents.alias("cents"),
+        F.row_number().over(w).alias("rk"),
+    )
+    agg = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("rk") * F.col("cents")).alias("t"),
+    ).where(F.col("s") > 0)
+    n = F.col("n")
+    return agg.select(
+        "event_type", n.cast("bigint").alias("n"),
+        F.round(
+            2.0 * F.col("t") / (n * F.col("s").cast("double"))
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
