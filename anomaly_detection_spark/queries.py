@@ -7710,6 +7710,51 @@ def q_gini_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Behavioral entropy per user: Shannon entropy of each user's
+# event-type distribution — the diversity score that separates
+# single-purpose accounts from broad ones (and a bot signal when near
+# zero).  Per-term quantization to the 1e-8 grid before the
+# order-independent integer sum — the engine's standard entropy
+# convention (same as char_entropy_docs), so both engines add the same
+# integers.
+# ---------------------------------------------------------------------------
+
+@register("behavior_entropy_user", """
+WITH c AS (
+    SELECT user_id, event_type, count(*) AS k
+    FROM events GROUP BY user_id, event_type
+), n AS (
+    SELECT user_id, sum(k) AS n FROM c GROUP BY user_id
+), terms AS (
+    SELECT c.user_id,
+           CAST(round(-(c.k / CAST(n.n AS DOUBLE))
+                      * log2(c.k / CAST(n.n AS DOUBLE))
+                      * 100000000, 0) AS BIGINT) AS tq
+    FROM c JOIN n ON n.user_id = c.user_id
+)
+SELECT t.user_id,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(CAST(sum(t.tq) AS DOUBLE) / 100000000.0, 4) AS entropy_bits
+FROM terms t GROUP BY t.user_id
+""")
+def q_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    wn = Window.partitionBy("user_id")
+    p = F.col("k") / F.sum("k").over(wn).cast("double")
+    tq = F.round(-p * F.log2(p) * 100000000, 0).cast("long")
+    terms = c.select("user_id", tq.alias("tq"))
+    return terms.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.round(F.sum("tq").cast("double") / 100000000.0, 4).alias(
+            "entropy_bits"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
