@@ -453,10 +453,68 @@ def textrank_terms(
     return ranks.select("term", F.col("pr").alias("score"))
 
 
+def _bpe_train_local(word_counts, n_merges: int):
+    """Exact BPE merge loop on a collected (word, count) table — the
+    classic incremental trainer (Sennrich et al., ACL 2016, alg. 1 with
+    the pair→word index of the published reference implementation;
+    re-derived here, not copied).  Per merge, only the words that
+    contain the winning pair are touched: their old pair contributions
+    are retracted and the post-merge adjacencies re-added, so cost per
+    iteration tracks the pair's support, not |vocab|.  Tie-break is
+    identical to the distributed path: max count, then lexicographically
+    smallest (left, right).
+
+    Returns [(rank, left, right, merged, pair_count), ...].
+    """
+    from collections import defaultdict
+
+    words = [list(w) for w, _ in word_counts]
+    wcs = [int(c) for _, c in word_counts]
+    counts: dict = defaultdict(int)
+    where: dict = defaultdict(set)  # pair -> ids of words containing it
+    for i, syms in enumerate(words):
+        for a, b in zip(syms, syms[1:]):
+            counts[(a, b)] += wcs[i]
+            where[(a, b)].add(i)
+    merges = []
+    for rank in range(1, n_merges + 1):
+        best = None
+        for pair, n in counts.items():
+            if n > 0 and (best is None or (-n, pair) < (-best[1], best[0])):
+                best = (pair, n)
+        if best is None:
+            break
+        (left, right), n = best
+        merged = left + right
+        merges.append((rank, left, right, merged, int(n)))
+        for i in list(where[(left, right)]):
+            syms, wc = words[i], wcs[i]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] -= wc
+                where[(a, b)].discard(i)
+            # greedy left-to-right application — a freshly merged symbol
+            # never re-merges with the next element in the same pass
+            out: list = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            words[i] = out
+            for a, b in zip(out, out[1:]):
+                counts[(a, b)] += wc
+                where[(a, b)].add(i)
+        counts.pop((left, right), None)
+        where.pop((left, right), None)
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 12,
+    strategy: str = "auto",
+    local_vocab_limit: int = 5_000_000,
 ) -> DataFrame:
     """Byte-pair-encoding merge training (Sennrich et al., ACL 2016) —
     the tokenizer-construction step of an LLM data pipeline, run the
@@ -464,17 +522,33 @@ def bpe_train(
     corpus.  Corpus size only affects the one word-count shuffle; every
     merge iteration works on |vocab| rows.
 
-    Each iteration: count adjacent symbol pairs weighted by word
-    frequency (slim pair rollup with map-side combine), pick the
-    global argmax (max count, ties to the lexicographically smallest
-    pair — deterministic), and apply the merge left-to-right greedily
-    via a JVM array fold.  The per-iteration driver traffic is ONE row
-    (the winning pair) — the unavoidable global decision of BPE — and
-    ``localCheckpoint`` keeps the growing plan bounded, as in
-    components.py.
+    Two merge-loop strategies over the same distributed word count:
+
+    - ``"local"`` — collect the (bounded, Zipf-truncated) word-count
+      table ONCE and run the incremental merge loop in the driver
+      (:func:`_bpe_train_local`).  This is how industrial trainers run:
+      the vocab table is a few million rows regardless of corpus size,
+      and a realistic 32k-merge train is a tight in-memory loop instead
+      of 32k sequential Spark jobs of scheduler overhead.
+    - ``"distributed"`` — one Spark job per merge: count adjacent
+      symbol pairs weighted by word frequency (slim rollup with
+      map-side combine), pick the global argmax (max count, ties to the
+      lexicographically smallest pair — deterministic), and apply the
+      merge left-to-right greedily via a JVM array fold.  Per-iteration
+      driver traffic is ONE row; ``localCheckpoint`` keeps the growing
+      plan bounded.  Only the right choice when the vocab table itself
+      cannot fit in driver memory (pathological non-Zipf corpora).
+    - ``"auto"`` (default) — count distinct words once; local when the
+      vocab fits ``local_vocab_limit``, distributed otherwise.
+
+    Both paths produce the identical merge table (asserted by the
+    differential test in test_pipeline.py).
 
     Returns the merge table: (rank, left, right, merged, pair_count).
     """
+    if strategy not in ("auto", "local", "distributed"):
+        raise ValueError(f"unknown bpe_train strategy: {strategy!r}")
+    spark = docs.sparkSession
     words = (
         docs.select(
             F.explode(F.split(F.trim(text_col), r"\s+")).alias("word")
@@ -485,6 +559,18 @@ def bpe_train(
         .select(F.split("word", "").alias("syms"), "wc")
         .localCheckpoint()
     )
+    if strategy == "auto":
+        strategy = (
+            "local" if words.count() <= local_vocab_limit else "distributed"
+        )
+    if strategy == "local":
+        merges = _bpe_train_local(
+            [(r["syms"], r["wc"]) for r in words.collect()], n_merges
+        )
+        return spark.createDataFrame(
+            merges, "rank int, left string, right string, merged string, "
+                    "pair_count bigint",
+        )
     merges = []
     for rank in range(1, n_merges + 1):
         pairs = words.where(F.size("syms") >= 2).select(
@@ -525,7 +611,6 @@ def bpe_train(
         words = words.select(
             merged_syms.alias("syms"), "wc"
         ).localCheckpoint()
-    spark = docs.sparkSession
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, "
                 "pair_count bigint",

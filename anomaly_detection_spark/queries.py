@@ -2731,7 +2731,9 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("array_functions_per_user", """
 SELECT user_id,
-       list_sort(list(round(value, 4))) AS sorted_values,
+       array_to_string(list_transform(list_sort(list(round(value, 4))),
+           x -> CAST(CAST(x AS DECIMAL(18,4)) AS VARCHAR)), ',')
+           AS sorted_values,
        round(list_aggregate(list_sort(list(round(value, 4))), 'sum'), 4)
            AS value_sum,
        CAST(len(list_filter(list(round(value, 4)), x -> x > 50.0)) AS INT)
@@ -2744,12 +2746,19 @@ WHERE event_type = 'signup'
 GROUP BY user_id
 """)
 def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sorted_values is serialized (decimal-string join) rather than emitted
+    # as a raw array<double>: top-level array columns break the driver's
+    # pandas canonicalizer (unhashable list) — see the output-schema
+    # guard in test_oracle_parity.py.
     ev = load_table(spark, "events", sf_dir).where(
         F.col("event_type") == "signup"
     )
     vals = F.array_sort(F.collect_list(F.round("value", 4)))
     return ev.groupBy("user_id").agg(
-        vals.alias("sorted_values"),
+        F.array_join(
+            F.transform(vals, lambda x: x.cast("decimal(18,4)").cast("string")),
+            ",",
+        ).alias("sorted_values"),
         F.round(
             F.aggregate(vals, F.lit(0.0), lambda acc, x: acc + x), 4
         ).alias("value_sum"),
@@ -7755,6 +7764,99 @@ def q_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch mirror of streaming/rules_stream.py:stateful_session_histogram —
+# the per-session categorical-histogram state op (gap-closed sessions,
+# distinct-type count, count-argmax top type with lexicographic
+# tie-break), expressed as gaps-and-islands + a deterministic argmax so
+# the driver's DuckDB oracle can hard-verify the streaming semantics.
+# ---------------------------------------------------------------------------
+
+@register("session_histogram_batch", """
+WITH gaps AS (
+    SELECT user_id, ts, event_type,
+           CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+),
+sess AS (
+    SELECT *, CAST(sum(new_session)
+               OVER (PARTITION BY user_id ORDER BY ts, event_type)
+               AS BIGINT) AS session_no
+    FROM gaps
+),
+per_type AS (
+    SELECT user_id, session_no, event_type, count(*) AS c
+    FROM sess GROUP BY user_id, session_no, event_type
+),
+tops AS (
+    SELECT user_id, session_no, event_type AS top_type,
+           c AS top_count,
+           row_number() OVER (PARTITION BY user_id, session_no
+                              ORDER BY c DESC, event_type) AS rn
+    FROM per_type
+),
+bounds AS (
+    SELECT user_id, session_no,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) AS TIMESTAMP) AS session_end,
+           count(*) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM sess GROUP BY user_id, session_no
+)
+SELECT b.user_id, b.session_start, b.session_end, b.n_events,
+       b.n_types, t.top_type, t.top_count
+FROM bounds b
+JOIN tops t ON t.user_id = b.user_id AND t.session_no = b.session_no
+           AND t.rn = 1
+""")
+def q_session_histogram_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        (epoch_seconds("ts") - epoch_seconds(prev_ts) > 1800)
+        | prev_ts.isNull(), 1,
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_no", F.sum(new_session).over(w)
+    )
+    per_type = sess.groupBy("user_id", "session_no", "event_type").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min("ts").alias("_min_ts"),
+        F.max("ts").alias("_max_ts"),
+    )
+    # one partial-aggregated pass: session bounds and the categorical
+    # argmax collapse together via max(struct(...)) — no second window
+    return (
+        per_type.groupBy("user_id", "session_no")
+        .agg(
+            F.min("_min_ts").alias("session_start"),
+            F.max("_max_ts").alias("session_end"),
+            F.sum("c").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            # argmax with "ties → lexicographically FIRST type":
+            # min(struct(-c, type)) sorts count descending (negated)
+            # then type ascending — a single partial-aggregable min,
+            # no second window pass
+            F.min(
+                F.struct(
+                    (-F.col("c")).alias("negc"),
+                    F.col("event_type").alias("t"),
+                )
+            ).alias("_m"),
+        )
+        .select(
+            "user_id", "session_start", "session_end", "n_events",
+            "n_types", F.col("_m.t").alias("top_type"),
+            (-F.col("_m.negc")).alias("top_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
@@ -7796,23 +7898,18 @@ def _driver_green(min_round: int = 0) -> set[str]:
 
 
 # Queries whose implementation changed since their last green driver row:
-# re-verify even though a past round vouched for the old code.  A name
-# automatically yields its front-of-queue slot once a round >=
-# DRIVER_REVERIFY_SINCE gives it a fresh green row (that row DOES vouch
-# for the current code), so the list self-retires without manual edits.
-DRIVER_REVERIFY_SINCE = 2
-DRIVER_REVERIFY: list[str] = [
-    # round 2: distributed two-pass ranking / multi-seed capped LSH /
-    # DataFrame-native IVF probes / raw-value filter order / exact-Jaccard
-    # minhash oracle / error-bound HLL oracle replaced the r01 forms
-    "rank_family_orders",
-    "embedding_near_dups",
-    "ivf_topk_embeddings",
-    "minhash_near_dups",
-    "union_all_extremes",
-    "rule_flags_events",
-    "approx_distinct_users",
-]
+# re-verify even though a past round vouched for the old code.  Maps name
+# -> the first round whose green row vouches for the CURRENT code; a name
+# automatically yields its front-of-queue slot once such a row lands, so
+# the dict self-retires without manual edits.  (Round-2 entries —
+# rank_family_orders, embedding_near_dups, ivf_topk_embeddings,
+# minhash_near_dups, union_all_extremes, rule_flags_events,
+# approx_distinct_users — all re-greened in r02 and were dropped.)
+DRIVER_REVERIFY: dict[str, int] = {
+    # round 3: sorted_values serialized as a decimal-string join (raw
+    # array<double> broke the driver's pandas canonicalizer in r02)
+    "array_functions_per_user": 3,
+}
 
 DRIVER_PRIORITY: list[str] = [
     # -- no CORRECTNESS_r01 row (registrations #51-80) --
@@ -7879,7 +7976,10 @@ def _ordered(names: dict[str, object]) -> list[str]:
     driver can record, so rows-only queries never consume a capped slot
     that an unverified oracle pair could use."""
     green = _driver_green()
-    fresh = _driver_green(min_round=DRIVER_REVERIFY_SINCE)
+    fresh = {
+        n for n, since in DRIVER_REVERIFY.items()
+        if n in _driver_green(min_round=since)
+    }
     order = list(names)
     # stable sort: registration order breaks all remaining ties.
     # Changed-implementation queries (DRIVER_REVERIFY, minus those a

@@ -693,6 +693,26 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
     assert got == expect and len(got) == 8
 
 
+def test_bpe_train_local_matches_distributed(spark, sf_dir):
+    """The collected-word-table fast path (one Spark job total) must
+    produce the identical merge table as the job-per-merge distributed
+    path — same argmax, same tie-break, same greedy application."""
+    from anomaly_detection_spark.pipeline.text import bpe_train
+
+    docs = load_table(spark, "documents", sf_dir).where(F.col("doc_id") < 250)
+
+    def table(strategy):
+        return [
+            tuple(r)
+            for r in bpe_train(docs, n_merges=12, strategy=strategy)
+            .orderBy("rank")
+            .collect()
+        ]
+
+    local, dist = table("local"), table("distributed")
+    assert local == dist and len(local) == 12
+
+
 def test_bpe_segment_roundtrip_and_compression(spark, sf_dir):
     from anomaly_detection_spark.pipeline.text import bpe_segment, bpe_train
 

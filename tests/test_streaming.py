@@ -439,3 +439,61 @@ def test_session_histogram_gap_split_and_event_time_timeout(spark, stream_dir):
     assert got[(2, base)] == (base, 1, 1, "purchase", 1)
     # user 3's session is still open (watermark never passed it)
     assert not any(k[0] == 3 for k in got)
+
+
+def test_session_histogram_stream_matches_batch_mirror(spark, stream_dir):
+    """Full-replay parity with the driver-verifiable batch mirror
+    (queries.py:session_histogram_batch): replaying the fixture events
+    through the stateful streaming op — plus a far-future sentinel to
+    flush every open session via event-time timeout — must reproduce
+    the batch gaps-and-islands sessionization row for row."""
+    from anomaly_detection_spark import queries as reg
+    from anomaly_detection_spark.sources.tables import load_table
+    from anomaly_detection_spark.streaming.rules_stream import (
+        stateful_session_histogram,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        load_table(spark, "events", sf)
+        .select("user_id", "ts", "event_type")
+        .orderBy("ts")
+    )
+    rows = ev.collect()
+    src = os.path.join(stream_dir, "src")
+    os.makedirs(src)
+    tschema = ev.schema
+    # replay in event-time order across several micro-batches so state
+    # genuinely crosses batch boundaries
+    n_batches = 4
+    per = (len(rows) + n_batches - 1) // n_batches
+    for b in range(n_batches):
+        spark.createDataFrame(
+            rows[b * per:(b + 1) * per], tschema
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"b{b}")
+        )
+    flush_ts = max(r.ts for r in rows) + dt.timedelta(days=365)
+    spark.createDataFrame(
+        [(-1, flush_ts, "flush"), (-1, flush_ts + dt.timedelta(minutes=1), "flush")],
+        tschema,
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "bz"))
+
+    stream = spark.readStream.schema(tschema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    out = stateful_session_histogram(
+        stream, "user_id", "ts", "event_type", gap_seconds=1800.0
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         r.n_types, r.top_type, r.top_count)
+        for r in _drain(spark, out, "shpar", src).collect()
+        if r.user_id != -1
+    }
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events,
+         r.n_types, r.top_type, r.top_count)
+        for r in reg.QUERIES["session_histogram_batch"](spark, sf).collect()
+    }
+    assert got == want and len(want) > 500
