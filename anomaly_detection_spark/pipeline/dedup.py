@@ -595,3 +595,52 @@ def simhash_hamming_pairs(
         cand.select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= radius)
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    span_chars: int = 40,
+    stride: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-substring detection — the span-level
+    exact dedup signal of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better" (ACL 2022).  Their suffix-array
+    construction is replaced by the distributed-friendly equivalent:
+    fixed-length character spans sampled every ``stride`` characters,
+    hashed, and rolled up — a span duplicated across documents
+    collides on its digest no matter where it appears.
+
+    Scale shape: span extraction is a map-only JVM expression
+    (sequence → transform → explode — no Python); the ONLY shuffle
+    moves (digest, doc_id) pairs, never text; the ``min_docs``
+    filter happens in the same aggregation.  Memory per row is one
+    span, not one document.
+
+    Returns (span_hash, n_docs, n_occurrences) for spans seen in at
+    least ``min_docs`` distinct documents.
+    """
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(text_col) - (span_chars - 1), F.lit(1)),
+        F.lit(stride),
+    )
+    spans = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                starts, lambda i: F.substring(F.col(text_col), i, span_chars)
+            )
+        ).alias("span"),
+    ).where(F.length("span") == span_chars)
+    return (
+        spans.select(id_col, F.md5(F.col("span").cast("binary")).alias("span_hash"))
+        .groupBy("span_hash")
+        .agg(
+            F.countDistinct(id_col).cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )

