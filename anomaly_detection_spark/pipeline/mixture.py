@@ -120,3 +120,42 @@ def weighted_mixture_sample(
         .where(F.col("sample_rank") <= F.col("quota"))
         .select(id_col, "domain", "sample_rank", "quota")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int = 50,
+    salt: str = "wrs:",
+    key_round: int = 9,
+) -> DataFrame:
+    """Weighted random sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, the exponential-jumps formulation): each row draws a
+    deterministic uniform u from its content hash and competes with
+    key = -ln(u) / weight; the k SMALLEST keys are the sample.  The
+    inclusion law is exactly weighted sampling without replacement,
+    and — because u comes from a salted md5, not ``rand()`` — the draw
+    is reproducible across retries, partitionings, and engines.
+
+    The key is rounded to a 1e-9 grid with an id tie-break so the
+    selection boundary is stable cross-engine (libm ln agrees to the
+    grid on non-adversarial inputs; ties broken by id are exact).
+
+    Distributed shape: map-only key computation, then a
+    TakeOrderedAndProject top-k (per-partition heaps, driver merges
+    k·P rows) — no global sort exchange at any input size.
+
+    Returns (id_col, weight_col, sample_key) for the k sampled rows.
+    """
+    hexed = F.md5(
+        F.concat(F.lit(salt), F.col(id_col).cast("string")).cast("binary")
+    )
+    # uniform in (0, 1]: 60 md5 bits scaled; +1 avoids ln(0)
+    u = (F.conv(F.substring(hexed, 1, 15), 16, 10).cast("double") + 1.0) / float(16 ** 15)
+    key = F.round(-F.log(u) / F.col(weight_col).cast("double"), key_round)
+    return (
+        df.select(id_col, weight_col, key.alias("sample_key"))
+        .orderBy("sample_key", id_col)
+        .limit(k)
+    )

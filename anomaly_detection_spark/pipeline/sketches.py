@@ -89,3 +89,93 @@ def heavy_hitters_exact(
             F.round(F.col("cnt").cast("double") / F.col("_n"), 6).alias("share"),
         )
     )
+
+
+def count_min_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms:",
+) -> DataFrame:
+    """Count-Min sketch build (Cormode & Muthukrishnan 2005): ``depth``
+    independent hash rows of ``width`` counters; every key increments
+    one counter per row, and a point query reads the MINIMUM of its
+    ``depth`` counters — an overestimate by at most eps*N with high
+    probability, never an underestimate.
+
+    Hashes are salted portable-md5 buckets (identical arithmetic in
+    any engine with md5 — the whole sketch is deterministic
+    cross-engine, so the ESTIMATES themselves are oracle-checkable,
+    not just their error band).
+
+    Scale shape: the input is exploded x``depth`` into slim
+    (row, bucket) pairs and rolled up with map-side combine — one
+    shuffle of at most ``depth * width`` result rows; counter memory
+    is O(depth*width) regardless of key cardinality, which is the
+    whole point of sketching a 100 TB stream.
+
+    Returns (d, bucket, cnt) — the sketch matrix in long form.
+    """
+    from anomaly_detection_spark.pipeline.decontaminate import (
+        portable_hash_bucket,
+    )
+
+    rows = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    portable_hash_bucket(
+                        F.col(key_col), width, salt=f"{salt}{d}:"
+                    ).alias("bucket"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("cell")
+    )
+    return (
+        rows.groupBy(F.col("cell.d").alias("d"),
+                     F.col("cell.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms:",
+) -> DataFrame:
+    """Point-query ``probes[key_col]`` against a ``count_min_build``
+    sketch: estimate = min over the ``depth`` counters the key hashes
+    to.  The sketch matrix (``depth*width`` rows) broadcasts; probing
+    is a broadcast equi-join + min rollup — no corpus-sized work.
+
+    Returns probes + ``cms_est``.
+    """
+    from anomaly_detection_spark.pipeline.decontaminate import (
+        portable_hash_bucket,
+    )
+
+    cells = probes.select(
+        key_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    portable_hash_bucket(
+                        F.col(key_col), width, salt=f"{salt}{d}:"
+                    ).alias("bucket"),
+                )
+                for d in range(depth)
+            ])
+        ).alias("cell"),
+    ).select(key_col, "cell.d", "cell.bucket")
+    return (
+        cells.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("cms_est"))
+    )

@@ -8062,6 +8062,170 @@ def q_equi_depth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch mirror of streaming/rules_stream.py:windowed_distinct_sketch —
+# per-(day, event_type) distinct users via the SAME mergeable HLL
+# aggregation the streaming op keeps in state (the stream-vs-batch
+# equality is pinned by test_windowed_distinct_sketch_matches_batch;
+# this row pins the batch side to exact counts with an error bound the
+# driver can hash).
+# ---------------------------------------------------------------------------
+
+@register("daily_distinct_sketch", """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS n_events,
+       TRUE AS sketch_in_5pct
+FROM events
+GROUP BY date_trunc('day', ts), event_type
+""")
+def q_daily_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    day = F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day")
+    agg = ev.groupBy(day, "event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(14))
+        ).alias("_est"),
+    )
+    in_band = (
+        F.abs(F.col("_est") - F.col("exact_users"))
+        <= F.greatest(F.lit(2.0), 0.05 * F.col("exact_users"))
+    )
+    return agg.select(
+        "day", "event_type", "exact_users", "n_events",
+        in_band.alias("sketch_in_5pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline / Pareto frontier (operators/skyline.py) — the oracle is
+# the NAIVE O(n²) NOT EXISTS dominance formulation, so a green row
+# proves the sort-based linear rewrite is semantically identical.
+# ---------------------------------------------------------------------------
+
+@register("skyline_value_recency", """
+WITH pts AS (
+    SELECT event_type, round(value, 4) AS value, ts FROM events
+),
+fr AS (
+    SELECT * FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.event_type = p.event_type
+          AND q.value >= p.value AND q.ts >= p.ts
+          AND (q.value > p.value OR q.ts > p.ts)
+    )
+)
+SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts,
+       count(*) AS n_points
+FROM fr GROUP BY event_type, value, ts
+""")
+def q_skyline_value_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.operators.skyline import skyline_2d
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.round("value", 4).alias("value"), "ts"
+    )
+    return skyline_2d(ev, "value", "ts", group_cols=["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (pipeline/mixture.py:
+# weighted_sample_topk, Efraimidis-Spirakis 2006) — deterministic
+# portable-md5 draws make the SAMPLE ITSELF oracle-checkable.
+# ---------------------------------------------------------------------------
+
+@register("weighted_sample_docs", """
+WITH keyed AS (
+    SELECT doc_id, n_chars,
+           round(-ln((CAST('0x' || substr(md5('wrs:' ||
+                     CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1.0)
+                     / power(16.0, 15))
+                 / CAST(n_chars AS DOUBLE), 9) AS sample_key
+    FROM documents
+)
+SELECT doc_id, n_chars, sample_key
+FROM keyed ORDER BY sample_key, doc_id LIMIT 50
+""")
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.mixture import weighted_sample_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return weighted_sample_topk(docs, "n_chars", "doc_id", k=50)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch frequency estimation (pipeline/sketches.py) — the
+# salted portable-md5 hash rows make the sketch matrix AND the
+# point-query estimates bit-identical cross-engine, so the driver
+# verifies the estimates themselves, not just an error band.
+# ---------------------------------------------------------------------------
+
+@register("cms_word_frequency", """
+WITH toks AS (
+    SELECT t.w FROM documents,
+         unnest(string_split_regex(trim(text), '\\s+')) AS t(w)
+    WHERE len(t.w) > 0
+),
+cells AS (
+    SELECT d.d,
+           CAST('0x' || substr(md5('cms:' || CAST(d.d AS VARCHAR) || ':' || w),
+                1, 15) AS BIGINT) % 256 AS bucket
+    FROM toks, (SELECT unnest([0, 1, 2, 3]) AS d) AS d
+),
+sketch AS (
+    SELECT d, bucket, count(*) AS cnt FROM cells GROUP BY d, bucket
+),
+exact AS (
+    SELECT w, count(*) AS exact_count FROM toks GROUP BY w
+),
+probes AS (
+    SELECT w, exact_count FROM exact
+    ORDER BY exact_count DESC, w LIMIT 20
+),
+est AS (
+    SELECT p.w, p.exact_count, min(s.cnt) AS cms_est
+    FROM probes p,
+         (SELECT unnest([0, 1, 2, 3]) AS d) AS d
+    JOIN sketch s
+      ON s.d = d.d
+     AND s.bucket = CAST('0x' || substr(md5('cms:' || CAST(d.d AS VARCHAR)
+                    || ':' || p.w), 1, 15) AS BIGINT) % 256
+    GROUP BY p.w, p.exact_count
+)
+SELECT w AS word, exact_count, cms_est,
+       (cms_est >= exact_count) AS never_underestimates
+FROM est
+""")
+def q_cms_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.sketches import (
+        count_min_build, count_min_estimate,
+    )
+
+    toks = (
+        load_table(spark, "documents", sf_dir)
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .where(F.length("w") > 0)
+    )
+    sketch = count_min_build(toks, "w", depth=4, width=256)
+    probes = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "w")
+        .limit(20)
+    )
+    est = count_min_estimate(sketch, probes, "w", depth=4, width=256)
+    return est.join(probes, "w").select(
+        F.col("w").alias("word"), "exact_count", "cms_est",
+        (F.col("cms_est") >= F.col("exact_count")).alias(
+            "never_underestimates"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -481,3 +481,44 @@ def stateful_session_histogram(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def windowed_distinct_sketch(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    entity_col: str = "user_id",
+    window: str = "1 day",
+    watermark: str = "1 hour",
+    lg_k: int = 14,
+) -> DataFrame:
+    """Streaming windowed distinct-entity counts via MERGEABLE HLL
+    sketch states (the streaming mirror of the batch
+    ``incremental_distinct_users`` rollup): per (window, key) the
+    aggregation state is a Datasketches HLL sketch, so partial states
+    from every micro-batch and executor merge associatively — the same
+    property that makes sketch rollups work across 1000 executors
+    makes them work across triggers here.
+
+    Append-mode compatible (the watermark closes windows); state per
+    live (window, key) is the fixed-size sketch (~2^lg_k bytes), never
+    a distinct-entity set — the distinction that survives 100 TB/day
+    streams where exact per-window sets would OOM the state store.
+    """
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), key_col)
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(entity_col, F.lit(lg_k))
+            ).alias("approx_distinct"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+            F.col(key_col),
+            F.col("approx_distinct").cast("long").alias("approx_distinct"),
+            "n_events",
+        )
+    )

@@ -89,6 +89,9 @@ BENCH_QUERIES = [
     "gopher_quality_docs",
     "scd2_user_state",
     "equi_depth_value_buckets",
+    "skyline_value_recency",
+    "weighted_sample_docs",
+    "cms_word_frequency",
 ]
 
 

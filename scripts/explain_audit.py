@@ -125,6 +125,10 @@ AUDIT_QUERIES = [
     "gopher_quality_docs",
     "scd2_user_state",
     "equi_depth_value_buckets",
+    "daily_distinct_sketch",
+    "skyline_value_recency",
+    "weighted_sample_docs",
+    "cms_word_frequency",
 ]
 
 

@@ -178,6 +178,25 @@ def main() -> None:
             .count()
         )
         t_novelty = round(time.monotonic() - t0, 2)
+
+        # BM25: one doc-keyed shuffle regardless of K; the query terms
+        # exist only in copy 0 (token suffixes), so tf rows stay fixed
+        # while the corpus grows — the probe measures the corpus-sized
+        # tokenize+aggregate backbone
+        from anomaly_detection_spark.pipeline.retrieval import bm25_topk
+        t0 = time.monotonic()
+        n_bm25 = bm25_topk(
+            docs, ["hash_0", "merge_0", "window_0"], k=10
+        ).count()
+        t_bm25 = round(time.monotonic() - t0, 2)
+
+        # duplicated spans: replica token-suffixing makes copies' char
+        # spans distinct, so span groups track in-copy duplicate
+        # density — the rollup must stay linear in K
+        from anomaly_detection_spark.pipeline.dedup import duplicated_spans
+        t0 = time.monotonic()
+        n_spans = duplicated_spans(docs, span_chars=40, stride=10).count()
+        t_spans = round(time.monotonic() - t0, 2)
         docs.unpersist()
         print(json.dumps({
             "k": k, "rows": n_rows, "series": n_flags,
@@ -192,6 +211,8 @@ def main() -> None:
             "holt_sec": t_holt, "holt_rows": n_holt,
             "hamming_pairs": n_ham, "hamming_sec": t_hamming,
             "novelty_docs": n_novel_docs, "novelty_sec": t_novelty,
+            "bm25_hits": n_bm25, "bm25_sec": t_bm25,
+            "dup_spans": n_spans, "dup_span_sec": t_spans,
         }), flush=True)
 
 

@@ -128,3 +128,26 @@ def test_scd2_history_runs_collapse_and_current_flag(spark):
     # the reopened 'a' run is a NEW interval (no type-2 merge across gaps)
     assert out[(1, "a", base + dt.timedelta(minutes=3))] == (None, 1, True)
     assert out[(2, "c", base)] == (None, 1, True)
+
+
+def test_round3_ops_partitioning_invariance(spark, sf_dir):
+    """Results must be identical under different partitionings and row
+    orders (the fixed-point quantization in bm25 and the integer/digest
+    arithmetic elsewhere exist exactly for this)."""
+    from anomaly_detection_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for repart in (lambda d: d.repartition(3),
+                   lambda d: d.repartition(17, "doc_id")):
+        d2 = repart(docs)
+        assert canon(bm25_topk(docs, ["hash", "merge"], k=10)) == canon(
+            bm25_topk(d2, ["hash", "merge"], k=10)
+        )
+        assert canon(duplicated_spans(docs)) == canon(duplicated_spans(d2))
+        assert canon(gopher_quality_rules(docs)) == canon(
+            gopher_quality_rules(d2)
+        )

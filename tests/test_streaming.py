@@ -497,3 +497,70 @@ def test_session_histogram_stream_matches_batch_mirror(spark, stream_dir):
         for r in reg.QUERIES["session_histogram_batch"](spark, sf).collect()
     }
     assert got == want and len(want) > 500
+
+
+def test_windowed_distinct_sketch_matches_batch(spark, stream_dir):
+    """The HLL windowed distinct stream must produce, after replay,
+    exactly the estimates the same sketch aggregation produces in
+    batch (associative state merge across micro-batches), and stay
+    within the documented HLL error band of the exact counts."""
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_spark.sources.tables import load_table
+    from anomaly_detection_spark.streaming.rules_stream import (
+        windowed_distinct_sketch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        load_table(spark, "events", sf)
+        .select("ts", "event_type", "user_id")
+        .orderBy("ts")
+    )
+    rows = ev.collect()
+    src = os.path.join(stream_dir, "src")
+    os.makedirs(src)
+    per = (len(rows) + 3) // 4
+    for b in range(4):
+        spark.createDataFrame(rows[b * per:(b + 1) * per], ev.schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(src, f"b{b}"))
+    flush = max(r.ts for r in rows) + dt.timedelta(days=30)
+    spark.createDataFrame(
+        [(flush, "flush", -1), (flush + dt.timedelta(hours=1), "flush", -1)],
+        ev.schema,
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "bz"))
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    out = windowed_distinct_sketch(stream)
+    got = {
+        (r.window_start, r.event_type): (r.approx_distinct, r.n_events)
+        for r in _drain(spark, out, "wds", src).collect()
+        if r.event_type != "flush"
+    }
+
+    batch = (
+        spark.createDataFrame(rows, ev.schema)
+        .groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 day").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14)))
+            .cast("long").alias("est"),
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("ws"),
+            "event_type", "est", "n", "exact",
+        )
+        .collect()
+    )
+    want = {(r.ws, r.event_type): (r.est, r.n) for r in batch}
+    assert got == want and len(want) > 50
+    # HLL estimates within 5% of exact at this cardinality
+    for r in batch:
+        assert abs(r.est - r.exact) <= max(2, 0.05 * r.exact)
