@@ -47,3 +47,34 @@ def merge_agg_states(
     return u.groupBy(*keys).agg(
         *[expr.alias(name) for name, expr in merges.items()]
     )
+
+
+def incremental_join_delta(
+    base_l: DataFrame,
+    delta_l: DataFrame,
+    base_r: DataFrame,
+    delta_r: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Delta of an inner equi-join under appends — the incremental
+    VIEW-MAINTENANCE identity for joins:
+
+        (L ∪ dL) ⋈ (R ∪ dR)  =  L⋈R  ∪  dL⋈R  ∪  L⋈dR  ∪  dL⋈dR
+
+    so the NEW join rows are exactly ``dL⋈R ∪ L⋈dR ∪ dL⋈dR``.  At
+    100 TB this is the difference between re-joining two full fact
+    tables every day and joining yesterday's (bucketed, co-located)
+    bases against today's small deltas: each of the three terms has at
+    least one delta side, so no base×base work ever re-runs, and the
+    delta sides broadcast when small.
+
+    Append-only semantics (no updates/deletes — CDC with deletes goes
+    through operators/upsert.py:cdc_apply first).  Returns the join
+    DELTA; union it with the stored L⋈R to materialize the new view.
+    """
+    keys = list(keys)
+    return (
+        delta_l.join(base_r, keys)
+        .unionByName(base_l.join(delta_r, keys))
+        .unionByName(delta_l.join(delta_r, keys))
+    )

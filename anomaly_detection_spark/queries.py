@@ -8226,6 +8226,55 @@ def q_cms_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental JOIN maintenance (operators/incremental.py:
+# incremental_join_delta) — the view-maintenance identity
+# (L∪dL)⋈(R∪dR) = L⋈R ∪ dL⋈R ∪ L⋈dR ∪ dL⋈dR.  The query materializes
+# the new view as stored-base-join ∪ delta terms; the oracle is the
+# FULL recompute, so a green row proves the delta algebra.
+# ---------------------------------------------------------------------------
+
+@register("incremental_join_orders", f"""
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       CAST(sum({_REV_UNITS_SQL}) AS BIGINT) AS revenue_units
+FROM lineitem l JOIN orders ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""")
+def q_incremental_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.operators.incremental import (
+        incremental_join_delta,
+    )
+
+    cutoff = "1995-06-01"
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    l = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("okey"), "l_shipdate", rev.alias("rev"),
+    )
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("okey"), "o_orderdate", "o_orderpriority",
+    )
+    base_l, delta_l = l.where(F.col("l_shipdate") < cutoff), l.where(
+        F.col("l_shipdate") >= cutoff
+    )
+    base_r, delta_r = o.where(F.col("o_orderdate") < cutoff), o.where(
+        F.col("o_orderdate") >= cutoff
+    )
+    stored = base_l.join(base_r, "okey")  # yesterday's materialized view
+    new_rows = incremental_join_delta(base_l, delta_l, base_r, delta_r,
+                                      ["okey"])
+    return (
+        stored.unionByName(new_rows)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("rev").alias("revenue_units"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "skyline_value_recency",
     "weighted_sample_docs",
     "cms_word_frequency",
+    "incremental_join_orders",
 ]
 
 

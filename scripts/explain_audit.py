@@ -129,6 +129,7 @@ AUDIT_QUERIES = [
     "skyline_value_recency",
     "weighted_sample_docs",
     "cms_word_frequency",
+    "incremental_join_orders",
 ]
 
 

@@ -102,3 +102,34 @@ def test_cms_overestimate_bounded_under_collisions(spark):
     # width 16 -> expected bucket load 125; min over 2 rows stays well
     # under 4x the expectation for every probe on this fixed hash
     assert all(r.cms_est <= 500 for r in rows)
+
+
+def test_incremental_join_delta_identity(spark):
+    """stored-join ∪ delta == full join as a MULTISET (duplicates kept),
+    and the delta contains no row derivable from bases alone."""
+    from collections import Counter
+
+    from anomaly_detection_spark.operators.incremental import (
+        incremental_join_delta,
+    )
+
+    base_l = spark.createDataFrame(
+        [(1, "l1"), (2, "l2"), (2, "l2b")], "k int, lv string"
+    )
+    delta_l = spark.createDataFrame([(2, "dl2"), (3, "dl3")], "k int, lv string")
+    base_r = spark.createDataFrame([(1, "r1"), (3, "r3")], "k int, rv string")
+    delta_r = spark.createDataFrame(
+        [(2, "dr2"), (3, "dr3b")], "k int, rv string"
+    )
+
+    stored = base_l.join(base_r, "k")
+    delta = incremental_join_delta(base_l, delta_l, base_r, delta_r, ["k"])
+    full = base_l.unionByName(delta_l).join(
+        base_r.unionByName(delta_r), "k"
+    )
+    got = Counter(tuple(r) for r in stored.unionByName(delta).collect())
+    want = Counter(tuple(r) for r in full.collect())
+    assert got == want
+    # no delta row joins base-only content on both sides
+    base_only = {tuple(r) for r in stored.collect()}
+    assert not base_only & {tuple(r) for r in delta.collect()}

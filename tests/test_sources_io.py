@@ -127,3 +127,25 @@ def test_observation_metrics_inline(spark, sf_dir):
     assert m["n_rows"] == ev.count()
     assert m["null_values"] == 0
     assert n_types > 0 and m["value_sum"] > 0
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Appended partitions may ADD columns (corpus metadata grows over
+    time); ``mergeSchema`` reads the union schema with NULLs for the
+    old partitions — the append-only evolution contract a long-lived
+    100 TB dataset relies on."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.range(3).select("id", F.lit("a").alias("v")).write.parquet(
+        p + "/day=1"
+    )
+    spark.range(2).select(
+        "id", F.lit("b").alias("v"), F.lit(7).alias("extra")
+    ).write.parquet(p + "/day=2")
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"id", "v", "extra", "day"}
+    rows = {(r.day, r.id): r.extra for r in df.collect()}
+    assert rows[(1, 0)] is None and rows[(2, 0)] == 7
+    # old partitions still fully readable; counts preserved
+    assert df.count() == 5
