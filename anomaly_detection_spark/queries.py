@@ -8275,6 +8275,191 @@ def q_incremental_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Phrase matching via posting lists — the inverted-index evaluation
+# strategy (term rows + position-adjacency self-join), oracle-checked
+# against a DIRECT array scan: two different algorithms, one answer.
+# At 100 TB the posting join touches only the two query terms' rows
+# (filter pushed below the shuffle), never whole documents.
+# ---------------------------------------------------------------------------
+
+@register("phrase_match_docs", """
+WITH w AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\\s+'),
+                       x -> len(x) > 0) AS ws
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(range(1, len(ws)),
+                i -> ws[i] = 'hash' AND ws[i + 1] = 'merge'))
+            AS BIGINT) AS n_matches
+FROM w
+WHERE len(list_filter(range(1, len(ws)),
+          i -> ws[i] = 'hash' AND ws[i + 1] = 'merge')) > 0
+""")
+def q_phrase_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "w"),
+    ).where(F.length("w") > 0)
+    a = toks.where(F.col("w") == "hash").select("doc_id", "pos")
+    b = toks.where(F.col("w") == "merge").select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square distribution drift — categorical mix shift between a
+# baseline period and the current period (the count-based sibling of
+# ks_drift_events / psi_drift_events).  Expected counts and chi2 terms
+# are plain rational arithmetic on exact integers — no libm to diverge
+# cross-engine.
+# ---------------------------------------------------------------------------
+
+@register("chi_square_drift_events", """
+WITH split AS (
+    SELECT event_type,
+           CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00'
+                THEN 'base' ELSE 'cur' END AS period
+    FROM events
+),
+c AS (
+    SELECT event_type,
+           count(*) FILTER (period = 'base') AS n_base,
+           count(*) FILTER (period = 'cur') AS n_cur
+    FROM split GROUP BY event_type
+),
+tot AS (
+    SELECT sum(n_base) AS t_base, sum(n_cur) AS t_cur FROM c
+)
+SELECT event_type,
+       CAST(n_base AS BIGINT) AS n_base,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       round(CAST(t_cur AS DOUBLE) * n_base / t_base, 4) AS expected_cur,
+       CASE WHEN n_base = 0 THEN NULL ELSE round(
+           (n_cur - CAST(t_cur AS DOUBLE) * n_base / t_base)
+           * (n_cur - CAST(t_cur AS DOUBLE) * n_base / t_base)
+           / (CAST(t_cur AS DOUBLE) * n_base / t_base), 4) END AS chi2_term
+FROM c, tot
+""")
+def q_chi_square_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    cutoff = ntz_lit("2024-01-20 00:00:00")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.when(F.col("ts") < cutoff, 1)).alias("n_base"),
+        F.count(F.when(F.col("ts") >= cutoff, 1)).alias("n_cur"),
+    )
+    tot = F.broadcast(
+        c.agg(
+            F.sum("n_base").alias("t_base"), F.sum("n_cur").alias("t_cur")
+        )
+    )
+    expected = F.col("t_cur").cast("double") * F.col("n_base") / F.col("t_base")
+    return c.crossJoin(tot).select(
+        "event_type",
+        F.col("n_base").cast("bigint").alias("n_base"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round(expected, 4).alias("expected_cur"),
+        # a category absent from the baseline has expected 0 — its
+        # chi2 term is undefined (NULL), not infinite
+        F.when(
+            F.col("n_base") > 0,
+            F.round(
+                (F.col("n_cur") - expected) * (F.col("n_cur") - expected)
+                / expected, 4,
+            ),
+        ).alias("chi2_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B conversion lift with a deterministic hash split — the experiment
+# readout of a product-analytics engine: portable-md5 arm assignment
+# (same as hash_split), exact conversion counts, two-proportion z via
+# IEEE-exact ops (divisions + sqrt are correctly rounded — safe
+# cross-engine, unlike libm transcendentals).
+# ---------------------------------------------------------------------------
+
+@register("ab_test_lift_events", """
+WITH arms AS (
+    SELECT user_id,
+           CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15)
+                AS BIGINT) % 2 AS arm,
+           max(CASE WHEN event_type = 'purchase' AND value > 99.0
+                    THEN 1 ELSE 0 END) AS converted
+    FROM events GROUP BY user_id
+),
+agg AS (
+    SELECT count(*) FILTER (arm = 0) AS n_a,
+           count(*) FILTER (arm = 1) AS n_b,
+           sum(converted) FILTER (arm = 0) AS conv_a,
+           sum(converted) FILTER (arm = 1) AS conv_b
+    FROM arms
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b,
+       round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+       round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+       round(CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a, 6)
+           AS lift,
+       round((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+FROM agg
+""")
+def q_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.decontaminate import (
+        portable_hash_bucket,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    # conversion = any premium purchase (value > 99): plain 'any
+    # purchase' saturates to 100% on this fixture and degenerates z
+    arms = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 99.0),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        portable_hash_bucket(F.col("user_id"), 2, salt="ab:").alias("arm"),
+        "converted",
+    )
+    agg = arms.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted"))).alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted"))).alias("conv_b"),
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a")
+    rb = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (rb - ra) / F.sqrt(
+        pooled * (1.0 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("conv_a").cast("bigint").alias("conv_a"),
+        F.col("conv_b").cast("bigint").alias("conv_b"),
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(rb - ra, 6).alias("lift"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     "weighted_sample_docs",
     "cms_word_frequency",
     "incremental_join_orders",
+    "phrase_match_docs",
+    "chi_square_drift_events",
+    "ab_test_lift_events",
 ]
 
 
