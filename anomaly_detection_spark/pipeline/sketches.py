@@ -97,6 +97,7 @@ def count_min_build(
     depth: int = 4,
     width: int = 256,
     salt: str = "cms:",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-Min sketch build (Cormode & Muthukrishnan 2005): ``depth``
     independent hash rows of ``width`` counters; every key increments
@@ -115,13 +116,24 @@ def count_min_build(
     is O(depth*width) regardless of key cardinality, which is the
     whole point of sketching a 100 TB stream.
 
+    Pass ``weight_col`` to build from a PRE-AGGREGATED (key, count)
+    table instead of raw occurrences — counters add, so the sketch is
+    identical, but the explode runs over |vocab| rows instead of the
+    full stream (the right build path whenever a word-count rollup
+    already exists in the pipeline).
+
     Returns (d, bucket, cnt) — the sketch matrix in long form.
     """
     from anomaly_detection_spark.pipeline.decontaminate import (
         portable_hash_bucket,
     )
 
+    w = (
+        F.col(weight_col).cast("long") if weight_col is not None
+        else F.lit(1).cast("long")
+    )
     rows = df.select(
+        w.alias("_w"),
         F.explode(
             F.array(*[
                 F.struct(
@@ -132,12 +144,12 @@ def count_min_build(
                 )
                 for d in range(depth)
             ])
-        ).alias("cell")
+        ).alias("cell"),
     )
     return (
         rows.groupBy(F.col("cell.d").alias("d"),
                      F.col("cell.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("_w").alias("cnt"))
     )
 
 

@@ -8209,13 +8209,14 @@ def q_cms_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
         .where(F.length("w") > 0)
     )
-    sketch = count_min_build(toks, "w", depth=4, width=256)
-    probes = (
-        toks.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("exact_count"))
-        .orderBy(F.desc("exact_count"), "w")
-        .limit(20)
+    # one tokenize pass: the word-count rollup feeds BOTH the weighted
+    # sketch build (counters add — identical matrix, |vocab|-sized
+    # explode) and the probe selection
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("exact_count"))
+    sketch = count_min_build(
+        counts, "w", depth=4, width=256, weight_col="exact_count"
     )
+    probes = counts.orderBy(F.desc("exact_count"), "w").limit(20)
     est = count_min_estimate(sketch, probes, "w", depth=4, width=256)
     return est.join(probes, "w").select(
         F.col("w").alias("word"), "exact_count", "cms_est",

@@ -133,3 +133,19 @@ def test_incremental_join_delta_identity(spark):
     # no delta row joins base-only content on both sides
     base_only = {tuple(r) for r in stored.collect()}
     assert not base_only & {tuple(r) for r in delta.collect()}
+
+
+def test_cms_weighted_build_equals_raw_build(spark):
+    """Building the sketch from a pre-aggregated (key, count) table
+    with weights must produce the IDENTICAL matrix as building from
+    raw occurrences — counters add."""
+    rows = [("a",)] * 7 + [("b",)] * 3 + [("c",)] * 5
+    raw = spark.createDataFrame(rows, "k string")
+    counts = raw.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    m_raw = {(r.d, r.bucket): r.cnt
+             for r in count_min_build(raw, "k", depth=3, width=32).collect()}
+    m_w = {(r.d, r.bucket): r.cnt
+           for r in count_min_build(
+               counts, "k", depth=3, width=32, weight_col="c"
+           ).collect()}
+    assert m_raw == m_w and len(m_raw) > 0
