@@ -8461,6 +8461,71 @@ def q_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Interval-union aggregation — total ACTIVE time per user when every
+# event opens a fixed activity window and overlaps must not double
+# count: merge overlapping intervals gaps-and-islands style (running
+# max of interval end over preceding rows -> island id), then sum
+# per-island extents.  All integer-second arithmetic; ONE user-keyed
+# exchange shared by the window and both rollups.
+# ---------------------------------------------------------------------------
+
+@register("interval_union_time_user", """
+WITH iv AS (
+    SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 900000000 AS e
+    FROM events
+),
+marked AS (
+    SELECT user_id, s, e,
+           CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                THEN 1 ELSE 0 END AS new_island
+    FROM iv
+),
+islands AS (
+    SELECT user_id, s, e,
+           CAST(sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e)
+                AS BIGINT) AS island
+    FROM marked
+),
+merged AS (
+    SELECT user_id, island, min(s) AS ms, max(e) AS me
+    FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_active_intervals,
+       CAST(sum(me - ms) AS BIGINT) AS active_us
+FROM merged GROUP BY user_id
+""")
+def q_interval_union_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    # integer MICROSECONDS end to end: extents and their sums are
+    # exact integers, so the rollup is order-independent (a fractional
+    # epoch-seconds sum truncates differently per fold order)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        "user_id", us.alias("s"), (us + 900_000_000).alias("e")
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "new_island",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
+    )
+    islands = marked.withColumn("island", F.sum("new_island").over(w))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active_intervals"),
+        F.sum(F.col("me") - F.col("ms")).cast("bigint").alias("active_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

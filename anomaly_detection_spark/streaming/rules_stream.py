@@ -522,3 +522,72 @@ def windowed_distinct_sketch(
             "n_events",
         )
     )
+
+
+def stateful_heavy_hitters(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    item_col: str = "user_id",
+    capacity: int = 8,
+) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters per key: the state per key
+    is a bounded (item -> counter) summary of at most ``capacity``
+    entries — O(capacity) memory regardless of stream length or item
+    cardinality, the property that lets per-key top-item tracking run
+    forever on an unbounded stream.
+
+    Classic MG fold (Misra & Gries 1982): increment a tracked item,
+    start tracking into a free slot, else decrement EVERY counter
+    (evicting zeros).  The standard guarantee carries across
+    micro-batches because the fold is sequential over the state:
+    any item with true frequency > N/(capacity+1) is guaranteed
+    present, with counter >= true_count - N/(capacity+1).
+
+    Each trigger emits the key's current summary (append mode), so the
+    sink holds a time series of summaries; readers take the latest
+    ``emitted_n`` per key.  Batch twin: pipeline/sketches.py
+    (misra_gries_partials + exact verify).
+    """
+    out_schema = (
+        f"{key_col} string, item long, lower_bound long, emitted_n long"
+    )
+    state_schema = "items array<long>, counts array<long>, n long"
+
+    def update(keys, pdfs, state):
+        (k,) = keys
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            return
+        if state.exists:
+            items, counts, n = state.get
+            items, counts, n = list(items), list(counts), int(n)
+        else:
+            items, counts, n = [], [], 0
+        for pdf in pdfs:
+            for v in pdf[item_col]:
+                v = int(v)
+                n += 1
+                if v in items:
+                    counts[items.index(v)] += 1
+                elif len(items) < capacity:
+                    items.append(v)
+                    counts.append(1)
+                else:
+                    counts = [c - 1 for c in counts]
+                    keep = [(i, c) for i, c in zip(items, counts) if c > 0]
+                    items = [i for i, _ in keep]
+                    counts = [c for _, c in keep]
+        state.update((items, counts, n))
+        yield pd.DataFrame({
+            key_col: [k] * len(items),
+            "item": items,
+            "lower_bound": counts,
+            "emitted_n": [n] * len(items),
+        })
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "phrase_match_docs",
     "chi_square_drift_events",
     "ab_test_lift_events",
+    "interval_union_time_user",
 ]
 
 

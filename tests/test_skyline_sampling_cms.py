@@ -149,3 +149,44 @@ def test_cms_weighted_build_equals_raw_build(spark):
                counts, "k", depth=3, width=32, weight_col="c"
            ).collect()}
     assert m_raw == m_w and len(m_raw) > 0
+
+
+def test_interval_union_planted_overlaps(spark):
+    """Overlapping windows merge (no double counting); disjoint ones
+    don't; island counts and exact union extents are verified."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from anomaly_detection_spark import queries as reg
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: two events 5 min apart (windows overlap -> one island
+        # of 20 min), one event an hour later (own 15-min island)
+        (1, 1, base, "a", 1.0, "{}"),
+        (1, 2, base + dt.timedelta(minutes=5), "a", 1.0, "{}"),
+        (1, 3, base + dt.timedelta(hours=2), "a", 1.0, "{}"),
+        # user 2: back-to-back at exactly 15 min (s == prev end -> NOT
+        # a new island under s > max(e); contiguous intervals merge)
+        (2, 4, base, "a", 1.0, "{}"),
+        (2, 5, base + dt.timedelta(minutes=15), "a", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    pq.write_table(
+        pa.Table.from_pandas(ev.toPandas()), os.path.join(d, "events.parquet")
+    )
+    out = {
+        r.user_id: (r.n_active_intervals, r.active_us)
+        for r in reg.QUERIES["interval_union_time_user"](spark, d).collect()
+    }
+    assert out[1] == (2, (20 * 60 + 15 * 60) * 1_000_000)
+    assert out[2] == (1, 30 * 60 * 1_000_000)

@@ -564,3 +564,61 @@ def test_windowed_distinct_sketch_matches_batch(spark, stream_dir):
     # HLL estimates within 5% of exact at this cardinality
     for r in batch:
         assert abs(r.est - r.exact) <= max(2, 0.05 * r.exact)
+
+
+def test_stateful_heavy_hitters_mg_guarantee(spark, stream_dir):
+    """After a multi-batch replay, every TRUE heavy hitter (frequency
+    > N/(capacity+1)) must appear in the final per-key summary with
+    counter >= true_count - N/(capacity+1) — the Misra-Gries
+    guarantee carried across micro-batch boundaries."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_spark.streaming.rules_stream import (
+        stateful_heavy_hitters,
+    )
+
+    # skewed synthetic stream: two keys, one dominant item each + noise
+    rows = []
+    for b in range(3):
+        for i in range(100):
+            rows.append(("a", 7 if i % 3 == 0 else 1000 + (b * 100 + i) % 57))
+            rows.append(("b", 9 if i % 2 == 0 else 2000 + (b * 100 + i) % 91))
+    sch = "event_type string, user_id long"
+    src = os.path.join(stream_dir, "src")
+    os.makedirs(src)
+    per = 200
+    for b in range(3):
+        spark.createDataFrame(rows[b * per:(b + 1) * per], sch).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(src, f"b{b}"))
+
+    stream = spark.readStream.schema(sch).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    out = stateful_heavy_hitters(stream, "event_type", "user_id", capacity=8)
+    res = _drain(spark, out, "mg1", src).collect()
+
+    for key in ("a", "b"):
+        true = Counter(v for k, v in rows if k == key)
+        n = sum(true.values())
+        final_n = max(r.emitted_n for r in res if r.event_type == key)
+        assert final_n == n  # state saw every row exactly once
+        final = {
+            r.item: r.lower_bound
+            for r in res
+            if r.event_type == key and r.emitted_n == final_n
+        }
+        assert len(final) <= 8  # bounded state
+        thresh = n / 9  # capacity + 1
+        for item, cnt in true.items():
+            if cnt > thresh:
+                assert item in final, (key, item)
+                assert final[item] >= cnt - thresh
+    # the dominant items specifically
+    a_final = {r.item for r in res if r.event_type == "a"
+               and r.emitted_n == 300}
+    b_final = {r.item for r in res if r.event_type == "b"
+               and r.emitted_n == 300}
+    assert 7 in a_final and 9 in b_final
