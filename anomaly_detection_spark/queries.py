@@ -8526,6 +8526,148 @@ def q_interval_union_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Map higher-order functions — the MapType lambda surface
+# (map_from_entries / map_filter / transform_values / map_zip_with /
+# map_entries), kept JVM-side; outputs are serialized to canonical
+# sorted "k:v" strings (maps are unordered and, like arrays, break the
+# driver's pandas canonicalizer if emitted raw).
+# ---------------------------------------------------------------------------
+
+@register("map_functions_per_user", """
+WITH c AS (
+    SELECT user_id, event_type,
+           count(*) AS cnt,
+           count(*) FILTER (value > 50.0) AS hi
+    FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       CAST(count(*) AS INT) AS n_types,
+       array_to_string(list_sort(list(event_type || ':' ||
+           CAST(cnt AS VARCHAR)) FILTER (cnt >= 5)), ';') AS big_types,
+       CAST(max(cnt) * 2 AS BIGINT) AS doubled_max,
+       array_to_string(list_sort(list(event_type || ':' ||
+           CAST(CAST(floor(CAST(hi AS DOUBLE) * 10000 / cnt) AS BIGINT)
+                AS VARCHAR))), ';') AS high_share_bps
+FROM c GROUP BY user_id
+""")
+def q_map_functions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count(F.when(F.col("value") > 50.0, 1)).alias("hi"),
+    )
+    per_user = c.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("m"),
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "hi"))
+        ).alias("m_hi"),
+    )
+
+    def ser(map_col):
+        return F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(map_col),
+                    lambda e: F.concat(
+                        e["key"], F.lit(":"), e["value"].cast("string")
+                    ),
+                )
+            ),
+            ";",
+        )
+
+    big = ser(F.map_filter("m", lambda k, v: v >= 5))
+    doubled_max = F.array_max(
+        F.map_values(F.transform_values("m", lambda k, v: v * 2))
+    )
+    share = F.map_zip_with(
+        "m", "m_hi",
+        lambda k, cnt, hi: F.floor(
+            F.coalesce(hi, F.lit(0)).cast("double") * 10000 / cnt
+        ).cast("long"),
+    )
+    return per_user.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        big.alias("big_types"),
+        doubled_max.cast("bigint").alias("doubled_max"),
+        ser(share).alias("high_share_bps"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch set algebra — audience-overlap estimation via HLL
+# inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the
+# union sketch is the MERGE of the two per-segment sketches (never a
+# re-scan of the union).  The oracle pins exact counts and asserts the
+# estimate lands in the additive error band as data.
+# ---------------------------------------------------------------------------
+
+@register("hll_overlap_segments", """
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+x AS (
+    SELECT (SELECT count(*) FROM a) AS exact_a,
+           (SELECT count(*) FROM b) AS exact_b,
+           (SELECT count(*) FROM a JOIN b USING (user_id)) AS exact_overlap
+)
+SELECT CAST(exact_a AS BIGINT) AS exact_a,
+       CAST(exact_b AS BIGINT) AS exact_b,
+       CAST(exact_overlap AS BIGINT) AS exact_overlap,
+       TRUE AS overlap_in_band
+FROM x
+""")
+def q_hll_overlap_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    seg = ev.where(
+        F.col("event_type").isin("purchase", "error")
+    ).groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    # one row: per-segment sketches + the MERGED union sketch
+    row = seg.agg(
+        F.max(F.when(F.col("event_type") == "purchase", F.col("exact")))
+        .alias("exact_a"),
+        F.max(F.when(F.col("event_type") == "error", F.col("exact")))
+        .alias("exact_b"),
+        F.hll_sketch_estimate(
+            F.max(F.when(F.col("event_type") == "purchase", F.col("sk")))
+        ).alias("est_a"),
+        F.hll_sketch_estimate(
+            F.max(F.when(F.col("event_type") == "error", F.col("sk")))
+        ).alias("est_b"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_u"),
+    )
+    exact_overlap = F.broadcast(
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id").distinct()
+        .join(
+            ev.where(F.col("event_type") == "error")
+            .select("user_id").distinct(),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    est_overlap = F.col("est_a") + F.col("est_b") - F.col("est_u")
+    # additive band: 5% of each term's cardinality, floor of 4
+    band = F.greatest(
+        F.lit(4.0),
+        0.05 * (F.col("exact_a") + F.col("exact_b")),
+    )
+    return row.crossJoin(exact_overlap).select(
+        F.col("exact_a").cast("bigint").alias("exact_a"),
+        F.col("exact_b").cast("bigint").alias("exact_b"),
+        F.col("exact_overlap").cast("bigint").alias("exact_overlap"),
+        (F.abs(est_overlap - F.col("exact_overlap")) <= band).alias(
+            "overlap_in_band"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

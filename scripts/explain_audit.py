@@ -134,6 +134,8 @@ AUDIT_QUERIES = [
     "chi_square_drift_events",
     "ab_test_lift_events",
     "interval_union_time_user",
+    "map_functions_per_user",
+    "hll_overlap_segments",
 ]
 
 
