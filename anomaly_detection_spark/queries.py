@@ -8668,6 +8668,466 @@ def q_hll_overlap_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Window-function breadth suite: percent_rank / cume_dist / nth_value /
+# first+last IGNORE NULLS / lead-with-default / ntile in one pass, three
+# named frames over ONE partitioning (a single hash exchange; Spark
+# collapses all three WindowSpecs into one Window node chain because the
+# partition+order keys match).  Rank ratios are pinned with the C-style
+# floor(x*1e6+0.5) rounding on BOTH engines so exact-boundary rationals
+# (k/(n-1) landing on a 5e-7 edge) round identically.
+# ---------------------------------------------------------------------------
+
+@register("window_function_suite", """
+WITH p AS (
+    SELECT user_id, event_id, ts, round(value, 4) AS value,
+           CASE WHEN value >= 1.0 THEN round(value, 4) END AS v_null
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, event_id,
+       floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+       floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cume,
+       nth_value(value, 2) OVER wf AS second_value,
+       first_value(v_null IGNORE NULLS) OVER wf AS first_nonnull,
+       last_value(v_null IGNORE NULLS) OVER wc AS last_nonnull_so_far,
+       lead(value, 2, -1.0) OVER w AS lead2_or_default,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM p
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       wf AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+       wc AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""")
+def q_window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value"), 4).alias("value"),
+        F.when(F.col("value") >= 1.0, F.round(F.col("value"), 4)).alias(
+            "v_null"
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    def pin(c):  # C-style half-up at 6 dp — identical on both engines
+        return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+
+    return p.select(
+        "user_id", "event_id",
+        pin(F.percent_rank().over(w)).alias("pct_rank"),
+        pin(F.cume_dist().over(w)).alias("cume"),
+        F.nth_value("value", 2).over(wf).alias("second_value"),
+        F.first("v_null", ignorenulls=True).over(wf).alias("first_nonnull"),
+        F.last("v_null", ignorenulls=True).over(wc).alias(
+            "last_nonnull_so_far"
+        ),
+        F.lead("value", 2, -1.0).over(w).alias("lead2_or_default"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER reconciliation — the classic "which side is missing" audit
+# between two keyed extracts (event spend vs customer master).  A full
+# outer join can never broadcast (both sides must co-shuffle on the
+# key), so the right plan at 100 TB is exactly what Catalyst picks: one
+# hash exchange per side on the join key, slim pre-aggregated left.
+# ---------------------------------------------------------------------------
+
+@register("full_outer_reconciliation", """
+WITH spend AS (
+    SELECT user_id,
+           CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT)
+               AS spend_q,
+           count(*) AS n_purchases
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT coalesce(s.user_id, c.c_custkey) AS entity_id,
+       (s.user_id IS NOT NULL) AS has_events,
+       (c.c_custkey IS NOT NULL) AS has_customer,
+       coalesce(s.spend_q, 0) AS spend_q,
+       coalesce(s.n_purchases, 0) AS n_purchases,
+       round(coalesce(c.c_acctbal, 0.0), 2) AS acctbal
+FROM spend s FULL JOIN customer c ON s.user_id = c.c_custkey
+""")
+def q_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    spend = ev.where(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.sum(quantized(F.col("value"), 4)).alias("spend_q"),
+        F.count(F.lit(1)).alias("n_purchases"),
+    )
+    cust = load_table(spark, "customer", sf_dir)
+    j = spend.join(cust, spend.user_id == cust.c_custkey, "full_outer")
+    return j.select(
+        F.coalesce("user_id", "c_custkey").alias("entity_id"),
+        F.col("user_id").isNotNull().alias("has_events"),
+        F.col("c_custkey").isNotNull().alias("has_customer"),
+        F.coalesce("spend_q", F.lit(0)).alias("spend_q"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.round(F.coalesce("c_acctbal", F.lit(0.0)), 2).alias("acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FORWARD as-of join with tolerance: for every purchase, the FIRST error
+# by the same user strictly after it and within 2 days (the mirror of
+# the backward as-of in operators/asof.py).  Distributed shape: inner
+# range join on the user key, argmin via min(struct(ts, id)) — partial
+# aggregation collapses candidates map-side before the exchange — then
+# a left join back to preserve unmatched purchases.  Gap reported in
+# integer microseconds (unix_micros / epoch_us) so no float fold-order.
+# ---------------------------------------------------------------------------
+
+@register("asof_forward_tolerance", """
+WITH p AS (
+    SELECT event_id AS purchase_id, user_id, ts AS p_ts
+    FROM events WHERE event_type = 'purchase'
+),
+e AS (
+    SELECT event_id AS err_event_id, user_id, ts AS e_ts
+    FROM events WHERE event_type = 'error'
+),
+cand AS (
+    SELECT p.purchase_id, p.p_ts, e.err_event_id, e.e_ts
+    FROM p JOIN e ON e.user_id = p.user_id
+       AND e.e_ts > p.p_ts AND e.e_ts <= p.p_ts + INTERVAL 2 DAY
+),
+best AS (
+    SELECT purchase_id, err_event_id, e_ts
+    FROM cand
+    QUALIFY row_number() OVER (PARTITION BY purchase_id
+                               ORDER BY e_ts, err_event_id) = 1
+)
+SELECT p.purchase_id, b.err_event_id,
+       epoch_us(b.e_ts) - epoch_us(p.p_ts) AS gap_us
+FROM p LEFT JOIN best b USING (purchase_id)
+""")
+def q_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_event_id"),
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"),
+    )
+    cond = (
+        (p.user_id == e.e_user)
+        & (e.e_ts > p.p_ts)
+        & (e.e_ts <= p.p_ts + F.expr("INTERVAL 2 DAYS"))
+    )
+    matched = p.join(e, cond, "inner").groupBy("purchase_id").agg(
+        F.min(F.struct("e_ts", "err_event_id")).alias("m")
+    )
+    return p.select("purchase_id", "p_ts").join(
+        matched, "purchase_id", "left"
+    ).select(
+        "purchase_id",
+        F.col("m.err_event_id").alias("err_event_id"),
+        (
+            F.unix_micros(F.col("m.e_ts").cast("timestamp"))
+            - F.unix_micros(F.col("p_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap aggregation: per-user activity bitmaps via bitwise OR — a
+# day-of-week bitmap (7 bits), an hour-of-day bitmap (24 bits), their
+# popcounts, and a bit_xor integrity check over event ids.  Bitwise
+# aggregates carry mergeable 8-byte partial state, so the whole query is
+# one map-side-combined exchange regardless of row count.  Spark's
+# dayofweek() is 1-based (Sunday=1); DuckDB's is 0-based — the Spark
+# side subtracts 1 to align.
+# ---------------------------------------------------------------------------
+
+@register("activity_bitmap_user", """
+SELECT user_id,
+       CAST(bit_or(1 << dayofweek(ts)) AS BIGINT) AS dow_bitmap,
+       CAST(bit_count(bit_or(1 << dayofweek(ts))) AS INT) AS n_active_dows,
+       CAST(bit_or(1 << hour(ts)) AS BIGINT) AS hour_bitmap,
+       CAST(bit_count(bit_or(1 << hour(ts))) AS INT) AS n_active_hours,
+       CAST(bit_xor(event_id) AS BIGINT) AS id_xor
+FROM events GROUP BY user_id
+""")
+def q_activity_bitmap_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    dow_bit = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), dayofweek(ts) - 1)"
+    )
+    hour_bit = F.expr("shiftleft(CAST(1 AS BIGINT), hour(ts))")
+    return ev.groupBy("user_id").agg(
+        F.bit_or(dow_bit).alias("dow_bitmap"),
+        F.bit_count(F.bit_or(dow_bit)).cast("int").alias("n_active_dows"),
+        F.bit_or(hour_bit).alias("hour_bitmap"),
+        F.bit_count(F.bit_or(hour_bit)).cast("int").alias("n_active_hours"),
+        F.bit_xor("event_id").alias("id_xor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Numeric-function breadth suite (SURVEY §2 F1/F3/F11-F13 widened):
+# sign / greatest / least / floor / ceil / modulo / bit_xor / RMS in one
+# grouped pass.  Every sum is exact-integer (values quantized to the
+# 2-dp grid first) so no float fold-order can flip a digit; the RMS
+# takes sqrt of an exact integer ratio (IEEE-exact in both engines) and
+# pins the final digit with C-style rounding.
+# ---------------------------------------------------------------------------
+
+@register("numeric_functions_suite", """
+WITH q AS (
+    SELECT event_type, event_id, value,
+           CAST(round(value * 100, 0) AS BIGINT) AS q2
+    FROM events
+)
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(event_id % 7) AS BIGINT) AS mod7_sum,
+       CAST(bit_xor(event_id) AS BIGINT) AS id_xor,
+       CAST(sum(CAST(sign(q2) AS BIGINT)) AS BIGINT) AS sign_sum,
+       CAST(sum(greatest(q2, 50)) AS BIGINT) AS sum_gmax,
+       CAST(sum(least(q2, 50)) AS BIGINT) AS sum_lmin,
+       CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS floor_sum,
+       CAST(sum(CAST(ceil(value) AS BIGINT)) AS BIGINT) AS ceil_sum,
+       floor(sqrt(CAST(sum(q2 * q2) AS DOUBLE) / count(*)) / 100.0
+             * 10000 + 0.5) / 10000 AS rms
+FROM q GROUP BY event_type
+""")
+def q_numeric_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    q2 = quantized(F.col("value"), 2)
+    q = ev.select("event_type", "event_id", "value", q2.alias("q2"))
+    rms = (
+        F.sqrt(F.sum(F.col("q2") * F.col("q2")).cast("double")
+               / F.count(F.lit(1)))
+        / 100.0
+    )
+    return q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("event_id") % 7).alias("mod7_sum"),
+        F.bit_xor("event_id").alias("id_xor"),
+        F.sum(F.signum("q2").cast("bigint")).alias("sign_sum"),
+        F.sum(F.greatest("q2", F.lit(50))).alias("sum_gmax"),
+        F.sum(F.least("q2", F.lit(50))).alias("sum_lmin"),
+        F.sum(F.floor("value").cast("bigint")).alias("floor_sum"),
+        F.sum(F.ceil("value").cast("bigint")).alias("ceil_sum"),
+        (F.floor(rms * 10000 + F.lit(0.5)) / 10000).alias("rms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Record linkage / entity resolution on part names: canonicalize to the
+# DISTINCT-name dictionary first (64 names for 2 000 parts here; the
+# same rollup is what makes this viable at 100 TB — blocking on raw rows
+# would be quadratic in the duplication factor), then token-blocked
+# self-join on the dictionary + Levenshtein verification.  Classic
+# blocking-then-verify record linkage, JVM-side end to end
+# (F.levenshtein is a Catalyst expression).
+# ---------------------------------------------------------------------------
+
+@register("record_linkage_parts", r"""
+WITH names AS (
+    SELECT p_name, count(*) AS cnt FROM part GROUP BY p_name
+),
+toks AS (
+    SELECT p_name, cnt,
+           unnest(string_split_regex(trim(p_name), '\s+')) AS tok
+    FROM names
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       count(*) AS shared_toks,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev,
+       CAST(min(a.cnt) AS BIGINT) AS cnt_a,
+       CAST(min(b.cnt) AS BIGINT) AS cnt_b
+FROM toks a JOIN toks b USING (tok)
+WHERE a.p_name < b.p_name
+GROUP BY a.p_name, b.p_name
+HAVING levenshtein(a.p_name, b.p_name) <= 4
+""")
+def q_record_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("cnt"))
+    toks = names.select(
+        "p_name", "cnt",
+        F.explode(F.split(F.trim(F.col("p_name")), r"\s+")).alias("tok"),
+    )
+    a = toks.select(
+        F.col("p_name").alias("name_a"), F.col("cnt").alias("ca"), "tok"
+    )
+    b = toks.select(
+        F.col("p_name").alias("name_b"), F.col("cnt").alias("cb"), "tok"
+    )
+    pairs = a.join(b, "tok").where(F.col("name_a") < F.col("name_b"))
+    return (
+        pairs.groupBy("name_a", "name_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared_toks"),
+            F.min("ca").alias("cnt_a"),
+            F.min("cb").alias("cnt_b"),
+        )
+        .where(F.levenshtein("name_a", "name_b") <= 4)
+        .select(
+            "name_a", "name_b", "shared_toks",
+            F.levenshtein("name_a", "name_b").cast("int").alias("lev"),
+            "cnt_a", "cnt_b",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Normalization-aware exact dedup: lowercase, strip punctuation,
+# collapse whitespace, then group duplicates by the md5 of the
+# normalized text.  The shuffle key is the 16-byte digest, never the
+# document body — the same digest-only-shuffle discipline as
+# pipeline/dedup.py:26 (exact dedup), extended with a canonicalization
+# pass that catches trivially-reformatted copies.
+# ---------------------------------------------------------------------------
+
+@register("normalized_exact_dedup", """
+WITH n AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS norm_hash
+    FROM documents
+)
+SELECT norm_hash,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id,
+       count(*) AS n_members
+FROM n GROUP BY norm_hash HAVING count(*) > 1
+""")
+def q_normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    n = docs.select(
+        "doc_id",
+        F.md5(
+            F.trim(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+            )
+        ).alias("norm_hash"),
+    )
+    return (
+        n.groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .where(F.col("n_members") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-duplicate graph (3 fixed iterations, damping
+# 0.85) — iterative link analysis as a pure DataFrame loop: edges are
+# the MinHash-verified near-dup pairs (symmetrized), each iteration is
+# one join + map-side-combined sum, the node list and degree table are
+# computed once and the edge set is localCheckpoint-ed so the expensive
+# MinHash stage runs exactly once.  All arithmetic is integer
+# fixed-point (rank mass = 1e12 units, floor division) so both engines
+# produce bit-identical BIGINT ranks — no float fold-order anywhere.
+# The oracle unrolls the same three iterations as CTEs.
+# ---------------------------------------------------------------------------
+
+_NEAR_DUP_PAIRS_SQL = r"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM (SELECT doc_id, list_distinct([
+              array_to_string(toks[i:i+2], ' ')
+              for i in range(1, greatest(len(toks) - 2, 1) + 1)
+          ]) AS grams
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents)) a
+    JOIN (SELECT doc_id, list_distinct([
+              array_to_string(toks[i:i+2], ' ')
+              for i in range(1, greatest(len(toks) - 2, 1) + 1)
+          ]) AS grams
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents)) b
+      ON a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.5
+"""
+
+_PAGERANK_ITER_SQL = """
+i{k} AS (
+    SELECT n.id,
+           CAST((SELECT base FROM consts)
+                + (85 * coalesce(s.contrib, 0)) // 100 AS BIGINT) AS r
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst AS id, sum(i{prev}.r // d.outdeg) AS contrib
+        FROM e JOIN i{prev} ON i{prev}.id = e.src
+               JOIN deg d ON d.id = e.src
+        GROUP BY e.dst) s ON s.id = n.id
+)"""
+
+@register("pagerank_dup_graph", f"""
+WITH p AS ({_NEAR_DUP_PAIRS_SQL}),
+e AS (SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+nodes AS (SELECT DISTINCT src AS id FROM e),
+deg AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src),
+consts AS (SELECT 1000000000000 // count(*) AS init,
+                  150000000000 // count(*) AS base
+           FROM nodes),
+i0 AS (SELECT id, CAST((SELECT init FROM consts) AS BIGINT) AS r
+       FROM nodes),
+{_PAGERANK_ITER_SQL.format(k=1, prev=0)},
+{_PAGERANK_ITER_SQL.format(k=2, prev=1)},
+{_PAGERANK_ITER_SQL.format(k=3, prev=2)}
+SELECT id AS doc_id, r AS rank_fp FROM i3
+""")
+def q_pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.dedup import (
+        minhash_exact_near_duplicates,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    p = minhash_exact_near_duplicates(
+        docs, "text", "doc_id", jaccard_threshold=0.5
+    ).select("id_a", "id_b").localCheckpoint()
+    e = p.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        p.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    nodes = e.select(F.col("src").alias("id")).distinct().localCheckpoint()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # ONE bounded driver scalar (the node count) sizes the constant rank
+    # mass; everything per-node stays distributed.
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(
+            F.col("id").alias("doc_id"),
+            F.lit(0).cast("bigint").alias("rank_fp"),
+        )
+    init = 1_000_000_000_000 // n_nodes
+    base = 150_000_000_000 // n_nodes
+    ranks = nodes.select("id", F.lit(init).cast("bigint").alias("r"))
+    for _ in range(3):
+        contrib = (
+            e.join(deg, "src")
+            .join(ranks.select(F.col("id").alias("src"), "r"), "src")
+            .select("dst", F.expr("r div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = nodes.join(
+            contrib, nodes.id == contrib.dst, "left"
+        ).select(
+            F.col("id"),
+            (
+                F.lit(base).cast("bigint")
+                + F.expr(
+                    "(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100"
+                )
+            ).alias("r"),
+        )
+    return ranks.select(F.col("id").alias("doc_id"),
+                        F.col("r").alias("rank_fp"))
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
