@@ -9128,6 +9128,358 @@ def q_pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Distributed Gram matrix (pipeline/linalg.py): top cross-dimension
+# covariance pairs of the embedding table.  Spark folds each partition
+# into ONE dim x dim int64 numpy matmul and emits upper-triangle
+# triplets — driver traffic and the final aggregation are O(dim^2),
+# independent of row count.  Fixed-point snap makes every Gram entry an
+# exact BIGINT, so the oracle (a lateral-range double unnest) matches
+# bit for bit.
+# ---------------------------------------------------------------------------
+
+@register("embedding_covariance_top", """
+WITH q AS (
+    SELECT list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                         AS BIGINT)) AS e
+    FROM embeddings
+),
+pairs AS (
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           CAST(sum(e[i + 1] * e[j + 1]) AS BIGINT) AS gram_fp
+    FROM q, range(64) t1(i), range(64) t2(j)
+    WHERE i < j
+    GROUP BY i, j
+)
+SELECT i, j, gram_fp FROM pairs
+QUALIFY row_number() OVER (ORDER BY abs(gram_fp) DESC, i, j) <= 20
+""")
+def q_embedding_covariance_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.linalg import gram_matrix_fp
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    g = gram_matrix_fp(emb, "embedding", 64).where(F.col("i") < F.col("j"))
+    w = Window.orderBy(F.abs("gram_fp").desc(), "i", "j")
+    return (
+        g.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("i", "j", "gram_fp")
+    )
+
+
+@register("pca_project_embeddings")  # no oracle: eigendecomposition is not
+# ANSI SQL; parity is covered by the numpy differential test in
+# tests/test_linalg_linkage.py (projections match a single-machine PCA
+# to 4 dp with pinned component signs).
+def q_pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.linalg import pca_project
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return pca_project(emb, "embedding", "vec_id", 64, k=2)
+
+
+# ---------------------------------------------------------------------------
+# Rolling OLS slope: per-user trailing-7-row regression of value
+# against row position, in closed form from three window sums — count,
+# sum(q), sum(rn*q) — all exact integers, so the slope numerator is a
+# deterministic BIGINT and the final double division + floor-pin is
+# bit-identical cross-engine.  The position-weighted trick (sum(rn*q)
+# minus frame-start offset) turns frame-relative x into plain window
+# sums, avoiding any per-frame re-scan.
+# ---------------------------------------------------------------------------
+
+@register("rolling_slope_events", """
+WITH o AS (
+    SELECT user_id, event_id,
+           CAST(round(value * 10000, 0) AS BIGINT) AS q,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+),
+s AS (
+    SELECT user_id, event_id, rn,
+           count(*) OVER f AS k,
+           CAST(sum(q) OVER f AS BIGINT) AS s1,
+           CAST(sum(rn * q) OVER f AS BIGINT) AS sr
+    FROM o
+    WINDOW f AS (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+       CAST(7 * (sr - (rn - 6) * s1) - 21 * s1 AS BIGINT) AS slope_num_fp,
+       floor(CAST(7 * (sr - (rn - 6) * s1) - 21 * s1 AS DOUBLE) / 1.96
+             + 0.5) / 1000000 AS slope
+FROM s WHERE k = 7
+""")
+def q_rolling_slope_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", "event_id",
+        quantized(F.col("value"), 4).alias("q"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    f = Window.partitionBy("user_id").orderBy("rn").rowsBetween(-6, 0)
+    s = o.select(
+        "user_id", "event_id", "rn",
+        F.count(F.lit(1)).over(f).alias("k"),
+        F.sum("q").over(f).alias("s1"),
+        F.sum(F.col("rn") * F.col("q")).over(f).alias("sr"),
+    )
+    num = (
+        7 * (F.col("sr") - (F.col("rn") - 6) * F.col("s1"))
+        - 21 * F.col("s1")
+    )
+    return s.where(F.col("k") == 7).select(
+        "user_id", "event_id",
+        num.cast("bigint").alias("slope_num_fp"),
+        (F.floor(num.cast("double") / 1.96 + F.lit(0.5)) / 1000000).alias(
+            "slope"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sparse cosine similarity via inverted-index (posting-list) join —
+# the sparse-vector counterpart of the dense ANN family: 3-token
+# shingle TF vectors, candidate pairs generated ONLY through shared postings
+# (never an all-pairs product), document-frequency cap as the skew
+# guard (a gram shared by k docs contributes k^2 candidate rows; at
+# this fixture's max df=7 the cap never binds, but at 100 TB it is
+# what keeps the join linear in duplicate density — same discipline as
+# the MinHash bucket cap, pipeline/dedup.py:219).  Numerators are
+# exact-integer TF products; norms are exact integer sums over ALL
+# grams, so the cap can only drop candidates, never corrupt a score.
+# ---------------------------------------------------------------------------
+
+@register("sparse_cosine_pairs", r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ')
+                           for i in range(1, greatest(len(t) - 2, 1) + 1)])
+               AS g
+    FROM toks
+),
+tf AS (
+    SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+),
+norms AS (
+    SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS norm2
+    FROM tf GROUP BY doc_id
+),
+df AS (
+    SELECT g, count(*) AS df FROM tf GROUP BY g
+),
+posting AS (
+    SELECT tf.doc_id, tf.g, tf.c FROM tf JOIN df USING (g)
+    WHERE df.df <= 50
+),
+num AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(sum(a.c * b.c) AS BIGINT) AS dot
+    FROM posting a JOIN posting b USING (g)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, dot,
+       floor(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.norm2 AS DOUBLE))
+                * sqrt(CAST(nb.norm2 AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS cos
+FROM num JOIN norms na ON na.doc_id = num.id_a
+         JOIN norms nb ON nb.doc_id = num.id_b
+WHERE CAST(dot AS DOUBLE)
+      / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE)))
+      >= 0.5
+""")
+def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size("t") - 3, F.lit(0))
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("t"), i + 1, 3)
+                ),
+            )
+        ).alias("g"),
+    )
+    tf = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    norms = tf.groupBy("doc_id").agg(
+        F.sum(F.col("c") * F.col("c")).alias("norm2")
+    )
+    df_tab = tf.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    posting = tf.join(df_tab.where(F.col("df") <= 50), "g").select(
+        "doc_id", "g", "c"
+    )
+    a = posting.select(
+        F.col("doc_id").alias("id_a"), "g", F.col("c").alias("ca")
+    )
+    b = posting.select(
+        F.col("doc_id").alias("id_b"), "g", F.col("c").alias("cb")
+    )
+    num = (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"),
+                      F.col("norm2").alias("n2a"))
+    nb = norms.select(F.col("doc_id").alias("id_b"),
+                      F.col("norm2").alias("n2b"))
+    cos = (
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("n2a").cast("double"))
+           * F.sqrt(F.col("n2b").cast("double")))
+    )
+    return (
+        num.join(na, "id_a").join(nb, "id_b")
+        .where(cos >= 0.5)
+        .select(
+            "id_a", "id_b", "dot",
+            (F.floor(cos * 1000000 + F.lit(0.5)) / 1000000).alias("cos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Common-neighbor link prediction over the near-dup graph: for every
+# node pair with at least one shared neighbor, the common-neighbor
+# count, neighbor-set Jaccard (integer fixed-point), and whether the
+# pair is already adjacent.  The wedge join (edges joined on the shared
+# midpoint) is the standard distributed formulation — cost tracks the
+# sum of squared degrees, not n^2.
+# ---------------------------------------------------------------------------
+
+@register("graph_common_neighbors", f"""
+WITH p AS ({_NEAR_DUP_PAIRS_SQL}),
+e AS (SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+wedge AS (
+    SELECT e1.src AS a, e2.src AS b, count(*) AS cn
+    FROM e e1 JOIN e e2 ON e1.dst = e2.dst AND e1.src < e2.src
+    GROUP BY e1.src, e2.src
+)
+SELECT w.a, w.b, w.cn,
+       CAST(w.cn * 1000000
+            // (da.deg + db.deg - w.cn) AS BIGINT) AS jaccard_fp,
+       (EXISTS (SELECT 1 FROM p
+                WHERE p.id_a = w.a AND p.id_b = w.b)) AS adjacent
+FROM wedge w JOIN deg da ON da.id = w.a JOIN deg db ON db.id = w.b
+""")
+def q_graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.dedup import (
+        minhash_exact_near_duplicates,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    p = minhash_exact_near_duplicates(
+        docs, "text", "doc_id", jaccard_threshold=0.5
+    ).select("id_a", "id_b").localCheckpoint()
+    e = p.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        p.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e1 = e.select(F.col("src").alias("a"), "dst")
+    e2 = e.select(F.col("src").alias("b"), "dst")
+    wedge = (
+        e1.join(e2, "dst")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    adj = p.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b"),
+        F.lit(True).alias("adjacent"),
+    )
+    da = deg.select(F.col("src").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("src").alias("b"), F.col("deg").alias("degb"))
+    return (
+        wedge.join(da, "a").join(db, "b")
+        .join(adj, ["a", "b"], "left")
+        .select(
+            "a", "b", "cn",
+            F.expr(
+                "(cn * 1000000) div (dega + degb - cn)"
+            ).cast("bigint").alias("jaccard_fp"),
+            F.coalesce("adjacent", F.lit(False)).alias("adjacent"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered-set aggregates: per-type MODE (deterministic argmax — ties go
+# to the smallest bucket via min(struct(-count, bucket)), never the
+# engine's arbitrary pick) and EXACT interpolated median over the 4-dp
+# integer grid (both engines interpolate (a+b)/2 on exact integers, so
+# the result is bit-identical).
+# ---------------------------------------------------------------------------
+
+@register("mode_median_by_type", """
+WITH q AS (
+    SELECT event_type,
+           CAST(round(value * 10000, 0) AS BIGINT) AS q4,
+           CAST(floor(value / 10.0) AS BIGINT) AS bucket
+    FROM events
+),
+bc AS (
+    SELECT event_type, bucket, count(*) AS cnt
+    FROM q GROUP BY event_type, bucket
+),
+m AS (
+    SELECT event_type, min(struct_pack(nc := -cnt, b := bucket)) AS s
+    FROM bc GROUP BY event_type
+)
+SELECT q.event_type,
+       min(m.s.b) AS mode_bucket,
+       min(-m.s.nc) AS mode_cnt,
+       count(DISTINCT q.bucket) AS n_buckets,
+       quantile_cont(q.q4, 0.5) / 10000.0 AS median_value
+FROM q JOIN m ON m.event_type = q.event_type
+GROUP BY q.event_type
+""")
+def q_mode_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    q = ev.select(
+        "event_type",
+        quantized(F.col("value"), 4).alias("q4"),
+        F.floor(F.col("value") / 10.0).cast("bigint").alias("bucket"),
+    )
+    bc = q.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = bc.groupBy("event_type").agg(
+        F.min(F.struct((-F.col("cnt")).alias("nc"),
+                       F.col("bucket").alias("b"))).alias("s")
+    ).select(
+        "event_type",
+        F.col("s.b").alias("mode_bucket"),
+        (-F.col("s.nc")).alias("mode_cnt"),
+    )
+    stats = q.groupBy("event_type").agg(
+        F.countDistinct("bucket").alias("n_buckets"),
+        (F.percentile("q4", F.lit(0.5)) / 10000.0).alias("median_value"),
+    )
+    return stats.join(F.broadcast(m), "event_type").select(
+        "event_type", "mode_bucket", "mode_cnt", "n_buckets", "median_value"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
