@@ -99,6 +99,21 @@ BENCH_QUERIES = [
     "interval_union_time_user",
     "map_functions_per_user",
     "hll_overlap_segments",
+    # round 3 batches 2-4
+    "window_function_suite",
+    "full_outer_reconciliation",
+    "asof_forward_tolerance",
+    "activity_bitmap_user",
+    "numeric_functions_suite",
+    "record_linkage_parts",
+    "normalized_exact_dedup",
+    "pagerank_dup_graph",
+    "embedding_covariance_top",
+    "pca_project_embeddings",
+    "rolling_slope_events",
+    "sparse_cosine_pairs",
+    "graph_common_neighbors",
+    "mode_median_by_type",
 ]
 
 
