@@ -9480,6 +9480,540 @@ def q_mode_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Point-in-time (PIT) join via the UNION-WINDOW technique: for every
+# purchase, the user's activity state (last non-purchase event-type run)
+# in effect AT that instant.  Instead of a range join against the SCD2
+# validity intervals — which needs an interval-bucketing trick at scale —
+# state-change points and probe rows are unioned, co-partitioned on the
+# user key, and a single running last_value(IGNORE NULLS) propagates the
+# state to each probe.  ONE window exchange, no range predicate: the
+# canonical distributed PIT join (the same shape financial tick stores
+# use for as-of dimension lookups).  Tie rule: a state change at exactly
+# the probe timestamp applies (tag orders dim rows first), and among
+# same-timestamp changes the highest event_id wins — the oracle mirrors
+# both with (ts DESC, event_id DESC).
+# ---------------------------------------------------------------------------
+
+@register("pit_join_purchase_state", """
+WITH np AS (
+    SELECT user_id, event_id, ts, event_type AS state,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+    FROM events WHERE event_type <> 'purchase'
+),
+chg AS (
+    SELECT user_id, event_id, ts, state FROM np
+    WHERE prev IS NULL OR prev <> state
+),
+p AS (
+    SELECT user_id, event_id AS purchase_id, ts FROM events
+    WHERE event_type = 'purchase'
+)
+SELECT purchase_id, user_id, state_at_purchase FROM (
+    SELECT p.purchase_id, p.user_id, c.state AS state_at_purchase,
+           row_number() OVER (PARTITION BY p.purchase_id
+                              ORDER BY c.ts DESC, c.event_id DESC) AS rn
+    FROM p LEFT JOIN chg c
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+) WHERE rn = 1
+""")
+def q_pit_join_purchase_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    np_ = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", "event_id", "ts", F.col("event_type").alias("state")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        np_.withColumn("prev", F.lag("state").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("state")))
+        .select(
+            "user_id", F.col("ts").alias("t"),
+            F.col("event_id").alias("ord"), "state",
+            F.lit(0).alias("tag"),
+        )
+    )
+    probes = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("t"),
+        F.col("event_id").alias("ord"),
+        F.lit(None).cast("string").alias("state"),
+        F.lit(1).alias("tag"),
+    )
+    u = chg.unionByName(probes)
+    wu = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "tag", "ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("state_at", F.last("state", ignorenulls=True).over(wu))
+        .where(F.col("tag") == 1)
+        .select(
+            F.col("ord").alias("purchase_id"), "user_id",
+            F.col("state_at").alias("state_at_purchase"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend per user: the MEDIAN of all pairwise
+# purchase-value slopes (value units per day) — the classic
+# breakdown-point-29% robust regressor.  Pairwise slopes are a per-user
+# self-join; group sizes are bounded (tens of purchases per user), so
+# the quadratic stays inside one partition's hash-join buckets and total
+# cost is sum(k_u^2), never n^2.  Every slope is computed with the SAME
+# IEEE op sequence on both engines ((vb-va) / ((tb-ta)/86400e6) on exact
+# 4-dp values and integer-microsecond timestamps), so the sorted slope
+# sets are bit-identical and median/min/max agree exactly; outputs are
+# pinned at 6 dp.
+# ---------------------------------------------------------------------------
+
+@register("theilsen_slope_user", """
+WITH p AS (
+    SELECT user_id, event_id,
+           epoch_us(ts) AS t,
+           CAST(round(value * 10000, 0) AS BIGINT) / 10000.0 AS v
+    FROM events WHERE event_type = 'purchase'
+),
+slopes AS (
+    SELECT a.user_id,
+           (b.v - a.v) / (CAST(b.t - a.t AS DOUBLE) / 86400000000.0)
+               AS slope
+    FROM p a JOIN p b ON a.user_id = b.user_id AND b.t > a.t
+)
+SELECT user_id,
+       count(*) AS n_pairs,
+       floor(quantile_cont(slope, 0.5) * 1000000 + 0.5) / 1000000
+           AS med_slope_day,
+       floor(min(slope) * 1000000 + 0.5) / 1000000 AS min_slope_day,
+       floor(max(slope) * 1000000 + 0.5) / 1000000 AS max_slope_day
+FROM slopes GROUP BY user_id
+""")
+def q_theilsen_slope_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        (quantized(F.col("value"), 4) / 10000.0).alias("v"),
+    )
+    a = p.select(
+        "user_id", F.col("t").alias("ta"), F.col("v").alias("va")
+    )
+    b = p.select(
+        F.col("user_id").alias("ub"), F.col("t").alias("tb"),
+        F.col("v").alias("vb"),
+    )
+    slopes = a.join(
+        b, (a.user_id == b.ub) & (F.col("tb") > F.col("ta")), "inner"
+    ).select(
+        "user_id",
+        (
+            (F.col("vb") - F.col("va"))
+            / ((F.col("tb") - F.col("ta")).cast("double") / 86400000000.0)
+        ).alias("slope"),
+    )
+
+    def pin(c):
+        return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+
+    return slopes.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        pin(F.percentile("slope", F.lit(0.5))).alias("med_slope_day"),
+        pin(F.min("slope")).alias("min_slope_day"),
+        pin(F.max("slope")).alias("max_slope_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit across the star schema: orphan-row counts
+# for orders->customer, lineitem->orders and events->customer in one
+# result.  Each relation is a key-projected LEFT join + 1-row aggregate
+# — dims are key-only columns (explicit pruning), the fact side never
+# carries payload through the exchange, and the three audits share no
+# state so Spark runs them as independent subtrees of the union.
+# ---------------------------------------------------------------------------
+
+@register("referential_integrity_audit", """
+SELECT 'orders->customer' AS relation,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orphans
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem->orders',
+       count(*),
+       CAST(sum(CASE WHEN o2.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l LEFT JOIN orders o2 ON l.l_orderkey = o2.o_orderkey
+UNION ALL
+SELECT 'events->customer',
+       count(*),
+       CAST(sum(CASE WHEN c2.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM events e LEFT JOIN customer c2 ON e.user_id = c2.c_custkey
+""")
+def q_referential_integrity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    def audit(fact, fk, dim_keys, key, label):
+        j = fact.select(F.col(fk).alias("fk")).join(
+            dim_keys, F.col("fk") == F.col(key), "left"
+        )
+        return j.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col(key).isNull(), 1).otherwise(0)
+            ).alias("n_orphans"),
+        ).select(
+            F.lit(label).alias("relation"), "n_rows", "n_orphans"
+        )
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey")
+    li = load_table(spark, "lineitem", sf_dir)
+    okeys = orders.select("o_orderkey")
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        audit(orders, "o_custkey", cust, "c_custkey", "orders->customer")
+        .unionByName(
+            audit(li, "l_orderkey", okeys, "o_orderkey", "lineitem->orders")
+        )
+        .unionByName(
+            audit(ev, "user_id", cust, "c_custkey", "events->customer")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Segmented running balance with resets: a per-user running sum of
+# purchase value that RESETS to zero at every signup event — the
+# "balance since last reset" pattern (billing cycles, counters with
+# checkpoint resets).  Two windows over the SAME (user_id, ts, event_id)
+# ordering, so Catalyst plans ONE hash exchange + one sort: the first
+# running count of signups labels the segment, the second sums within
+# (user, segment).  Exact cents-grid integers end to end.
+# ---------------------------------------------------------------------------
+
+@register("running_balance_resets", """
+WITH seg AS (
+    SELECT user_id, event_id, ts, event_type,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+               AS segment
+    FROM events
+)
+SELECT user_id, event_id, segment,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+            OVER (PARTITION BY user_id, segment ORDER BY ts, event_id)
+            AS BIGINT) AS balance_cents
+FROM seg WHERE event_type IN ('purchase', 'signup')
+""")
+def q_running_balance_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id", "event_id", "ts", "event_type",
+        quantized(F.col("value"), 2).alias("cents"),
+    ).withColumn(
+        "segment",
+        F.sum(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).over(w),
+    )
+    ws = Window.partitionBy("user_id", "segment").orderBy("ts", "event_id")
+    return (
+        seg.withColumn(
+            "balance_cents",
+            F.sum(
+                F.when(F.col("event_type") == "purchase",
+                       F.col("cents")).otherwise(0)
+            ).over(ws),
+        )
+        .where(F.col("event_type").isin("purchase", "signup"))
+        .select("user_id", "event_id", "segment", "balance_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Throttle / rate-limit dedup: keep the FIRST event per (user, type,
+# 1-hour tumbling window) and report how many duplicates each keeper
+# suppressed — the idempotent event-throttling primitive every ingest
+# pipeline needs (alert fatigue control, notification caps).  One hash
+# exchange on the slim (user, type, hour) key; keeper selection and the
+# suppressed count come from the same grouped aggregate (min(struct)
+# argmin — no second pass, no window).
+# ---------------------------------------------------------------------------
+
+@register("throttle_dedup_hourly", """
+WITH b AS (
+    SELECT user_id, event_type, event_id, ts,
+           date_trunc('hour', ts) AS win
+    FROM events
+)
+SELECT user_id, event_type, CAST(win AS TIMESTAMP) AS win,
+       CAST(min(struct_pack(ts := ts, id := event_id)).id AS BIGINT)
+           AS kept_event_id,
+       count(*) - 1 AS n_suppressed
+FROM b GROUP BY user_id, event_type, win
+""")
+def q_throttle_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    b = ev.select(
+        "user_id", "event_type", "event_id", "ts",
+        # Spark's date_trunc promotes NTZ input to session-tz TIMESTAMP;
+        # cast back so the schema matches the (naive) oracle type.
+        F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("win"),
+    )
+    return b.groupBy("user_id", "event_type", "win").agg(
+        F.min(F.struct(F.col("ts"), F.col("event_id").alias("id")))
+        .getField("id").alias("kept_event_id"),
+        (F.count(F.lit(1)) - 1).alias("n_suppressed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profiler — the pre-flight check before any large shuffle:
+# for each candidate shuffle key of the events table, the share of rows
+# held by the heaviest key and the top-8 concentration (CR8), in exact
+# per-million units.  This is the operational tool that decides between
+# a plain hash join, AQE skew splitting, or salting (operators/skew.py);
+# the profile itself is two slim rollups (key counts, then a top-k +
+# totals), never a data-sized collect.
+# ---------------------------------------------------------------------------
+
+@register("key_skew_profiler", """
+WITH counts AS (
+    SELECT 'user_id' AS key_name, CAST(user_id AS VARCHAR) AS k, count(*) AS c
+    FROM events GROUP BY k
+    UNION ALL
+    SELECT 'event_type', event_type, count(*) FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'day', CAST(CAST(ts AS DATE) AS VARCHAR), count(*)
+    FROM events GROUP BY 2
+),
+ranked AS (
+    SELECT key_name, k, c,
+           row_number() OVER (PARTITION BY key_name
+                              ORDER BY c DESC, k) AS rn,
+           sum(c) OVER (PARTITION BY key_name) AS total,
+           count(*) OVER (PARTITION BY key_name) AS n_keys
+    FROM counts
+)
+SELECT key_name,
+       CAST(max(n_keys) AS BIGINT) AS n_keys,
+       CAST(max(total) AS BIGINT) AS n_rows,
+       CAST(max(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS max_key_rows,
+       CAST(max(CASE WHEN rn = 1 THEN c END) * 1000000
+            // max(total) AS BIGINT) AS top1_share_ppm,
+       CAST(sum(CASE WHEN rn <= 8 THEN c ELSE 0 END) * 1000000
+            // max(total) AS BIGINT) AS cr8_ppm
+FROM ranked GROUP BY key_name
+""")
+def q_key_skew_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    counts = (
+        ev.groupBy(F.col("user_id").cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.lit("user_id").alias("key_name"), "k", "c")
+        .unionByName(
+            ev.groupBy(F.col("event_type").alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.lit("event_type").alias("key_name"), "k", "c")
+        )
+        .unionByName(
+            ev.groupBy(F.col("ts").cast("date").cast("string").alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.lit("day").alias("key_name"), "k", "c")
+        )
+    )
+    wk = Window.partitionBy("key_name")
+    ranked = counts.select(
+        "key_name", "c",
+        F.row_number().over(
+            Window.partitionBy("key_name").orderBy(F.desc("c"), "k")
+        ).alias("rn"),
+        F.sum("c").over(wk).alias("total"),
+        F.count(F.lit(1)).over(wk).alias("n_keys"),
+    )
+    return ranked.groupBy("key_name").agg(
+        F.max("n_keys").alias("n_keys"),
+        F.max("total").alias("n_rows"),
+        F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("max_key_rows"),
+        F.expr(
+            "(max(CASE WHEN rn = 1 THEN c END) * 1000000) div max(total)"
+        ).alias("top1_share_ppm"),
+        F.expr(
+            "(sum(CASE WHEN rn <= 8 THEN c ELSE 0 END) * 1000000)"
+            " div max(total)"
+        ).alias("cr8_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LINEAR multi-touch attribution: each purchase's revenue is split
+# equally across ALL of the user's clicks in the 7 preceding days (the
+# complement of attribution_last_touch's winner-takes-all).  Candidate
+# volume is purchases x clicks-within-window per user — bounded by
+# click density, never user-pair quadratic.  Per-touch credit is exact
+# integer micro-units via floor division (both engines' integer `//`),
+# so daily rollups are fold-order-free.
+# ---------------------------------------------------------------------------
+
+@register("attribution_linear_touch", """
+WITH p AS (
+    SELECT event_id AS pid, user_id, ts AS p_ts,
+           CAST(round(value * 10000, 0) AS BIGINT) AS q4
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT user_id, event_id AS cid, ts AS c_ts FROM events
+    WHERE event_type = 'click'
+),
+j AS (
+    SELECT p.pid, p.q4, c.cid, c.c_ts
+    FROM p JOIN c ON c.user_id = p.user_id AND c.c_ts < p.p_ts
+       AND epoch_us(p.p_ts) - epoch_us(c.c_ts) <= 604800000000
+),
+n AS (
+    SELECT *, count(*) OVER (PARTITION BY pid) AS n_t FROM j
+)
+SELECT CAST(c_ts AS DATE) AS click_day,
+       count(*) AS n_touches,
+       CAST(sum((q4 * 1000000) // n_t) AS BIGINT) AS credited_micro
+FROM n GROUP BY click_day
+""")
+def q_attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("p_us"),
+        quantized(F.col("value"), 4).alias("q4"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"),
+        F.col("ts").alias("c_ts"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("c_us"),
+    )
+    j = p.join(
+        c,
+        (p.user_id == c.cu)
+        & (F.col("c_us") < F.col("p_us"))
+        & (F.col("p_us") - F.col("c_us") <= 604_800_000_000),
+        "inner",
+    )
+    n = j.withColumn("n_t", F.count(F.lit(1)).over(
+        Window.partitionBy("pid")
+    ))
+    return (
+        n.select(
+            F.col("c_ts").cast("date").alias("click_day"),
+            F.expr("(q4 * 1000000) div n_t").alias("credit"),
+        )
+        .groupBy("click_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit").alias("credited_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Share-of-total WITHOUT the SinglePartition window: the naive
+# `ratio_to_report` / `sum() OVER ()` formulation funnels every row
+# through one partition — the classic 100 TB bottleneck.  Here the
+# grand total is a 1-row aggregate broadcast-crossJoined back onto the
+# slim per-type rollup (the constant-relation pattern used throughout
+# this repo), and shares are exact parts-per-million integers.
+# ---------------------------------------------------------------------------
+
+@register("share_of_total_by_type", """
+WITH by_type AS (
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events GROUP BY event_type
+),
+tot AS (
+    SELECT CAST(sum(n) AS BIGINT) AS n_total,
+           CAST(sum(cents) AS BIGINT) AS cents_total
+    FROM by_type
+)
+SELECT event_type, n, cents,
+       CAST(n * 1000000 // n_total AS BIGINT) AS row_share_ppm,
+       CAST(cents * 1000000 // cents_total AS BIGINT) AS value_share_ppm
+FROM by_type CROSS JOIN tot
+""")
+def q_share_of_total_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    by_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(quantized(F.col("value"), 2)).alias("cents"),
+    )
+    tot = by_type.agg(
+        F.sum("n").alias("n_total"), F.sum("cents").alias("cents_total")
+    )
+    return by_type.crossJoin(F.broadcast(tot)).select(
+        "event_type", "n", "cents",
+        F.expr("(n * 1000000) div n_total").alias("row_share_ppm"),
+        F.expr("(cents * 1000000) div cents_total").alias("value_share_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Geometric / harmonic means per event type — the two Pythagorean means
+# SQL engines don't ship as aggregates.  Both are libm-adjacent, so the
+# cross-engine discipline is: quantize each ELEMENT's transform
+# (round(ln v, 6), round(1/v, 9)) onto a fixed-point integer grid FIRST,
+# then sum exact BIGINTs — fold order can never flip a digit, and the
+# final scalar division of identical integers is IEEE-exact.  The
+# geometric mean is reported as mean-log (base-e, 4 dp) plus the exact
+# harmonic denominator; map-side-combined single exchange.
+# ---------------------------------------------------------------------------
+
+@register("pythagorean_means_by_type", """
+WITH q AS (
+    SELECT event_type,
+           CAST(round(round(ln(CAST(round(value * 10000, 0) AS BIGINT)
+                               / 10000.0), 6) * 1000000, 0) AS BIGINT)
+               AS lq,
+           CAST(round(round(1.0 / (CAST(round(value * 10000, 0) AS BIGINT)
+                                   / 10000.0), 9) * 1000000000, 0) AS BIGINT)
+               AS hq
+    FROM events
+)
+SELECT event_type,
+       count(*) AS n,
+       round(CAST(sum(lq) AS DOUBLE) / (count(*) * 1000000.0), 4)
+           AS mean_log,
+       CAST(sum(hq) AS BIGINT) AS harm_denom_fp,
+       round(count(*) * 1000000000.0 / CAST(sum(hq) AS DOUBLE), 4)
+           AS harmonic_mean
+FROM q GROUP BY event_type
+""")
+def q_pythagorean_means_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    v4 = quantized(F.col("value"), 4) / 10000.0
+    q = ev.select(
+        "event_type",
+        (F.round(F.round(F.log(v4), 6) * 1000000, 0)).cast("bigint")
+        .alias("lq"),
+        (F.round(F.round(F.lit(1.0) / v4, 9) * 1000000000, 0))
+        .cast("bigint").alias("hq"),
+    )
+    return q.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum("lq").cast("double") / (F.count(F.lit(1)) * 1000000.0), 4
+        ).alias("mean_log"),
+        F.sum("hq").alias("harm_denom_fp"),
+        F.round(
+            F.count(F.lit(1)) * 1000000000.0 / F.sum("hq").cast("double"), 4
+        ).alias("harmonic_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

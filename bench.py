@@ -114,6 +114,16 @@ BENCH_QUERIES = [
     "sparse_cosine_pairs",
     "graph_common_neighbors",
     "mode_median_by_type",
+    # round 3 batches 5-7
+    "pit_join_purchase_state",
+    "theilsen_slope_user",
+    "referential_integrity_audit",
+    "running_balance_resets",
+    "throttle_dedup_hourly",
+    "key_skew_profiler",
+    "attribution_linear_touch",
+    "share_of_total_by_type",
+    "pythagorean_means_by_type",
 ]
 
 

@@ -1,0 +1,222 @@
+"""Planted-data semantics tests for the batch-5/6 queries: the
+union-window point-in-time join (tie rules, NULL before first state),
+Theil-Sen outlier robustness, referential-integrity orphan counting,
+segmented running balance with resets, throttle dedup keep-first, and
+the key-skew profiler's exact shares.
+
+The oracle-differential suite covers engine parity; these pin the
+*semantics* on hand-built inputs where the right answer is computed by
+inspection.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark import queries as reg
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _mini_dir(spark, events_rows, extra_tables=None):
+    """Write a single-file mini warehouse: events plus optional extra
+    tables, in load_table's one-parquet-per-table layout."""
+    d = tempfile.mkdtemp()
+    ev = spark.createDataFrame(
+        events_rows,
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double",
+    ).withColumn("props", F.lit("{}"))
+    pq.write_table(
+        pa.Table.from_pandas(ev.toPandas()),
+        os.path.join(d, "events.parquet"),
+    )
+    for name, (rows, schema) in (extra_tables or {}).items():
+        t = spark.createDataFrame(rows, schema)
+        pq.write_table(
+            pa.Table.from_pandas(t.toPandas()),
+            os.path.join(d, f"{name}.parquet"),
+        )
+    return d
+
+
+def _m(minutes):
+    return BASE + dt.timedelta(minutes=minutes)
+
+
+def test_pit_join_state_at_purchase_ties_and_null(spark):
+    rows = [
+        # user 1: view@0, error@10, purchase@5 (between), purchase@10
+        # (exactly at the error change -> the change applies), purchase
+        # BEFORE any state (user 2) -> NULL
+        (1, 1, _m(0), "view", 1.0),
+        (1, 2, _m(10), "error", 1.0),
+        (1, 3, _m(5), "purchase", 1.0),
+        (1, 4, _m(10), "purchase", 1.0),
+        (2, 5, _m(0), "purchase", 1.0),
+        (2, 6, _m(1), "click", 1.0),
+    ]
+    d = _mini_dir(spark, rows)
+    out = {
+        r.purchase_id: r.state_at_purchase
+        for r in reg.QUERIES["pit_join_purchase_state"](spark, d).collect()
+    }
+    assert out[3] == "view"      # last change before t=5
+    assert out[4] == "error"     # change at the same instant applies
+    assert out[5] is None        # no state yet
+    assert len(out) == 3
+
+
+def test_pit_join_same_ts_changes_highest_event_id_wins(spark):
+    rows = [
+        (1, 1, _m(0), "view", 1.0),
+        (1, 2, _m(0), "error", 1.0),   # same ts, higher id -> wins
+        (1, 3, _m(1), "purchase", 1.0),
+    ]
+    d = _mini_dir(spark, rows)
+    out = reg.QUERIES["pit_join_purchase_state"](spark, d).collect()
+    assert out[0].state_at_purchase == "error"
+
+
+def test_theilsen_median_slope_ignores_outlier(spark):
+    # value climbs exactly 1.0/day; one wild outlier at day 2
+    rows = [
+        (1, i, BASE + dt.timedelta(days=i), "purchase",
+         float(i) if i != 2 else 1000.0)
+        for i in range(5)
+    ]
+    d = _mini_dir(spark, rows)
+    out = reg.QUERIES["theilsen_slope_user"](spark, d).collect()[0]
+    assert out.n_pairs == 10
+    # 6 of 10 pairwise slopes are exactly 1.0 -> the median is 1.0;
+    # the outlier would drag a least-squares fit far off
+    assert out.med_slope_day == 1.0
+    assert out.max_slope_day > 100
+
+
+def test_referential_integrity_counts_orphans(spark):
+    rows = [(1, 1, _m(0), "view", 1.0), (99, 2, _m(1), "click", 1.0)]
+    extra = {
+        "customer": ([(1,), (2,)], "c_custkey long"),
+        "orders": ([(10, 1), (11, 2), (12, 7)],
+                   "o_orderkey long, o_custkey long"),
+        "lineitem": ([(10,), (10,), (55,)], "l_orderkey long"),
+    }
+    d = _mini_dir(spark, rows, extra)
+    out = {
+        r.relation: (r.n_rows, r.n_orphans)
+        for r in reg.QUERIES["referential_integrity_audit"](
+            spark, d
+        ).collect()
+    }
+    assert out["orders->customer"] == (3, 1)    # custkey 7 missing
+    assert out["lineitem->orders"] == (3, 1)    # orderkey 55 missing
+    assert out["events->customer"] == (2, 1)    # user 99 missing
+
+
+def test_running_balance_resets_on_signup(spark):
+    rows = [
+        (1, 1, _m(0), "purchase", 2.00),
+        (1, 2, _m(1), "purchase", 3.00),
+        (1, 3, _m(2), "signup", 0.0),    # reset
+        (1, 4, _m(3), "purchase", 5.00),
+        (1, 5, _m(4), "view", 1.0),      # filtered out of the result
+    ]
+    d = _mini_dir(spark, rows)
+    out = {
+        r.event_id: (r.segment, r.balance_cents)
+        for r in reg.QUERIES["running_balance_resets"](spark, d).collect()
+    }
+    assert out[1] == (0, 200)
+    assert out[2] == (0, 500)
+    assert out[3] == (1, 0)      # the signup row itself starts segment 1
+    assert out[4] == (1, 500)
+    assert 5 not in out
+
+
+def test_throttle_dedup_keeps_first_and_counts(spark):
+    rows = [
+        (1, 7, _m(5), "click", 1.0),
+        (1, 3, _m(1), "click", 1.0),    # earliest in the hour -> kept
+        (1, 9, _m(59), "click", 1.0),
+        (1, 4, _m(61), "click", 1.0),   # next hour -> its own keeper
+        (1, 5, _m(2), "view", 1.0),     # different type -> own keeper
+    ]
+    d = _mini_dir(spark, rows)
+    out = {
+        (r.user_id, r.event_type, r.win): (r.kept_event_id, r.n_suppressed)
+        for r in reg.QUERIES["throttle_dedup_hourly"](spark, d).collect()
+    }
+    assert out[(1, "click", BASE)] == (3, 2)
+    assert out[(1, "click", BASE + dt.timedelta(hours=1))] == (4, 0)
+    assert out[(1, "view", BASE)] == (5, 0)
+
+
+def test_key_skew_profiler_exact_shares(spark):
+    # 8 events: user 1 holds 6 of 8 rows -> top1 share = 750000 ppm
+    rows = [
+        (1, i, _m(i), "click", 1.0) for i in range(6)
+    ] + [(2, 6, _m(6), "click", 1.0), (3, 7, _m(7), "click", 1.0)]
+    d = _mini_dir(spark, rows)
+    out = {
+        r.key_name: r
+        for r in reg.QUERIES["key_skew_profiler"](spark, d).collect()
+    }
+    u = out["user_id"]
+    assert (u.n_keys, u.n_rows, u.max_key_rows) == (3, 8, 6)
+    assert u.top1_share_ppm == 750000
+    assert u.cr8_ppm == 1000000          # only 3 keys, all within top-8
+    t = out["event_type"]
+    assert t.n_keys == 1 and t.top1_share_ppm == 1000000
+
+
+def test_linear_attribution_splits_evenly(spark):
+    rows = [
+        (1, 1, _m(0), "click", 1.0),
+        (1, 2, _m(10), "click", 1.0),
+        (1, 3, _m(20), "purchase", 9.0),           # 90000 q4-units
+        (1, 4, BASE - dt.timedelta(days=8), "click", 1.0),  # outside 7d
+        (2, 5, _m(0), "purchase", 5.0),            # no clicks -> dropped
+    ]
+    d = _mini_dir(spark, rows)
+    out = {
+        r.click_day: (r.n_touches, r.credited_micro)
+        for r in reg.QUERIES["attribution_linear_touch"](spark, d).collect()
+    }
+    # both in-window clicks are on the same day; each gets half of
+    # 90000 * 1e6 micro-units
+    assert out[BASE.date()] == (2, 2 * (90000 * 1000000 // 2))
+    assert (BASE - dt.timedelta(days=8)).date() not in out
+
+
+def test_share_of_total_exact_ppm(spark):
+    rows = [
+        (1, 1, _m(0), "click", 1.0),
+        (1, 2, _m(1), "click", 1.0),
+        (1, 3, _m(2), "view", 2.0),
+        (1, 4, _m(3), "view", 2.0),
+    ]
+    d = _mini_dir(spark, rows)
+    out = {
+        r.event_type: r
+        for r in reg.QUERIES["share_of_total_by_type"](spark, d).collect()
+    }
+    assert out["click"].row_share_ppm == 500000
+    # clicks: 200 cents of 600 total -> 333333 ppm (floor)
+    assert out["click"].value_share_ppm == 333333
+    assert out["view"].value_share_ppm == 666666
+
+
+def test_pythagorean_means_constant_series(spark):
+    rows = [(1, i, _m(i), "view", 4.0) for i in range(3)]
+    d = _mini_dir(spark, rows)
+    out = reg.QUERIES["pythagorean_means_by_type"](spark, d).collect()[0]
+    # constant series: harmonic mean == the value, mean_log == ln(4)
+    assert out.harmonic_mean == 4.0
+    assert abs(out.mean_log - 1.3863) < 1e-9
