@@ -10014,6 +10014,382 @@ def q_pythagorean_means_by_type(
 
 
 # ---------------------------------------------------------------------------
+# DAU growth accounting — the canonical product-analytics decomposition
+# of daily actives into NEW (first-ever day), RETAINED (also active
+# yesterday), RESURRECTED (active before, but not yesterday), plus the
+# forward-looking CHURNED-AFTER count (no activity the next day).  One
+# user-keyed exchange computes lag/lead over the distinct (user, day)
+# table — which is already radically smaller than the event log — and
+# the daily rollup is a slim second shuffle.
+# ---------------------------------------------------------------------------
+
+@register("growth_accounting_daily", """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+seq AS (
+    SELECT user_id, d,
+           lag(d)  OVER (PARTITION BY user_id ORDER BY d) AS prev,
+           lead(d) OVER (PARTITION BY user_id ORDER BY d) AS nxt
+    FROM days
+)
+SELECT d AS day,
+       count(*) AS n_active,
+       CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+       CAST(sum(CASE WHEN prev = d - 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_retained,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND prev < d - 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+       CAST(sum(CASE WHEN nxt IS NULL OR nxt > d + 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_churned_after
+FROM seq GROUP BY d
+""")
+def q_growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    seq = days.select(
+        "user_id", "d",
+        F.lag("d").over(w).alias("prev"),
+        F.lead("d").over(w).alias("nxt"),
+    )
+    return seq.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(
+            F.when(F.col("prev").isNull(), 1).otherwise(0)
+        ).alias("n_new"),
+        F.sum(
+            F.when(F.col("prev") == F.date_sub("d", 1), 1).otherwise(0)
+        ).alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull()
+                & (F.col("prev") < F.date_sub("d", 1)), 1
+            ).otherwise(0)
+        ).alias("n_resurrected"),
+        F.sum(
+            F.when(
+                F.col("nxt").isNull() | (F.col("nxt") > F.date_add("d", 1)),
+                1,
+            ).otherwise(0)
+        ).alias("n_churned_after"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WEIGHTED median: the smallest price whose cumulative weight reaches
+# half the group's total (quantity-weighted lineitem price per return
+# flag).  Scale discipline: ties are collapsed onto the DISTINCT
+# (flag, price) grid FIRST — the running-sum window then walks a
+# bounded dictionary, not the fact table — and both window frames share
+# one partitioning.  All arithmetic is exact integers.
+# ---------------------------------------------------------------------------
+
+@register("weighted_median_lineitem", """
+WITH q AS (
+    SELECT l_returnflag AS flag,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+           CAST(round(l_quantity, 0) AS BIGINT) AS w
+    FROM lineitem
+),
+agg AS (
+    SELECT flag, price_c, CAST(sum(w) AS BIGINT) AS w
+    FROM q GROUP BY flag, price_c
+),
+c AS (
+    SELECT flag, price_c, w,
+           CAST(sum(w) OVER (PARTITION BY flag ORDER BY price_c)
+                AS BIGINT) AS cw,
+           CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+    FROM agg
+)
+SELECT flag,
+       CAST(min(CASE WHEN 2 * cw >= tw THEN price_c END) AS BIGINT)
+           AS wmedian_cents,
+       CAST(max(tw) AS BIGINT) AS total_weight,
+       count(*) AS n_distinct_prices
+FROM c GROUP BY flag
+""")
+def q_weighted_median_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    q = li.select(
+        F.col("l_returnflag").alias("flag"),
+        quantized(F.col("l_extendedprice"), 2).alias("price_c"),
+        quantized(F.col("l_quantity"), 0).alias("w"),
+    )
+    agg = q.groupBy("flag", "price_c").agg(F.sum("w").alias("w"))
+    wc = Window.partitionBy("flag").orderBy("price_c")
+    wt = Window.partitionBy("flag")
+    c = agg.select(
+        "flag", "price_c", "w",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return c.groupBy("flag").agg(
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("tw"), F.col("price_c"))
+        ).alias("wmedian_cents"),
+        F.max("tw").alias("total_weight"),
+        F.count(F.lit(1)).alias("n_distinct_prices"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Table fingerprint / anti-entropy checksum: per-day row count + XOR of
+# portable 60-bit per-row digests — the replication-verification
+# primitive (compare fingerprints across two copies of a table without
+# moving rows; XOR is order- and partitioning-independent, so any
+# executor layout produces the same checksum).  Digest = md5 of the
+# canonical '|'-joined row key fields, identical in DuckDB via
+# CAST('0x' || substr(md5(...), 1, 15) AS BIGINT).
+# ---------------------------------------------------------------------------
+
+@register("table_fingerprint_daily", """
+WITH d AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST('0x' || substr(md5(
+               CAST(event_id AS VARCHAR) || '|' ||
+               CAST(user_id AS VARCHAR) || '|' ||
+               event_type || '|' ||
+               CAST(CAST(round(value * 10000, 0) AS BIGINT) AS VARCHAR) ||
+               '|' || CAST(epoch_us(ts) AS VARCHAR)
+           ), 1, 15) AS BIGINT) AS digest
+    FROM events
+)
+SELECT day, count(*) AS n_rows,
+       CAST(bit_xor(digest) AS BIGINT) AS xor_fingerprint
+FROM d GROUP BY day
+""")
+def q_table_fingerprint_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    canon = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        quantized(F.col("value"), 4).cast("string"),
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+    )
+    digest = F.conv(
+        F.substring(F.md5(canon.cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
+    return (
+        ev.select(F.col("ts").cast("date").alias("day"),
+                  digest.alias("digest"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("digest").alias("xor_fingerprint"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram training pairs (word2vec-style): for every token, its
+# context tokens at distance 1 and 2, counted corpus-wide — the
+# embedding-training data generator.  ENTIRELY map-only until the final
+# count rollup: pairs come from zip_with over two shifted slices of the
+# token array (no posexplode self-join), so the only shuffle carries
+# the (w1, w2, dist, partial-count) rollup.
+# ---------------------------------------------------------------------------
+
+@register("skipgram_pairs_docs", r"""
+WITH toks AS (
+    SELECT string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+pairs AS (
+    SELECT unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                   for i in range(1, greatest(len(t) - 1, 0) + 1)]) AS p,
+           1 AS dist
+    FROM toks
+    UNION ALL
+    SELECT unnest([struct_pack(w1 := t[i], w2 := t[i+2])
+                   for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS p,
+           2 AS dist
+    FROM toks
+)
+SELECT p.w1 AS w1, p.w2 AS w2, CAST(dist AS INT) AS dist,
+       count(*) AS n
+FROM pairs GROUP BY w1, w2, dist HAVING count(*) >= 2
+""")
+def q_skipgram_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.split(F.trim(F.col("text")), r"\s+")
+
+    def shifted_pairs(k: int):
+        n = F.greatest(F.size(t) - k, F.lit(0))
+        return F.zip_with(
+            F.slice(t, 1, n),
+            F.slice(t, k + 1, n),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+
+    pairs = docs.select(
+        F.explode(shifted_pairs(1)).alias("p"), F.lit(1).alias("dist")
+    ).unionByName(
+        docs.select(
+            F.explode(shifted_pairs(2)).alias("p"), F.lit(2).alias("dist")
+        )
+    )
+    return (
+        pairs.select(
+            F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+        .groupBy("w1", "w2", "dist")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decile lift / gains table — the model-evaluation staple: users ranked
+# by an engagement score, cut into 10 equal-frequency bins with the
+# DISTRIBUTED rank family (exact ANSI ntile, no SinglePartition
+# window), and each decile's conversion compared to the overall rate
+# as an exact parts-per-million lift (integer cross-multiplication, no
+# float ratios).
+# ---------------------------------------------------------------------------
+
+@register("decile_lift_table", """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type IN ('click', 'view')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS score,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100, 0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS rev_cents,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+    FROM events GROUP BY user_id
+),
+tiled AS (
+    SELECT *, ntile(10) OVER (ORDER BY -score, user_id) AS tile
+    FROM per_user
+),
+tot AS (
+    SELECT count(*) AS all_users,
+           CAST(sum(converted) AS BIGINT) AS all_conv
+    FROM per_user
+)
+SELECT CAST(tile AS INT) AS decile,
+       count(*) AS n_users,
+       CAST(sum(rev_cents) AS BIGINT) AS rev_cents,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       CAST(sum(converted) * 1000000 // count(*) AS BIGINT) AS conv_ppm,
+       CAST(sum(converted) * max(all_users) * 1000000
+            // (count(*) * max(all_conv)) AS BIGINT) AS lift_ppm
+FROM tiled CROSS JOIN tot
+GROUP BY tile
+""")
+def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.operators.ranking import rank_family
+
+    ev = load_table(spark, "events", sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type").isin("click", "view"), 1).otherwise(0)
+        ).alias("score"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                quantized(F.col("value"), 2),
+            ).otherwise(0)
+        ).alias("rev_cents"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    ).withColumn("neg_score", -F.col("score"))
+    tiled = rank_family(
+        per_user, ["neg_score", "user_id"], ntile_n=10
+    )
+    tot = per_user.agg(
+        F.count(F.lit(1)).alias("all_users"),
+        F.sum("converted").alias("all_conv"),
+    )
+    return (
+        tiled.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("tile").cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("rev_cents").alias("rev_cents"),
+            F.sum("converted").alias("n_converted"),
+            F.expr(
+                "(sum(converted) * 1000000) div count(*)"
+            ).alias("conv_ppm"),
+            F.expr(
+                "(sum(converted) * max(all_users) * 1000000)"
+                " div (count(*) * max(all_conv))"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic regression (PAVA) of purchase value over time, per user —
+# the calibration-curve / monotone-trend fit.  TWO ALGORITHMS, ONE
+# ANSWER: the Spark side runs the linear-time Pool-Adjacent-Violators
+# stack as an Arrow-batched grouped kernel (operators/isotonic.py);
+# the oracle evaluates the O(n^3) minimax identity
+# fitted[i] = max_{j<=i} min_{k>=i} mean(y[j..k]) over prefix sums.
+# Block means are a single float64 division of exact integer
+# (cents-sum, length) pairs on both paths, so the match is
+# bit-identical; outputs pinned at 6 dp.
+# ---------------------------------------------------------------------------
+
+@register("isotonic_fit_user", """
+WITH p AS (
+    SELECT user_id, event_id, ts,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS i
+    FROM events WHERE event_type = 'purchase'
+),
+s AS (
+    SELECT user_id, i, event_id, cents,
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY i)
+                AS BIGINT) AS run
+    FROM p
+),
+mu AS (
+    SELECT a.user_id, a.i AS j, b.i AS k,
+           (b.run - a.run + a.cents) / CAST(b.i - a.i + 1 AS DOUBLE) AS m
+    FROM s a JOIN s b ON a.user_id = b.user_id AND b.i >= a.i
+),
+inner_min AS (
+    SELECT s.user_id, s.i, s.event_id, mu.j, min(mu.m) AS lo
+    FROM s JOIN mu ON mu.user_id = s.user_id
+                  AND mu.j <= s.i AND mu.k >= s.i
+    GROUP BY s.user_id, s.i, s.event_id, mu.j
+)
+SELECT user_id, event_id,
+       floor(max(lo) * 1000000 + 0.5) / 1000000 AS fitted_cents
+FROM inner_min GROUP BY user_id, event_id
+""")
+def q_isotonic_fit_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.operators.isotonic import isotonic_fit
+
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts",
+        quantized(F.col("value"), 2).alias("cents"),
+    )
+    fit = isotonic_fit(p, "user_id", ["ts", "event_id"], "cents")
+    return fit.select(
+        "user_id", "event_id",
+        (F.floor(F.col("fitted") * 1000000 + F.lit(0.5)) / 1000000)
+        .alias("fitted_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -124,6 +124,13 @@ BENCH_QUERIES = [
     "attribution_linear_touch",
     "share_of_total_by_type",
     "pythagorean_means_by_type",
+    # round 3 batches 8-9
+    "growth_accounting_daily",
+    "weighted_median_lineitem",
+    "table_fingerprint_daily",
+    "skipgram_pairs_docs",
+    "decile_lift_table",
+    "isotonic_fit_user",
 ]
 
 

@@ -220,3 +220,110 @@ def test_pythagorean_means_constant_series(spark):
     # constant series: harmonic mean == the value, mean_log == ln(4)
     assert out.harmonic_mean == 4.0
     assert abs(out.mean_log - 1.3863) < 1e-9
+
+
+def test_growth_accounting_classification(spark):
+    d0, d1, d3 = BASE, _m(24 * 60), BASE + dt.timedelta(days=3)
+    rows = [
+        (1, 1, d0, "view", 1.0),          # new on d0
+        (1, 2, d1, "view", 1.0),          # retained on d1
+        (1, 3, d3, "view", 1.0),          # resurrected on d3 (gap)
+        (2, 4, d1, "view", 1.0),          # new on d1, churns after
+    ]
+    d = _mini_dir(spark, rows)
+    out = {
+        r.day: (r.n_active, r.n_new, r.n_retained, r.n_resurrected,
+                r.n_churned_after)
+        for r in reg.QUERIES["growth_accounting_daily"](spark, d).collect()
+    }
+    assert out[d0.date()] == (1, 1, 0, 0, 0)       # user 1 returns d1
+    assert out[d1.date()] == (2, 1, 1, 0, 2)       # both churn after d1
+    assert out[d3.date()] == (1, 0, 0, 1, 1)
+
+
+def test_weighted_median_cumulative_weight(spark):
+    rows = [(1, 1, _m(0), "view", 1.0)]
+    extra = {
+        "lineitem": (
+            # flag A: price 1.00 w=1, price 2.00 w=1, price 9.00 w=2
+            # -> cumulative reaches half the total (2 of 4) at 2.00
+            [("A", 1.00, 1.0), ("A", 2.00, 1.0), ("A", 9.00, 2.0)],
+            "l_returnflag string, l_extendedprice double, l_quantity double",
+        ),
+    }
+    d = _mini_dir(spark, rows, extra)
+    out = reg.QUERIES["weighted_median_lineitem"](spark, d).collect()[0]
+    assert out.wmedian_cents == 200
+    assert out.total_weight == 4
+    assert out.n_distinct_prices == 3
+
+
+def test_table_fingerprint_detects_single_value_change(spark):
+    rows = [(1, i, _m(i), "view", float(i)) for i in range(4)]
+    d1 = _mini_dir(spark, rows)
+    tweaked = rows[:3] + [(1, 3, _m(3), "view", 3.0001)]
+    d2 = _mini_dir(spark, tweaked)
+    a = reg.QUERIES["table_fingerprint_daily"](spark, d1).collect()[0]
+    b = reg.QUERIES["table_fingerprint_daily"](spark, d2).collect()[0]
+    # same shape (row counts match) but the checksum flips on a 1e-4
+    # value change — exactly what an anti-entropy sweep must catch
+    assert a.n_rows == b.n_rows == 4
+    assert a.xor_fingerprint != b.xor_fingerprint
+
+
+def test_isotonic_pava_known_fit_and_monotone(spark):
+    # values 3.00, 1.00, 2.00 -> PAVA pools the violating prefix:
+    # mean(300,100) = 200, then 200 <= 200 holds -> [200, 200, 200]
+    rows = [
+        (1, 1, _m(0), "purchase", 3.0),
+        (1, 2, _m(1), "purchase", 1.0),
+        (1, 3, _m(2), "purchase", 2.0),
+        (2, 4, _m(0), "purchase", 1.0),
+        (2, 5, _m(1), "purchase", 5.0),   # already monotone: unchanged
+    ]
+    d = _mini_dir(spark, rows)
+    out = {
+        r.event_id: r.fitted_cents
+        for r in reg.QUERIES["isotonic_fit_user"](spark, d).collect()
+    }
+    assert out[1] == out[2] == out[3] == 200.0
+    assert (out[4], out[5]) == (100.0, 500.0)
+
+
+def test_skipgram_pairs_distances(spark, sf_dir):
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b")],
+        "doc_id long, text string",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs.toPandas()),
+        os.path.join(d, "documents.parquet"),
+    )
+    out = {
+        (r.w1, r.w2, r.dist): r.n
+        for r in reg.QUERIES["skipgram_pairs_docs"](spark, d).collect()
+    }
+    # 'a b' at dist 1 appears twice in doc 1 + once in doc 2 = 3
+    assert out[("a", "b", 1)] == 3
+    assert out[("b", "c", 1)] == 2
+    assert out[("a", "c", 2)] == 2     # a _ c windows in doc 1
+    # singleton pairs (n < 2) are filtered
+    assert ("c", "a", 1) not in out
+
+
+def test_decile_lift_partitions_users_evenly(spark, sf_dir):
+    out = reg.QUERIES["decile_lift_table"](spark, sf_dir).collect()
+    assert len(out) == 10
+    sizes = [r.n_users for r in out]
+    assert max(sizes) - min(sizes) <= 1          # exact ntile fairness
+    total = sum(r.n_converted for r in out)
+    # lift_ppm is exactly conv_decile/conv_overall in ppm
+    for r in out:
+        if total and r.n_users:
+            n_all = sum(x.n_users for x in out)
+            expect = (r.n_converted * n_all * 1000000) // (r.n_users * total)
+            assert r.lift_ppm == expect
