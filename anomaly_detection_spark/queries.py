@@ -10390,6 +10390,177 @@ def q_isotonic_fit_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mann-Whitney U drift test between the first and second half of each
+# event type's purchase-value history — the nonparametric two-sample
+# location test (no normality assumption, rank-based).  Everything
+# stays EXACT INTEGERS: tied observations take average ranks, kept
+# integral by working in DOUBLED rank units (2*avg_rank = min_rank +
+# max_rank = 2*rank() + count(ties) - 1), so U*2 and the rank sums are
+# exact BIGINTs on both engines.  Ranks come from one window over the
+# per-type value ordering; the halves split on the median event ts.
+# ---------------------------------------------------------------------------
+
+@register("mann_whitney_drift", """
+WITH p AS (
+    SELECT event_type, event_id, ts,
+           CAST(round(value * 10000, 0) AS BIGINT) AS q4
+    FROM events
+),
+split AS (
+    SELECT event_type,
+           CAST(floor(quantile_cont(epoch_us(ts), 0.5)) AS BIGINT) AS mid_us
+    FROM p GROUP BY event_type
+),
+lab AS (
+    SELECT p.event_type, p.q4,
+           CASE WHEN epoch_us(p.ts) <= s.mid_us THEN 0 ELSE 1 END AS grp
+    FROM p JOIN split s ON s.event_type = p.event_type
+),
+ranked AS (
+    SELECT event_type, grp,
+           2 * rank() OVER (PARTITION BY event_type ORDER BY q4)
+             + count(*) OVER (PARTITION BY event_type, q4) - 1
+               AS rank2
+    FROM lab
+)
+SELECT event_type,
+       CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       CAST(sum(CASE WHEN grp = 0 THEN rank2 ELSE 0 END) AS BIGINT)
+           AS r1_x2,
+       CAST(sum(CASE WHEN grp = 0 THEN rank2 ELSE 0 END)
+            - sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+              * (sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) + 1)
+            AS BIGINT) AS u1_x2
+FROM ranked GROUP BY event_type
+""")
+def q_mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.select(
+        "event_type", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        quantized(F.col("value"), 4).alias("q4"),
+    )
+    split = p.groupBy("event_type").agg(
+        F.floor(F.percentile("t_us", F.lit(0.5))).cast("bigint")
+        .alias("mid_us")
+    )
+    lab = p.join(F.broadcast(split), "event_type").select(
+        "event_type", "q4",
+        F.when(F.col("t_us") <= F.col("mid_us"), 0).otherwise(1)
+        .alias("grp"),
+    )
+    # Scale-safe rank computation: collapse to the DISTINCT
+    # (type, value) dictionary first — the running-count window then
+    # walks a bounded grid, never the fact table (the oracle's per-row
+    # rank() window is the same statistic by a different algorithm:
+    # 2*avg_rank = 2*(# strictly smaller) + (# ties) + 1).
+    cnt = lab.groupBy("event_type", "q4").agg(
+        F.count(F.lit(1)).alias("ct"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("q4")
+    ranked = cnt.withColumn(
+        "rank2", 2 * (F.sum("ct").over(wv) - F.col("ct")) + F.col("ct") + 1
+    )
+    n1 = F.sum("c0")
+    return ranked.groupBy("event_type").agg(
+        n1.alias("n1"),
+        F.sum("c1").alias("n2"),
+        F.sum(F.col("c0") * F.col("rank2")).alias("r1_x2"),
+        (F.sum(F.col("c0") * F.col("rank2")) - n1 * (n1 + 1))
+        .alias("u1_x2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lead-lag cross-correlation: daily purchase revenue vs daily error
+# count, correlated at lags -3..+3 days — the "do errors lead revenue
+# drops?" diagnostic.  The expensive part (the event scan) collapses to
+# ONE compact daily spine; the seven lag alignments are broadcast-sized
+# self-joins of that spine, and every Σ term in the Pearson formula is
+# an exact integer, so both engines compute identical doubles.
+# ---------------------------------------------------------------------------
+
+@register("cross_correlation_lags", """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100, 0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS rev,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS err
+    FROM events GROUP BY day
+),
+lags AS (SELECT unnest(range(-3, 4)) AS lag),
+joined AS (
+    SELECT l.lag, a.rev, b.err
+    FROM lags l
+    JOIN daily a ON TRUE
+    JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)
+),
+s AS (
+    SELECT lag, count(*) AS n,
+           CAST(sum(rev) AS BIGINT) AS sx,
+           CAST(sum(err) AS BIGINT) AS sy,
+           CAST(sum(rev * err) AS BIGINT) AS sxy,
+           CAST(sum(rev * rev) AS BIGINT) AS sxx,
+           CAST(sum(err * err) AS BIGINT) AS syy
+    FROM joined GROUP BY lag
+)
+SELECT CAST(lag AS INT) AS lag, n,
+       floor((n * sxy - sx * sy)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS ccf
+FROM s WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+""")
+def q_cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                quantized(F.col("value"), 2),
+            ).otherwise(0)
+        ).alias("rev"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("err"),
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select("day", "rev")
+    b = daily.select(F.col("day").alias("bday"), "err")
+    joined = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(b),
+            F.col("bday") == F.date_add(F.col("day"), F.col("lag")),
+        )
+    )
+    s = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").alias("sx"),
+        F.sum("err").alias("sy"),
+        F.sum(F.col("rev") * F.col("err")).alias("sxy"),
+        F.sum(F.col("rev") * F.col("rev")).alias("sxx"),
+        F.sum(F.col("err") * F.col("err")).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ccf = num / F.sqrt(vx.cast("double") * vy.cast("double"))
+    return (
+        s.where((vx > 0) & (vy > 0))
+        .select(
+            F.col("lag").cast("int").alias("lag"), "n",
+            (F.floor(ccf * 1000000 + F.lit(0.5)) / 1000000).alias("ccf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

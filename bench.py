@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     "skipgram_pairs_docs",
     "decile_lift_table",
     "isotonic_fit_user",
+    "mann_whitney_drift",
+    "cross_correlation_lags",
 ]
 
 

@@ -327,3 +327,44 @@ def test_decile_lift_partitions_users_evenly(spark, sf_dir):
             n_all = sum(x.n_users for x in out)
             expect = (r.n_converted * n_all * 1000000) // (r.n_users * total)
             assert r.lift_ppm == expect
+
+
+def test_mann_whitney_separated_and_tied_groups(spark):
+    # type 'a': first half {1,2}, second half {3,4} -> complete
+    # separation, U1 = 0; type 'b': all values equal -> U1 = n1*n2/2
+    rows = [
+        (1, 1, _m(0), "a", 1.0), (1, 2, _m(1), "a", 2.0),
+        (1, 3, _m(2), "a", 3.0), (1, 4, _m(3), "a", 4.0),
+        (1, 5, _m(0), "b", 7.0), (1, 6, _m(1), "b", 7.0),
+        (1, 7, _m(2), "b", 7.0), (1, 8, _m(3), "b", 7.0),
+    ]
+    d = _mini_dir(spark, rows)
+    out = {
+        r.event_type: r
+        for r in reg.QUERIES["mann_whitney_drift"](spark, d).collect()
+    }
+    a = out["a"]
+    assert (a.n1, a.n2) == (2, 2)
+    assert a.r1_x2 == 2 * (1 + 2)      # doubled rank sum of {1,2}
+    assert a.u1_x2 == 0                # complete separation
+    b = out["b"]
+    # fully tied case: U1 = n1*n2/2 exactly, so doubled U1 = n1*n2
+    assert b.u1_x2 == b.n1 * b.n2
+
+
+def test_cross_correlation_perfect_at_lag_zero(spark):
+    # rev and err move together day by day -> ccf(0) == 1.0
+    rows = []
+    eid = 0
+    for day, k in enumerate([1, 3, 2, 5, 4]):
+        t = BASE + dt.timedelta(days=day)
+        for _ in range(k):
+            eid += 1
+            rows.append((1, eid, t, "purchase", 1.0))   # rev = 100*k
+            eid += 1
+            rows.append((1, eid, t, "error", 0.5))      # err = k
+    d = _mini_dir(spark, rows)
+    out = {r.lag: r.ccf for r in
+           reg.QUERIES["cross_correlation_lags"](spark, d).collect()}
+    assert out[0] == 1.0
+    assert -1.0 <= min(out.values()) and max(out.values()) <= 1.0
