@@ -10561,6 +10561,224 @@ def q_cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick): tokens -> 64-bucket sparse count
+# vectors per document, serialized as the canonical "idx:count" join —
+# the model-input prep that needs no vocabulary table, no fit step and
+# no driver state (Weinberger et al. ICML'09).  Bucket = portable
+# salted md5 mod 64, identical in DuckDB, so the exact sparse vectors
+# are oracled.  Map-only until the (doc, bucket) rollup.
+# ---------------------------------------------------------------------------
+
+@register("feature_hashing_docs", r"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+    FROM documents
+),
+b AS (
+    SELECT doc_id,
+           CAST(CAST('0x' || substr(md5('feat:' || w), 1, 15) AS BIGINT)
+                % 64 AS BIGINT) AS bucket,
+           count(*) AS c
+    FROM tok GROUP BY doc_id, bucket
+)
+SELECT doc_id,
+       count(*) AS n_nonzero,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       string_agg(CAST(bucket AS VARCHAR) || ':' || CAST(c AS VARCHAR),
+                  ',' ORDER BY bucket) AS sparse_vec
+FROM b GROUP BY doc_id
+""")
+def q_feature_hashing_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("feat:"), F.col("w")).cast("binary")),
+                1, 15,
+            ), 16, 10,
+        ).cast("bigint"),
+        F.lit(64),
+    ).cast("bigint")
+    b = tok.select("doc_id", bucket.alias("bucket")).groupBy(
+        "doc_id", "bucket"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return b.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_nonzero"),
+        F.sum("c").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("bucket", "c"))
+                ),
+                lambda s: F.concat_ws(
+                    ":", s.bucket.cast("string"), s.c.cast("string")
+                ),
+            ),
+            ",",
+        ).alias("sparse_vec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user OLS fit of purchase value over time: slope (per day),
+# intercept, and R² from the five closed-form sums — the regression
+# analogue of the Theil-Sen query (compare: robust vs least-squares on
+# the same series).  Times are integer DAYS since each user's first
+# purchase and values exact cents, so Σx, Σy, Σxy, Σx², Σy² are exact
+# BIGINTs (one map-side-combined exchange) and the closed-form
+# divisions are identical IEEE doubles cross-engine, pinned at 6 dp.
+# ---------------------------------------------------------------------------
+
+@register("ols_fit_user", """
+WITH p AS (
+    SELECT user_id,
+           CAST(round(value * 100, 0) AS BIGINT) AS y,
+           epoch_us(ts) AS t_us
+    FROM events WHERE event_type = 'purchase'
+),
+x AS (
+    SELECT user_id, y,
+           CAST((t_us - min(t_us) OVER (PARTITION BY user_id))
+                // 86400000000 AS BIGINT) AS x
+    FROM p
+),
+s AS (
+    SELECT user_id, count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy
+    FROM x GROUP BY user_id
+)
+SELECT user_id, n,
+       floor((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS slope_cents_day,
+       floor((CAST(sy AS DOUBLE) - (n * sxy - sx * sy)
+              / CAST(n * sxx - sx * sx AS DOUBLE) * sx) / n
+             * 1000000 + 0.5) / 1000000 AS intercept_cents,
+       floor(CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS r2
+FROM s
+WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+""")
+def q_ols_fit_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        quantized(F.col("value"), 2).alias("y"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    x = p.select(
+        "user_id", "y",
+        F.expr(
+            "(t_us - min(t_us) OVER (PARTITION BY user_id))"
+            " div 86400000000"
+        ).alias("x"),
+    )
+    s = x.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = num / vx.cast("double")
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx")) / F.col(
+        "n"
+    )
+    r2 = (num * num).cast("double") / (
+        vx.cast("double") * vy.cast("double")
+    )
+
+    def pin(c):
+        return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+
+    return s.where((vx > 0) & (vy > 0)).select(
+        "user_id", "n",
+        pin(slope).alias("slope_cents_day"),
+        pin(intercept).alias("intercept_cents"),
+        pin(r2).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period deltas — the BI staple: daily revenue with
+# day-over-day and week-over-week change in exact parts-per-million
+# (integer cross-multiplication against the prior period, never float
+# ratios).  The event scan collapses to one daily spine; both
+# comparisons come from lag windows over that spine (one tiny
+# exchange).  NULL delta when the prior period is missing or zero.
+# ---------------------------------------------------------------------------
+
+@register("period_over_period_revenue", """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events WHERE event_type = 'purchase' GROUP BY day
+),
+l AS (
+    SELECT day, cents,
+           lag(cents, 1) OVER (ORDER BY day) AS prev_day,
+           lag(day, 1)   OVER (ORDER BY day) AS prev_day_date,
+           lag(cents, 7) OVER (ORDER BY day) AS prev_week,
+           lag(day, 7)   OVER (ORDER BY day) AS prev_week_date
+    FROM daily
+)
+SELECT day, cents,
+       CASE WHEN prev_day_date = day - 1 AND prev_day > 0
+            THEN CAST((cents - prev_day) * 1000000 // prev_day AS BIGINT)
+       END AS dod_ppm,
+       CASE WHEN prev_week_date = day - 7 AND prev_week > 0
+            THEN CAST((cents - prev_week) * 1000000 // prev_week AS BIGINT)
+       END AS wow_ppm
+FROM l
+""")
+def q_period_over_period_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(quantized(F.col("value"), 2)).alias("cents"))
+    )
+    # the daily spine is tiny; a single-partition window over it is a
+    # few hundred rows per YEAR of data — not a scale concern (the
+    # heavy lifting happened in the map-side-combined rollup above)
+    wo = Window.orderBy("day")
+    l = daily.select(
+        "day", "cents",
+        F.lag("cents", 1).over(wo).alias("prev_day"),
+        F.lag("day", 1).over(wo).alias("prev_day_date"),
+        F.lag("cents", 7).over(wo).alias("prev_week"),
+        F.lag("day", 7).over(wo).alias("prev_week_date"),
+    )
+    return l.select(
+        "day", "cents",
+        F.when(
+            (F.col("prev_day_date") == F.date_sub("day", 1))
+            & (F.col("prev_day") > 0),
+            F.expr("((cents - prev_day) * 1000000) div prev_day"),
+        ).alias("dod_ppm"),
+        F.when(
+            (F.col("prev_week_date") == F.date_sub("day", 7))
+            & (F.col("prev_week") > 0),
+            F.expr("((cents - prev_week) * 1000000) div prev_week"),
+        ).alias("wow_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -133,6 +133,9 @@ BENCH_QUERIES = [
     "isotonic_fit_user",
     "mann_whitney_drift",
     "cross_correlation_lags",
+    "feature_hashing_docs",
+    "ols_fit_user",
+    "period_over_period_revenue",
 ]
 
 

@@ -170,6 +170,9 @@ AUDIT_QUERIES = [
     "isotonic_fit_user",
     "mann_whitney_drift",
     "cross_correlation_lags",
+    "feature_hashing_docs",
+    "ols_fit_user",
+    "period_over_period_revenue",
 ]
 
 

@@ -368,3 +368,57 @@ def test_cross_correlation_perfect_at_lag_zero(spark):
            reg.QUERIES["cross_correlation_lags"](spark, d).collect()}
     assert out[0] == 1.0
     assert -1.0 <= min(out.values()) and max(out.values()) <= 1.0
+
+
+def test_feature_hashing_counts_and_format(spark):
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha beta"), (2, "alpha")],
+        "doc_id long, text string",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs.toPandas()),
+        os.path.join(d, "documents.parquet"),
+    )
+    out = {r.doc_id: r for r in
+           reg.QUERIES["feature_hashing_docs"](spark, d).collect()}
+    assert out[1].n_tokens == 3
+    parts = dict(kv.split(":") for kv in out[1].sparse_vec.split(","))
+    assert sum(int(v) for v in parts.values()) == 3
+    # same token hashes to the same bucket in every document
+    alpha_bucket_doc2 = out[2].sparse_vec.split(":")[0]
+    assert parts[alpha_bucket_doc2] in ("2", "3")   # alpha count in doc 1
+    # buckets ascend in the serialization
+    keys = [int(kv.split(":")[0]) for kv in out[1].sparse_vec.split(",")]
+    assert keys == sorted(keys)
+
+
+def test_ols_fit_recovers_exact_line(spark):
+    # y = 1.00 + 0.50*x dollars at days 0..4 -> slope 50 cents/day, r2=1
+    rows = [
+        (1, i, BASE + dt.timedelta(days=i), "purchase", 1.0 + 0.5 * i)
+        for i in range(5)
+    ]
+    d = _mini_dir(spark, rows)
+    out = reg.QUERIES["ols_fit_user"](spark, d).collect()[0]
+    assert out.n == 5
+    assert out.slope_cents_day == 50.0
+    assert out.intercept_cents == 100.0
+    assert out.r2 == 1.0
+
+
+def test_period_over_period_exact_ppm_and_gap_null(spark):
+    rows = [
+        (1, 1, BASE, "purchase", 1.0),                          # 100c
+        (1, 2, BASE + dt.timedelta(days=1), "purchase", 1.5),   # 150c
+        # day 2 missing -> the day-3 DoD delta must be NULL
+        (1, 3, BASE + dt.timedelta(days=3), "purchase", 3.0),
+    ]
+    d = _mini_dir(spark, rows)
+    out = {r.day: (r.dod_ppm, r.wow_ppm) for r in
+           reg.QUERIES["period_over_period_revenue"](spark, d).collect()}
+    assert out[BASE.date()] == (None, None)
+    assert out[(BASE + dt.timedelta(days=1)).date()][0] == 500000  # +50%
+    assert out[(BASE + dt.timedelta(days=3)).date()] == (None, None)
