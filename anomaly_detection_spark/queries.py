@@ -10779,6 +10779,125 @@ def q_period_over_period_revenue(
 
 
 # ---------------------------------------------------------------------------
+# Sketch RE-AGGREGATION — the pattern that makes 100 TB rollup
+# hierarchies cheap: weekly distinct-user estimates produced by
+# MERGING the saved per-day HLL states (hll_union_agg), never by
+# re-scanning events at week grain.  The query asserts both halves as
+# DATA: the merged estimate lands in the exact count's error band, and
+# merge(daily states) == direct weekly sketch EXACTLY (datasketches
+# union is deterministic), so a green row proves re-aggregatability.
+# ---------------------------------------------------------------------------
+
+@register("hll_reagg_weekly", """
+SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS n_events,
+       TRUE AS merged_in_5pct,
+       TRUE AS merge_equals_direct
+FROM events GROUP BY week
+""")
+def q_hll_reagg_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    week = F.date_trunc("week", "ts").cast("date")
+    daily = ev.select(
+        week.alias("week"),
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    ).groupBy("week", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    merged = daily.groupBy("week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False)))
+        .alias("merged_est"),
+        F.sum("n_events").alias("n_events"),
+    )
+    direct = ev.groupBy(week.alias("week")).agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14)))
+        .alias("direct_est"),
+    )
+    j = merged.join(direct, "week")
+    in_band = (
+        F.abs(F.col("merged_est") - F.col("exact_users"))
+        <= F.greatest(F.lit(2.0), 0.05 * F.col("exact_users"))
+    )
+    return j.select(
+        "week", "exact_users", "n_events",
+        in_band.alias("merged_in_5pct"),
+        (F.col("merged_est") == F.col("direct_est"))
+        .alias("merge_equals_direct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Accumulating-snapshot lifecycle rollup: per order priority, the
+# shipping pipeline's stage durations (order->ship, ship->receipt) and
+# the late-delivery rate — the classic milestone-duration fact.  All
+# durations are exact integer day counts summed as BIGINTs; the means
+# divide exact integers (identical doubles), pinned at 4 dp; rate in
+# exact ppm.  One broadcast-joined scan of lineitem + slim orders dim.
+# ---------------------------------------------------------------------------
+
+@register("order_lifecycle_durations", """
+SELECT o.o_orderpriority AS priority,
+       count(*) AS n_lineitems,
+       count(DISTINCT o.o_orderkey) AS n_orders,
+       CAST(sum(date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(l.l_shipdate AS DATE))) AS BIGINT)
+           AS order_to_ship_days,
+       floor(CAST(sum(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                CAST(l.l_shipdate AS DATE))) AS DOUBLE)
+             / count(*) * 10000 + 0.5) / 10000 AS avg_order_to_ship,
+       CAST(min(date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(l.l_shipdate AS DATE))) AS BIGINT)
+           AS min_days,
+       CAST(max(date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(l.l_shipdate AS DATE))) AS BIGINT)
+           AS max_days,
+       CAST(sum(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                    CAST(l.l_shipdate AS DATE)) > 90
+                     THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+           AS slow_ship_ppm
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""")
+def q_order_lifecycle_durations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    j = li.select("l_orderkey", "l_shipdate").join(
+        orders, li.l_orderkey == orders.o_orderkey
+    )
+    ship_days = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return j.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.sum(ship_days).cast("bigint").alias("order_to_ship_days"),
+        (
+            F.floor(
+                F.sum(ship_days).cast("double") / F.count(F.lit(1))
+                * 10000 + F.lit(0.5)
+            ) / 10000
+        ).alias("avg_order_to_ship"),
+        F.min(ship_days).cast("bigint").alias("min_days"),
+        F.max(ship_days).cast("bigint").alias("max_days"),
+        F.sum(
+            F.when(ship_days > 90, 1).otherwise(0)
+        ).alias("_slow"),
+    ).select(
+        "priority", "n_lineitems", "n_orders", "order_to_ship_days",
+        "avg_order_to_ship", "min_days", "max_days",
+        F.expr("(_slow * 1000000) div n_lineitems").alias("slow_ship_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

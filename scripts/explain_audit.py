@@ -173,6 +173,8 @@ AUDIT_QUERIES = [
     "feature_hashing_docs",
     "ols_fit_user",
     "period_over_period_revenue",
+    "hll_reagg_weekly",
+    "order_lifecycle_durations",
 ]
 
 

@@ -422,3 +422,38 @@ def test_period_over_period_exact_ppm_and_gap_null(spark):
     assert out[BASE.date()] == (None, None)
     assert out[(BASE + dt.timedelta(days=1)).date()][0] == 500000  # +50%
     assert out[(BASE + dt.timedelta(days=3)).date()] == (None, None)
+
+
+def test_hll_reagg_merge_flags_hold(spark, sf_dir):
+    out = reg.QUERIES["hll_reagg_weekly"](spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        # merged-from-daily == direct weekly sketch, estimate in band
+        assert r.merge_equals_direct is True
+        assert r.merged_in_5pct is True
+        assert r.exact_users > 0
+
+
+def test_order_lifecycle_exact_day_math(spark):
+    rows = [(1, 1, _m(0), "view", 1.0)]
+    extra = {
+        "orders": (
+            [(10, "1-URGENT", dt.datetime(2024, 1, 1)),
+             (11, "1-URGENT", dt.datetime(2024, 1, 1))],
+            "o_orderkey long, o_orderpriority string, "
+            "o_orderdate timestamp_ntz",
+        ),
+        "lineitem": (
+            [(10, dt.datetime(2024, 1, 11)),     # 10 days
+             (10, dt.datetime(2024, 1, 21)),     # 20 days
+             (11, dt.datetime(2024, 5, 1))],     # 121 days -> slow
+            "l_orderkey long, l_shipdate timestamp_ntz",
+        ),
+    }
+    d = _mini_dir(spark, rows, extra)
+    out = reg.QUERIES["order_lifecycle_durations"](spark, d).collect()[0]
+    assert (out.n_lineitems, out.n_orders) == (3, 2)
+    assert out.order_to_ship_days == 10 + 20 + 121
+    assert out.min_days == 10 and out.max_days == 121
+    assert out.slow_ship_ppm == 1000000 // 3
+    assert out.avg_order_to_ship == round((10 + 20 + 121) / 3, 4)
