@@ -10898,6 +10898,179 @@ def q_order_lifecycle_durations(
 
 
 # ---------------------------------------------------------------------------
+# k-of-n alerting: a user alerts on any day where at least 3 of the
+# trailing 7 CALENDAR days (RANGE frame over integer day numbers, so
+# missing days count as absent, not skipped) exceeded twice their
+# overall median daily spend.  The ops-grade debouncer on top of any
+# daily detector — single flag days don't page anyone.  Exact integer
+# cents throughout; the median is the only interpolated value and both
+# engines interpolate identical integers.
+# ---------------------------------------------------------------------------
+
+@register("k_of_n_alerts", """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, day
+),
+med AS (
+    SELECT user_id, quantile_cont(cents, 0.5) AS med_cents
+    FROM daily GROUP BY user_id
+),
+flagged AS (
+    SELECT d.user_id, d.day, d.cents,
+           CASE WHEN d.cents > 2 * m.med_cents THEN 1 ELSE 0 END AS flag,
+           date_diff('day', DATE '1970-01-01', d.day) AS daynum
+    FROM daily d JOIN med m ON m.user_id = d.user_id
+),
+windowed AS (
+    SELECT user_id, day, cents, flag,
+           CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY daynum
+                                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_flags_7d
+    FROM flagged
+)
+SELECT user_id, day, cents, n_flags_7d
+FROM windowed WHERE n_flags_7d >= 3 AND flag = 1
+""")
+def q_k_of_n_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(quantized(F.col("value"), 2)).alias("cents"))
+    )
+    med = daily.groupBy("user_id").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med_cents")
+    )
+    flagged = daily.join(med, "user_id").select(
+        "user_id", "day", "cents",
+        F.when(F.col("cents") > 2 * F.col("med_cents"), 1).otherwise(0)
+        .alias("flag"),
+        F.datediff("day", F.lit("1970-01-01").cast("date")).alias("daynum"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("daynum")
+        .rangeBetween(-6, 0)
+    )
+    return (
+        flagged.withColumn("n_flags_7d", F.sum("flag").over(w))
+        .where((F.col("n_flags_7d") >= 3) & (F.col("flag") == 1))
+        .select("user_id", "day", "cents", "n_flags_7d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization: map every (type, value) onto the POOLED value
+# distribution at the same empirical quantile — the cross-group
+# calibration transform (microarray normalization, feature alignment
+# across segments).  The 100 TB discipline: both distributions collapse
+# to DISTINCT-value dictionaries with cumulative counts, quantile
+# fractions compare as exact rationals (equal rationals divide to
+# identical doubles), and the "smallest pooled value at frac >= source
+# frac" lookup is the UNION-WINDOW forward scan — a running min over
+# the merged fraction axis, never a grid x grid join.  The oracle uses
+# DuckDB's native ASOF JOIN on the negated axis: a different algorithm,
+# the same exact answer.
+# ---------------------------------------------------------------------------
+
+@register("quantile_normalize_values", """
+WITH q AS (
+    SELECT event_type,
+           CAST(round(value * 10000, 0) AS BIGINT) AS q4
+    FROM events
+),
+src AS (
+    SELECT event_type, q4, count(*) AS c FROM q GROUP BY event_type, q4
+),
+srcg AS (
+    SELECT event_type, q4, c,
+           CAST(sum(c) OVER (PARTITION BY event_type ORDER BY q4)
+                AS BIGINT) AS cum,
+           CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+    FROM src
+),
+pool AS (
+    SELECT q4 AS pq4, count(*) AS c FROM q GROUP BY q4
+),
+poolg AS (
+    SELECT pq4,
+           CAST(sum(c) OVER (ORDER BY pq4) AS BIGINT) AS pcum,
+           CAST(sum(c) OVER () AS BIGINT) AS pn
+    FROM pool
+),
+s AS (SELECT event_type, q4, c, cum, n,
+             -(CAST(cum AS DOUBLE) / n) AS nf
+      FROM srcg),
+p AS (SELECT pq4, -(CAST(pcum AS DOUBLE) / pn) AS nf FROM poolg)
+SELECT s.event_type,
+       s.q4 / 10000.0 AS value,
+       p.pq4 / 10000.0 AS normalized_value,
+       CAST(s.c AS BIGINT) AS n_rows
+FROM s ASOF JOIN p ON s.nf >= p.nf
+""")
+def q_quantile_normalize_values(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    q = ev.select("event_type", quantized(F.col("value"), 4).alias("q4"))
+    src = q.groupBy("event_type", "q4").agg(F.count(F.lit(1)).alias("c"))
+    ws = Window.partitionBy("event_type").orderBy("q4")
+    wsa = Window.partitionBy("event_type")
+    srcg = src.select(
+        "event_type", "q4", "c",
+        F.sum("c").over(ws).alias("cum"),
+        F.sum("c").over(wsa).alias("n"),
+    )
+    pool = q.groupBy(F.col("q4").alias("pq4")).agg(
+        F.count(F.lit(1)).alias("pc")
+    )
+    wp = Window.orderBy("pq4")
+    poolg = pool.select(
+        "pq4",
+        F.sum("pc").over(wp).alias("pcum"),
+        F.sum("pc").over(
+            Window.partitionBy(F.lit(1))
+        ).alias("pn"),
+    )
+    # union-window forward lookup on the fraction axis: scan fractions
+    # DESCENDING with pooled rows first at ties; the running min of
+    # pooled q4 is exactly "smallest pooled value at frac >= src frac"
+    s_rows = srcg.select(
+        "event_type", "q4", "c",
+        (F.col("cum").cast("double") / F.col("n")).alias("frac"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("bigint").alias("pq4"),
+    )
+    p_rows = poolg.select(
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("bigint").alias("q4"),
+        F.lit(None).cast("bigint").alias("c"),
+        (F.col("pcum").cast("double") / F.col("pn")).alias("frac"),
+        F.lit(0).alias("tag"),
+        "pq4",
+    )
+    u = s_rows.unionByName(p_rows)
+    wu = (
+        Window.orderBy(F.desc("frac"), F.asc("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("norm_q4", F.min("pq4").over(wu))
+        .where(F.col("tag") == 1)
+        .select(
+            "event_type",
+            (F.col("q4") / 10000.0).alias("value"),
+            (F.col("norm_q4") / 10000.0).alias("normalized_value"),
+            F.col("c").alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "period_over_period_revenue",
     "hll_reagg_weekly",
     "order_lifecycle_durations",
+    "k_of_n_alerts",
+    "quantile_normalize_values",
 ]
 
 

@@ -175,6 +175,8 @@ AUDIT_QUERIES = [
     "period_over_period_revenue",
     "hll_reagg_weekly",
     "order_lifecycle_durations",
+    "k_of_n_alerts",
+    "quantile_normalize_values",
 ]
 
 

@@ -457,3 +457,52 @@ def test_order_lifecycle_exact_day_math(spark):
     assert out.min_days == 10 and out.max_days == 121
     assert out.slow_ship_ppm == 1000000 // 3
     assert out.avg_order_to_ship == round((10 + 20 + 121) / 3, 4)
+
+
+def test_k_of_n_alerts_debounce(spark):
+    # user 1: 3 spike days inside one week -> alert fires on day 3;
+    # user 2: 3 spikes spread over a month -> never 3-in-7, no alert
+    def spike_days(uid, days, start_eid):
+        rows = []
+        for i, day in enumerate(days):
+            t = BASE + dt.timedelta(days=day)
+            rows.append((uid, start_eid + 2 * i, t, "purchase", 100.0))
+        return rows
+
+    base_days = [(1, i) for i in range(20)]  # baseline 1.0 purchases
+    rows = []
+    eid = 1000
+    for uid, day in base_days:
+        rows.append((uid, eid, BASE + dt.timedelta(days=day), "purchase",
+                     1.0))
+        eid += 1
+        rows.append((2, eid, BASE + dt.timedelta(days=day), "purchase",
+                     1.0))
+        eid += 1
+    rows += spike_days(1, [30, 32, 34], 1)
+    rows += spike_days(2, [30, 40, 50], 100)
+    d = _mini_dir(spark, rows)
+    out = [(r.user_id, r.day) for r in
+           reg.QUERIES["k_of_n_alerts"](spark, d).collect()]
+    assert (1, (BASE + dt.timedelta(days=34)).date()) in out
+    assert all(u != 2 for u, _ in out)
+
+
+def test_quantile_normalization_known_mapping(spark):
+    rows = [
+        (1, 1, _m(0), "a", 1.0), (1, 2, _m(1), "a", 2.0),
+        (1, 3, _m(2), "b", 3.0), (1, 4, _m(3), "b", 4.0),
+    ]
+    d = _mini_dir(spark, rows)
+    out = {
+        (r.event_type, r.value): r.normalized_value
+        for r in reg.QUERIES["quantile_normalize_values"](
+            spark, d
+        ).collect()
+    }
+    # pooled fracs: 1->.25, 2->.5, 3->.75, 4->1.0
+    # type a: 1 is its .5 quantile -> pooled value at >=.5 is 2
+    assert out[("a", 1.0)] == 2.0
+    assert out[("a", 2.0)] == 4.0
+    assert out[("b", 3.0)] == 2.0
+    assert out[("b", 4.0)] == 4.0
