@@ -11071,6 +11071,182 @@ def q_quantile_normalize_values(
 
 
 # ---------------------------------------------------------------------------
+# Association rules over sessions (market-basket): for every DIRECTED
+# event-type pair a -> b, the sessions-level support, confidence and
+# lift — Apriori's first two levels as pure relational algebra.  The
+# "basket" is the distinct type set of each 30-minute-gap session;
+# itemsets collapse to (session, type) rows so the pair join is
+# per-session quadratic in DISTINCT types (≤5 here, bounded by the
+# type vocabulary at any scale), never in events.  All metrics exact
+# ppm integers over broadcast totals.
+# ---------------------------------------------------------------------------
+
+@register("session_association_rules", """
+WITH e AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                     > 1800000000 THEN 1 ELSE 0 END AS brk
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT user_id, event_type,
+           CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS sess
+    FROM e
+),
+items AS (
+    SELECT DISTINCT user_id, sess, event_type FROM s
+),
+n_sess AS (
+    SELECT count(*) AS n FROM (SELECT DISTINCT user_id, sess FROM items)
+),
+supp1 AS (
+    SELECT event_type, count(*) AS sa FROM items GROUP BY event_type
+),
+supp2 AS (
+    SELECT a.event_type AS ante, b.event_type AS cons, count(*) AS sab
+    FROM items a JOIN items b
+      ON a.user_id = b.user_id AND a.sess = b.sess
+     AND a.event_type <> b.event_type
+    GROUP BY ante, cons
+)
+SELECT p.ante, p.cons, CAST(p.sab AS BIGINT) AS n_sessions_both,
+       CAST(p.sab * 1000000 // n.n AS BIGINT) AS support_ppm,
+       CAST(p.sab * 1000000 // x.sa AS BIGINT) AS confidence_ppm,
+       CAST(p.sab * n.n * 1000000 // (x.sa * y.sa) AS BIGINT) AS lift_ppm
+FROM supp2 p
+JOIN supp1 x ON x.event_type = p.ante
+JOIN supp1 y ON y.event_type = p.cons
+CROSS JOIN n_sess n
+WHERE p.sab >= 5
+""")
+def q_session_association_rules(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    )
+    brk = F.when(
+        F.lag("ts").over(w).isNull() | (gap > 1_800_000_000), 1
+    ).otherwise(0)
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = ev.select(
+        "user_id", "ts", "event_id", "event_type", brk.alias("brk")
+    ).withColumn("sess", F.sum("brk").over(ws))
+    items = s.select("user_id", "sess", "event_type").distinct()
+    n_sess = items.select("user_id", "sess").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    supp1 = items.groupBy("event_type").agg(F.count(F.lit(1)).alias("sa"))
+    a = items.select("user_id", "sess", F.col("event_type").alias("ante"))
+    b = items.select("user_id", "sess", F.col("event_type").alias("cons"))
+    supp2 = (
+        a.join(b, ["user_id", "sess"])
+        .where(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("sab"))
+        .where(F.col("sab") >= 5)
+    )
+    x = supp1.select(F.col("event_type").alias("ante"),
+                     F.col("sa").alias("sx"))
+    y = supp1.select(F.col("event_type").alias("cons"),
+                     F.col("sa").alias("sy"))
+    return (
+        supp2.join(F.broadcast(x), "ante")
+        .join(F.broadcast(y), "cons")
+        .crossJoin(F.broadcast(n_sess))
+        .select(
+            "ante", "cons",
+            F.col("sab").alias("n_sessions_both"),
+            F.expr("(sab * 1000000) div n").alias("support_ppm"),
+            F.expr("(sab * 1000000) div sx").alias("confidence_ppm"),
+            F.expr("(sab * n * 1000000) div (sx * sy)").alias("lift_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient on the near-dup graph: per node, degree,
+# triangle membership count, and 2*tri/(deg*(deg-1)) in exact ppm —
+# "how clique-like is each document's duplicate neighborhood" (high
+# coefficient = a template family, low = chain-like drift).  Wedges are
+# enumerated a<b around each center (cost ∝ Σdeg²) and closed by one
+# join against the oriented edge list; the MinHash stage runs once
+# (localCheckpoint), exactly as in the PageRank query.
+# ---------------------------------------------------------------------------
+
+@register("clustering_coefficient_docs", f"""
+WITH p AS ({_NEAR_DUP_PAIRS_SQL}),
+e AS (SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL SELECT id_b AS src, id_a AS dst FROM p),
+deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+tri AS (
+    SELECT w.v, count(*) AS n_tri
+    FROM (SELECT e1.src AS v, e1.dst AS a, e2.dst AS b
+          FROM e e1 JOIN e e2
+            ON e1.src = e2.src AND e1.dst < e2.dst) w
+    JOIN p ON p.id_a = w.a AND p.id_b = w.b
+    GROUP BY w.v
+)
+SELECT d.id AS doc_id, CAST(d.deg AS BIGINT) AS degree,
+       CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.deg >= 2
+            THEN CAST(2 * coalesce(t.n_tri, 0) * 1000000
+                      // (d.deg * (d.deg - 1)) AS BIGINT)
+       END AS clustering_ppm
+FROM deg d LEFT JOIN tri t ON t.v = d.id
+""")
+def q_clustering_coefficient_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from anomaly_detection_spark.pipeline.dedup import (
+        minhash_exact_near_duplicates,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    p = minhash_exact_near_duplicates(
+        docs, "text", "doc_id", jaccard_threshold=0.5
+    ).select("id_a", "id_b").localCheckpoint()
+    e = p.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        p.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e1 = e.select(F.col("src").alias("v"), F.col("dst").alias("a"))
+    e2 = e.select(F.col("src").alias("v"), F.col("dst").alias("b"))
+    wedges = e1.join(e2, "v").where(F.col("a") < F.col("b"))
+    closed = wedges.join(
+        p, (p.id_a == wedges.a) & (p.id_b == wedges.b)
+    )
+    tri = closed.groupBy("v").agg(F.count(F.lit(1)).alias("n_tri"))
+    return (
+        deg.join(tri, deg.src == tri.v, "left")
+        .select(
+            F.col("src").alias("doc_id"),
+            F.col("deg").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.expr(
+                    "(2 * coalesce(n_tri, CAST(0 AS BIGINT)) * 1000000)"
+                    " div (deg * (deg - 1))"
+                ),
+            ).alias("clustering_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "order_lifecycle_durations",
     "k_of_n_alerts",
     "quantile_normalize_values",
+    "session_association_rules",
+    "clustering_coefficient_docs",
 ]
 
 

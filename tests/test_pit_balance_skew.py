@@ -506,3 +506,58 @@ def test_quantile_normalization_known_mapping(spark):
     assert out[("a", 2.0)] == 4.0
     assert out[("b", 3.0)] == 2.0
     assert out[("b", 4.0)] == 4.0
+
+
+def test_association_rules_confidence_directional(spark):
+    rows = []
+    eid = 0
+    # 6 sessions where click AND view co-occur (distinct users so each
+    # is its own session), plus 2 click-only sessions
+    for u in range(1, 7):
+        eid += 1; rows.append((u, eid, _m(0), "click", 1.0))
+        eid += 1; rows.append((u, eid, _m(1), "view", 1.0))
+    for u in range(7, 9):
+        eid += 1; rows.append((u, eid, _m(0), "click", 1.0))
+    d = _mini_dir(spark, rows)
+    out = {
+        (r.ante, r.cons): r
+        for r in reg.QUERIES["session_association_rules"](
+            spark, d
+        ).collect()
+    }
+    cv = out[("click", "view")]
+    vc = out[("view", "click")]
+    assert cv.n_sessions_both == vc.n_sessions_both == 6
+    # click appears in 8 sessions, view in 6 -> confidence differs by
+    # direction, lift is symmetric
+    assert cv.confidence_ppm == 6 * 1000000 // 8
+    assert vc.confidence_ppm == 1000000
+    assert cv.lift_ppm == vc.lift_ppm == 6 * 8 * 1000000 // (8 * 6)
+
+
+def test_clustering_coefficient_triangle(spark):
+    import tempfile
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d = tempfile.mkdtemp()
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, text), (4, "totally different words "
+                                              "nothing shared here at all "
+                                              "qq ww ee rr tt yy")],
+        "doc_id long, text string",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs.toPandas()),
+        os.path.join(d, "documents.parquet"),
+    )
+    out = {
+        r.doc_id: r
+        for r in reg.QUERIES["clustering_coefficient_docs"](
+            spark, d
+        ).collect()
+    }
+    # 1-2-3 form a perfect triangle: degree 2, one triangle, coeff 1.0
+    for doc in (1, 2, 3):
+        assert (out[doc].degree, out[doc].n_triangles) == (2, 1)
+        assert out[doc].clustering_ppm == 1000000
+    assert 4 not in out          # isolated node has no edges
