@@ -11247,6 +11247,157 @@ def q_clustering_coefficient_docs(
 
 
 # ---------------------------------------------------------------------------
+# Sorted-neighborhood record linkage (Hernandez-Stolfo '95): the THIRD
+# blocking paradigm in this repo (token blocking in
+# record_linkage_parts, LSH in pipeline/dedup.py).  Candidate pairs are
+# names within rank distance <= 3 of each other after sorting the
+# DISTINCT-name dictionary by its canonicalized key; Levenshtein
+# verifies.  The sort ranks a bounded dictionary, never raw rows, and
+# the neighbor join is rank-banded (each name joins <= 3 neighbors).
+# ---------------------------------------------------------------------------
+
+@register("sorted_neighborhood_parts", r"""
+WITH names AS (
+    SELECT p_name, count(*) AS cnt FROM part GROUP BY p_name
+),
+keyed AS (
+    SELECT p_name, cnt,
+           regexp_replace(lower(trim(p_name)), '[^a-z0-9]+', '', 'g')
+               AS sort_key,
+           row_number() OVER (ORDER BY
+               regexp_replace(lower(trim(p_name)), '[^a-z0-9]+', '', 'g'),
+               p_name) AS rnk
+    FROM names
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(b.rnk - a.rnk AS INT) AS rank_gap,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev,
+       CAST(a.cnt AS BIGINT) AS cnt_a, CAST(b.cnt AS BIGINT) AS cnt_b
+FROM keyed a JOIN keyed b
+  ON b.rnk - a.rnk BETWEEN 1 AND 3
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+""")
+def q_sorted_neighborhood_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from anomaly_detection_spark.operators.ranking import rank_family
+
+    part = load_table(spark, "part", sf_dir)
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("cnt"))
+    keyed = names.withColumn(
+        "sort_key",
+        F.regexp_replace(
+            F.lower(F.trim(F.col("p_name"))), "[^a-z0-9]+", ""
+        ),
+    )
+    # distributed rank over the dictionary (no SinglePartition window)
+    ranked = rank_family(keyed, ["sort_key", "p_name"]).select(
+        "p_name", "cnt", F.col("global_rn").alias("rnk")
+    )
+    a = ranked.select(
+        F.col("p_name").alias("name_a"), F.col("cnt").alias("cnt_a"),
+        F.col("rnk").alias("ra"),
+    )
+    b = ranked.select(
+        F.col("p_name").alias("name_b"), F.col("cnt").alias("cnt_b"),
+        F.col("rnk").alias("rb"),
+    )
+    # rank-banded neighbor join: equi-join on the rank bucket of the
+    # LEFT endpoint (each right row replicates to the <=3 buckets it
+    # can answer), so Catalyst plans a hash join, not a range NLJ
+    ae = a.withColumn("bucket", F.col("ra"))
+    be = b.select(
+        "name_b", "cnt_b", "rb",
+        F.explode(
+            F.array(*[F.col("rb") - i for i in (1, 2, 3)])
+        ).alias("bucket"),
+    )
+    return (
+        ae.join(be, "bucket")
+        .where(F.levenshtein("name_a", "name_b") <= 4)
+        .select(
+            "name_a", "name_b",
+            (F.col("rb") - F.col("ra")).cast("int").alias("rank_gap"),
+            F.levenshtein("name_a", "name_b").cast("int").alias("lev"),
+            "cnt_a", "cnt_b",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Next-greater-element: for every purchase, the FIRST later purchase by
+# the same user with a strictly higher value — "when does spend next
+# exceed today's" (time-to-recovery / drawdown analytics).  TWO
+# ALGORITHMS, ONE ANSWER: the Spark side runs the classic monotonic
+#-stack scan (linear per series) as an Arrow-batched grouped kernel;
+# the oracle is the O(n^2) correlated-argmin SQL.  Exact cents
+# comparisons, integer-microsecond gaps.
+# ---------------------------------------------------------------------------
+
+@register("next_higher_spend_user", """
+WITH p AS (
+    SELECT user_id, event_id, ts,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+),
+best AS (
+    SELECT a.event_id, b.event_id AS nge_event_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+    FROM p a JOIN p b
+      ON a.user_id = b.user_id
+     AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+     AND b.cents > a.cents
+    QUALIFY row_number() OVER (PARTITION BY a.event_id
+                               ORDER BY b.ts, b.event_id) = 1
+)
+SELECT p.user_id, p.event_id, p.cents,
+       best.nge_event_id, best.gap_us
+FROM p LEFT JOIN best USING (event_id)
+""")
+def q_next_higher_spend_user(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        quantized(F.col("value"), 2).alias("cents"),
+    ).repartition(
+        ev.sparkSession.sparkContext.defaultParallelism, "user_id"
+    )
+
+    def nge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t_us", "event_id"]).reset_index(drop=True)
+        n = len(pdf)
+        cents = pdf["cents"].to_numpy()
+        eids = pdf["event_id"].to_numpy()
+        ts = pdf["t_us"].to_numpy()
+        nge_id = [None] * n
+        gap = [None] * n
+        stack: list[int] = []      # indices with no higher value yet
+        for i in range(n):
+            while stack and cents[stack[-1]] < cents[i]:
+                j = stack.pop()
+                nge_id[j] = int(eids[i])
+                gap[j] = int(ts[i] - ts[j])
+            stack.append(i)
+        pdf["nge_event_id"] = pd.array(nge_id, dtype="Int64")
+        pdf["gap_us"] = pd.array(gap, dtype="Int64")
+        return pdf
+
+    out = p.groupBy("user_id").applyInPandas(
+        nge,
+        schema="user_id long, event_id long, t_us long, cents long, "
+               "nge_event_id long, gap_us long",
+    )
+    return out.select(
+        "user_id", "event_id", "cents", "nge_event_id", "gap_us"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

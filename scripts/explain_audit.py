@@ -179,6 +179,8 @@ AUDIT_QUERIES = [
     "quantile_normalize_values",
     "session_association_rules",
     "clustering_coefficient_docs",
+    "sorted_neighborhood_parts",
+    "next_higher_spend_user",
 ]
 
 

@@ -561,3 +561,35 @@ def test_clustering_coefficient_triangle(spark):
         assert (out[doc].degree, out[doc].n_triangles) == (2, 1)
         assert out[doc].clustering_ppm == 1000000
     assert 4 not in out          # isolated node has no edges
+
+
+def test_next_higher_spend_stack_semantics(spark):
+    # values 3, 1, 2, 5: NGE(3)=5, NGE(1)=2, NGE(2)=5, NGE(5)=None
+    vals = [3.0, 1.0, 2.0, 5.0]
+    rows = [(1, i + 1, _m(i), "purchase", v) for i, v in enumerate(vals)]
+    d = _mini_dir(spark, rows)
+    out = {r.event_id: r.nge_event_id for r in
+           reg.QUERIES["next_higher_spend_user"](spark, d).collect()}
+    assert out == {1: 4, 2: 3, 3: 4, 4: None}
+
+
+def test_sorted_neighborhood_blocks_canonical_neighbors(spark):
+    rows = [(1, 1, _m(0), "view", 1.0)]
+    extra = {
+        "part": (
+            [("widget alpha",), ("Widget-Alphb",), ("zz unrelated name",)],
+            "p_name string",
+        ),
+    }
+    d = _mini_dir(spark, rows, extra)
+    out = [
+        (r.name_a, r.name_b, r.lev)
+        for r in reg.QUERIES["sorted_neighborhood_parts"](
+            spark, d
+        ).collect()
+    ]
+    # the two widget variants sort adjacent on the canonical key and
+    # pass the Levenshtein gate; the unrelated name pairs with nothing
+    pairs = {frozenset((a, b)) for a, b, _ in out}
+    assert frozenset(("widget alpha", "Widget-Alphb")) in pairs
+    assert all("zz unrelated name" not in p for p in pairs)
