@@ -11398,6 +11398,153 @@ def q_next_higher_spend_user(
 
 
 # ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (PPJoin family, Xiao et al.
+# WWW'08) — the FOURTH near-dup paradigm in this repo (vs MinHash-LSH,
+# SimHash banding, PassJoin edit blocking): two documents with token-
+# set Jaccard >= 0.6 MUST share a token in each other's rarest
+# (n - ceil(0.6 n) + 1)-token prefix, so only prefix postings join.
+# The Jaccard gate is the exact integer cross-multiplication
+# 5*|intersect| >= 3*|union| (0.6 = 3/5 — no float threshold), and the
+# prefix length uses pure integer ceil((3n+4)//5).  The oracle is the
+# brute-force all-pairs Jaccard — a green row proves the prefix filter
+# loses nothing.
+# ---------------------------------------------------------------------------
+
+@register("ppjoin_jaccard_pairs", r"""
+WITH sets AS (
+    SELECT doc_id,
+           list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+    FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_shared,
+       floor(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks)
+                - len(list_intersect(a.toks, b.toks)))
+             * 1000000 + 0.5) / 1000000 AS jaccard
+FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+WHERE 5 * len(list_intersect(a.toks, b.toks))
+      >= 3 * (len(a.toks) + len(b.toks)
+              - len(list_intersect(a.toks, b.toks)))
+""")
+def q_ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.split(F.trim(F.col("text")), r"\s+")
+        ).alias("toks"),
+    )
+    tok = toks.select("doc_id", F.explode("toks").alias("w"))
+    df_tab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    wr = Window.partitionBy("doc_id").orderBy("df", "w")
+    ranked = (
+        tok.join(df_tab, "w")
+        .withColumn("rn", F.row_number().over(wr))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+    )
+    # integer prefix length: n - ceil(3n/5) + 1, ceil(3n/5)=(3n+4) div 5
+    prefix = ranked.where(
+        F.col("rn") <= F.col("n") - F.expr("(3 * n + 4) div 5") + 1
+    ).select("doc_id", "w")
+    a = prefix.select(F.col("doc_id").alias("id_a"), "w")
+    b = prefix.select(F.col("doc_id").alias("id_b"), "w")
+    cand = (
+        a.join(b, "w")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("id_a"),
+                     F.col("toks").alias("ta"))
+    tb = toks.select(F.col("doc_id").alias("id_b"),
+                     F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size("ta") + F.size("tb") - inter
+    return (
+        cand.join(ta, "id_a").join(tb, "id_b")
+        .where(5 * inter >= 3 * union)
+        .select(
+            "id_a", "id_b",
+            inter.cast("bigint").alias("n_shared"),
+            (
+                F.floor(
+                    inter.cast("double") / union * 1000000 + F.lit(0.5)
+                ) / 1000000
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Latest-value percentile: where does each user's MOST RECENT purchase
+# sit within their own spending history?  The instant-readout detector
+# ("today is your 97th-percentile day").  Percentile = exact
+# strictly-below count over history in ppm (integer division), latest
+# row by max(struct(ts, event_id)) argmax — one grouped pass plus a
+# dictionary-sized self-join back for the below-count.
+# ---------------------------------------------------------------------------
+
+@register("latest_value_percentile", """
+WITH p AS (
+    SELECT user_id, event_id, ts,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+),
+latest AS (
+    SELECT user_id, event_id AS latest_event_id, cents AS latest_cents
+    FROM p
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+),
+scored AS (
+    SELECT l.user_id, l.latest_event_id, l.latest_cents,
+           count(*) AS n_history,
+           CAST(sum(CASE WHEN p.cents < l.latest_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_below
+    FROM latest l JOIN p ON p.user_id = l.user_id
+    GROUP BY l.user_id, l.latest_event_id, l.latest_cents
+)
+SELECT user_id, latest_event_id, latest_cents, n_history,
+       CAST(n_below * 1000000 // n_history AS BIGINT) AS percentile_ppm
+FROM scored
+""")
+def q_latest_value_percentile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts",
+        quantized(F.col("value"), 2).alias("cents"),
+    )
+    latest = p.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "cents")).alias("m")
+    ).select(
+        "user_id",
+        F.col("m.event_id").alias("latest_event_id"),
+        F.col("m.cents").alias("latest_cents"),
+    )
+    j = p.join(latest, "user_id")
+    return (
+        j.groupBy("user_id", "latest_event_id", "latest_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_history"),
+            F.sum(
+                F.when(F.col("cents") < F.col("latest_cents"), 1)
+                .otherwise(0)
+            ).alias("n_below"),
+        )
+        .select(
+            "user_id", "latest_event_id", "latest_cents", "n_history",
+            F.expr("(n_below * 1000000) div n_history")
+            .alias("percentile_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

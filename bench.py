@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     "clustering_coefficient_docs",
     "sorted_neighborhood_parts",
     "next_higher_spend_user",
+    "ppjoin_jaccard_pairs",
+    "latest_value_percentile",
 ]
 
 

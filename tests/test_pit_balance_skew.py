@@ -593,3 +593,37 @@ def test_sorted_neighborhood_blocks_canonical_neighbors(spark):
     pairs = {frozenset((a, b)) for a, b, _ in out}
     assert frozenset(("widget alpha", "Widget-Alphb")) in pairs
     assert all("zz unrelated name" not in p for p in pairs)
+
+
+def test_ppjoin_boundary_and_exclusion(spark):
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # with doc 2: inter=3, union=5 -> 0.6
+            (2, "a b c e"),      #   exactly at the threshold: KEPT
+            (3, "x y z w q r"),  # with 1: inter=0 -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs.toPandas()),
+        os.path.join(d, "documents.parquet"),
+    )
+    out = {(r.id_a, r.id_b): r.jaccard for r in
+           reg.QUERIES["ppjoin_jaccard_pairs"](spark, d).collect()}
+    assert out == {(1, 2): 0.6}
+
+
+def test_latest_value_percentile_counts_below(spark):
+    rows = [
+        (1, i, _m(i), "purchase", float(i)) for i in range(1, 6)
+    ]  # history 1..5, latest value 5 -> 4 of 5 strictly below
+    rows.append((2, 10, _m(0), "purchase", 7.0))  # single-purchase user
+    d = _mini_dir(spark, rows)
+    out = {r.user_id: r for r in
+           reg.QUERIES["latest_value_percentile"](spark, d).collect()}
+    assert out[1].latest_event_id == 5
+    assert out[1].percentile_ppm == 4 * 1000000 // 5
+    assert out[2].percentile_ppm == 0     # nothing below its only value
