@@ -11545,6 +11545,298 @@ def q_latest_value_percentile(
 
 
 # ---------------------------------------------------------------------------
+# Sweep-line peak concurrency — "how many orders were simultaneously
+# open?" answered WITHOUT a single-partition global window.  Each order
+# is open over [o_orderdate, max(l_shipdate) + 1 day); concurrency
+# changes only at interval boundaries, so the timeline is the classic
+# sweep: +1 at start, -1 at end, cumulative sum, max per month.  The
+# cumulative sum is the scale hazard: a naive Window over the whole
+# timeline funnels 100 TB of boundaries through ONE task.  Here it is a
+# two-level distributed prefix sum: per-month partial cumsums run in
+# parallel, a dictionary-sized per-month totals table (≈ #months rows)
+# gets its own tiny cumsum, and a broadcast join adds each month's
+# carried-in offset.  The oracle is DuckDB's single global window — two
+# very different execution strategies, one answer.
+# ---------------------------------------------------------------------------
+
+@register("sweepline_peak_concurrency", """
+WITH ends AS (
+    SELECT l_orderkey AS okey,
+           max(l_shipdate) + INTERVAL 1 DAY AS end_ts
+    FROM lineitem GROUP BY l_orderkey
+),
+b AS (
+    SELECT o_orderdate AS ts, 1 AS delta
+    FROM orders JOIN ends ON o_orderkey = okey
+    UNION ALL
+    SELECT end_ts AS ts, -1 AS delta
+    FROM orders JOIN ends ON o_orderkey = okey
+),
+d AS (SELECT ts, sum(delta) AS delta FROM b GROUP BY ts),
+c AS (
+    SELECT ts, CAST(sum(delta) OVER (ORDER BY ts) AS BIGINT) AS level
+    FROM d
+),
+m AS (
+    SELECT strftime(ts, '%Y-%m') AS month,
+           max(struct_pack(level := level,
+                           negms := -epoch_ms(ts))) AS pk
+    FROM c GROUP BY month
+)
+SELECT month, pk.level AS peak_open,
+       strftime(epoch_ms(-pk.negms), '%Y-%m-%d') AS peak_day
+FROM m
+""")
+def q_sweepline_peak_concurrency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    ends = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        (F.max("l_shipdate") + F.expr("INTERVAL 1 DAY")).alias("end_ts")
+    )
+    opened = orders.join(
+        ends, orders.o_orderkey == ends.okey
+    ).select("o_orderdate", "end_ts")
+    b = opened.select(
+        F.col("o_orderdate").alias("ts"), F.lit(1).alias("delta")
+    ).unionAll(
+        opened.select(F.col("end_ts").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    # net change per distinct boundary instant (tie-order independent)
+    d = b.groupBy("ts").agg(F.sum("delta").alias("delta")).withColumn(
+        "month", F.date_format("ts", "yyyy-MM")
+    )
+    # level 1: parallel partial cumsums inside each month
+    w_in = Window.partitionBy("month").orderBy("ts")
+    part = d.withColumn("run", F.sum("delta").over(w_in))
+    # level 2: dictionary-sized month totals -> carried-in offsets
+    totals = d.groupBy("month").agg(F.sum("delta").alias("tot"))
+    w_m = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "month", F.coalesce(F.sum("tot").over(w_m), F.lit(0)).alias("off")
+    )
+    lev = part.join(F.broadcast(offsets), "month").select(
+        "month", "ts",
+        (F.col("run") + F.col("off")).cast("bigint").alias("level"),
+    )
+    pk = lev.groupBy("month").agg(
+        F.max(
+            F.struct(
+                F.col("level"),
+                (-F.unix_millis(F.col("ts").cast("timestamp"))).alias(
+                    "negms"
+                ),
+            )
+        ).alias("pk")
+    )
+    return pk.select(
+        "month",
+        F.col("pk.level").alias("peak_open"),
+        F.date_format(
+            F.timestamp_millis(-F.col("pk.negms")), "yyyy-MM-dd"
+        ).alias("peak_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder (Hamilton) apportionment — allocate an integer
+# budget of 10000 units across nations proportional to order revenue,
+# with the floor + rank-by-remainder top-up so the allocation sums to
+# EXACTLY the budget.  All arithmetic is exact integers (cents and
+# products of cents with the budget), so the oracle is bit-identical;
+# ties on remainder break by nation name.  The fact-side aggregation is
+# a 25-key map-side-combine shuffle; everything after runs on a
+# dictionary-sized table.
+# ---------------------------------------------------------------------------
+
+@register("largest_remainder_allocation", """
+WITH rev AS (
+    SELECT n_name,
+           sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+),
+base AS (
+    SELECT n_name, rev_cents,
+           (rev_cents * 10000) // (SELECT sum(rev_cents) FROM rev)
+               AS floor_alloc,
+           (rev_cents * 10000) % (SELECT sum(rev_cents) FROM rev)
+               AS rem
+    FROM rev
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (ORDER BY rem DESC, n_name) AS rk,
+           10000 - (SELECT sum(floor_alloc) FROM base) AS leftover
+    FROM base
+)
+SELECT n_name, CAST(rev_cents AS BIGINT) AS rev_cents,
+       CAST(floor_alloc AS BIGINT) AS floor_alloc,
+       CAST(floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS final_alloc
+FROM ranked
+""")
+def q_largest_remainder_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(quantized(F.col("o_totalprice"), 2)).alias("rev_cents"))
+    )
+    # dictionary-sized from here on (25 nations)
+    w_all = Window.partitionBy()
+    base = rev.select(
+        "n_name", "rev_cents",
+        F.sum("rev_cents").over(w_all).alias("total_cents"),
+    ).select(
+        "n_name", "rev_cents",
+        F.expr("(rev_cents * 10000) div total_cents").alias("floor_alloc"),
+        F.expr("(rev_cents * 10000) % total_cents").alias("rem"),
+    )
+    w_rk = Window.orderBy(F.desc("rem"), "n_name")
+    ranked = base.select(
+        "n_name", "rev_cents", "floor_alloc",
+        F.row_number().over(w_rk).alias("rk"),
+        (F.lit(10000) - F.sum("floor_alloc").over(w_all)).alias("leftover"),
+    )
+    return ranked.select(
+        "n_name", "rev_cents",
+        F.col("floor_alloc").cast("bigint").alias("floor_alloc"),
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).cast("bigint").alias("final_alloc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily-grid LINEAR interpolation of each user's purchase series — the
+# interpolating counterpart of forward-fill gap filling: the value at
+# each midnight strictly inside the user's purchase span is the exact
+# linear blend of the bracketing purchases, computed entirely in
+# integer arithmetic (cents x millisecond gaps, emitted in millicents)
+# so both engines agree bit-for-bit.  Two algorithms, one answer: Spark
+# builds the bracketing rows with the union + IGNORE NULLS window-fill
+# pattern (the scalable as-of idiom — one shuffle, no range join);
+# the oracle uses DuckDB's native ASOF JOIN machinery twice.
+# ---------------------------------------------------------------------------
+
+@register("linear_interpolation_grid", """
+WITH p AS (
+    SELECT user_id, ts,
+           max(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, ts
+),
+span AS (
+    SELECT user_id, min(ts) AS f, max(ts) AS l
+    FROM p GROUP BY user_id HAVING count(*) >= 2
+),
+grid AS (
+    SELECT user_id,
+           unnest(generate_series(
+               CASE WHEN date_trunc('day', f) = f THEN f
+                    ELSE date_trunc('day', f) + INTERVAL 1 DAY END,
+               date_trunc('day', l),
+               INTERVAL 1 DAY)) AS g
+    FROM span
+),
+prev AS (
+    SELECT grid.user_id, grid.g, p.ts AS t1, p.cents AS c1
+    FROM grid ASOF JOIN p
+      ON grid.user_id = p.user_id AND p.ts <= grid.g
+),
+nxt AS (
+    SELECT grid.user_id, grid.g, p.ts AS t2, p.cents AS c2
+    FROM grid ASOF JOIN p
+      ON grid.user_id = p.user_id AND p.ts >= grid.g
+)
+SELECT prev.user_id, strftime(prev.g, '%Y-%m-%d') AS grid_day,
+       CAST(CASE WHEN t2 = t1 THEN c1 * 1000
+            ELSE (c1 * (epoch_ms(t2) - epoch_ms(prev.g))
+                  + c2 * (epoch_ms(prev.g) - epoch_ms(t1))) * 1000
+                 // (epoch_ms(t2) - epoch_ms(t1)) END AS BIGINT)
+           AS interp_millicents
+FROM prev JOIN nxt ON prev.user_id = nxt.user_id AND prev.g = nxt.g
+""")
+def q_linear_interpolation_grid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max(quantized(F.col("value"), 2)).alias("cents"))
+    )
+    span = p.groupBy("user_id").agg(
+        F.min("ts").alias("f"), F.max("ts").alias("l"),
+        F.count(F.lit(1)).alias("n"),
+    ).where("n >= 2")
+    start = F.when(
+        F.date_trunc("day", F.col("f")) == F.col("f"), F.col("f")
+    ).otherwise(F.date_trunc("day", F.col("f")) + F.expr("INTERVAL 1 DAY"))
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(start, F.date_trunc("day", F.col("l")),
+                       F.expr("INTERVAL 1 DAY"))
+        ).alias("ts"),
+    )
+    # union + IGNORE NULLS window fill: one shuffle per direction-free
+    # sort, no range join, purchases and grid co-partitioned by user
+    both = p.select(
+        "user_id", "ts", "cents", F.lit(0).alias("is_grid")
+    ).unionAll(
+        grid.select("user_id", "ts", F.lit(None).cast("long").alias("cents"),
+                    F.lit(1).alias("is_grid"))
+    )
+    # exact-hit grid rows must see the same-instant purchase in BOTH
+    # directions: the backward window orders purchases (is_grid=0)
+    # before grid rows at the same ts, the forward window after — same
+    # partitioning, so Spark plans one exchange with two sorts
+    w_b = Window.partitionBy("user_id").orderBy(
+        "ts", F.asc("is_grid")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    w_f = Window.partitionBy("user_id").orderBy(
+        "ts", F.desc("is_grid")
+    ).rowsBetween(0, Window.unboundedFollowing)
+    filled = both.select(
+        "user_id", "ts", "is_grid",
+        F.last(F.when(F.col("is_grid") == 0, F.col("cents")),
+               ignorenulls=True).over(w_b).alias("c1"),
+        F.last(F.when(F.col("is_grid") == 0, F.col("ts")),
+               ignorenulls=True).over(w_b).alias("t1"),
+        F.first(F.when(F.col("is_grid") == 0, F.col("cents")),
+                ignorenulls=True).over(w_f).alias("c2"),
+        F.first(F.when(F.col("is_grid") == 0, F.col("ts")),
+                ignorenulls=True).over(w_f).alias("t2"),
+    ).where("is_grid = 1 AND c1 IS NOT NULL AND c2 IS NOT NULL")
+    g_ms = F.unix_millis("ts")
+    t1_ms, t2_ms = F.unix_millis("t1"), F.unix_millis("t2")
+    return filled.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("grid_day"),
+        F.when(t2_ms == t1_ms, F.col("c1") * 1000).otherwise(
+            F.expr(
+                "(c1 * (unix_millis(t2) - unix_millis(ts))"
+                " + c2 * (unix_millis(ts) - unix_millis(t1))) * 1000"
+                " div (unix_millis(t2) - unix_millis(t1))"
+            )
+        ).cast("bigint").alias("interp_millicents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -183,6 +183,9 @@ AUDIT_QUERIES = [
     "next_higher_spend_user",
     "ppjoin_jaccard_pairs",
     "latest_value_percentile",
+    "sweepline_peak_concurrency",
+    "largest_remainder_allocation",
+    "linear_interpolation_grid",
 ]
 
 
