@@ -3,11 +3,13 @@
 Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct. The Spark-side machinery — schema, partition-preserving
 ``mapInPandas`` over Arrow batches, bounded batch memory — is real and
-tested; the actual codec step is STUBBED (the container ships no
-image/audio libraries): ``decode_stub`` raises ``NotImplementedError``
-unless ``fake=True``, in which case it produces a deterministic fake
-feature vector so downstream plumbing (similarity, dedup on features)
-can be exercised end to end.
+tested. The codec step is REAL for the spec-simple formats (BMP,
+PPM/PGM, RIFF-PCM WAV — see ``pipeline.codecs``, pure numpy, no
+external libraries) and STUBBED only for compressed formats that
+genuinely need libjpeg/ffmpeg: there ``decode_stub`` raises
+``NotImplementedError`` unless ``fake=True``, in which case it
+produces a deterministic fake feature vector so downstream plumbing
+(similarity, dedup on features) can be exercised end to end.
 
 At 100 TB: binary payloads stay columnar in parquet; mapInPandas
 streams Arrow batches so peak executor memory is one batch of blobs
@@ -25,6 +27,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from . import codecs
 
 
 MEDIA_META_SCHEMA = (
@@ -50,13 +54,50 @@ def attach_binary_payload(df: DataFrame, src_col: str,
 
 
 def decode_stub(blob: bytes, fake: bool = False) -> np.ndarray:
-    """Codec boundary. Real decode needs PIL/ffmpeg — not in this
-    container. ``fake=True`` derives a deterministic 8-dim feature
-    vector from the blob's sha256 (stable across runs/machines)."""
+    """Codec boundary: 8-dim feature vector per payload.
+
+    BMP/PPM/PGM and RIFF-PCM WAV payloads are decoded for REAL
+    (``pipeline.codecs``) and featurized from actual content —
+    images: per-channel means/stds, log-area, mean horizontal
+    gradient; audio: mean/RMS/peak, zero-crossing rate, rate, log
+    length, channels, mean first difference — every value scaled to
+    roughly [0, 1] and deterministic.  Compressed formats need codec
+    libraries this container lacks: ``fake=True`` derives the vector
+    from the blob's sha256 instead (stable across runs/machines)."""
+    blob = bytes(blob)
+    # a magic-byte hit on a payload that then fails to parse (e.g. a
+    # text document that happens to start with "P6 ") is NOT an error —
+    # it falls through to the stub policy like any other opaque blob
+    try:
+        kind = codecs.sniff_media_type(blob)
+        if kind == "audio/wav":
+            pcm, rate = codecs.decode_wav(blob)
+            x = pcm.astype(np.float64) / 32768.0
+            mono = x.mean(axis=1)
+            zc = float(np.mean(np.abs(np.diff(np.sign(mono))) > 0)) if len(mono) > 1 else 0.0
+            d1 = float(np.mean(np.abs(np.diff(mono)))) if len(mono) > 1 else 0.0
+            return np.array([
+                float(mono.mean()), float(np.sqrt((mono ** 2).mean())),
+                float(np.abs(mono).max(initial=0.0)), zc,
+                rate / 48000.0, np.log1p(len(mono)) / 20.0,
+                pcm.shape[1] / 8.0, d1,
+            ])
+        if kind is not None:
+            img = codecs.sniff_and_decode_image(blob)
+            x = img.astype(np.float64) / 255.0
+            dx = float(np.mean(np.abs(np.diff(x, axis=1)))) if x.shape[1] > 1 else 0.0
+            return np.array([
+                *(float(m) for m in x.mean(axis=(0, 1))),
+                *(float(s) for s in x.std(axis=(0, 1))),
+                np.log1p(x.shape[0] * x.shape[1]) / 20.0, dx,
+            ])
+    except ValueError:
+        pass
     if not fake:
         raise NotImplementedError(
-            "media decoding requires image/audio libraries not present "
-            "in this environment; pass fake=True for the deterministic stub"
+            "only BMP/PPM/PGM/WAV decode without external codec "
+            "libraries; pass fake=True for the deterministic stub on "
+            "other formats"
         )
     digest = hashlib.sha256(blob).digest()
     return np.frombuffer(digest[:32], dtype=np.uint8).reshape(8, 4).mean(axis=1) / 255.0
@@ -90,15 +131,24 @@ def extract_features(
 
 
 def decode_image_stub(blob: bytes, fake: bool = False, size: int = 16) -> np.ndarray:
-    """Codec boundary for images.  Real decode needs PIL — not in this
-    container.  ``fake=True`` expands the blob's sha256 into a
-    deterministic (size, size, 3) uint8 raster (stable across
-    runs/machines), so the REAL resize math downstream has real pixels
-    to chew on."""
+    """Codec boundary for images.  BMP / PPM / PGM payloads are decoded
+    for REAL by the dependency-free ``pipeline.codecs`` module (magic-
+    byte sniffed, so a mixed column just works); compressed formats
+    (JPEG/PNG) genuinely need libjpeg/zlib-backed libraries this
+    container lacks — for those, ``fake=True`` expands the blob's
+    sha256 into a deterministic (size, size, 3) uint8 raster (stable
+    across runs/machines), so the REAL resize math downstream has real
+    pixels to chew on."""
+    try:
+        real = codecs.sniff_and_decode_image(bytes(blob))
+        if real is not None:
+            return real
+    except ValueError:
+        real = None  # sniffed magic but unparseable: treat as opaque
     if not fake:
         raise NotImplementedError(
-            "image decoding requires PIL/libjpeg not present in this "
-            "environment; pass fake=True for the deterministic stub"
+            "only BMP/PPM/PGM decode without external codec libraries; "
+            "pass fake=True for the deterministic stub on other formats"
         )
     need = size * size * 3
     out = bytearray()

@@ -24,3 +24,8 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def sf_dir_oracle():
+    return SF_DIR_ORACLE

@@ -1,0 +1,188 @@
+"""Dependency-free codec tests (pipeline/codecs.py) + the real-decode
+wiring in pipeline/multimodal.py.
+
+Golden-byte checks build payloads by hand from the format specs (not
+with our own encoder), so encoder and decoder cannot share a bug.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from anomaly_detection_spark.pipeline import codecs, multimodal
+
+
+def _rng(seed=7):
+    return np.random.default_rng(seed)
+
+
+# --- BMP -------------------------------------------------------------------
+
+def test_bmp_roundtrip_odd_width():
+    # width 5 -> row stride 16 (15 data + 1 pad): exercises padding
+    img = _rng().integers(0, 256, (3, 5, 3), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(img)), img)
+
+
+def test_bmp_golden_hand_built_bottom_up():
+    # 2x2 24-bit BMP built from the spec: bottom-up rows, BGR, 4-byte
+    # row padding (2*3=6 -> stride 8)
+    px = {  # (row, col) -> RGB
+        (0, 0): (255, 0, 0), (0, 1): (0, 255, 0),
+        (1, 0): (0, 0, 255), (1, 1): (10, 20, 30),
+    }
+    def bgr(rc):
+        r, g, b = px[rc]
+        return bytes([b, g, r])
+    raster = (bgr((1, 0)) + bgr((1, 1)) + b"\x00\x00"   # bottom row first
+              + bgr((0, 0)) + bgr((0, 1)) + b"\x00\x00")
+    blob = (struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0,
+                          len(raster), 0, 0, 0, 0)
+            + raster)
+    img = codecs.decode_bmp(blob)
+    for (r, c), rgb_val in px.items():
+        assert tuple(img[r, c]) == rgb_val
+
+
+def test_bmp_top_down_and_32bit():
+    # negative height = top-down; 32bpp rows have no padding (4 | 4*w)
+    raster = bytes([1, 2, 3, 9,   4, 5, 6, 9,     # row 0: BGRA BGRA
+                    7, 8, 9, 9,   10, 11, 12, 9])  # row 1
+    blob = (struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 32, 0,
+                          len(raster), 0, 0, 0, 0)
+            + raster)
+    img = codecs.decode_bmp(blob)
+    assert img.shape == (2, 2, 3)
+    assert tuple(img[0, 0]) == (3, 2, 1)   # BGR -> RGB, alpha dropped
+    assert tuple(img[1, 1]) == (12, 11, 10)
+
+
+def test_bmp_rejects_compressed_and_palette():
+    img = _rng().integers(0, 256, (2, 2, 3), dtype=np.uint8)
+    blob = bytearray(codecs.encode_bmp(img))
+    struct.pack_into("<I", blob, 30, 1)  # BI_RLE8
+    with pytest.raises(ValueError):
+        codecs.decode_bmp(bytes(blob))
+    blob2 = bytearray(codecs.encode_bmp(img))
+    struct.pack_into("<H", blob2, 28, 8)  # 8bpp palette
+    with pytest.raises(ValueError):
+        codecs.decode_bmp(bytes(blob2))
+
+
+def test_bmp_truncated_raster_rejected():
+    img = _rng().integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        codecs.decode_bmp(codecs.encode_bmp(img)[:-10])
+
+
+# --- netpbm ----------------------------------------------------------------
+
+def test_ppm_roundtrip_and_comments():
+    img = _rng().integers(0, 256, (3, 4, 3), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_ppm(codecs.encode_ppm(img)), img)
+    # hand-built header with comments and mixed whitespace
+    blob = (b"P6 # comment right after magic\n# another\n 4\t3 #w h\n255\n"
+            + img.tobytes())
+    assert np.array_equal(codecs.decode_ppm(blob), img)
+
+
+def test_pgm_roundtrip_and_16bit_rejected():
+    g = _rng().integers(0, 256, (5, 2), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_pgm(codecs.encode_pgm(g)), g)
+    with pytest.raises(ValueError):
+        codecs.decode_pgm(b"P5\n2 2\n65535\n" + bytes(8))
+
+
+# --- WAV -------------------------------------------------------------------
+
+def test_wav_roundtrip_stereo():
+    pcm = _rng().integers(-32768, 32768, (100, 2)).astype(np.int16)
+    out, rate = codecs.decode_wav(codecs.encode_wav(pcm, 22050))
+    assert rate == 22050
+    assert np.array_equal(out, pcm)
+
+
+def test_wav_chunk_walk_and_8bit():
+    # LIST chunk before fmt/data, odd-size chunk padding, 8-bit PCM
+    samples8 = bytes([0, 128, 255, 64, 192])  # odd size -> pad byte
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (b"WAVE"
+            + b"LIST" + struct.pack("<I", 4) + b"INFO"
+            + b"data" + struct.pack("<I", len(samples8)) + samples8 + b"\x00"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    out, rate = codecs.decode_wav(blob)
+    assert rate == 8000 and out.shape == (5, 1)
+    # 8-bit unsigned -> int16: (x-128) << 8
+    assert out[:, 0].tolist() == [(-128) << 8, 0, 127 << 8, (-64) << 8, 64 << 8]
+
+
+def test_wav_non_pcm_rejected():
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + bytes(4))
+    with pytest.raises(ValueError):
+        codecs.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+# --- sniff + multimodal wiring ----------------------------------------------
+
+def test_sniff_dispatch():
+    img = _rng().integers(0, 256, (2, 2, 3), dtype=np.uint8)
+    assert codecs.sniff_media_type(codecs.encode_bmp(img)) == "image/bmp"
+    assert codecs.sniff_media_type(b"plain text") is None
+    gray = codecs.sniff_and_decode_image(
+        codecs.encode_pgm(img[:, :, 0])
+    )
+    assert gray.shape == (2, 2, 3)
+    assert np.array_equal(gray[:, :, 0], gray[:, :, 2])  # replicated
+
+
+def test_decode_image_real_path_feeds_resize():
+    img = _rng().integers(0, 256, (8, 6, 3), dtype=np.uint8)
+    out = multimodal.decode_image_stub(codecs.encode_bmp(img), fake=False)
+    assert np.array_equal(out, img)
+    small = multimodal.resize_nearest(out, 3, 4)
+    assert small.shape == (4, 3, 3)
+
+
+def test_decode_stub_real_features_image_and_wav():
+    img = np.full((4, 4, 3), 255, dtype=np.uint8)
+    f = multimodal.decode_stub(codecs.encode_ppm(img), fake=False)
+    assert f.shape == (8,)
+    assert f[:3] == pytest.approx([1.0, 1.0, 1.0])  # channel means
+    assert f[3:6] == pytest.approx([0.0, 0.0, 0.0])  # channel stds
+    pcm = np.zeros((50, 1), dtype=np.int16)
+    fw = multimodal.decode_stub(codecs.encode_wav(pcm, 16000), fake=False)
+    assert fw.shape == (8,)
+    assert fw[0] == 0.0 and fw[1] == 0.0            # mean, rms of silence
+    assert fw[4] == pytest.approx(16000 / 48000.0)
+
+
+def test_magic_collision_falls_back_to_stub():
+    # a "document" that happens to start with P6 but is not a PPM
+    junk = b"P6 is my favorite chess opening, said nobody"
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(junk, fake=False)
+    f = multimodal.decode_stub(junk, fake=True)
+    assert f.shape == (8,)  # sha256 stub path, not a crash
+
+
+def test_extract_features_real_bmp_payloads(spark):
+    # end-to-end mapInPandas over REAL encoded payloads
+    imgs = {i: _rng(i).integers(0, 256, (4, 4, 3), dtype=np.uint8)
+            for i in (1, 2, 3)}
+    df = spark.createDataFrame(
+        [(i, bytearray(codecs.encode_bmp(img))) for i, img in imgs.items()],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in
+            multimodal.extract_features(df, fake=False).collect()}
+    for i, img in imgs.items():
+        expect = img.astype(np.float64).mean(axis=(0, 1)) / 255.0
+        assert rows[i].features[:3] == pytest.approx(list(expect))

@@ -611,9 +611,40 @@ def test_ppjoin_boundary_and_exclusion(spark):
         pa.Table.from_pandas(docs.toPandas()),
         os.path.join(d, "documents.parquet"),
     )
-    out = {(r.id_a, r.id_b): r.jaccard for r in
+    out = {r.doc_id: (r.match_id, r.n_shared, r.jaccard) for r in
            reg.QUERIES["ppjoin_jaccard_pairs"](spark, d).collect()}
-    assert out == {(1, 2): 0.6}
+    # best-match form: 1 and 2 pick each other at exactly the 0.6
+    # threshold; 3 shares nothing and emits no row
+    assert out == {1: (2, 3, 0.6), 2: (1, 3, 0.6)}
+
+
+def test_ppjoin_duplicate_family_and_tiebreak(spark):
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),     # duplicate family {1, 4}
+            (4, "a b c d"),
+            (2, "a b c e"),     # 0.6 vs the family; 0.6 vs doc 5
+            (5, "a b c e f"),   # 4/5 = 0.8 with doc 2? inter=4 union=5
+            (3, "zz yy"),       # no match
+        ],
+        "doc_id long, text string",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs.toPandas()),
+        os.path.join(d, "documents.parquet"),
+    )
+    out = {r.doc_id: (r.match_id, r.jaccard) for r in
+           reg.QUERIES["ppjoin_jaccard_pairs"](spark, d).collect()}
+    # family members match within the family at 1.0 (1<->4);
+    # doc 2's best is doc 5 (0.8 beats 0.6); doc 5's best is doc 2
+    assert out[1] == (4, 1.0)
+    assert out[4] == (1, 1.0)
+    assert out[2] == (5, 0.8)
+    assert out[5] == (2, 0.8)
+    assert 3 not in out
 
 
 def test_latest_value_percentile_counts_below(spark):
