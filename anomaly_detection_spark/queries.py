@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -11986,6 +11988,365 @@ def q_linear_interpolation_grid(
                 " div (unix_millis(t2) - unix_millis(t1))"
             )
         ).cast("bigint").alias("interp_millicents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical (hypertable-style) rollup: minute → hour → day, where
+# each coarser level is computed FROM THE FINER AGGREGATE, never from
+# raw rows — the continuous-aggregate pattern that makes 100 TB
+# downsampling cheap (the raw table is scanned once for the minute
+# level; hourly and daily are re-aggregations of mergeable partials:
+# counts sum, integer-cent sums sum, bucket counts count).  The oracle
+# computes every day-level figure directly from raw rows, so a green
+# row proves the re-aggregation law end to end (including n_minutes /
+# n_hours, which only match if the hierarchy groups correctly).
+# ---------------------------------------------------------------------------
+
+@register("hierarchical_rollup_events", """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE)
+             / 10000.0, 4) AS sum_value,
+       CAST(count(DISTINCT date_trunc('minute', ts)) AS BIGINT) AS n_minutes,
+       CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_hours
+FROM events
+GROUP BY 1, 2
+""")
+def q_hierarchical_rollup_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    minute = ev.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("minute_ts"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(quantized(F.col("value"), 4)).alias("sum_cents"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", F.col("minute_ts")).alias("hour_ts"),
+        "event_type",
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_cents").alias("sum_cents"),
+        F.count(F.lit(1)).alias("n_minutes"),
+    )
+    return hour.groupBy(
+        F.to_date(F.date_trunc("day", F.col("hour_ts"))).alias("day"),
+        "event_type",
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.round(
+            F.sum("sum_cents").cast("double") / 10000.0, 4
+        ).alias("sum_value"),
+        F.sum("n_minutes").alias("n_minutes"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spatial grid-bucketed radius join over the first two embedding dims:
+# each point lands in one cell of an r-sized grid and probes only its
+# own cell plus the 8 neighbors, so candidate generation is local-
+# density-bounded instead of all-pairs — the standard scale pattern for
+# geo/radius joins (geohash / S2 cell joins work identically).  Output
+# is one row PER POINT (neighbor count + nearest neighbor), bounded by
+# |points| regardless of density.  The grid only shapes the Spark plan;
+# the brute-force oracle proves the 3×3 neighborhood loses no pair
+# (|Δx| and |Δy| of any qualifying pair are <= r, so the partner is in
+# an adjacent cell by construction).  Both engines cast the float32
+# coords to float64 and run the identical IEEE expression, so the
+# boundary comparison agrees bit-for-bit.
+# ---------------------------------------------------------------------------
+
+@register("spatial_neighbor_counts", """
+WITH p AS (
+    SELECT vec_id,
+           CAST(embedding[1] AS DOUBLE) AS x,
+           CAST(embedding[2] AS DOUBLE) AS y
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id, b.vec_id AS bid,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+    FROM p a JOIN p b ON a.vec_id <> b.vec_id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 0.0004
+),
+r AS (
+    SELECT vec_id, bid, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, bid) AS rn,
+           count(*) OVER (PARTITION BY vec_id) AS cnt
+    FROM pairs
+)
+SELECT vec_id,
+       CAST(cnt AS BIGINT) AS n_neighbors,
+       bid AS nearest_id,
+       floor(sqrt(d2) * 1000000 + 0.5) / 1000000 AS nearest_dist
+FROM r WHERE rn = 1
+""")
+def q_spatial_neighbor_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    R = 0.02
+    emb = load_table(spark, "embeddings", sf_dir)
+    pts = emb.select(
+        "vec_id",
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+    )
+    cell = lambda c: F.floor(F.col(c) / R).cast("long")  # noqa: E731
+    build = pts.select(
+        F.col("vec_id").alias("bid"),
+        F.col("x").alias("bx"), F.col("y").alias("by"),
+        cell("x").alias("cx"), cell("y").alias("cy"),
+    )
+    offs = F.array([F.lit(i) for i in (-1, 0, 1)])
+    probe = (
+        pts.withColumn("dx", F.explode(offs))
+        .withColumn("dy", F.explode(offs))
+        .select(
+            "vec_id", "x", "y",
+            (cell("x") + F.col("dx")).alias("cx"),
+            (cell("y") + F.col("dy")).alias("cy"),
+        )
+    )
+    d2 = (
+        (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
+        + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by"))
+    )
+    # shuffle join on the cell key (both sides corpus-sized at scale —
+    # no broadcast); each qualifying (a, b) meets exactly once, in a's
+    # probe of b's home cell, so the directed pair needs no dedup
+    hits = (
+        probe.join(build, ["cx", "cy"])
+        .where(F.col("bid") != F.col("vec_id"))
+        .select("vec_id", "bid", d2.alias("d2"))
+        .where(F.col("d2") <= F.lit(R * R))
+    )
+    return (
+        hits.groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.min(F.struct("d2", "bid")).alias("m"),
+        )
+        .select(
+            "vec_id",
+            "n_neighbors",
+            F.col("m.bid").alias("nearest_id"),
+            (F.floor(F.sqrt(F.col("m.d2")) * 1000000 + F.lit(0.5)) / 1000000)
+            .alias("nearest_dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split: the split key is the DUPLICATE
+# FAMILY (md5 of aggressively-normalized text — the normalized_exact_
+# dedup key), not the document, so near-identical documents can never
+# straddle train and test — the contamination mode a per-doc hash split
+# (hash_split_docs) cannot prevent.  Same portable md5 bucketing as
+# hash_split, applied to the family key; n_straddle (families seen in
+# >1 split) is emitted and must be 0 BY CONSTRUCTION — the oracle
+# recomputes it independently, so a green row is a proof, not an
+# assertion.
+# ---------------------------------------------------------------------------
+
+@register("leakage_safe_split", """
+WITH fam AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS fam_key
+    FROM documents
+),
+assigned AS (
+    SELECT doc_id, fam_key,
+           CAST('0x' || substr(md5('split:' || fam_key), 1, 15) AS BIGINT)
+               % 100 AS bucket
+    FROM fam
+),
+labeled AS (
+    SELECT doc_id, fam_key,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+),
+straddle AS (
+    SELECT CAST(count(*) FILTER (n_splits > 1) AS BIGINT) AS n_straddle
+    FROM (SELECT fam_key, count(DISTINCT split) AS n_splits
+          FROM labeled GROUP BY fam_key)
+)
+SELECT split,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT fam_key) AS BIGINT) AS n_families,
+       (SELECT n_straddle FROM straddle) AS n_straddle
+FROM labeled GROUP BY split
+""")
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.decontaminate import hash_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    fam = docs.select(
+        "doc_id",
+        F.md5(
+            F.trim(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+            )
+        ).alias("fam_key"),
+    )
+    labeled = hash_split(fam, "fam_key").select("doc_id", "fam_key", "split")
+    straddle = (
+        labeled.groupBy("fam_key")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(
+            F.count(F.when(F.col("n_splits") > 1, 1)).alias("n_straddle")
+        )
+    )
+    per_split = labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fam_key").alias("n_families"),
+    )
+    return per_split.crossJoin(F.broadcast(straddle))
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern mining (ordered co-occurrence): within each 30-min
+# session (same gap rule as sessionize_events), count sessions where
+# event_type A occurs strictly before event_type B — an ORDERED
+# subsequence, unlike session_association_rules' unordered item pairs.
+# The self-join is scoped to a session (bounded by session length, the
+# standard cap for sequence mining), pairs are de-duplicated per
+# session before support counting, and support is reported with an
+# exact integer ppm share of all sessions.  Patterns below 5% support
+# are pruned via integer cross-multiplication (20·support >= sessions).
+# ---------------------------------------------------------------------------
+
+@register("sequential_patterns_events", """
+WITH gaps AS (
+    SELECT user_id, event_id, ts, event_type,
+           CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT *, CAST(sum(new_session)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+               AS session_no
+    FROM gaps
+),
+tot AS (
+    SELECT count(DISTINCT (user_id, session_no)) AS n_sessions FROM sess
+),
+pat AS (
+    SELECT DISTINCT a.user_id, a.session_no,
+           a.event_type AS a_type, b.event_type AS b_type
+    FROM sess a JOIN sess b
+      ON a.user_id = b.user_id AND a.session_no = b.session_no
+     AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+),
+sup AS (
+    SELECT a_type, b_type, count(*) AS support
+    FROM pat GROUP BY a_type, b_type
+)
+SELECT a_type, b_type, support,
+       support * 1000000 // n_sessions AS share_ppm
+FROM sup, tot
+WHERE 20 * support >= n_sessions
+""")
+def q_sequential_patterns_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        (epoch_seconds("ts") - epoch_seconds(prev_ts) > 1800)
+        | prev_ts.isNull(),
+        1,
+    ).otherwise(0)
+    sess = ev.select("user_id", "event_id", "ts", "event_type").withColumn(
+        "session_no", F.sum(new_session).over(w)
+    )
+    n_sessions = sess.select("user_id", "session_no").distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    a = sess.select(
+        "user_id", "session_no",
+        F.col("ts").alias("ts_a"), F.col("event_id").alias("id_a"),
+        F.col("event_type").alias("a_type"),
+    )
+    b = sess.select(
+        "user_id", "session_no",
+        F.col("ts").alias("ts_b"), F.col("event_id").alias("id_b"),
+        F.col("event_type").alias("b_type"),
+    )
+    pat = (
+        a.join(b, ["user_id", "session_no"])
+        .where(
+            (F.col("ts_a") < F.col("ts_b"))
+            | ((F.col("ts_a") == F.col("ts_b"))
+               & (F.col("id_a") < F.col("id_b")))
+        )
+        .select("user_id", "session_no", "a_type", "b_type")
+        .distinct()
+    )
+    sup = pat.groupBy("a_type", "b_type").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    return (
+        sup.crossJoin(F.broadcast(n_sessions))
+        .where(20 * F.col("support") >= F.col("n_sessions"))
+        .select(
+            "a_type", "b_type", "support",
+            F.expr("support * 1000000 div n_sessions").alias("share_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization + control-character cleaning: NFC-normalize
+# text (composing combining sequences), replace C0/DEL control bytes
+# with spaces, collapse whitespace runs, trim.  NFC itself has no JVM
+# builtin in Spark SQL, so it runs as an Arrow-vectorized pandas_udf
+# (pd.Series.str.normalize — batch-columnar, not per-row Python); the
+# control/whitespace regexes stay JVM-side.  The oracle uses DuckDB's
+# native nfc_normalize with the identical regex pipeline — two
+# independent Unicode implementations (Python unicodedata vs utf8proc)
+# agreeing on the composed form.
+# ---------------------------------------------------------------------------
+
+@register("unicode_clean_docs", r"""
+WITH cleaned AS (
+    SELECT doc_id, text,
+           trim(regexp_replace(
+               regexp_replace(nfc_normalize(text),
+                              '[\x00-\x1f\x7f]+', ' ', 'g'),
+               '\s+', ' ', 'g')) AS clean_text
+    FROM documents
+)
+SELECT doc_id, clean_text,
+       clean_text <> text AS changed,
+       CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+FROM cleaned
+""")
+def q_unicode_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC")
+
+    docs = load_table(spark, "documents", sf_dir)
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(nfc(F.col("text")), r"[\x00-\x1f\x7f]+", " "),
+            r"\s+", " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        (clean != F.col("text")).alias("changed"),
+        F.length(clean).cast("long").alias("n_chars_clean"),
     )
 
 

@@ -1,0 +1,135 @@
+"""Planted-edge-case tests for the round-4 operators (hierarchical
+rollup, spatial grid radius join, leakage-safe split, sequential
+patterns, unicode cleaning)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark import queries as reg
+
+BASE = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _m(minutes):
+    return BASE + dt.timedelta(minutes=minutes)
+
+
+def _mini_dir(spark, events_rows=None, extra_tables=None):
+    d = tempfile.mkdtemp()
+    if events_rows is not None:
+        ev = spark.createDataFrame(
+            events_rows,
+            "user_id long, event_id long, ts timestamp_ntz, "
+            "event_type string, value double",
+        ).withColumn("props", F.lit("{}"))
+        pq.write_table(
+            pa.Table.from_pandas(ev.toPandas()),
+            os.path.join(d, "events.parquet"),
+        )
+    for name, (rows, schema) in (extra_tables or {}).items():
+        t = spark.createDataFrame(rows, schema)
+        pq.write_table(
+            pa.Table.from_pandas(t.toPandas()),
+            os.path.join(d, f"{name}.parquet"),
+        )
+    return d
+
+
+def test_hierarchical_rollup_bucket_counts(spark):
+    # two events same minute, one next minute (same hour), one next day
+    rows = [
+        (1, 1, _m(0), "view", 1.0),
+        (1, 2, _m(0), "view", 2.0),
+        (1, 3, _m(1), "view", 3.0),
+        (1, 4, _m(60 * 24), "view", 4.0),
+    ]
+    d = _mini_dir(spark, rows)
+    out = {str(r.day): r for r in
+           reg.QUERIES["hierarchical_rollup_events"](spark, d).collect()}
+    d1 = out["2024-01-01"]
+    assert (d1.n_events, d1.n_minutes, d1.n_hours) == (3, 2, 1)
+    assert d1.sum_value == 6.0
+    d2 = out["2024-01-02"]
+    assert (d2.n_events, d2.n_minutes, d2.n_hours) == (1, 1, 1)
+
+
+def test_spatial_neighbors_grid_boundary(spark):
+    # points straddling a 0.02 cell boundary: (0.019, 0) and (0.021, 0)
+    # sit in different cells but are 0.002 apart -> the neighbor-cell
+    # probe must find them; (0.5, 0.5) is isolated and emits nothing
+    emb = [
+        (1, [0.019, 0.0] + [0.0] * 62, 0),
+        (2, [0.021, 0.0] + [0.0] * 62, 0),
+        (3, [0.5, 0.5] + [0.0] * 62, 0),
+        (4, [0.021, 0.0199] + [0.0] * 62, 0),  # ~0.0199 from 2
+    ]
+    extra = {"embeddings": (emb, "vec_id long, embedding array<float>, label int")}
+    d = _mini_dir(spark, extra_tables=extra)
+    out = {r.vec_id: r for r in
+           reg.QUERIES["spatial_neighbor_counts"](spark, d).collect()}
+    assert 3 not in out
+    assert out[1].n_neighbors == 1 and out[1].nearest_id == 2
+    assert out[2].n_neighbors == 2 and out[2].nearest_id == 1
+    assert out[4].nearest_id == 2
+
+
+def test_leakage_safe_split_family_cohesion(spark):
+    # docs 1/2 normalize identically (case + punctuation differences):
+    # they must land in the SAME split, and n_straddle must be 0
+    docs = [
+        (1, "Hello, World!"),
+        (2, "hello world"),
+        (3, "something entirely different"),
+    ]
+    extra = {"documents": (docs, "doc_id long, text string")}
+    d = _mini_dir(spark, extra_tables=extra)
+    rows = reg.QUERIES["leakage_safe_split"](spark, d).collect()
+    assert all(r.n_straddle == 0 for r in rows)
+    assert sum(r.n_docs for r in rows) == 3
+    assert sum(r.n_families for r in rows) == 2  # 1+2 share a family
+
+
+def test_sequential_patterns_order_and_session_scope(spark):
+    # user 1: view -> purchase twice (2 sessions); purchase never
+    # precedes view anywhere; sessions 31 min apart are separate
+    rows = [
+        (1, 1, _m(0), "view", 1.0),
+        (1, 2, _m(1), "purchase", 1.0),
+        (1, 3, _m(40), "view", 1.0),       # new session (39 min gap > 30)
+        (1, 4, _m(41), "purchase", 1.0),
+        (2, 5, _m(0), "view", 1.0),         # session w/o purchase
+    ]
+    d = _mini_dir(spark, rows)
+    out = {(r.a_type, r.b_type): r for r in
+           reg.QUERIES["sequential_patterns_events"](spark, d).collect()}
+    assert ("purchase", "view") not in out       # order respected
+    vp = out[("view", "purchase")]
+    assert vp.support == 2                       # both sessions of user 1
+    assert vp.share_ppm == 2 * 1000000 // 3      # of 3 total sessions
+
+
+def test_unicode_clean_real_nfc_composition(spark):
+    # e + COMBINING ACUTE (2 codepoints) must compose to é (1 codepoint);
+    # control chars collapse into single spaces
+    decomposed = "e\u0301cole"  # 6 codepoints, combining acute
+    composed = "\u00e9cole"
+    docs = [
+        (1, decomposed),
+        (2, "tab\x09and\x01ctrl   runs"),
+        (3, "already clean"),
+    ]
+    extra = {"documents": (docs, "doc_id long, text string")}
+    d = _mini_dir(spark, extra_tables=extra)
+    out = {r.doc_id: r for r in
+           reg.QUERIES["unicode_clean_docs"](spark, d).collect()}
+    assert out[1].clean_text == composed
+    assert out[1].changed and out[1].n_chars_clean == 5
+    assert out[2].clean_text == "tab and ctrl runs"
+    assert not out[3].changed
