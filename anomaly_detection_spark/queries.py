@@ -12351,6 +12351,352 @@ def q_unicode_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Jaro-Winkler record linkage on the part-name dictionary — a THIRD
+# string-similarity family (vs Levenshtein edit distance and token-set
+# Jaccard).  Spark has no JW builtin, so the kernel is an
+# Arrow-batched pandas_udf that replicates DuckDB's exact variant,
+# reverse-engineered and pinned by a 5000-pair exact-double fuzz test
+# (tests/test_round4_ops.py): match window max(0, max_len/2 - 1),
+# greedy left-to-right matching, transpositions = mismatched matched
+# positions // 2 (INTEGER division), 0.7 boost threshold, prefix <= 4,
+# p = 0.1, and 0.0 for any empty input (even '' vs '').  Candidates
+# are blocked (first-2-chars + length band <= 2) on the DISTINCT name
+# dictionary; the oracle applies the identical blocking with DuckDB's
+# native jaro_winkler_similarity — two independent implementations of
+# the metric, one answer, including the >= 0.9 threshold boundary.
+# ---------------------------------------------------------------------------
+
+def _jaro_winkler_py(a: str, b: str) -> float:
+    """DuckDB-exact Jaro-Winkler (see fuzz parity test)."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    w = max(max(la, lb) // 2 - 1, 0)
+    fa = [False] * la
+    fb = [False] * lb
+    m = 0
+    for i in range(la):
+        for j in range(max(0, i - w), min(lb, i + w + 1)):
+            if not fb[j] and a[i] == b[j]:
+                fa[i] = fb[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(la):
+        if fa[i]:
+            while not fb[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    j = (m / la + m / lb + (m - t // 2) / m) / 3.0
+    if j < 0.7:
+        return j
+    p = 0
+    for x, y in zip(a, b):
+        if x == y and p < 4:
+            p += 1
+        else:
+            break
+    return j + p * 0.1 * (1.0 - j)
+
+
+@register("jaro_winkler_parts", """
+WITH names AS (SELECT DISTINCT p_name FROM part),
+b AS (
+    SELECT p_name, substr(lower(p_name), 1, 2) AS blk,
+           length(p_name) AS ln
+    FROM names
+)
+SELECT x.p_name AS name_a, y.p_name AS name_b,
+       floor(jaro_winkler_similarity(x.p_name, y.p_name) * 1000000 + 0.5)
+           / 1000000 AS jw
+FROM b x JOIN b y
+  ON x.blk = y.blk AND x.p_name < y.p_name AND abs(x.ln - y.ln) <= 2
+WHERE jaro_winkler_similarity(x.p_name, y.p_name) >= 0.9
+""")
+def q_jaro_winkler_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_jaro_winkler_py(x, y) for x, y in zip(a, b)], dtype="float64"
+        )
+
+    part = load_table(spark, "part", sf_dir)
+    names = part.select("p_name").distinct().select(
+        "p_name",
+        F.substring(F.lower("p_name"), 1, 2).alias("blk"),
+        F.length("p_name").alias("ln"),
+    )
+    x = names.select(F.col("p_name").alias("name_a"), "blk",
+                     F.col("ln").alias("la"))
+    y = names.select(F.col("p_name").alias("name_b"), "blk",
+                     F.col("ln").alias("lb"))
+    cand = x.join(y, "blk").where(
+        (F.col("name_a") < F.col("name_b"))
+        & (F.abs(F.col("la") - F.col("lb")) <= 2)
+    )
+    # the python kernel runs ONLY on blocked candidates of the distinct-
+    # name dictionary (bounded by block sizes), never the fact table
+    scored = cand.select(
+        "name_a", "name_b", jw("name_a", "name_b").alias("jw_raw")
+    ).where(F.col("jw_raw") >= 0.9)
+    return scored.select(
+        "name_a", "name_b",
+        (F.floor(F.col("jw_raw") * 1000000 + F.lit(0.5)) / 1000000)
+        .alias("jw"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve for signup→purchase conversion —
+# survival analysis with RIGHT-CENSORING, a paradigm no other query
+# covers: users who never purchase are censored at eval time, not
+# dropped (dropping them biases conversion fast).  The event/censor
+# log collapses to a calendar-bounded day dictionary, at-risk counts
+# come from one cumulative window over that dictionary (never the fact
+# table), and the KM product Π(1 - d/n) is computed as exp of an
+# EXACT-INTEGER sum of 1e-6-quantized log factors — the libm
+# fold-order discipline (cf. pythagorean_means_by_type) that makes the
+# curve bit-identical across engines and partitionings.
+# ---------------------------------------------------------------------------
+
+@register("kaplan_meier_conversion", f"""
+WITH signup AS (
+    SELECT user_id, min(ts) AS s_ts FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+    SELECT s.user_id, s.s_ts, min(e.ts) AS p_ts
+    FROM signup s LEFT JOIN events e
+      ON e.user_id = s.user_id AND e.event_type = 'purchase'
+     AND e.ts >= s.s_ts
+    GROUP BY s.user_id, s.s_ts
+),
+obs AS (
+    SELECT user_id,
+           CAST(floor((epoch(coalesce(p_ts, TIMESTAMP '{EVAL_TS}'))
+                       - epoch(s_ts)) / 86400) AS BIGINT) AS day,
+           (p_ts IS NOT NULL) AS converted
+    FROM conv
+),
+tot AS (SELECT count(*) AS n_total FROM obs),
+per_day AS (
+    SELECT day,
+           CAST(count(*) FILTER (converted) AS BIGINT) AS n_converted,
+           count(*) AS n_leaving
+    FROM obs GROUP BY day
+),
+risk AS (
+    SELECT day, n_converted,
+           CAST(n_total - coalesce(sum(n_leaving) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+    FROM per_day, tot
+),
+lo AS (
+    SELECT day, n_converted, n_at_risk,
+           CASE WHEN n_converted >= n_at_risk THEN NULL
+                ELSE CAST(round(ln(CAST(n_at_risk - n_converted AS DOUBLE)
+                                   / n_at_risk), 6) * 1000000 AS BIGINT)
+           END AS lnq_micro,
+           CASE WHEN n_converted >= n_at_risk THEN 1 ELSE 0 END AS hit_zero
+    FROM risk
+)
+SELECT day, n_at_risk, n_converted,
+       CASE WHEN max(hit_zero) OVER cum = 1 THEN 0.0
+            ELSE round(exp(CAST(sum(lnq_micro) OVER cum AS DOUBLE)
+                       / 1000000), 4)
+       END AS km_survival
+FROM lo
+WHERE n_converted > 0
+WINDOW cum AS (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""")
+def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("s_ts"))
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    conv = (
+        signup.join(
+            pur,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("pts") >= F.col("s_ts")),
+            "left",
+        )
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("pts").alias("p_ts"))
+    )
+    obs = conv.select(
+        F.floor(
+            (epoch_seconds(F.coalesce(F.col("p_ts"), ntz_lit(EVAL_TS)))
+             - epoch_seconds(F.col("s_ts"))) / 86400
+        ).cast("long").alias("day"),
+        F.col("p_ts").isNotNull().alias("converted"),
+    )
+    total = obs.agg(F.count(F.lit(1)).alias("n_total"))
+    per_day = obs.groupBy("day").agg(
+        F.count(F.when(F.col("converted"), 1)).alias("n_converted"),
+        F.count(F.lit(1)).alias("n_leaving"),
+    )
+    # the day dictionary is calendar-bounded (observation span in days),
+    # so the global-order windows walk a tiny table, not the event log
+    wprev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_day.crossJoin(F.broadcast(total)).withColumn(
+        "n_at_risk",
+        F.col("n_total") - F.coalesce(F.sum("n_leaving").over(wprev),
+                                      F.lit(0)),
+    )
+    # terminal day where everyone still at risk converts: factor = 0,
+    # S(t) = 0 exactly — kept out of the log-sum path on both engines
+    hit = F.col("n_converted") >= F.col("n_at_risk")
+    lo = risk.withColumn(
+        "lnq_micro",
+        F.when(hit, F.lit(None)).otherwise(
+            (
+                F.round(
+                    F.log(
+                        (F.col("n_at_risk") - F.col("n_converted"))
+                        .cast("double") / F.col("n_at_risk")
+                    ),
+                    6,
+                ) * 1000000
+            ).cast("long")
+        ),
+    ).withColumn("hit_zero", hit.cast("int"))
+    return (
+        lo.where(F.col("n_converted") > 0)
+        .withColumn(
+            "km_survival",
+            F.when(F.max("hit_zero").over(wcum) == 1, F.lit(0.0)).otherwise(
+                F.round(
+                    F.exp(F.sum("lnq_micro").over(wcum).cast("double")
+                          / 1000000),
+                    4,
+                )
+            ),
+        )
+        .select("day", "n_at_risk", "n_converted", "km_survival")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CMS inner-product join-size estimation (Cormode & Muthukrishnan §4.2)
+# — the sketch answer to "how big is this join?" BEFORE paying for it:
+# both sides' keys feed the SAME salted-md5 hash family (required for
+# the inner product), each depth row's Σ_bucket cntA·cntB overestimates
+# the true join size, and the minimum over rows is the estimate.
+# Sketches are built from the (key, count) rollups (counters add, so
+# the sketch is identical but the explode runs over the dictionary).
+# Everything is deterministic integer arithmetic, so the oracle checks
+# the ESTIMATE itself bit-for-bit, plus the one-sided guarantee and the
+# Markov-style width bound as boolean data.
+# ---------------------------------------------------------------------------
+
+@register("join_size_estimate_cms", """
+WITH ec AS (
+    SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS c
+    FROM events GROUP BY user_id
+),
+oc AS (
+    SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS c
+    FROM orders GROUP BY o_custkey
+),
+ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+sa AS (
+    SELECT d, CAST('0x' || substr(md5('cms:' || CAST(d AS VARCHAR)
+               || ':' || k), 1, 15) AS BIGINT) % 2048 AS bucket,
+           sum(c) AS cnt
+    FROM ec, ds GROUP BY 1, 2
+),
+sb AS (
+    SELECT d, CAST('0x' || substr(md5('cms:' || CAST(d AS VARCHAR)
+               || ':' || k), 1, 15) AS BIGINT) % 2048 AS bucket,
+           sum(c) AS cnt
+    FROM oc, ds GROUP BY 1, 2
+),
+ip AS (
+    SELECT sa.d, sum(sa.cnt * sb.cnt) AS est
+    FROM sa JOIN sb ON sa.d = sb.d AND sa.bucket = sb.bucket
+    GROUP BY sa.d
+),
+est AS (SELECT min(est) AS est_join_size FROM ip),
+exact AS (
+    SELECT sum(ec.c * oc.c) AS exact_join_size
+    FROM ec JOIN oc ON ec.k = oc.k
+),
+tot AS (
+    SELECT (SELECT sum(c) FROM ec) AS ne, (SELECT sum(c) FROM oc) AS no
+)
+SELECT CAST(est_join_size AS BIGINT) AS est_join_size,
+       CAST(coalesce(exact_join_size, 0) AS BIGINT) AS exact_join_size,
+       est_join_size >= coalesce(exact_join_size, 0)
+           AS never_underestimates,
+       (est_join_size - coalesce(exact_join_size, 0)) * 2048 <= 4 * ne * no
+           AS within_bound
+FROM est, exact, tot
+""")
+def q_join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.sketches import count_min_build
+
+    WIDTH = 2048
+    ev = load_table(spark, "events", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    ec = ev.groupBy(F.col("user_id").cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    oc = orders.groupBy(F.col("o_custkey").cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    sa = count_min_build(ec, "k", depth=4, width=WIDTH, weight_col="c")
+    sb = count_min_build(oc, "k", depth=4, width=WIDTH, weight_col="c")
+    ip = (
+        sa.join(
+            sb.select(
+                F.col("d"), F.col("bucket"), F.col("cnt").alias("cnt_b")
+            ),
+            ["d", "bucket"],
+        )
+        .groupBy("d")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("est"))
+    )
+    est = ip.agg(F.min("est").alias("est_join_size"))
+    exact = (
+        ec.join(oc.select(F.col("k"), F.col("c").alias("c_o")), "k")
+        .agg(
+            F.coalesce(F.sum(F.col("c") * F.col("c_o")), F.lit(0))
+            .alias("exact_join_size")
+        )
+    )
+    tot = ec.agg(F.sum("c").alias("ne")).crossJoin(
+        oc.agg(F.sum("c").alias("no"))
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("est_join_size").cast("long").alias("est_join_size"),
+            F.col("exact_join_size").cast("long").alias("exact_join_size"),
+            (F.col("est_join_size") >= F.col("exact_join_size"))
+            .alias("never_underestimates"),
+            (
+                (F.col("est_join_size") - F.col("exact_join_size")) * WIDTH
+                <= 4 * F.col("ne") * F.col("no")
+            ).alias("within_bound"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

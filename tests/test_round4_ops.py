@@ -133,3 +133,68 @@ def test_unicode_clean_real_nfc_composition(spark):
     assert out[1].changed and out[1].n_chars_clean == 5
     assert out[2].clean_text == "tab and ctrl runs"
     assert not out[3].changed
+
+
+def test_jaro_winkler_matches_duckdb_exactly():
+    # the kernel claims DuckDB-exact semantics: pin with a fuzz sweep
+    # (exact float64 equality, not approx) including the edge rules —
+    # empty inputs, the 0.7 boost gate, integer transposition halving
+    import random
+
+    import duckdb
+
+    from anomaly_detection_spark.queries import _jaro_winkler_py
+
+    con = duckdb.connect()
+    random.seed(7)
+    pairs = [("", ""), ("", "a"), ("a", "a"), ("ab", "ba"),
+             ("MARTHA", "MARHTA"), ("DWAYNE", "DUANE")]
+    for _ in range(800):
+        pairs.append((
+            "".join(random.choices("abcdefgh -XY", k=random.randint(0, 14))),
+            "".join(random.choices("abcdefgh -XY", k=random.randint(0, 14))),
+        ))
+    for a, b in pairs:
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert _jaro_winkler_py(a, b) == want, (a, b)
+
+
+def test_kaplan_meier_known_curve(spark):
+    # 4 signups at t=0; converts on day 0, day 1, day 2; one censored
+    # (no purchase).  S(0)=3/4? no: d0=1,n0=4 -> 0.75; d1=1,n1=3 ->
+    # 0.5; d2=1,n2=2 -> 0.25; censored user leaves at eval day
+    rows = [
+        (u, u, _m(0), "signup", 1.0) for u in (1, 2, 3, 4)
+    ] + [
+        (1, 11, _m(0), "purchase", 1.0),            # day 0
+        (2, 12, _m(60 * 24), "purchase", 1.0),      # day 1
+        (3, 13, _m(60 * 48), "purchase", 1.0),      # day 2
+    ]
+    d = _mini_dir(spark, rows)
+    out = {r.day: r for r in
+           reg.QUERIES["kaplan_meier_conversion"](spark, d).collect()}
+    assert (out[0].n_at_risk, out[0].n_converted) == (4, 1)
+    assert out[0].km_survival == 0.75
+    assert out[1].km_survival == 0.5
+    assert out[2].km_survival == 0.25
+    # censored user appears in no row but held the risk set at 4/3/2
+
+
+def test_kaplan_meier_terminal_zero(spark):
+    # everyone converts -> the last factor is 0 and S must be exactly 0
+    rows = [
+        (1, 1, _m(0), "signup", 1.0),
+        (1, 2, _m(10), "purchase", 1.0),
+    ]
+    d = _mini_dir(spark, rows)
+    out = reg.QUERIES["kaplan_meier_conversion"](spark, d).collect()
+    assert len(out) == 1 and out[0].km_survival == 0.0
+
+
+def test_cms_join_size_estimate_bounds(spark, sf_dir):
+    row = reg.QUERIES["join_size_estimate_cms"](spark, sf_dir).collect()[0]
+    assert row.never_underestimates
+    assert row.within_bound
+    assert row.est_join_size >= row.exact_join_size >= 0
