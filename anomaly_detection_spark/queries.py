@@ -12697,6 +12697,150 @@ def q_join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dynamic Time Warping distance from each user's daily series to the
+# corpus-wide reference series — elastic sequence alignment, a paradigm
+# nothing else in the registry covers (cross-correlation compares at
+# FIXED lags; DTW warps time).  Two COMPLETELY different algorithms
+# must agree bit-for-bit:
+#   - Spark: classic O(n·m) numpy DP per user, an Arrow-batched
+#     pandas_udf over ONE ROW PER USER (series pre-collected as sorted
+#     int arrays; the reference series rides along as a tiny broadcast
+#     cross-join column) — no shuffle beyond the per-user rollup;
+#   - DuckDB oracle: the SAME recurrence evaluated as an ANTI-DIAGONAL
+#     wavefront in a recursive CTE (diagonal k depends only on k-1 and
+#     k-2, carried as age-0/age-1 rows; predecessors via three LEFT
+#     JOINs + least(), which ignores NULLs in DuckDB).
+# All values are integer cents (per-day mean = sum_cents div count,
+# floor division both engines) so every DP cell is exact integer
+# arithmetic — no float fold order anywhere.
+# ---------------------------------------------------------------------------
+
+@register("dtw_distance_users", """
+WITH RECURSIVE
+days AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                // count(*) AS BIGINT) AS ref_cents
+    FROM events GROUP BY 1
+),
+ref AS (
+    SELECT row_number() OVER (ORDER BY day) - 1 AS j, ref_cents AS vb
+    FROM days
+),
+ud AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                // count(*) AS BIGINT) AS cents
+    FROM events GROUP BY 1, 2
+),
+sa AS (
+    SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY day) - 1
+               AS i, cents AS va
+    FROM ud
+),
+cells AS (
+    SELECT sa.user_id, sa.i, ref.j, abs(sa.va - ref.vb) AS cost
+    FROM sa, ref
+),
+mx AS (
+    SELECT user_id, max(i) AS imax, max(j) AS jmax, max(i) + max(j) AS maxk
+    FROM cells GROUP BY user_id
+),
+dp AS (
+    SELECT c.user_id, c.i, c.j, c.cost AS val, 0 AS age
+    FROM cells c WHERE c.i = 0 AND c.j = 0
+    UNION ALL
+    SELECT * FROM (
+        SELECT c.user_id, c.i, c.j,
+               c.cost + least(p1.val, p2.val, p3.val) AS val, 0 AS age
+        FROM cells c
+        LEFT JOIN dp p1 ON p1.age = 0 AND p1.user_id = c.user_id
+                       AND p1.i = c.i - 1 AND p1.j = c.j
+        LEFT JOIN dp p2 ON p2.age = 0 AND p2.user_id = c.user_id
+                       AND p2.i = c.i AND p2.j = c.j - 1
+        LEFT JOIN dp p3 ON p3.age = 1 AND p3.user_id = c.user_id
+                       AND p3.i = c.i - 1 AND p3.j = c.j - 1
+        WHERE c.i + c.j = (SELECT min(d.i + d.j) + 1 FROM dp d
+                           WHERE d.age = 0)
+          AND coalesce(p1.val, p2.val, p3.val) IS NOT NULL
+        UNION ALL
+        SELECT d.user_id, d.i, d.j, d.val, 1 AS age
+        FROM dp d JOIN mx ON mx.user_id = d.user_id
+        WHERE d.age = 0 AND d.i + d.j < mx.maxk
+    ) q
+)
+SELECT dp.user_id,
+       CAST(mx.imax + 1 AS BIGINT) AS n_user_days,
+       dp.val AS dtw_cents
+FROM dp JOIN mx ON mx.user_id = dp.user_id
+WHERE dp.age = 0 AND dp.i = mx.imax AND dp.j = mx.jmax
+""")
+def q_dtw_distance_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def dtw(ua: pd.Series, ra: pd.Series) -> pd.Series:
+        out = []
+        for a, b in zip(ua, ra):
+            a = np.asarray(a, dtype=np.int64)
+            b = np.asarray(b, dtype=np.int64)
+            n, m = len(a), len(b)
+            cost = np.abs(a[:, None] - b[None, :])
+            dp = np.zeros((n, m), dtype=np.int64)
+            dp[0, 0] = cost[0, 0]
+            for j in range(1, m):
+                dp[0, j] = cost[0, j] + dp[0, j - 1]
+            for i in range(1, n):
+                dp[i, 0] = cost[i, 0] + dp[i - 1, 0]
+                for j in range(1, m):
+                    dp[i, j] = cost[i, j] + min(
+                        dp[i - 1, j], dp[i, j - 1], dp[i - 1, j - 1]
+                    )
+            out.append(int(dp[n - 1, m - 1]))
+        return pd.Series(out, dtype="int64")
+
+    ev = load_table(spark, "events", sf_dir)
+    # per-day mean on the integer-cent grid: exact sum, then truncating
+    # integer division — `div` (Spark) and `//` (DuckDB) both truncate
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(value * 100, 0) AS BIGINT))"
+            " div count(*) AS BIGINT)"
+        ).alias("cents")
+    )
+    user_series = daily.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "cents"))),
+            lambda s: s.getField("cents"),
+        ).alias("ua"),
+        F.count(F.lit(1)).alias("n_user_days"),
+    )
+    ref = (
+        ev.groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(value * 100, 0) AS BIGINT))"
+                " div count(*) AS BIGINT)"
+            ).alias("ref_cents")
+        )
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("day", "ref_cents"))),
+                lambda s: s.getField("ref_cents"),
+            ).alias("ra")
+        )
+    )
+    return (
+        user_series.crossJoin(F.broadcast(ref))
+        .select(
+            "user_id", "n_user_days", dtw("ua", "ra").alias("dtw_cents")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -198,3 +198,52 @@ def test_cms_join_size_estimate_bounds(spark, sf_dir):
     assert row.never_underestimates
     assert row.within_bound
     assert row.est_join_size >= row.exact_join_size >= 0
+
+
+def test_dtw_single_user_is_zero(spark):
+    # one user -> the reference series IS the user's series -> DTW 0
+    rows = [(1, i + 1, _m(i * 60 * 24), "view", float(i + 1))
+            for i in range(4)]
+    d = _mini_dir(spark, rows)
+    out = reg.QUERIES["dtw_distance_users"](spark, d).collect()
+    assert len(out) == 1
+    assert out[0].n_user_days == 4 and out[0].dtw_cents == 0
+
+
+def test_dtw_known_alignment(spark):
+    # user 1 daily cents [100, 300, 400] on days 0-2; user 2 constant
+    # [100, 100, 100] -> ref = [100, 200, 250]; expected DTW computed
+    # by an independent recursive implementation
+    rows = [
+        (1, 1, _m(0), "view", 1.0),
+        (1, 2, _m(60 * 24), "view", 3.0),
+        (1, 3, _m(60 * 48), "view", 4.0),
+        (2, 4, _m(0), "view", 1.0),
+        (2, 5, _m(60 * 24), "view", 1.0),
+        (2, 6, _m(60 * 48), "view", 1.0),
+    ]
+    d = _mini_dir(spark, rows)
+
+    from functools import lru_cache
+
+    def expect(a, b):
+        @lru_cache(None)
+        def f(i, j):
+            c = abs(a[i] - b[j])
+            if i == 0 and j == 0:
+                return c
+            cands = []
+            if i > 0:
+                cands.append(f(i - 1, j))
+            if j > 0:
+                cands.append(f(i, j - 1))
+            if i > 0 and j > 0:
+                cands.append(f(i - 1, j - 1))
+            return c + min(cands)
+        return f(len(a) - 1, len(b) - 1)
+
+    ref = [100, 200, 250]
+    out = {r.user_id: r.dtw_cents for r in
+           reg.QUERIES["dtw_distance_users"](spark, d).collect()}
+    assert out[1] == expect((100, 300, 400), tuple(ref))
+    assert out[2] == expect((100, 100, 100), tuple(ref))
