@@ -12841,6 +12841,292 @@ def q_dtw_distance_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HITS hubs & authorities on the user→event-type BIPARTITE engagement
+# graph (Kleinberg '99) — mutually-recursive link analysis, distinct
+# from PageRank's single random-walk score: hub(user) = Σ auth(types it
+# emits), auth(type) = Σ hub(users emitting it), re-normalized each
+# round.  Two fixed iterations in exact integer fixed-point: scores
+# live on a 1e12 grid, normalization is `score * 1e12 div total` (an
+# exact integer law both engines share), edge weights are event counts.
+# The oracle unrolls the same two iterations as CTEs.  Scale shape: each
+# iteration is one edge-keyed join + map-side-combined sum; the type
+# side is dictionary-sized, the user side shuffles on user_id.
+# ---------------------------------------------------------------------------
+
+@register("hits_user_type_engagement", """
+WITH e AS (
+    SELECT user_id, event_type, count(*) AS w
+    FROM events GROUP BY 1, 2
+),
+a0 AS (
+    SELECT event_type, CAST(1000000000000 AS BIGINT) AS a
+    FROM (SELECT DISTINCT event_type FROM e)
+),
+h1r AS (
+    SELECT e.user_id, sum(e.w * a0.a) AS hr
+    FROM e JOIN a0 USING (event_type) GROUP BY e.user_id
+),
+h1 AS (
+    SELECT user_id,
+           CAST(CAST(hr AS HUGEINT) * 1000000000000
+                // CAST((SELECT sum(hr) FROM h1r) AS HUGEINT) AS BIGINT) AS h
+    FROM h1r
+),
+a1r AS (
+    SELECT e.event_type, sum(e.w * h1.h) AS ar
+    FROM e JOIN h1 USING (user_id) GROUP BY e.event_type
+),
+a1 AS (
+    SELECT event_type,
+           CAST(CAST(ar AS HUGEINT) * 1000000000000
+                // CAST((SELECT sum(ar) FROM a1r) AS HUGEINT) AS BIGINT) AS a
+    FROM a1r
+),
+h2r AS (
+    SELECT e.user_id, sum(e.w * a1.a) AS hr
+    FROM e JOIN a1 USING (event_type) GROUP BY e.user_id
+),
+h2 AS (
+    SELECT user_id,
+           CAST(CAST(hr AS HUGEINT) * 1000000000000
+                // CAST((SELECT sum(hr) FROM h2r) AS HUGEINT) AS BIGINT) AS h
+    FROM h2r
+)
+SELECT h2.user_id, h2.h AS hub_fp,
+       CAST(rank() OVER (ORDER BY h2.h DESC, h2.user_id) AS BIGINT)
+           AS hub_rank
+FROM h2
+QUALIFY hub_rank <= 100
+""")
+def q_hits_user_type_engagement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    SCALE = 1_000_000_000_000
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+
+    def normalize(scores: DataFrame, key: str, col: str) -> DataFrame:
+        tot = scores.agg(F.sum(col).alias("_t"))
+        return scores.crossJoin(F.broadcast(tot)).select(
+            key,
+            F.expr(
+                f"CAST((CAST({col} AS DECIMAL(38,0)) * {SCALE})"
+                f" div CAST(_t AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias(col),
+        )
+
+    auth = e.select("event_type").distinct().select(
+        "event_type", F.lit(SCALE).cast("bigint").alias("a")
+    )
+    for _ in range(2):
+        hub = normalize(
+            e.join(F.broadcast(auth), "event_type")
+            .groupBy("user_id")
+            .agg(F.sum(F.col("w") * F.col("a")).alias("h")),
+            "user_id", "h",
+        )
+        auth = normalize(
+            e.join(hub, "user_id")
+            .groupBy("event_type")
+            .agg(F.sum(F.col("w") * F.col("h")).alias("a")),
+            "event_type", "a",
+        )
+    wr = Window.orderBy(F.col("h").desc(), F.col("user_id"))
+    return (
+        hub.withColumn("hub_rank", F.rank().over(wr).cast("long"))
+        .where(F.col("hub_rank") <= 100)
+        .select("user_id", F.col("h").alias("hub_fp"), "hub_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolization (Lin et al. DMKD'07): each user's daily series →
+# z-normalize → PAA into 8 segments → 4-letter Gaussian-breakpoint
+# alphabet — the symbolic-series paradigm (index keys for motif/anomaly
+# search over time series; pairs with dtw_distance_users the way
+# MinHash pairs with exact Jaccard).  Float discipline: the z-compare
+# is restated as an INTEGER-numerator law — segment z < bp  ⟺
+# (n·Σc_seg − len·Σc) < bp · len · sqrt(n·Σc² − (Σc)²) — left side exact
+# int64 from cent sums and the right is one double product both
+# engines evaluate identically (σ from the exact integer variance
+# identity).  σ = 0 (constant series) maps every segment to 'b' by
+# definition.  Day→segment map is seg = i·8 div n (integer PAA
+# boundaries).  No per-row floats ever cross an aggregation.
+# ---------------------------------------------------------------------------
+
+@register("sax_symbols_users", """
+WITH daily AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                // count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+idx AS (
+    SELECT user_id, c,
+           row_number() OVER (PARTITION BY user_id ORDER BY day) - 1 AS i
+    FROM daily
+),
+stats AS (
+    SELECT user_id, count(*) AS n,
+           CAST(sum(c) AS BIGINT) AS sc,
+           CAST(sum(c * c) AS BIGINT) AS sc2
+    FROM idx GROUP BY user_id
+),
+segs AS (
+    SELECT i.user_id, (i.i * 8) // s.n AS seg,
+           CAST(sum(i.c) AS BIGINT) AS seg_sum,
+           count(*) AS seg_len
+    FROM idx i JOIN stats s USING (user_id)
+    GROUP BY 1, 2
+),
+sym AS (
+    SELECT g.user_id, g.seg,
+           CASE WHEN s.n * s.sc2 - s.sc * s.sc = 0 THEN 'b'
+                ELSE (
+                  CASE
+                    WHEN CAST(s.n * g.seg_sum - g.seg_len * s.sc AS DOUBLE)
+                         < -0.6745 * (g.seg_len
+                           * sqrt(CAST(s.n * s.sc2 - s.sc * s.sc AS DOUBLE)))
+                         THEN 'a'
+                    WHEN CAST(s.n * g.seg_sum - g.seg_len * s.sc AS DOUBLE)
+                         < 0.0 THEN 'b'
+                    WHEN CAST(s.n * g.seg_sum - g.seg_len * s.sc AS DOUBLE)
+                         < 0.6745 * (g.seg_len
+                           * sqrt(CAST(s.n * s.sc2 - s.sc * s.sc AS DOUBLE)))
+                         THEN 'c'
+                    ELSE 'd'
+                  END)
+           END AS sym
+    FROM segs g JOIN stats s USING (user_id)
+)
+SELECT sym.user_id,
+       CAST(s.n AS BIGINT) AS n_days,
+       string_agg(sym.sym, '' ORDER BY sym.seg) AS sax_word
+FROM sym JOIN stats s USING (user_id)
+GROUP BY sym.user_id, s.n
+""")
+def q_sax_symbols_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(value * 100, 0) AS BIGINT))"
+            " div count(*) AS BIGINT)"
+        ).alias("c")
+    )
+    wi = Window.partitionBy("user_id").orderBy("day")
+    idx = daily.withColumn("i", F.row_number().over(wi) - 1)
+    stats = idx.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sc2"),
+    )
+    segs = (
+        idx.join(stats.select("user_id", "n"), "user_id")
+        .groupBy("user_id", F.expr("(i * 8) div n").alias("seg"))
+        .agg(
+            F.sum("c").cast("long").alias("seg_sum"),
+            F.count(F.lit(1)).alias("seg_len"),
+        )
+    )
+    j = segs.join(stats, "user_id")
+    # num = n·Σc_seg − len·Σc  (exact int);  thr(bp) = bp·len·n·σ with
+    # σ = sqrt(n·Σc² − (Σc)²)/sqrt(n) — parenthesized IDENTICALLY in
+    # the oracle so the one double product matches bit for bit
+    num = F.expr("CAST(n * seg_sum - seg_len * sc AS DOUBLE)")
+    var_int = F.expr("n * sc2 - sc * sc")
+    # z_seg < bp  ⟺  n·Σc_seg − len·Σc < bp · len · sqrt(V):
+    # σ = sqrt(V)/n with V = n·Σc² − (Σc)², and the len·n denominator of
+    # the z numerator cancels one n against σ's
+    sigma_scaled = F.expr(
+        "seg_len * sqrt(CAST(n * sc2 - sc * sc AS DOUBLE))"
+    )
+    sym = j.select(
+        "user_id", "seg", "n",
+        F.when(var_int == 0, F.lit("b")).otherwise(
+            F.when(num < F.lit(-0.6745) * sigma_scaled, "a")
+            .when(num < F.lit(0.0), "b")
+            .when(num < F.lit(0.6745) * sigma_scaled, "c")
+            .otherwise("d")
+        ).alias("sym"),
+    )
+    return sym.groupBy("user_id", F.col("n").cast("long").alias("n_days")).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("seg", "sym"))),
+                lambda s: s.getField("sym"),
+            ),
+        ).alias("sax_word")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Borda-count rank aggregation: three independent document rankings
+# (chars, tokens, distinct tokens — all integer criteria) fused into a
+# consensus ordering by summing per-criterion ranks (ties SHARE a rank,
+# the Borda convention, so no tie-break pollutes the scoring).  Each
+# global ranking uses the distributed rank family
+# (operators/ranking.py: repartitionByRange + per-partition offsets) —
+# no SinglePartition window touches the corpus; only the final 50-row
+# consensus slice sees a tiny ordered window.
+# ---------------------------------------------------------------------------
+
+@register("borda_consensus_docs", r"""
+WITH m AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS c1,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS c2,
+           CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+                AS BIGINT) AS c3
+    FROM documents
+),
+r AS (
+    SELECT doc_id,
+           CAST(rank() OVER (ORDER BY c1 DESC) AS BIGINT)
+             + CAST(rank() OVER (ORDER BY c2 DESC) AS BIGINT)
+             + CAST(rank() OVER (ORDER BY c3 DESC) AS BIGINT) AS rank_sum
+    FROM m
+),
+top AS (
+    SELECT doc_id, rank_sum FROM r ORDER BY rank_sum, doc_id LIMIT 50
+)
+SELECT doc_id, rank_sum,
+       CAST(row_number() OVER (ORDER BY rank_sum, doc_id) AS BIGINT)
+           AS consensus_rank
+FROM top
+""")
+def q_borda_consensus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("c1"),
+        F.size(toks).cast("long").alias("c2"),
+        F.size(F.array_distinct(toks)).cast("long").alias("c3"),
+    )
+    ranked = base
+    for c in ("c1", "c2", "c3"):
+        rf = rank_family(
+            base.select("doc_id", (-F.col(c)).alias("k")), ["k"]
+        ).select("doc_id", F.col("rnk").alias(f"r_{c}"))
+        ranked = ranked.join(rf, "doc_id")
+    scored = ranked.select(
+        "doc_id",
+        (F.col("r_c1") + F.col("r_c2") + F.col("r_c3"))
+        .cast("long").alias("rank_sum"),
+    )
+    top = scored.orderBy("rank_sum", "doc_id").limit(50)
+    w = Window.orderBy("rank_sum", "doc_id")  # 50 rows: bounded window
+    return top.withColumn(
+        "consensus_rank", F.row_number().over(w).cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -247,3 +247,50 @@ def test_dtw_known_alignment(spark):
            reg.QUERIES["dtw_distance_users"](spark, d).collect()}
     assert out[1] == expect((100, 300, 400), tuple(ref))
     assert out[2] == expect((100, 100, 100), tuple(ref))
+
+
+def test_hits_hub_ordering_and_normalization(spark):
+    # user 1 emits 2 event types heavily; user 2 one type once ->
+    # user 1's hub score dominates; fixed-point scores are positive
+    rows = [(1, i, _m(i), ["view", "click"][i % 2], 1.0) for i in range(8)]
+    rows.append((2, 100, _m(0), "view", 1.0))
+    d = _mini_dir(spark, rows)
+    out = {r.user_id: r for r in
+           reg.QUERIES["hits_user_type_engagement"](spark, d).collect()}
+    assert out[1].hub_fp > out[2].hub_fp > 0
+    assert out[1].hub_rank == 1 and out[2].hub_rank == 2
+    # normalization: total hub mass within truncation slack of 1e12
+    total = out[1].hub_fp + out[2].hub_fp
+    assert 1_000_000_000_000 - 2 <= total <= 1_000_000_000_000
+
+
+def test_sax_monotone_and_constant_series(spark):
+    # user 1: strictly increasing 16-day series -> non-decreasing SAX
+    # word from 'a' to 'd'; user 2: constant -> all 'b' (sigma = 0)
+    rows = [(1, i + 1, _m(i * 60 * 24), "view", float(i + 1))
+            for i in range(16)]
+    rows += [(2, 100 + i, _m(i * 60 * 24), "view", 5.0) for i in range(16)]
+    d = _mini_dir(spark, rows)
+    out = {r.user_id: r for r in
+           reg.QUERIES["sax_symbols_users"](spark, d).collect()}
+    w1 = out[1].sax_word
+    assert len(w1) == 8 and list(w1) == sorted(w1)
+    assert w1[0] == "a" and w1[-1] == "d"
+    assert out[2].sax_word == "b" * 8
+    assert out[1].n_days == 16
+
+
+def test_borda_consensus_dominant_doc(spark):
+    # doc 1 dominates every criterion -> consensus rank 1 with the
+    # minimum possible rank_sum of 3
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta"),
+        (3, "tiny"),
+    ]
+    extra = {"documents": (docs, "doc_id long, text string")}
+    d = _mini_dir(spark, extra_tables=extra)
+    out = {r.doc_id: r for r in
+           reg.QUERIES["borda_consensus_docs"](spark, d).collect()}
+    assert out[1].consensus_rank == 1 and out[1].rank_sum == 3
+    assert out[3].consensus_rank == 3
