@@ -136,6 +136,20 @@ AUDIT_QUERIES = [
     "interval_union_time_user",
     "map_functions_per_user",
     "hll_overlap_segments",
+    # round 4 additions
+    "ppjoin_jaccard_pairs",
+    "hierarchical_rollup_events",
+    "spatial_neighbor_counts",
+    "leakage_safe_split",
+    "sequential_patterns_events",
+    "unicode_clean_docs",
+    "jaro_winkler_parts",
+    "kaplan_meier_conversion",
+    "join_size_estimate_cms",
+    "dtw_distance_users",
+    "hits_user_type_engagement",
+    "sax_symbols_users",
+    "borda_consensus_docs",
     # round 3 batches 2-4
     "window_function_suite",
     "full_outer_reconciliation",
