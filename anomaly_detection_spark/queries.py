@@ -12217,8 +12217,10 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The self-join is scoped to a session (bounded by session length, the
 # standard cap for sequence mining), pairs are de-duplicated per
 # session before support counting, and support is reported with an
-# exact integer ppm share of all sessions.  Patterns below 5% support
-# are pruned via integer cross-multiplication (20·support >= sessions).
+# exact integer ppm share of all sessions.  Patterns below 0.1%
+# support are pruned via integer cross-multiplication (1000·support >=
+# sessions — sessions here are mostly single-event, so pattern shares
+# are small; the gate is a support floor, not a confidence claim).
 # ---------------------------------------------------------------------------
 
 @register("sequential_patterns_events", """
@@ -12252,7 +12254,7 @@ sup AS (
 SELECT a_type, b_type, support,
        support * 1000000 // n_sessions AS share_ppm
 FROM sup, tot
-WHERE 20 * support >= n_sessions
+WHERE 1000 * support >= n_sessions
 """)
 def q_sequential_patterns_events(
     spark: SparkSession, sf_dir: str
@@ -12296,7 +12298,7 @@ def q_sequential_patterns_events(
     )
     return (
         sup.crossJoin(F.broadcast(n_sessions))
-        .where(20 * F.col("support") >= F.col("n_sessions"))
+        .where(1000 * F.col("support") >= F.col("n_sessions"))
         .select(
             "a_type", "b_type", "support",
             F.expr("support * 1000000 div n_sessions").alias("share_ppm"),

@@ -125,6 +125,11 @@ BENCH_QUERIES = [
     "order_lifecycle_durations",
     "activity_bitmap_user",
     "window_function_suite",
+    "hierarchical_rollup_events",
+    "spatial_neighbor_counts",
+    "dtw_distance_users",
+    "hits_user_type_engagement",
+    "sax_symbols_users",
 ]
 
 
