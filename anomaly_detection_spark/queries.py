@@ -13184,6 +13184,9 @@ DRIVER_REVERIFY: dict[str, int] = {
 }
 
 DRIVER_PRIORITY: list[str] = [
+    # -- r03 verdict flagged this operator (quadratic output); reshaped
+    # in r04 to bounded best-match — land its green row THIS round --
+    "ppjoin_jaccard_pairs",
     # -- no CORRECTNESS_r01 row (registrations #51-80) --
     "navigation_windows_events",
     "set_ops_users",
