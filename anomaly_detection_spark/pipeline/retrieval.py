@@ -47,17 +47,21 @@ QUANT = 1_000_000  # fixed-point denominator for cross-engine float canon
 def bm25_topk(
     docs: DataFrame,
     query_terms: Sequence[str],
-    k: int = 10,
+    k: int | None = 10,
     k1: float = 1.2,
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    with_fp: bool = False,
 ) -> DataFrame:
     """Score every document against ``query_terms`` with Okapi BM25
     and return the top ``k`` by (score desc, doc_id) — the doc-id
     tie-break makes the global limit deterministic.
 
-    Returns (doc_id, score, n_terms_hit).
+    Returns (doc_id, score, n_terms_hit).  ``k=None`` returns ALL hits
+    unordered (callers rank distributedly, e.g. rrf_hybrid_retrieval);
+    ``with_fp=True`` adds the exact integer ``score_fp`` column the
+    6-dp ``score`` is derived from.
     """
     terms = sorted(set(query_terms))
     toks = docs.select(
@@ -107,14 +111,18 @@ def bm25_topk(
     tsq = sum(
         (term_tsq(i) for i in range(len(terms))), F.lit(0).cast("long")
     )
-    return (
+    cols = [
+        F.col(id_col),
+        F.round(tsq / float(QUANT), 6).alias("score"),
+        hits.cast("bigint").alias("n_terms_hit"),
+    ]
+    if with_fp:
+        cols.insert(2, tsq.alias("score_fp"))
+    out = (
         per_doc.crossJoin(consts)
-        .select(
-            id_col,
-            F.round(tsq / float(QUANT), 6).alias("score"),
-            hits.cast("bigint").alias("n_terms_hit"),
-        )
+        .select(*cols)
         .where(F.col("n_terms_hit") > 0)
-        .orderBy(F.desc("score"), id_col)
-        .limit(k)
     )
+    if k is None:
+        return out
+    return out.orderBy(F.desc("score"), id_col).limit(k)

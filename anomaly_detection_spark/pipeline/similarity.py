@@ -59,9 +59,11 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    k: int = 5,
+    k: int | None = 5,
 ) -> DataFrame:
     """Exact cosine top-k per query: (query_id, vec_id, cosine, rank).
+    ``k=None`` skips the per-query rank window and returns every
+    (query_id, vec_id, cosine) row — callers rank distributedly.
 
     ``queries`` is expected to be small (a probe set) → broadcast; the
     big ``vectors`` side streams map-side, and the only shuffle is the
@@ -74,6 +76,8 @@ def brute_force_topk(
         query_id_col, id_col,
         F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias("cosine"),
     )
+    if k is None:
+        return scored
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(id_col)  # deterministic tiebreak
     )

@@ -13129,6 +13129,252 @@ def q_borda_consensus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Reciprocal Rank Fusion (Cormack et al. SIGIR'09) — the hybrid-search
+# primitive every RAG/training-retrieval stack runs: fuse a LEXICAL
+# ranking (BM25 over the query terms, integer 1e-6 fixed-point scores)
+# with a VECTOR ranking (cosine vs the query embedding, ranked on the
+# 6-dp-rounded value like cosine_topk_embeddings) by summing
+# 1e9 div (60 + rank) — truncating integer division, so the fused
+# score is exact and cross-engine.  Both global rankings run through
+# the distributed rank family (no SinglePartition window over the
+# corpus); docs absent from a leg contribute 0 from it.  doc_id and
+# vec_id share the id space (1:1 doc embeddings).
+# ---------------------------------------------------------------------------
+
+@register("rrf_hybrid_retrieval", """
+WITH toks AS (
+    SELECT doc_id, t.tok
+    FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(tok)
+    WHERE len(t.tok) > 0
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+consts AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN ('hash', 'merge', 'window') GROUP BY doc_id, tok
+),
+dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+lexs AS (
+    SELECT tf.doc_id,
+           CAST(sum(CAST(round(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * 2.2
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+               * 1000000, 0) AS BIGINT)) AS BIGINT) AS s
+    FROM tf JOIN dl USING (doc_id) JOIN dft USING (tok), consts
+    GROUP BY tf.doc_id
+),
+lexr AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT)
+               AS rlex
+    FROM lexs
+),
+q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+vecr AS (
+    SELECT e.vec_id AS doc_id,
+           CAST(row_number() OVER (
+               ORDER BY round(list_cosine_similarity(
+                   e.embedding::DOUBLE[], q.qvec), 6) DESC, e.vec_id
+           ) AS BIGINT) AS rvec
+    FROM embeddings e, q
+),
+fused AS (
+    SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.rlex, v.rvec,
+           coalesce(1000000000 // (60 + l.rlex), 0)
+             + coalesce(1000000000 // (60 + v.rvec), 0) AS rrf
+    FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, rrf, rlex, rvec
+FROM fused
+ORDER BY rrf DESC, doc_id LIMIT 20
+""")
+def q_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.retrieval import bm25_topk
+    from anomaly_detection_spark.pipeline.similarity import brute_force_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    # lexical leg: full BM25 ranking (k = whole corpus; the integer
+    # fixed-point score column backs the global ordering)
+    lex = bm25_topk(
+        docs, ["hash", "merge", "window"], k=None, with_fp=True
+    ).select("doc_id", "score_fp")
+    lexr = rank_family(
+        lex.select("doc_id", (-F.col("score_fp")).alias("k")), ["k", "doc_id"]
+    ).select("doc_id", F.col("global_rn").alias("rlex"))
+    # vector leg: cosine vs query vec 0, ranked on the 6-dp value
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vec = brute_force_topk(emb, qv, k=None).select(
+        F.col("vec_id").alias("doc_id"), "cosine"
+    )
+    vecr = rank_family(
+        vec.select("doc_id", (-F.col("cosine")).alias("k")), ["k", "doc_id"]
+    ).select("doc_id", F.col("global_rn").alias("rvec"))
+    fused = (
+        lexr.join(vecr, "doc_id", "full_outer")
+        .select(
+            "doc_id", "rlex", "rvec",
+            (
+                F.coalesce(F.expr("1000000000 div (60 + rlex)"), F.lit(0))
+                + F.coalesce(F.expr("1000000000 div (60 + rvec)"), F.lit(0))
+            ).cast("long").alias("rrf"),
+        )
+    )
+    top = fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+    return top.select(
+        "doc_id", "rrf",
+        F.col("rlex").cast("long").alias("rlex"),
+        F.col("rvec").cast("long").alias("rvec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Viterbi burst detection (Kleinberg KDD'02 two-state automaton, min-
+# plus integer form) — HMM-style sequence smoothing, a DP paradigm
+# distinct from DTW's alignment: per user, the gap-filled daily event
+# counts are scored against a base level T (global events div
+# (users·days)) and a burst level 4T with |n_t − level| state costs
+# and a 2T+1 switch penalty; dp(t,s) = cost + min(stay, switch+λ).
+# Everything is exact integer min-plus, so the numpy kernel (one
+# collected row per user, like dtw_distance_users) and the oracle's
+# LOCKSTEP recursive CTE (2 states × users per level, each level joins
+# the previous) agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+@register("viterbi_burst_users", """
+WITH RECURSIVE
+spine AS (
+    SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+),
+sidx AS (
+    SELECT day, row_number() OVER (ORDER BY day) - 1 AS t FROM spine
+),
+users AS (SELECT DISTINCT user_id FROM events),
+cnt AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+grid AS (
+    SELECT u.user_id, s.t, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+    FROM users u CROSS JOIN sidx s
+    LEFT JOIN cnt c ON c.user_id = u.user_id AND c.day = s.day
+),
+lv AS (
+    SELECT CAST((SELECT count(*) FROM events)
+           // ((SELECT count(*) FROM users) * (SELECT count(*) FROM spine))
+           AS BIGINT) AS t0
+),
+levels AS (
+    SELECT greatest(t0, 1) AS base, 4 * greatest(t0, 1) AS burst,
+           2 * greatest(t0, 1) + 1 AS lam
+    FROM lv
+),
+tmax AS (SELECT max(t) AS tmax FROM sidx),
+dp AS (
+    SELECT g.user_id, g.t, s.s,
+           CASE WHEN s.s = 0 THEN abs(g.n - l.base)
+                ELSE abs(g.n - l.burst) END AS val
+    FROM grid g, (SELECT unnest([0, 1]) AS s) s, levels l
+    WHERE g.t = 0
+    UNION ALL
+    SELECT g.user_id, g.t, s.s,
+           CASE WHEN s.s = 0 THEN abs(g.n - l.base)
+                ELSE abs(g.n - l.burst) END
+             + least(stay.val, switch.val + l.lam) AS val
+    FROM grid g
+    JOIN (SELECT unnest([0, 1]) AS s) s ON true
+    CROSS JOIN levels l
+    JOIN dp stay ON stay.user_id = g.user_id AND stay.t = g.t - 1
+                AND stay.s = s.s
+    JOIN dp switch ON switch.user_id = g.user_id AND switch.t = g.t - 1
+                  AND switch.s = 1 - s.s
+    WHERE g.t = (SELECT min(d.t) + 1 FROM dp d)
+)
+SELECT d0.user_id,
+       CAST((SELECT tmax FROM tmax) + 1 AS BIGINT) AS n_days,
+       least(d0.val, d1.val) AS best_cost,
+       CASE WHEN d0.val <= d1.val THEN 0 ELSE 1 END AS end_state
+FROM dp d0 JOIN dp d1
+  ON d0.user_id = d1.user_id AND d0.t = d1.t AND d0.s = 0 AND d1.s = 1
+WHERE d0.t = (SELECT tmax FROM tmax)
+""")
+def q_viterbi_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    @F.pandas_udf("struct<best_cost: long, end_state: int>")
+    def viterbi(counts: pd.Series, base: pd.Series, burst: pd.Series,
+                lam: pd.Series) -> pd.DataFrame:
+        best, states = [], []
+        for ns, b0, b1, lm in zip(counts, base, burst, lam):
+            ns = np.asarray(ns, dtype=np.int64)
+            d0 = abs(int(ns[0]) - b0)
+            d1 = abs(int(ns[0]) - b1)
+            for x in ns[1:]:
+                x = int(x)
+                nd0 = abs(x - b0) + min(d0, d1 + lm)
+                nd1 = abs(x - b1) + min(d1, d0 + lm)
+                d0, d1 = nd0, nd1
+            best.append(int(min(d0, d1)))
+            states.append(0 if d0 <= d1 else 1)
+        return pd.DataFrame({"best_cost": best, "end_state": states})
+
+    ev = load_table(spark, "events", sf_dir)
+    day = F.to_date(F.date_trunc("day", F.col("ts")))
+    spine = ev.select(day.alias("day")).distinct()
+    users = ev.select("user_id").distinct()
+    cnt = ev.groupBy("user_id", day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    grid = (
+        users.crossJoin(spine)
+        .join(cnt, ["user_id", "day"], "left")
+        .select(
+            "user_id", "day",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    levels = (
+        ev.agg(F.count(F.lit(1)).alias("ne"))
+        .crossJoin(users.agg(F.count(F.lit(1)).alias("nu")))
+        .crossJoin(spine.agg(F.count(F.lit(1)).alias("nd")))
+        .select(
+            F.expr("greatest(ne div (nu * nd), 1)").alias("base"),
+        )
+        .select(
+            "base",
+            (4 * F.col("base")).alias("burst"),
+            (2 * F.col("base") + 1).alias("lam"),
+        )
+    )
+    series = grid.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "n"))),
+            lambda s: s.getField("n"),
+        ).alias("counts"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    return (
+        series.crossJoin(F.broadcast(levels))
+        .withColumn(
+            "r",
+            viterbi("counts",
+                    F.col("base").cast("long"),
+                    F.col("burst").cast("long"),
+                    F.col("lam").cast("long")),
+        )
+        .select(
+            "user_id", "n_days",
+            F.col("r.best_cost").alias("best_cost"),
+            F.col("r.end_state").alias("end_state"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

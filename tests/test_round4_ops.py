@@ -294,3 +294,56 @@ def test_borda_consensus_dominant_doc(spark):
            reg.QUERIES["borda_consensus_docs"](spark, d).collect()}
     assert out[1].consensus_rank == 1 and out[1].rank_sum == 3
     assert out[3].consensus_rank == 3
+
+
+def test_viterbi_flat_series_stays_base(spark):
+    # constant 1-event days at the base level -> cost 0, base state
+    rows = [(1, i + 1, _m(i * 60 * 24), "view", 1.0) for i in range(10)]
+    d = _mini_dir(spark, rows)
+    out = reg.QUERIES["viterbi_burst_users"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_days == 10 and r.best_cost == 0 and r.end_state == 0
+
+
+def test_viterbi_burst_tail_switches_state(spark):
+    # base level T = total div (users*days): 2 users, 10 days,
+    # user 1: 1/day for 8 days then 40/day for 2 days; user 2: 1/day.
+    eid = [0]
+    rows = []
+    def add(u, day, k):
+        for _ in range(k):
+            eid[0] += 1
+            rows.append((u, eid[0], _m(day * 60 * 24), "view", 1.0))
+    for day in range(8):
+        add(1, day, 1)
+    for day in (8, 9):
+        add(1, day, 40)
+    for day in range(10):
+        add(2, day, 1)
+    d = _mini_dir(spark, rows)
+    out = {r.user_id: r for r in
+           reg.QUERIES["viterbi_burst_users"](spark, d).collect()}
+    # T = 98 div 20 = 4 -> base 4, burst 16, lam 9: the 40-count tail
+    # is closer to burst (|40-16|=24) than base (|40-4|=36) -> switches
+    assert out[1].end_state == 1
+    assert out[2].end_state == 0
+
+
+def test_rrf_fuses_both_legs(spark, sf_dir):
+    out = reg.QUERIES["rrf_hybrid_retrieval"](spark, sf_dir).collect()
+    assert 0 < len(out) <= 20
+    by_id = {r.doc_id: r for r in out}
+    # vec_id 0 is its own nearest neighbor -> rvec rank 1 contributes
+    # the max vector-leg mass; it must appear near the top
+    assert 0 in by_id and by_id[0].rvec == 1
+    for r in out:
+        expect = 0
+        if r.rlex is not None:
+            expect += 1_000_000_000 // (60 + r.rlex)
+        if r.rvec is not None:
+            expect += 1_000_000_000 // (60 + r.rvec)
+        assert r.rrf == expect
+    # sorted by fused score
+    scores = [r.rrf for r in out]
+    assert scores == sorted(scores, reverse=True)
