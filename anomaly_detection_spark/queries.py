@@ -13375,6 +13375,176 @@ def q_viterbi_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR control — the multiple-testing correction a
+# fleet of per-user anomaly tests needs before anyone acts on "1,500
+# users each tested at α=0.05".  The CORRECTION is the operator under
+# test: the per-user p-value column is a deterministic salted-md5
+# fixture (uniform on [0,1) with a planted signal block — every 17th
+# user draws from [0, 0.002)), so the step-up scan has real work to do
+# and both engines must agree on k* exactly.  (An empirical p computed
+# from the same m tests is degenerate for BH — c_(k) >= k always, so
+# nothing ever passes c_k <= k·α; a real deployment feeds this operator
+# the p column of mann_whitney_drift/ks_drift_events.)  BH at α=0.05:
+# k* = max{k : p_(k) <= k·α/m}, integer-exactly 20·p_micro·m <= 1e6·k;
+# the global p-ordering runs through the distributed rank family, and
+# the k* scan + rejection filter are one aggregate + one broadcast.
+# ---------------------------------------------------------------------------
+
+@register("bh_fdr_user_anomalies", """
+WITH users AS (SELECT DISTINCT user_id FROM events),
+tot AS (SELECT count(*) AS m FROM users),
+pv AS (
+    SELECT user_id,
+           CASE WHEN user_id % 17 = 0
+                THEN CAST('0x' || substr(md5('bh:' || CAST(user_id AS VARCHAR)),
+                          1, 15) AS BIGINT) % 2000
+                ELSE CAST('0x' || substr(md5('bh:' || CAST(user_id AS VARCHAR)),
+                          1, 15) AS BIGINT) % 1000000
+           END AS p_micro
+    FROM users
+),
+ranked AS (
+    SELECT user_id, p_micro,
+           CAST(row_number() OVER (ORDER BY p_micro, user_id) AS BIGINT) AS k
+    FROM pv
+),
+kstar AS (
+    SELECT coalesce(max(CASE WHEN 20 * p_micro * m <= 1000000 * k
+                             THEN k END), 0) AS kmax
+    FROM ranked, tot
+)
+SELECT user_id, p_micro, k AS p_rank
+FROM ranked, kstar
+WHERE k <= kmax
+""")
+def q_bh_fdr_user_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.decontaminate import (
+        portable_hash_bucket,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    users = ev.select("user_id").distinct()
+    tot = users.agg(F.count(F.lit(1)).alias("m"))
+    pv = users.select(
+        "user_id",
+        F.when(
+            F.col("user_id") % 17 == 0,
+            portable_hash_bucket(F.col("user_id"), 2000, salt="bh:"),
+        ).otherwise(
+            portable_hash_bucket(F.col("user_id"), 1000000, salt="bh:")
+        ).alias("p_micro"),
+    )
+    ranked = rank_family(pv, ["p_micro", "user_id"]).select(
+        "user_id", "p_micro", F.col("global_rn").cast("long").alias("k")
+    )
+    kstar = ranked.crossJoin(F.broadcast(tot)).agg(
+        F.coalesce(
+            F.max(F.when(
+                20 * F.col("p_micro") * F.col("m")
+                <= 1000000 * F.col("k"),
+                F.col("k"),
+            )),
+            F.lit(0).cast("long"),
+        ).alias("kmax")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kstar))
+        .where(F.col("k") <= F.col("kmax"))
+        .select("user_id", "p_micro", F.col("k").alias("p_rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance selection (Carbonell & Goldstein SIGIR'98)
+# — the dedupe-aware selection loop RAG context packing and training-
+# subset curation both run: greedily pick k=8 vectors maximizing
+# rel(c) − 0.5·max_{s∈S} sim(c, s), so every pick is relevant to the
+# query (vec 0) but diverse from what's already chosen.  Greedy
+# selection is inherently sequential: each of the 8 steps is ONE
+# distributed argmax (TakeOrderedAndProject over the corpus) whose
+# 1-row winner (id + 64 floats) is the only thing that ever reaches
+# the driver — bounded like pagerank's node count.  Both rel and sim
+# are the 6-dp-rounded cosine of cosine_topk_embeddings, so the greedy
+# trace is deterministic; the oracle unrolls the same 8 steps as
+# generated CTEs.
+# ---------------------------------------------------------------------------
+
+def _mmr_oracle_sql(k: int = 8) -> str:
+    head = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+v AS MATERIALIZED (
+    SELECT vec_id, embedding::DOUBLE[] AS ev,
+           round(list_cosine_similarity(embedding::DOUBLE[],
+                                        (SELECT qv FROM q)), 6) AS rel
+    FROM embeddings
+),
+s1 AS MATERIALIZED (
+    SELECT vec_id, ev, rel FROM v ORDER BY rel DESC, vec_id LIMIT 1),
+sel1 AS MATERIALIZED (SELECT * FROM s1)"""
+    parts = [head]
+    for t in range(2, k + 1):
+        parts.append(f""",
+s{t} AS MATERIALIZED (
+    SELECT vec_id, min(ev) AS ev, rel FROM (
+        SELECT c.vec_id, c.ev, c.rel,
+               round(list_cosine_similarity(c.ev, s.ev), 6) AS sim
+        FROM v c, sel{t - 1} s
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+    ) GROUP BY vec_id, rel
+    ORDER BY rel - 0.5 * max(sim) DESC, vec_id LIMIT 1
+),
+sel{t} AS MATERIALIZED (
+    SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM s{t})""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {t} AS pick_order, vec_id, rel AS relevance FROM s{t}"
+        for t in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + union
+
+
+@register("mmr_select_embeddings", _mmr_oracle_sql(8))
+def q_mmr_select_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.similarity import cosine_similarity
+
+    K = 8
+    emb = load_table(spark, "embeddings", sf_dir)
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
+    v = emb.select(
+        "vec_id", "embedding",
+        F.round(cosine_similarity(F.col("embedding"), qlit), 6).alias("rel"),
+    ).persist()
+    picks: list[tuple[int, int, float, list]] = []
+    for t in range(1, K + 1):
+        if not picks:
+            cand = v.select("vec_id", "embedding", "rel",
+                            F.col("rel").alias("mmr"))
+        else:
+            worst = None
+            for _, _, _, svec in picks:
+                slit = F.array(*[F.lit(float(x)) for x in svec])
+                s = F.round(
+                    cosine_similarity(F.col("embedding"), slit), 6
+                )
+                worst = s if worst is None else F.greatest(worst, s)
+            cand = v.where(
+                ~F.col("vec_id").isin([p[1] for p in picks])
+            ).select(
+                "vec_id", "embedding", "rel",
+                (F.col("rel") - 0.5 * worst).alias("mmr"),
+            )
+        # ONE distributed argmax; the 1-row winner is the only driver
+        # traffic per step
+        row = cand.orderBy(F.col("mmr").desc(), "vec_id").limit(1).first()
+        picks.append((t, row["vec_id"], row["rel"], list(row["embedding"])))
+    v.unpersist()
+    return spark.createDataFrame(
+        [(t, vid, rel) for t, vid, rel, _ in picks],
+        "pick_order int, vec_id long, relevance double",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

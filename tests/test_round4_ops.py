@@ -347,3 +347,31 @@ def test_rrf_fuses_both_legs(spark, sf_dir):
     # sorted by fused score
     scores = [r.rrf for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_bh_fdr_rejects_planted_block_only(spark, sf_dir):
+    rows = reg.QUERIES["bh_fdr_user_anomalies"](spark, sf_dir).collect()
+    assert rows, "planted signals must produce rejections"
+    # the step-up property: rejected ranks are exactly 1..k*
+    ks = sorted(r.p_rank for r in rows)
+    assert ks == list(range(1, len(ks) + 1))
+    # planted block dominates the rejections
+    planted = [r for r in rows if r.user_id % 17 == 0]
+    assert len(planted) >= len(rows) - 1
+
+
+def test_mmr_diversity_beats_pure_relevance(spark, sf_dir):
+    from anomaly_detection_spark.pipeline.similarity import brute_force_topk
+    from anomaly_detection_spark.sources.tables import load_table
+
+    picks = reg.QUERIES["mmr_select_embeddings"](spark, sf_dir).collect()
+    assert [p.pick_order for p in sorted(picks, key=lambda r: r.pick_order)] \
+        == list(range(1, 9))
+    ids = [p.vec_id for p in picks]
+    assert len(set(ids)) == 8          # no repeats
+    assert picks[0].vec_id == 0        # the query is its own best match
+    # MMR must NOT equal the pure top-8 by relevance (diversity active)
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.where("vec_id = 0").selectExpr("vec_id AS query_id", "embedding")
+    top8 = {r.vec_id for r in brute_force_topk(emb, q, k=8).collect()}
+    assert set(ids) != top8
