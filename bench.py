@@ -130,6 +130,11 @@ BENCH_QUERIES = [
     "dtw_distance_users",
     "hits_user_type_engagement",
     "sax_symbols_users",
+    "rrf_hybrid_retrieval",
+    # mmr_select_embeddings stays OUT of the bench set: 8 sequential
+    # argmax jobs are honest greedy-selection cost but pure job-launch
+    # overhead at local bench scale (14 s of a 93 s total in the r04
+    # trial run) — the r03 lesson about one query dominating the line
 ]
 
 

@@ -150,6 +150,10 @@ AUDIT_QUERIES = [
     "hits_user_type_engagement",
     "sax_symbols_users",
     "borda_consensus_docs",
+    "rrf_hybrid_retrieval",
+    "viterbi_burst_users",
+    "bh_fdr_user_anomalies",
+    "kaplan_meier_conversion",
     # round 3 batches 2-4
     "window_function_suite",
     "full_outer_reconciliation",
