@@ -13545,6 +13545,117 @@ def q_mmr_select_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 1-D Wasserstein (earth-mover) distance between the purchase and view
+# value distributions — the INTEGRAL of |F1 − F2| over the merged value
+# axis, a distribution-drift measure strictly stronger than KS's single
+# max gap (ks_drift_events).  Closed form on the merged distinct-value
+# dictionary: W1 = Σ_i |F1(v_i) − F2(v_i)|·(v_{i+1} − v_i), restated
+# integer-exactly as Σ |c1·n2 − c2·n1|·Δcents with cumulative counts
+# c from one pass over the dictionary (values collapse to distinct
+# cents first — the fact table never sees a window).  The final
+# normalization runs in DECIMAL(38,0)/HUGEINT so the cross-multiplied
+# numerator can't overflow at scale.  Output is ONE row: both sample
+# sizes and W1 in exact integer cent-ppm.
+# ---------------------------------------------------------------------------
+
+@register("wasserstein_value_drift", """
+WITH a AS (
+    SELECT CAST(round(value * 100, 0) AS BIGINT) AS v FROM events
+    WHERE event_type = 'purchase'
+),
+b AS (
+    SELECT CAST(round(value * 100, 0) AS BIGINT) AS v FROM events
+    WHERE event_type = 'view'
+),
+na AS (SELECT count(*) AS n1 FROM a),
+nb AS (SELECT count(*) AS n2 FROM b),
+grid AS (
+    SELECT v,
+           CAST(sum(ca) AS BIGINT) AS dca,
+           CAST(sum(cb) AS BIGINT) AS dcb
+    FROM (
+        SELECT v, 1 AS ca, 0 AS cb FROM a
+        UNION ALL
+        SELECT v, 0 AS ca, 1 AS cb FROM b
+    ) GROUP BY v
+),
+cum AS (
+    SELECT v,
+           CAST(sum(dca) OVER w AS BIGINT) AS c1,
+           CAST(sum(dcb) OVER w AS BIGINT) AS c2,
+           lead(v) OVER (ORDER BY v) AS nxt
+    FROM grid
+    WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+),
+num AS (
+    SELECT CAST(coalesce(sum(CAST(abs(c1 * n2 - c2 * n1) AS HUGEINT)
+                    * (nxt - v)), 0) AS HUGEINT) AS w1num
+    FROM cum, na, nb WHERE nxt IS NOT NULL
+)
+SELECT n1, n2,
+       CAST(CAST(w1num AS HUGEINT) * 1000000
+            // (CAST(n1 AS HUGEINT) * CAST(n2 AS HUGEINT)) AS BIGINT)
+           AS w1_cents_ppm
+FROM num, na, nb
+""")
+def q_wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    cents = quantized(F.col("value"), 2)
+    a = ev.where(F.col("event_type") == "purchase").select(cents.alias("v"))
+    b = ev.where(F.col("event_type") == "view").select(cents.alias("v"))
+    grid = (
+        a.select("v", F.lit(1).alias("ca"), F.lit(0).alias("cb"))
+        .unionAll(b.select("v", F.lit(0).alias("ca"), F.lit(1).alias("cb")))
+        .groupBy("v")
+        .agg(
+            F.sum("ca").cast("long").alias("dca"),
+            F.sum("cb").cast("long").alias("dcb"),
+        )
+    )
+    # the windows walk the distinct-cents dictionary (bounded by the
+    # value range), never the event log; cf. sweepline_peak_concurrency
+    # for the two-level prefix-sum form if the dictionary ever grows
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("v")
+    cum = grid.select(
+        "v",
+        F.sum("dca").over(wc).cast("long").alias("c1"),
+        F.sum("dcb").over(wc).cast("long").alias("c2"),
+        F.lead("v").over(wl).alias("nxt"),
+    )
+    na = a.agg(F.count(F.lit(1)).alias("n1"))
+    nb = b.agg(F.count(F.lit(1)).alias("n2"))
+    num = (
+        cum.where(F.col("nxt").isNotNull())
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.abs(
+                        F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")
+                    ).cast("decimal(38,0)") * (F.col("nxt") - F.col("v"))
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("w1num")
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n1", "n2",
+            F.expr(
+                "CAST((CAST(w1num AS DECIMAL(38,0)) * 1000000)"
+                " div (CAST(n1 AS DECIMAL(38,0)) * CAST(n2 AS"
+                " DECIMAL(38,0))) AS BIGINT)"
+            ).alias("w1_cents_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -375,3 +375,24 @@ def test_mmr_diversity_beats_pure_relevance(spark, sf_dir):
     q = emb.where("vec_id = 0").selectExpr("vec_id AS query_id", "embedding")
     top8 = {r.vec_id for r in brute_force_topk(emb, q, k=8).collect()}
     assert set(ids) != top8
+
+
+def test_wasserstein_known_shift(spark):
+    # purchases at exactly 1.00, views at exactly 3.00 -> W1 = 2.00
+    # (200 cents): mass 1 moved distance 200
+    rows = [(1, i + 1, _m(i), "purchase", 1.0) for i in range(5)]
+    rows += [(2, 100 + i, _m(i), "view", 3.0) for i in range(5)]
+    d = _mini_dir(spark, rows)
+    out = reg.QUERIES["wasserstein_value_drift"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n1, r.n2) == (5, 5)
+    assert r.w1_cents_ppm == 200 * 1_000_000
+
+
+def test_wasserstein_identical_is_zero(spark):
+    rows = [(1, i + 1, _m(i), "purchase", 2.5) for i in range(4)]
+    rows += [(2, 100 + i, _m(i), "view", 2.5) for i in range(4)]
+    d = _mini_dir(spark, rows)
+    out = reg.QUERIES["wasserstein_value_drift"](spark, d).collect()
+    assert out[0].w1_cents_ppm == 0
