@@ -13656,6 +13656,209 @@ def q_wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus scaling laws: Heaps (vocabulary growth V(n) ≈ K·n^β) and Zipf
+# (rank-frequency slope) fitted in ONE pass each — the two numbers a
+# corpus curator checks before believing a dataset is "natural text".
+# Heaps' growth curve needs no per-prefix rescan: a token first
+# appears at min(doc_rank), so V(k) = #tokens with first_rank <= k,
+# evaluated at 10 decile checkpoints.  Both exponents come from the
+# exact-integer OLS closed form over 1e-6-quantized logs (the
+# ols_fit_user discipline): slope_ppm = 1e6·(nΣxy − ΣxΣy) div
+# (nΣx² − (Σx)²), truncating division in both engines.
+# ---------------------------------------------------------------------------
+
+@register("zipf_heaps_corpus", r"""
+WITH toks AS (
+    SELECT doc_id, t.tok
+    FROM documents, unnest(string_split_regex(trim(text), '\s+')) AS t(tok)
+    WHERE len(t.tok) > 0
+),
+docn AS (SELECT count(DISTINCT doc_id) AS nd FROM toks),
+dr AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS drank
+    FROM (SELECT DISTINCT doc_id FROM toks)
+),
+firsts AS (
+    SELECT t.tok, min(dr.drank) AS fr
+    FROM toks t JOIN dr USING (doc_id) GROUP BY t.tok
+),
+checkpoints AS (
+    SELECT CAST((j * nd + 9) // 10 AS BIGINT) AS k
+    FROM (SELECT unnest([1,2,3,4,5,6,7,8,9,10]) AS j), docn
+),
+heaps_pts AS (
+    SELECT k AS x_raw,
+           (SELECT count(*) FROM firsts WHERE fr <= k) AS y_raw
+    FROM checkpoints
+),
+hq AS (
+    SELECT CAST(round(ln(CAST(x_raw AS DOUBLE)), 6) * 1000000 AS BIGINT)
+               AS x,
+           CAST(round(ln(CAST(y_raw AS DOUBLE)), 6) * 1000000 AS BIGINT)
+               AS y
+    FROM heaps_pts
+),
+heaps AS (
+    SELECT CAST(1000000 * (count(*) * sum(x * y) - sum(x) * sum(y))
+                // (count(*) * sum(x * x) - sum(x) * sum(x)) AS BIGINT)
+               AS heaps_beta_ppm
+    FROM hq
+),
+zipf_top AS (
+    SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ORDER BY c DESC, tok LIMIT 50
+),
+zipf_pts AS (
+    SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY c DESC, tok)
+                              AS DOUBLE)), 6) * 1000000 AS BIGINT) AS x,
+           CAST(round(ln(CAST(c AS DOUBLE)), 6) * 1000000 AS BIGINT) AS y
+    FROM zipf_top
+),
+zipf AS (
+    SELECT CAST(1000000 * (count(*) * sum(x * y) - sum(x) * sum(y))
+                // (count(*) * sum(x * x) - sum(x) * sum(x)) AS BIGINT)
+               AS zipf_slope_ppm
+    FROM zipf_pts
+),
+vocab AS (SELECT count(*) AS vocab_total FROM firsts)
+SELECT CAST(nd AS BIGINT) AS n_docs,
+       CAST(vocab_total AS BIGINT) AS vocab_total,
+       heaps_beta_ppm, zipf_slope_ppm
+FROM docn, vocab, heaps, zipf
+""")
+def q_zipf_heaps_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).where(F.length("tok") > 0)
+    docn = toks.select("doc_id").distinct()
+    dr = rank_family(docn, ["doc_id"]).select(
+        "doc_id", F.col("global_rn").cast("long").alias("drank")
+    )
+    firsts = toks.join(dr, "doc_id").groupBy("tok").agg(
+        F.min("drank").alias("fr")
+    )
+    nd = docn.agg(F.count(F.lit(1)).alias("nd"))
+    checkpoints = (
+        spark.range(1, 11).select(F.col("id").alias("j"))
+        .crossJoin(F.broadcast(nd))
+        .select(F.expr("CAST((j * nd + 9) div 10 AS BIGINT)").alias("k"))
+    )
+    # V(k) at 10 checkpoints via ONE range join onto the firsts rollup
+    # (10 rows broadcast against the token dictionary), no rescans
+    heaps_pts = (
+        firsts.crossJoin(F.broadcast(checkpoints))
+        .where(F.col("fr") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("y_raw"))
+        .select(F.col("k").alias("x_raw"), "y_raw")
+    )
+
+    def slope_ppm(pts: DataFrame, out: str) -> DataFrame:
+        q = pts.select(
+            (F.round(F.log(F.col("x_raw").cast("double")), 6) * 1000000)
+            .cast("long").alias("x"),
+            (F.round(F.log(F.col("y_raw").cast("double")), 6) * 1000000)
+            .cast("long").alias("y"),
+        )
+        # outer products exceed int64 (micro-log sums ~1e8 squared);
+        # DECIMAL(38,0) here = the oracle's implicit HUGEINT promotion
+        return q.agg(
+            F.expr(
+                "CAST((CAST(count(*) AS DECIMAL(38,0))"
+                "      * CAST(sum(x * y) AS DECIMAL(38,0))"
+                "    - CAST(sum(x) AS DECIMAL(38,0))"
+                "      * CAST(sum(y) AS DECIMAL(38,0))) * 1000000"
+                " div (CAST(count(*) AS DECIMAL(38,0))"
+                "      * CAST(sum(x * x) AS DECIMAL(38,0))"
+                "    - CAST(sum(x) AS DECIMAL(38,0))"
+                "      * CAST(sum(x) AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias(out)
+        )
+
+    heaps = slope_ppm(heaps_pts, "heaps_beta_ppm")
+    ztop = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok").limit(50)
+    )
+    wz = Window.orderBy(F.col("c").desc(), "tok")  # 50 rows: bounded
+    zipf_pts = ztop.select(
+        F.row_number().over(wz).cast("long").alias("x_raw"),
+        F.col("c").alias("y_raw"),
+    )
+    zipf = slope_ppm(zipf_pts, "zipf_slope_ppm")
+    vocab = firsts.agg(F.count(F.lit(1)).alias("vocab_total"))
+    return (
+        nd.select(F.col("nd").cast("long").alias("n_docs"))
+        .crossJoin(F.broadcast(vocab.select(
+            F.col("vocab_total").cast("long").alias("vocab_total"))))
+        .crossJoin(F.broadcast(heaps))
+        .crossJoin(F.broadcast(zipf))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified k-fold assignment — cross-validation folds that preserve
+# per-language proportions EXACTLY: within each lang, docs are ordered
+# by a portable salted-md5 draw (deterministic, partition-independent)
+# and dealt round-robin into 5 folds, so per-(lang, fold) counts differ
+# by at most 1 — asserted as boolean data the oracle recomputes.  The
+# rank window is PARTITIONED by lang (no global ordering anywhere).
+# ---------------------------------------------------------------------------
+
+@register("stratified_kfold_docs", """
+WITH drawn AS (
+    SELECT doc_id, lang,
+           CAST('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)),
+                1, 15) AS BIGINT) AS draw
+    FROM documents
+),
+assigned AS (
+    SELECT lang,
+           (row_number() OVER (PARTITION BY lang ORDER BY draw, doc_id)
+            - 1) % 5 AS fold
+    FROM drawn
+),
+counts AS (
+    SELECT lang, CAST(fold AS INT) AS fold, count(*) AS n_docs
+    FROM assigned GROUP BY lang, fold
+)
+SELECT lang, fold, n_docs,
+       max(n_docs) OVER (PARTITION BY lang)
+         - min(n_docs) OVER (PARTITION BY lang) <= 1 AS balanced
+FROM counts
+""")
+def q_stratified_kfold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.decontaminate import (
+        portable_hash_bucket,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    # full 60-bit draw (bucket count 2^60) = the un-modded portable hash
+    drawn = docs.select(
+        "doc_id", "lang",
+        portable_hash_bucket(
+            F.col("doc_id"), 1 << 60, salt="fold:"
+        ).alias("draw"),
+    )
+    wl = Window.partitionBy("lang").orderBy("draw", "doc_id")
+    assigned = drawn.select(
+        "lang", ((F.row_number().over(wl) - 1) % 5).alias("fold")
+    )
+    counts = assigned.groupBy("lang", F.col("fold").cast("int").alias("fold")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    wb = Window.partitionBy("lang")
+    return counts.select(
+        "lang", "fold", "n_docs",
+        (
+            F.max("n_docs").over(wb) - F.min("n_docs").over(wb) <= 1
+        ).alias("balanced"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -396,3 +396,35 @@ def test_wasserstein_identical_is_zero(spark):
     d = _mini_dir(spark, rows)
     out = reg.QUERIES["wasserstein_value_drift"](spark, d).collect()
     assert out[0].w1_cents_ppm == 0
+
+
+def test_zipf_heaps_on_synthetic_power_law(spark):
+    # build a corpus with a known-ish Zipf profile: token w_r appears
+    # floor(1000/r) times (slope -1 in the rank-frequency log-log)
+    words = []
+    for r in range(1, 21):
+        words += [f"w{r:02d}"] * (1000 // r)
+    docs, chunk = [], 50
+    for i in range(0, len(words), chunk):
+        docs.append((i // chunk, " ".join(words[i:i + chunk])))
+    extra = {"documents": (docs, "doc_id long, text string")}
+    d = _mini_dir(spark, extra_tables=extra)
+    row = reg.QUERIES["zipf_heaps_corpus"](spark, d).collect()[0]
+    assert row.vocab_total == 20
+    # slope near -1 (exactly -1e6 ppm only for a perfect law; floor()
+    # and the 20-point fit leave slack)
+    assert -1_200_000 < row.zipf_slope_ppm < -800_000
+    # this sequential layout introduces vocabulary LATE (w01 fills the
+    # first 20 chunks), so V(k) grows super-linearly: beta > 1 is the
+    # correct fit here, bounded by the degenerate-layout ceiling
+    assert 1_000_000 < row.heaps_beta_ppm < 2_000_000
+
+
+def test_stratified_kfold_balance(spark, sf_dir):
+    rows = reg.QUERIES["stratified_kfold_docs"](spark, sf_dir).collect()
+    assert rows and all(r.balanced for r in rows)
+    langs = {}
+    for r in rows:
+        langs.setdefault(r.lang, []).append(r.n_docs)
+    for lang, counts in langs.items():
+        assert max(counts) - min(counts) <= 1, lang
