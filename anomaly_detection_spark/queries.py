@@ -13859,6 +13859,98 @@ def q_stratified_kfold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Extreme-value tail fit (peaks-over-threshold, GPD by method of
+# moments) — tail-risk estimation, the EVT paradigm no other query
+# covers: how heavy is the value distribution's tail ABOVE the p95
+# threshold?  Everything is exact: the threshold is percentile_disc-
+# style (smallest cents value whose cumulative count reaches 95%,
+# found on the distinct-cents dictionary), excess moments are integer
+# sums, and the GPD MoM estimators reduce to pure rationals of those
+# sums — ξ = (n·S2 − 2S²)/(2(n·S2 − S²)) and σ = S·S2/(2(n·S2 − S²))
+# (population-moment form) — evaluated in DECIMAL(38,0)/HUGEINT and
+# emitted as truncated ppm integers.
+# ---------------------------------------------------------------------------
+
+@register("evt_pot_tail_fit", """
+WITH v AS (
+    SELECT CAST(round(value * 100, 0) AS BIGINT) AS c FROM events
+),
+n_all AS (SELECT count(*) AS n FROM v),
+grid AS (
+    SELECT c, count(*) AS cnt FROM v GROUP BY c
+),
+cum AS (
+    SELECT c, CAST(sum(cnt) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS cle
+    FROM grid
+),
+thr AS (
+    SELECT min(c) AS u FROM cum, n_all WHERE 20 * cle >= 19 * n
+),
+exc AS (
+    SELECT CAST(v.c - thr.u AS BIGINT) AS e
+    FROM v, thr WHERE v.c > thr.u
+),
+mom AS (
+    SELECT count(*) AS ne,
+           CAST(sum(e) AS HUGEINT) AS s,
+           CAST(sum(e * e) AS HUGEINT) AS s2
+    FROM exc
+)
+SELECT thr.u AS u_cents,
+       CAST(ne AS BIGINT) AS n_exceed,
+       CAST(1000000 * (ne * s2 - 2 * s * s)
+            // nullif(2 * (ne * s2 - s * s), 0) AS BIGINT) AS xi_ppm,
+       CAST(1000000 * s * s2
+            // nullif(2 * (ne * s2 - s * s), 0) AS BIGINT)
+           AS sigma_cents_ppm
+FROM mom, thr
+""")
+def q_evt_pot_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    v = ev.select(quantized(F.col("value"), 2).alias("c"))
+    n_all = v.agg(F.count(F.lit(1)).alias("n"))
+    grid = v.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    # cumulative over the distinct-cents dictionary, never the log
+    wc = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select("c", F.sum("cnt").over(wc).cast("long").alias("cle"))
+    thr = (
+        cum.crossJoin(F.broadcast(n_all))
+        .where(20 * F.col("cle") >= 19 * F.col("n"))
+        .agg(F.min("c").alias("u"))
+    )
+    exc = (
+        v.crossJoin(F.broadcast(thr))
+        .where(F.col("c") > F.col("u"))
+        .select((F.col("c") - F.col("u")).cast("long").alias("e"))
+    )
+    mom = exc.agg(
+        F.count(F.lit(1)).alias("ne"),
+        F.sum("e").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("e") * F.col("e")).cast("decimal(38,0)").alias("s2"),
+    )
+    d38 = "CAST({} AS DECIMAL(38,0))"
+    return (
+        mom.crossJoin(F.broadcast(thr))
+        .select(
+            F.col("u").alias("u_cents"),
+            F.col("ne").cast("long").alias("n_exceed"),
+            F.expr(
+                "CAST(1000000 * ("
+                + d38.format("ne") + " * s2 - 2 * s * s)"
+                " div nullif(2 * (" + d38.format("ne")
+                + " * s2 - s * s), 0) AS BIGINT)"
+            ).alias("xi_ppm"),
+            F.expr(
+                "CAST(1000000 * s * s2"
+                " div nullif(2 * (" + d38.format("ne")
+                + " * s2 - s * s), 0) AS BIGINT)"
+            ).alias("sigma_cents_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -428,3 +428,29 @@ def test_stratified_kfold_balance(spark, sf_dir):
         langs.setdefault(r.lang, []).append(r.n_docs)
     for lang, counts in langs.items():
         assert max(counts) - min(counts) <= 1, lang
+
+
+def test_evt_pot_known_two_point_tail(spark):
+    # 95 values of 1.00 + excesses {1.00, 3.00} above u=1.00(=p95 disc)
+    # wait: build 40 @1.00, tail: 2.00 and 4.00 -> u = percentile_disc
+    # .95 over 42 values = 1.00? cum(1.00)=40, 20*40 >= 19*42 (798) yes
+    # -> u=100 cents; excesses e = {100, 300}: n=2, S=400, S2=100000
+    # xi = (2*100000 - 2*160000)/(2*(2*100000-160000)) = -120000/80000
+    #    = -1.5 -> -1500000 ppm; sigma = 400*100000/80000 = 500 cents
+    rows = [(1, i + 1, _m(i), "view", 1.0) for i in range(40)]
+    rows += [(1, 100, _m(100), "view", 2.0), (1, 101, _m(101), "view", 4.0)]
+    d = _mini_dir(spark, rows)
+    r = reg.QUERIES["evt_pot_tail_fit"](spark, d).collect()[0]
+    assert r.u_cents == 100 and r.n_exceed == 2
+    assert r.xi_ppm == -1_500_000
+    assert r.sigma_cents_ppm == 500 * 1_000_000
+
+
+def test_evt_pot_degenerate_tail_yields_null(spark):
+    # a single-valued tail has zero variance: estimators are undefined
+    # and must surface as NULL, not a crash
+    rows = [(1, i + 1, _m(i), "view", 1.0) for i in range(40)]
+    rows += [(1, 100, _m(100), "view", 2.0), (1, 101, _m(101), "view", 2.0)]
+    d = _mini_dir(spark, rows)
+    r = reg.QUERIES["evt_pot_tail_fit"](spark, d).collect()[0]
+    assert r.n_exceed == 2 and r.xi_ppm is None and r.sigma_cents_ppm is None
