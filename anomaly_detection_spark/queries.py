@@ -13951,6 +13951,85 @@ def q_evt_pot_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Simpson's-paradox audit — does the value↔time-of-day association
+# REVERSE when the event log is sliced by event type?  The classic
+# aggregation-bias check before anyone trusts a pooled correlation.
+# Association signs come from the EXACT integer covariance numerator
+# n·Σxy − Σx·Σy (x = second-of-day, y = value cents — both integers;
+# DECIMAL(38,0)/HUGEINT products), so the sign is bit-identical across
+# engines — no float correlation anywhere.  One rollup per slice + a
+# 1-row broadcast global: two shuffles total.
+# ---------------------------------------------------------------------------
+
+@register("simpsons_paradox_audit", """
+WITH base AS (
+    SELECT event_type,
+           CAST(epoch(ts) AS BIGINT) % 86400 AS x,
+           CAST(round(value * 100, 0) AS BIGINT) AS y
+    FROM events
+),
+per_type AS (
+    SELECT event_type, count(*) AS n,
+           CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+           CAST(sum(x * y) AS HUGEINT) AS sxy
+    FROM base GROUP BY event_type
+),
+overall AS (
+    SELECT count(*) AS n, CAST(sum(x) AS HUGEINT) AS sx,
+           CAST(sum(y) AS HUGEINT) AS sy, CAST(sum(x * y) AS HUGEINT) AS sxy
+    FROM base
+),
+signs AS (
+    SELECT p.event_type, CAST(p.n AS BIGINT) AS n_rows,
+           CAST(sign(p.n * p.sxy - p.sx * p.sy) AS INT) AS slice_sign,
+           CAST(sign(g.n * g.sxy - g.sx * g.sy) AS INT) AS global_sign
+    FROM per_type p, overall g
+)
+SELECT event_type, n_rows, slice_sign, global_sign,
+       slice_sign <> 0 AND global_sign <> 0
+           AND slice_sign <> global_sign AS reversed
+FROM signs
+""")
+def q_simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        "event_type",
+        (epoch_seconds("ts") % 86400).cast("long").alias("x"),
+        quantized(F.col("value"), 2).alias("y"),
+    )
+    def covnum(df, keys):
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast("decimal(38,0)").alias("sx"),
+            F.sum("y").cast("decimal(38,0)").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        )
+    per_type = covnum(base, ["event_type"])
+    glob = covnum(base.withColumn("_g", F.lit(1)), ["_g"]).select(
+        F.expr(
+            "CAST(sign(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy) AS INT)"
+        ).alias("global_sign")
+    )
+    return (
+        per_type.crossJoin(F.broadcast(glob))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_rows"),
+            F.expr(
+                "CAST(sign(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy)"
+                " AS INT)"
+            ).alias("slice_sign"),
+            "global_sign",
+        )
+        .withColumn(
+            "reversed",
+            (F.col("slice_sign") != 0) & (F.col("global_sign") != 0)
+            & (F.col("slice_sign") != F.col("global_sign")),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

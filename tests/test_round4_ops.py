@@ -454,3 +454,22 @@ def test_evt_pot_degenerate_tail_yields_null(spark):
     d = _mini_dir(spark, rows)
     r = reg.QUERIES["evt_pot_tail_fit"](spark, d).collect()[0]
     assert r.n_exceed == 2 and r.xi_ppm is None and r.sigma_cents_ppm is None
+
+
+def test_simpsons_paradox_planted_reversal(spark):
+    # slice A: positive value-vs-time trend; slice B: positive trend;
+    # but B sits LATER with LOWER values -> pooled trend negative
+    rows = []
+    eid = 0
+    for i in range(10):           # type A: early seconds, low->high 10..19
+        eid += 1
+        rows.append((1, eid, _m(i), "view", 10.0 + i))
+    for i in range(10):           # type B: later seconds, low->high 1..10
+        eid += 1
+        rows.append((1, eid, _m(100 + i), "click", 1.0 + i))
+    d = _mini_dir(spark, rows)
+    out = {r.event_type: r for r in
+           reg.QUERIES["simpsons_paradox_audit"](spark, d).collect()}
+    assert out["view"].slice_sign == 1 and out["click"].slice_sign == 1
+    assert out["view"].global_sign == -1
+    assert out["view"].reversed and out["click"].reversed
