@@ -14030,6 +14030,183 @@ def q_simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Wilson score intervals — the proportion CI that stays sane at small n
+# and extreme p̂ (unlike the Wald interval every dashboard misuses).
+# Per event type: the share of events whose value clears the corpus p75
+# (exact percentile-disc on the distinct-cents dictionary), with the
+# 95% Wilson bounds.  Inputs k and n are exact integers; the bounds are
+# ONE identical double expression evaluated from them in both engines
+# (single-expression IEEE determinism — no float ever crosses an
+# aggregation), rounded to 6 dp.
+# ---------------------------------------------------------------------------
+
+_WILSON = (
+    "round((p + zz / (2 * n) {sign} z * sqrt(p * (1 - p) / n"
+    " + zz / (4 * n * n))) / (1 + zz / n), 6)"
+)
+
+
+@register("wilson_ci_event_types", """
+WITH v AS (
+    SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+    FROM events
+),
+n_all AS (SELECT count(*) AS nt FROM v),
+grid AS (SELECT c, count(*) AS cnt FROM v GROUP BY c),
+cum AS (
+    SELECT c, CAST(sum(cnt) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS cle
+    FROM grid
+),
+thr AS (SELECT min(c) AS u FROM cum, n_all WHERE 4 * cle >= 3 * nt),
+agg AS (
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(count(*) FILTER (c > (SELECT u FROM thr)) AS BIGINT)
+               AS k_above
+    FROM v GROUP BY event_type
+)
+SELECT event_type, CAST(n_events AS BIGINT) AS n_events, k_above,
+       round(CAST(k_above AS DOUBLE) / n_events, 6) AS p_hat,
+       {lo} AS wilson_lo,
+       {hi} AS wilson_hi
+FROM (
+    SELECT event_type, n_events, k_above,
+           CAST(k_above AS DOUBLE) / n_events AS p,
+           CAST(n_events AS DOUBLE) AS n,
+           1.959964 AS z, 1.959964 * 1.959964 AS zz
+    FROM agg
+)
+""".format(lo=_WILSON.format(sign="-"), hi=_WILSON.format(sign="+")))
+def q_wilson_ci_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    v = ev.select("event_type", quantized(F.col("value"), 2).alias("c"))
+    n_all = v.agg(F.count(F.lit(1)).alias("nt"))
+    grid = v.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select("c", F.sum("cnt").over(wc).cast("long").alias("cle"))
+    thr = (
+        cum.crossJoin(F.broadcast(n_all))
+        .where(4 * F.col("cle") >= 3 * F.col("nt"))
+        .agg(F.min("c").alias("u"))
+    )
+    agg = (
+        v.crossJoin(F.broadcast(thr))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("c") > F.col("u"), 1))
+            .cast("long").alias("k_above"),
+        )
+    )
+    staged = agg.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "k_above",
+        (F.col("k_above").cast("double") / F.col("n_events")).alias("p"),
+        F.col("n_events").cast("double").alias("n"),
+        F.lit(1.959964).alias("z"),
+        F.lit(1.959964 * 1.959964).alias("zz"),
+    )
+    return staged.select(
+        "event_type", "n_events", "k_above",
+        F.round(F.col("p"), 6).alias("p_hat"),
+        F.expr(_WILSON.format(sign="-")).alias("wilson_lo"),
+        F.expr(_WILSON.format(sign="+")).alias("wilson_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dickey-Fuller unit-root t-statistic per user — IS the user's daily
+# value series mean-reverting, or a random walk?  The regression
+# Δy_t = a + β·y_{t−1} + ε over the user's consecutive observed days:
+# every Σ (x, d, xd, x², d²) is an exact integer of cents, and β, the
+# intercept, SSR and the t-stat come from ONE closed-form double
+# expression shared verbatim by both engines.  n < 4 or degenerate
+# denominators yield NULL (nullif), never a crash.  t ≪ 0 rejects the
+# unit root (mean reversion); t ≈ 0 looks like a random walk.
+# ---------------------------------------------------------------------------
+
+_DF_T = (
+    "round(((n * sxd - sx * sd) / nullif(n * sxx - sx * sx, 0))"
+    " / nullif(sqrt((greatest((sdd - (sd - ((n * sxd - sx * sd)"
+    " / nullif(n * sxx - sx * sx, 0)) * sx) / n * sd"
+    " - ((n * sxd - sx * sd) / nullif(n * sxx - sx * sx, 0)) * sxd), 0)"
+    " / nullif(n - 2, 0)) / nullif(sxx - sx * sx / n, 0)), 0), 4)"
+)
+
+
+@register("dickey_fuller_users", """
+WITH daily AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                // count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+pairs AS (
+    SELECT user_id,
+           lag(c) OVER (PARTITION BY user_id ORDER BY day) AS x,
+           c - lag(c) OVER (PARTITION BY user_id ORDER BY day) AS d
+    FROM daily
+),
+sums AS (
+    SELECT user_id, count(*) AS np,
+           CAST(sum(x) AS BIGINT) AS isx, CAST(sum(d) AS BIGINT) AS isd,
+           CAST(sum(x * d) AS BIGINT) AS isxd,
+           CAST(sum(x * x) AS HUGEINT) AS isxx,
+           CAST(sum(d * d) AS HUGEINT) AS isdd
+    FROM pairs WHERE x IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, CAST(np AS BIGINT) AS n_pairs,
+       {t} AS df_tstat
+FROM (
+    SELECT user_id, np,
+           CAST(np AS DOUBLE) AS n, CAST(isx AS DOUBLE) AS sx,
+           CAST(isd AS DOUBLE) AS sd, CAST(isxd AS DOUBLE) AS sxd,
+           CAST(isxx AS DOUBLE) AS sxx, CAST(isdd AS DOUBLE) AS sdd
+    FROM sums WHERE np >= 4
+)
+""".format(t=_DF_T))
+def q_dickey_fuller_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(value * 100, 0) AS BIGINT))"
+            " div count(*) AS BIGINT)"
+        ).alias("c")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    pairs = daily.select(
+        "user_id",
+        F.lag("c").over(w).alias("x"),
+        (F.col("c") - F.lag("c").over(w)).alias("d"),
+    ).where(F.col("x").isNotNull())
+    sums = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("x").cast("long").alias("isx"),
+        F.sum("d").cast("long").alias("isd"),
+        F.sum(F.col("x") * F.col("d")).cast("long").alias("isxd"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("isxx"),
+        F.sum(F.col("d") * F.col("d")).cast("decimal(38,0)").alias("isdd"),
+    )
+    staged = sums.where(F.col("np") >= 4).select(
+        "user_id",
+        F.col("np").cast("long").alias("n_pairs"),
+        F.col("np").cast("double").alias("n"),
+        F.col("isx").cast("double").alias("sx"),
+        F.col("isd").cast("double").alias("sd"),
+        F.col("isxd").cast("double").alias("sxd"),
+        F.col("isxx").cast("double").alias("sxx"),
+        F.col("isdd").cast("double").alias("sdd"),
+    )
+    return staged.select(
+        "user_id", "n_pairs", F.expr(_DF_T).alias("df_tstat")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -473,3 +473,38 @@ def test_simpsons_paradox_planted_reversal(spark):
     assert out["view"].slice_sign == 1 and out["click"].slice_sign == 1
     assert out["view"].global_sign == -1
     assert out["view"].reversed and out["click"].reversed
+
+
+def test_wilson_interval_properties(spark, sf_dir):
+    rows = reg.QUERIES["wilson_ci_event_types"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.wilson_lo <= r.p_hat <= r.wilson_hi <= 1.0
+        # Wilson never collapses to a point for 0 < k < n
+        if 0 < r.k_above < r.n_events:
+            assert r.wilson_lo < r.wilson_hi
+
+
+def test_dickey_fuller_mean_reversion_vs_trend(spark):
+    # user 1 oscillates hard around 15 with a wobble (strong mean
+    # reversion -> very negative t; the wobble keeps SSR > 0 — a
+    # PERFECT oscillation fits exactly, se = 0, and t is NULL by the
+    # nullif convention); user 2 follows a clean upward drift (x is still
+    # informative; just assert user 1 is far more negative)
+    rows = []
+    eid = 0
+    for i in range(20):
+        eid += 1
+        base = 10.0 if i % 2 == 0 else 20.0
+        rows.append((1, eid, _m(i * 60 * 24), "view",
+                     base + (0.5 if i % 5 == 0 else 0.0)))
+    for i in range(20):
+        eid += 1
+        rows.append((2, eid, _m(i * 60 * 24), "view",
+                     10.0 + i + (0.2 if i % 3 == 0 else 0.0)))
+    d = _mini_dir(spark, rows)
+    out = {r.user_id: r for r in
+           reg.QUERIES["dickey_fuller_users"](spark, d).collect()}
+    assert out[1].n_pairs == 19
+    assert out[1].df_tstat < -3.0             # oscillation = unit root rejected
+    assert out[1].df_tstat < out[2].df_tstat  # far below the drifting user
