@@ -145,6 +145,13 @@ AUDIT_QUERIES = [
     "unicode_clean_docs",
     "jaro_winkler_parts",
     "kaplan_meier_conversion",
+    "wasserstein_value_drift",
+    "zipf_heaps_corpus",
+    "stratified_kfold_docs",
+    "evt_pot_tail_fit",
+    "simpsons_paradox_audit",
+    "wilson_ci_event_types",
+    "dickey_fuller_users",
     "join_size_estimate_cms",
     "dtw_distance_users",
     "hits_user_type_engagement",
@@ -154,6 +161,13 @@ AUDIT_QUERIES = [
     "viterbi_burst_users",
     "bh_fdr_user_anomalies",
     "kaplan_meier_conversion",
+    "wasserstein_value_drift",
+    "zipf_heaps_corpus",
+    "stratified_kfold_docs",
+    "evt_pot_tail_fit",
+    "simpsons_paradox_audit",
+    "wilson_ci_event_types",
+    "dickey_fuller_users",
     # round 3 batches 2-4
     "window_function_suite",
     "full_outer_reconciliation",
