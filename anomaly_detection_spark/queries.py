@@ -12502,8 +12502,9 @@ risk AS (
 lo AS (
     SELECT day, n_converted, n_at_risk,
            CASE WHEN n_converted >= n_at_risk THEN NULL
-                ELSE CAST(round(ln(CAST(n_at_risk - n_converted AS DOUBLE)
-                                   / n_at_risk), 6) * 1000000 AS BIGINT)
+                ELSE CAST(round(round(ln(
+                         CAST(n_at_risk - n_converted AS DOUBLE)
+                         / n_at_risk), 6) * 1000000, 0) AS BIGINT)
            END AS lnq_micro,
            CASE WHEN n_converted >= n_at_risk THEN 1 ELSE 0 END AS hit_zero
     FROM risk
@@ -12564,14 +12565,15 @@ def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = risk.withColumn(
         "lnq_micro",
         F.when(hit, F.lit(None)).otherwise(
-            (
+            F.round(
                 F.round(
                     F.log(
                         (F.col("n_at_risk") - F.col("n_converted"))
                         .cast("double") / F.col("n_at_risk")
                     ),
                     6,
-                ) * 1000000
+                ) * 1000000,
+                0,
             ).cast("long")
         ),
     ).withColumn("hit_zero", hit.cast("int"))
@@ -13693,10 +13695,10 @@ heaps_pts AS (
     FROM checkpoints
 ),
 hq AS (
-    SELECT CAST(round(ln(CAST(x_raw AS DOUBLE)), 6) * 1000000 AS BIGINT)
-               AS x,
-           CAST(round(ln(CAST(y_raw AS DOUBLE)), 6) * 1000000 AS BIGINT)
-               AS y
+    SELECT CAST(round(round(ln(CAST(x_raw AS DOUBLE)), 6) * 1000000, 0)
+               AS BIGINT) AS x,
+           CAST(round(round(ln(CAST(y_raw AS DOUBLE)), 6) * 1000000, 0)
+               AS BIGINT) AS y
     FROM heaps_pts
 ),
 heaps AS (
@@ -13710,9 +13712,11 @@ zipf_top AS (
     ORDER BY c DESC, tok LIMIT 50
 ),
 zipf_pts AS (
-    SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY c DESC, tok)
-                              AS DOUBLE)), 6) * 1000000 AS BIGINT) AS x,
-           CAST(round(ln(CAST(c AS DOUBLE)), 6) * 1000000 AS BIGINT) AS y
+    SELECT CAST(round(round(ln(CAST(row_number() OVER (
+                   ORDER BY c DESC, tok) AS DOUBLE)), 6) * 1000000, 0)
+               AS BIGINT) AS x,
+           CAST(round(round(ln(CAST(c AS DOUBLE)), 6) * 1000000, 0)
+               AS BIGINT) AS y
     FROM zipf_top
 ),
 zipf AS (
@@ -13757,10 +13761,14 @@ def q_zipf_heaps_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def slope_ppm(pts: DataFrame, out: str) -> DataFrame:
         q = pts.select(
-            (F.round(F.log(F.col("x_raw").cast("double")), 6) * 1000000)
-            .cast("long").alias("x"),
-            (F.round(F.log(F.col("y_raw").cast("double")), 6) * 1000000)
-            .cast("long").alias("y"),
+            F.round(
+                F.round(F.log(F.col("x_raw").cast("double")), 6) * 1000000,
+                0,
+            ).cast("long").alias("x"),
+            F.round(
+                F.round(F.log(F.col("y_raw").cast("double")), 6) * 1000000,
+                0,
+            ).cast("long").alias("y"),
         )
         # outer products exceed int64 (micro-log sums ~1e8 squared);
         # DECIMAL(38,0) here = the oracle's implicit HUGEINT promotion
@@ -14203,6 +14211,295 @@ def q_dickey_fuller_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return staged.select(
         "user_id", "n_pairs", F.expr(_DF_T).alias("df_tstat")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution of the event-type transition chain —
+# where does user behavior SETTLE?  Complements markov_transitions_
+# events (which emits the one-step matrix): three exact integer fixed-
+# point power iterations π' ∝ Σ_i π_i·c_ij/c_i· over the DICTIONARY-
+# sized type×type matrix (broadcast everywhere; the event log is
+# touched once to count transitions).  Mass renormalizes each step via
+# the HUGEINT/DECIMAL(38,0) truncating-division law, so both engines
+# produce bit-identical BIGINT masses.
+# ---------------------------------------------------------------------------
+
+@register("markov_stationary_types", """
+WITH seq AS (
+    SELECT event_type AS a,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS b
+    FROM events
+),
+trans AS (
+    SELECT a, b, count(*) AS c FROM seq WHERE b IS NOT NULL GROUP BY a, b
+),
+rowsum AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM trans GROUP BY a),
+types AS (SELECT DISTINCT a AS t FROM trans),
+n_types AS (SELECT count(*) AS nt FROM types),
+p0 AS (
+    SELECT t, CAST(1000000000000 // nt AS BIGINT) AS m FROM types, n_types
+),
+s1r AS (
+    SELECT tr.b AS t, CAST(sum(CAST(p0.m AS HUGEINT) * tr.c // rs.ca)
+                           AS BIGINT) AS m
+    FROM p0 JOIN trans tr ON tr.a = p0.t JOIN rowsum rs ON rs.a = p0.t
+    GROUP BY tr.b
+),
+s1 AS (
+    SELECT t, CAST(CAST(m AS HUGEINT) * 1000000000000
+                   // (SELECT sum(m) FROM s1r) AS BIGINT) AS m
+    FROM s1r
+),
+s2r AS (
+    SELECT tr.b AS t, CAST(sum(CAST(s1.m AS HUGEINT) * tr.c // rs.ca)
+                           AS BIGINT) AS m
+    FROM s1 JOIN trans tr ON tr.a = s1.t JOIN rowsum rs ON rs.a = s1.t
+    GROUP BY tr.b
+),
+s2 AS (
+    SELECT t, CAST(CAST(m AS HUGEINT) * 1000000000000
+                   // (SELECT sum(m) FROM s2r) AS BIGINT) AS m
+    FROM s2r
+),
+s3r AS (
+    SELECT tr.b AS t, CAST(sum(CAST(s2.m AS HUGEINT) * tr.c // rs.ca)
+                           AS BIGINT) AS m
+    FROM s2 JOIN trans tr ON tr.a = s2.t JOIN rowsum rs ON rs.a = s2.t
+    GROUP BY tr.b
+),
+s3 AS (
+    SELECT t, CAST(CAST(m AS HUGEINT) * 1000000000000
+                   // (SELECT sum(m) FROM s3r) AS BIGINT) AS m
+    FROM s3r
+)
+SELECT t AS event_type, m AS pi_fp FROM s3
+""")
+def q_markov_stationary_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    SCALE = 1_000_000_000_000
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).where(F.col("b").isNotNull())
+    trans = seq.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    rowsum = trans.groupBy("a").agg(F.sum("c").cast("long").alias("ca"))
+    tmat = F.broadcast(trans.join(rowsum, "a"))
+    types = trans.select(F.col("a").alias("t")).distinct()
+    nt = types.agg(F.count(F.lit(1)).alias("nt"))
+    pi = types.crossJoin(F.broadcast(nt)).select(
+        "t", F.expr(f"CAST({SCALE} div nt AS BIGINT)").alias("m")
+    )
+    for _ in range(3):
+        raw = (
+            pi.join(tmat, pi["t"] == tmat["a"])
+            .groupBy(F.col("b").alias("t2"))
+            .agg(
+                F.expr(
+                    "CAST(sum(CAST(m AS DECIMAL(38,0)) * c div ca)"
+                    " AS BIGINT)"
+                ).alias("m")
+            )
+            .select(F.col("t2").alias("t"), "m")
+        )
+        tot = raw.agg(F.sum("m").alias("_t"))
+        pi = raw.crossJoin(F.broadcast(tot)).select(
+            "t",
+            F.expr(
+                f"CAST(CAST(m AS DECIMAL(38,0)) * {SCALE}"
+                " div CAST(_t AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("m"),
+        )
+    return pi.select(F.col("t").alias("event_type"),
+                     F.col("m").alias("pi_fp"))
+
+
+# ---------------------------------------------------------------------------
+# Markov entropy rate per user — how PREDICTABLE is each user's event
+# sequence?  Ĥ = −Σ_ij (c_ij/C)·log2(c_ij/c_i·) over the user's own
+# transition counts (0 bits = deterministic chain, log2|types| =
+# uniform).  Float discipline: each log2 term is quantized to the 1e-6
+# grid and weighted by the INTEGER count c_ij, so the per-user total is
+# an exact integer sum divided once — fold-order-free across engines
+# and partitionings.
+# ---------------------------------------------------------------------------
+
+@register("markov_entropy_users", """
+WITH seq AS (
+    SELECT user_id, event_type AS a,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS b
+    FROM events
+),
+trans AS (
+    SELECT user_id, a, b, count(*) AS c FROM seq
+    WHERE b IS NOT NULL GROUP BY user_id, a, b
+),
+rowsum AS (
+    SELECT user_id, a, CAST(sum(c) AS BIGINT) AS ca
+    FROM trans GROUP BY user_id, a
+),
+terms AS (
+    SELECT t.user_id, t.c,
+           CAST(round(round(log2(CAST(t.c AS DOUBLE) / r.ca), 6)
+                      * 1000000, 0) AS BIGINT) AS lq
+    FROM trans t JOIN rowsum r ON r.user_id = t.user_id AND r.a = t.a
+)
+SELECT user_id,
+       CAST(sum(c) AS BIGINT) AS n_transitions,
+       round(-CAST(sum(c * lq) AS DOUBLE) / sum(c) / 1000000.0, 4)
+           AS entropy_bits
+FROM terms GROUP BY user_id
+""")
+def q_markov_entropy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).where(F.col("b").isNotNull())
+    trans = seq.groupBy("user_id", "a", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    rowsum = trans.groupBy("user_id", "a").agg(
+        F.sum("c").cast("long").alias("ca")
+    )
+    terms = trans.join(rowsum, ["user_id", "a"]).select(
+        "user_id", "c",
+        F.round(
+            F.round(F.log2(F.col("c").cast("double") / F.col("ca")), 6)
+            * 1000000,
+            0,
+        ).cast("long").alias("lq"),
+    )
+    return terms.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_transitions"),
+        F.round(
+            -F.sum(F.col("c") * F.col("lq")).cast("double")
+            / F.sum("c") / 1000000.0,
+            4,
+        ).alias("entropy_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dunning G² log-likelihood collocations (Dunning CL'93) — the
+# statistically-sound replacement for raw lift when mining phrases for
+# tokenizers/stopword lists: G² = 2·Σ_cells O·ln(O/E) over the 2×2
+# bigram contingency table.  Adjacent-pair counts and all four O/E
+# cells are exact integers/rationals; each O·ln(O/E) term is quantized
+# to the 1e-6 grid BEFORE the 4-cell sum (the libm fold discipline), so
+# the statistic is cross-engine exact.  Top 20 by (g2 desc, pair asc).
+# ---------------------------------------------------------------------------
+
+@register("gtest_collocations", r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+    FROM documents
+),
+bi AS (
+    SELECT ts[i] AS w1, ts[i + 1] AS w2
+    FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+    WHERE len(ts) >= 2
+),
+n_all AS (SELECT count(*) AS n FROM bi),
+pc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bi GROUP BY w1),
+c2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM bi GROUP BY w2),
+cells AS (
+    SELECT pc.w1, pc.w2, pc.c12, c1.c1, c2.c2, n_all.n,
+           pc.c12                    AS o11,
+           c1.c1 - pc.c12            AS o12,
+           c2.c2 - pc.c12            AS o21,
+           n_all.n - c1.c1 - c2.c2 + pc.c12 AS o22
+    FROM pc JOIN c1 USING (w1) JOIN c2 USING (w2), n_all
+),
+g AS (
+    SELECT w1, w2, c12,
+           2 * (
+             CASE WHEN o11 > 0 THEN o11 * CAST(round(round(ln(CAST(o11 AS DOUBLE)
+                  * n / (CAST(c1 AS DOUBLE) * c2)), 6) * 1000000, 0)
+                  AS BIGINT) ELSE 0 END
+           + CASE WHEN o12 > 0 THEN o12 * CAST(round(round(ln(CAST(o12 AS DOUBLE)
+                  * n / (CAST(c1 AS DOUBLE) * (n - c2))), 6) * 1000000, 0)
+                  AS BIGINT) ELSE 0 END
+           + CASE WHEN o21 > 0 THEN o21 * CAST(round(round(ln(CAST(o21 AS DOUBLE)
+                  * n / (CAST(n - c1 AS DOUBLE) * c2)), 6) * 1000000, 0)
+                  AS BIGINT) ELSE 0 END
+           + CASE WHEN o22 > 0 THEN o22 * CAST(round(round(ln(CAST(o22 AS DOUBLE)
+                  * n / (CAST(n - c1 AS DOUBLE) * (n - c2))), 6) * 1000000, 0)
+                  AS BIGINT) ELSE 0 END
+           ) AS g2_micro
+    FROM cells
+)
+SELECT w1, w2, c12 AS n_pair, CAST(g2_micro AS BIGINT) AS g2_micro
+FROM g
+ORDER BY g2_micro DESC, w1, w2 LIMIT 20
+""")
+def q_gtest_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.split(F.trim("text"), r"\s+").alias("ts")
+    ).withColumn("m", F.greatest(F.size("ts") - 1, F.lit(0)))
+    bi = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("ts", 1, F.col("m")),
+                    F.expr("slice(ts, 2, m)"),
+                    lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    n_all = bi.agg(F.count(F.lit(1)).alias("n"))
+    pc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    c2 = bi.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    cells = (
+        pc.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(n_all))
+        .withColumn("o11", F.col("c12"))
+        .withColumn("o12", F.col("c1") - F.col("c12"))
+        .withColumn("o21", F.col("c2") - F.col("c12"))
+        .withColumn(
+            "o22", F.col("n") - F.col("c1") - F.col("c2") + F.col("c12")
+        )
+    )
+
+    def term(o: str, num: str, den: str):
+        return F.when(
+            F.col(o) > 0,
+            F.col(o)
+            * F.round(
+                F.round(
+                    F.log(F.expr(f"CAST({o} AS DOUBLE) * {num} / ({den})")),
+                    6,
+                ) * 1000000,
+                0,
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    g = cells.select(
+        "w1", "w2", "c12",
+        (
+            2 * (
+                term("o11", "n", "CAST(c1 AS DOUBLE) * c2")
+                + term("o12", "n", "CAST(c1 AS DOUBLE) * (n - c2)")
+                + term("o21", "n", "CAST(n - c1 AS DOUBLE) * c2")
+                + term("o22", "n", "CAST(n - c1 AS DOUBLE) * (n - c2)")
+            )
+        ).cast("long").alias("g2_micro"),
+    )
+    return (
+        g.orderBy(F.col("g2_micro").desc(), "w1", "w2")
+        .limit(20)
+        .select("w1", "w2", F.col("c12").alias("n_pair"), "g2_micro")
     )
 
 

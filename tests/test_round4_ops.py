@@ -508,3 +508,45 @@ def test_dickey_fuller_mean_reversion_vs_trend(spark):
     assert out[1].n_pairs == 19
     assert out[1].df_tstat < -3.0             # oscillation = unit root rejected
     assert out[1].df_tstat < out[2].df_tstat  # far below the drifting user
+
+
+def test_markov_stationary_two_state_chain(spark):
+    # deterministic cycle view -> click -> view -> ...: stationary mass
+    # splits 50/50 (up to fixed-point truncation)
+    rows = [(1, i + 1, _m(i), ["view", "click"][i % 2], 1.0)
+            for i in range(40)]
+    d = _mini_dir(spark, rows)
+    out = {r.event_type: r.pi_fp for r in
+           reg.QUERIES["markov_stationary_types"](spark, d).collect()}
+    assert set(out) == {"view", "click"}
+    half = 500_000_000_000
+    assert abs(out["view"] - half) <= 2
+    assert abs(out["click"] - half) <= 2
+    assert half * 2 - 4 <= out["view"] + out["click"] <= half * 2
+
+
+def test_markov_entropy_deterministic_vs_mixed(spark):
+    # user 1 cycles deterministically (entropy 0); user 2 alternates
+    # between two successors of 'view' (entropy > 0)
+    rows = [(1, i + 1, _m(i), ["view", "click"][i % 2], 1.0)
+            for i in range(20)]
+    seqs = ["view", "click", "view", "error"] * 5
+    rows += [(2, 100 + i, _m(i), t, 1.0) for i, t in enumerate(seqs)]
+    d = _mini_dir(spark, rows)
+    out = {r.user_id: r for r in
+           reg.QUERIES["markov_entropy_users"](spark, d).collect()}
+    assert out[1].entropy_bits == 0.0
+    # user 2: 'view' splits 50/50 between click and error -> those
+    # transitions contribute 1 bit each; overall rate strictly positive
+    assert out[2].entropy_bits > 0.4
+
+
+def test_gtest_collocations_planted_bigram(spark):
+    # "alpha beta" always adjacent; fillers are shuffled-ish singletons
+    docs = [(i, f"alpha beta w{i} w{i + 1} w{i + 2}") for i in range(30)]
+    extra = {"documents": (docs, "doc_id long, text string")}
+    d = _mini_dir(spark, extra_tables=extra)
+    rows = reg.QUERIES["gtest_collocations"](spark, d).collect()
+    assert rows[0].w1 == "alpha" and rows[0].w2 == "beta"
+    assert rows[0].n_pair == 30
+    assert rows[0].g2_micro > 0
