@@ -591,3 +591,63 @@ def stateful_heavy_hitters(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def minute_rollup_partials(
+    stream: DataFrame,
+    keys: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming leg of the hierarchical (continuous-aggregate) rollup:
+    1-minute tumbling windows emitting MERGEABLE partials — an exact
+    integer event count and cent sum per (minute, keys) — so coarser
+    grains (hour/day) are pure batch re-aggregations of the stream's
+    output and never touch the raw feed again (the streaming mirror of
+    ``hierarchical_rollup_events``).
+
+    Append-mode after the watermark closes a minute; exactly the cells
+    a 100 TB/day feed would persist (minutes × keys, thousands of times
+    smaller than the event stream).
+    """
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    cents = F.round(F.col(value_col) * 10000, 0).cast("long")
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "1 minute").alias("win"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("sum_cents"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("minute_ts"),
+            *keys, "n_events", "sum_cents",
+        )
+    )
+
+
+def reaggregate_minutes_to_day(
+    minutes: DataFrame, keys: Sequence[str] = ("event_type",)
+) -> DataFrame:
+    """Batch re-aggregation of streamed minute partials to day grain:
+    counts sum, cent sums sum, bucket counts count — the mergeable-
+    partials law the batch engine's ``hierarchical_rollup_events``
+    oracle proves.  Output schema matches that query exactly so a
+    stream-replay parity test can diff the two paths row for row."""
+    hour = minutes.groupBy(
+        F.date_trunc("hour", F.col("minute_ts")).alias("hour_ts"), *keys
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_cents").alias("sum_cents"),
+        F.count(F.lit(1)).alias("n_minutes"),
+    )
+    return hour.groupBy(
+        F.to_date(F.date_trunc("day", F.col("hour_ts"))).alias("day"), *keys
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("sum_cents").cast("double") / 10000.0, 4)
+        .alias("sum_value"),
+        F.sum("n_minutes").alias("n_minutes"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )

@@ -622,3 +622,84 @@ def test_stateful_heavy_hitters_mg_guarantee(spark, stream_dir):
     b_final = {r.item for r in res if r.event_type == "b"
                and r.emitted_n == 300}
     assert 7 in a_final and 9 in b_final
+
+
+def test_minute_rollup_stream_matches_batch_hierarchy(spark, stream_dir):
+    """Continuous-aggregate parity: stream → 1-min partials → batch
+    re-aggregation to day grain must equal the pure-batch
+    hierarchical_rollup_events on the identical rows, including the
+    n_minutes/n_hours bucket counts, with out-of-order (in-watermark)
+    arrivals across micro-batches."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_spark import queries as reg
+    from anomaly_detection_spark.streaming.rules_stream import (
+        minute_rollup_partials, reaggregate_minutes_to_day,
+    )
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def m(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    rows = [
+        (1, m(0), "view", 1.25),
+        (2, m(0), "view", 2.5),          # same minute, same type
+        (1, m(1), "click", 3.0),
+        (1, m(61), "view", 4.0),          # next hour
+        (2, m(60 * 24), "view", 5.0),     # next day
+        (1, m(60 * 24 + 30), "click", 6.0),
+    ]
+    # out-of-order but inside the 1h watermark: minute-1 row arrives
+    # in a later batch than minute-61
+    batches = [
+        [rows[0], rows[1], rows[3]],
+        [rows[2]],                        # late minute-1 event
+        [rows[4], rows[5]],
+        # watermark flush: append mode only emits CLOSED windows, so a
+        # far-future sentinel advances event time past day 2 (it stays
+        # out of the comparison and of the batch reference)
+        [(99, m(60 * 72), "flush", 0.0)],
+    ]
+    for i, b in enumerate(batches):
+        df = spark.createDataFrame(b, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stream_dir, f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir + "/*")
+    )
+    minutes = _drain(
+        spark, minute_rollup_partials(stream), "minute_rollup", stream_dir
+    )
+    streamed_day = reaggregate_minutes_to_day(minutes)
+
+    # the pure-batch reference on the identical rows
+    d = tempfile.mkdtemp()
+    full = spark.createDataFrame(rows, schema).withColumn(
+        "event_id", F.monotonically_increasing_id()
+    ).withColumn("props", F.lit("{}"))
+    pq.write_table(
+        pa.Table.from_pandas(full.toPandas()),
+        os.path.join(d, "events.parquet"),
+    )
+    batch_day = reg.QUERIES["hierarchical_rollup_events"](spark, d)
+
+    got = {(str(r.day), r.event_type): (r.n_events, r.sum_value,
+                                        r.n_minutes, r.n_hours)
+           for r in streamed_day.collect() if r.event_type != "flush"}
+    want = {(str(r.day), r.event_type): (r.n_events, r.sum_value,
+                                         r.n_minutes, r.n_hours)
+            for r in batch_day.collect()}
+    assert got == want and got    # non-empty, bucket counts included
