@@ -14504,6 +14504,174 @@ def q_gtest_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Discrete-time hazard rates — the per-day conversion intensity
+# λ_t = d_t / n_t that Kaplan-Meier's survival curve integrates:
+# actuarial life-table output (at-risk, converted, censored-leaving,
+# hazard in exact integer ppm) for every observed day, not just
+# conversion days.  Same right-censored risk-set accounting as
+# kaplan_meier_conversion; the hazard is an exact truncating-division
+# ppm so both engines agree bit for bit.
+# ---------------------------------------------------------------------------
+
+@register("hazard_rate_conversion", f"""
+WITH signup AS (
+    SELECT user_id, min(ts) AS s_ts FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+    SELECT s.user_id, s.s_ts, min(e.ts) AS p_ts
+    FROM signup s LEFT JOIN events e
+      ON e.user_id = s.user_id AND e.event_type = 'purchase'
+     AND e.ts >= s.s_ts
+    GROUP BY s.user_id, s.s_ts
+),
+obs AS (
+    SELECT user_id,
+           CAST(floor((epoch(coalesce(p_ts, TIMESTAMP '{EVAL_TS}'))
+                       - epoch(s_ts)) / 86400) AS BIGINT) AS day,
+           (p_ts IS NOT NULL) AS converted
+    FROM conv
+),
+tot AS (SELECT count(*) AS n_total FROM obs),
+per_day AS (
+    SELECT day,
+           CAST(count(*) FILTER (converted) AS BIGINT) AS n_converted,
+           CAST(count(*) FILTER (NOT converted) AS BIGINT) AS n_censored,
+           count(*) AS n_leaving
+    FROM obs GROUP BY day
+)
+SELECT day,
+       CAST(n_total - coalesce(sum(n_leaving) OVER (
+           ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk,
+       n_converted, n_censored,
+       n_converted * 1000000
+         // CAST(n_total - coalesce(sum(n_leaving) OVER (
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS BIGINT) AS hazard_ppm
+FROM per_day, tot
+""")
+def q_hazard_rate_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("s_ts"))
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    conv = (
+        signup.join(
+            pur,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("pts") >= F.col("s_ts")),
+            "left",
+        )
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("pts").alias("p_ts"))
+    )
+    obs = conv.select(
+        F.floor(
+            (epoch_seconds(F.coalesce(F.col("p_ts"), ntz_lit(EVAL_TS)))
+             - epoch_seconds(F.col("s_ts"))) / 86400
+        ).cast("long").alias("day"),
+        F.col("p_ts").isNotNull().alias("converted"),
+    )
+    total = obs.agg(F.count(F.lit(1)).alias("n_total"))
+    per_day = obs.groupBy("day").agg(
+        F.count(F.when(F.col("converted"), 1)).cast("long")
+        .alias("n_converted"),
+        F.count(F.when(~F.col("converted"), 1)).cast("long")
+        .alias("n_censored"),
+        F.count(F.lit(1)).alias("n_leaving"),
+    )
+    wprev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        per_day.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            (F.col("n_total")
+             - F.coalesce(F.sum("n_leaving").over(wprev), F.lit(0)))
+            .cast("long"),
+        )
+        .select(
+            "day", "n_at_risk", "n_converted", "n_censored",
+            F.expr("n_converted * 1000000 div n_at_risk")
+            .alias("hazard_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve points — the distributional companion of
+# gini_by_event_type: cumulative share of total purchase value held by
+# the bottom j/10 of users, in exact integer ppm.  Users are ranked by
+# spend through the distributed rank family; the decile cut is the
+# integer law rank <= ceil(j·N/10), and both the numerator (cumulative
+# cents of the bottom group) and denominator (total cents) are exact
+# integer sums — a perfectly equal population reads 100k/200k/.../1M
+# ppm, concentration bends the curve down.
+# ---------------------------------------------------------------------------
+
+@register("lorenz_curve_users", """
+WITH spend AS (
+    SELECT user_id,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+n_u AS (SELECT count(*) AS n FROM spend),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM spend),
+ranked AS (
+    SELECT cents,
+           CAST(row_number() OVER (ORDER BY cents, user_id) AS BIGINT)
+               AS rnk
+    FROM spend
+),
+deciles AS (SELECT unnest([1,2,3,4,5,6,7,8,9,10]) AS j),
+pts AS (
+    SELECT d.j,
+           CAST((SELECT coalesce(sum(r.cents), 0) FROM ranked r, n_u
+                 WHERE r.rnk * 10 <= d.j * n_u.n) AS BIGINT) AS cum_cents
+    FROM deciles d
+)
+SELECT CAST(j AS BIGINT) AS decile,
+       cum_cents,
+       cum_cents * 1000000 // total_cents AS cum_share_ppm
+FROM pts, tot
+""")
+def q_lorenz_curve_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    spend = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(quantized(F.col("value"), 2)).cast("long").alias("cents"))
+    )
+    n_u = spend.agg(F.count(F.lit(1)).alias("n"))
+    tot = spend.agg(F.sum("cents").cast("long").alias("total_cents"))
+    ranked = rank_family(spend, ["cents", "user_id"]).select(
+        "cents", F.col("global_rn").cast("long").alias("rnk")
+    )
+    deciles = spark.range(1, 11).select(F.col("id").alias("j"))
+    pts = (
+        ranked.crossJoin(F.broadcast(n_u))
+        .crossJoin(F.broadcast(deciles))
+        .where(F.col("rnk") * 10 <= F.col("j") * F.col("n"))
+        .groupBy("j")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).alias("cum_cents"))
+    )
+    # deciles whose bottom group is EMPTY (tiny fixtures) re-enter as 0
+    pts = deciles.join(pts, "j", "left").select(
+        "j", F.coalesce("cum_cents", F.lit(0)).cast("long").alias("cum_cents")
+    )
+    return pts.crossJoin(F.broadcast(tot)).select(
+        F.col("j").alias("decile"),
+        "cum_cents",
+        F.expr("cum_cents * 1000000 div total_cents").alias("cum_share_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

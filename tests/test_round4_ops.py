@@ -550,3 +550,40 @@ def test_gtest_collocations_planted_bigram(spark):
     assert rows[0].w1 == "alpha" and rows[0].w2 == "beta"
     assert rows[0].n_pair == 30
     assert rows[0].g2_micro > 0
+
+
+def test_hazard_rates_match_km_risk_sets(spark):
+    # same planted cohort as the KM test: hazards 1/4, 1/3, 1/2 on days
+    # 0..2; the censored user appears as n_censored on the eval day
+    rows = [
+        (u, u, _m(0), "signup", 1.0) for u in (1, 2, 3, 4)
+    ] + [
+        (1, 11, _m(0), "purchase", 1.0),
+        (2, 12, _m(60 * 24), "purchase", 1.0),
+        (3, 13, _m(60 * 48), "purchase", 1.0),
+    ]
+    d = _mini_dir(spark, rows)
+    out = {r.day: r for r in
+           reg.QUERIES["hazard_rate_conversion"](spark, d).collect()}
+    assert (out[0].n_at_risk, out[0].hazard_ppm) == (4, 250000)
+    assert (out[1].n_at_risk, out[1].hazard_ppm) == (3, 333333)
+    assert (out[2].n_at_risk, out[2].hazard_ppm) == (2, 500000)
+    censored_days = [r for r in out.values() if r.n_censored > 0]
+    assert len(censored_days) == 1 and censored_days[0].n_at_risk == 1
+
+
+def test_lorenz_curve_equal_vs_concentrated(spark):
+    # 10 equal spenders -> perfectly diagonal curve (j*100000 ppm)
+    rows = [(u, u, _m(0), "purchase", 5.0) for u in range(1, 11)]
+    d = _mini_dir(spark, rows)
+    out = {r.decile: r.cum_share_ppm for r in
+           reg.QUERIES["lorenz_curve_users"](spark, d).collect()}
+    assert out == {j: j * 100000 for j in range(1, 11)}
+    # one whale -> bottom 90% holds a tiny share
+    rows2 = [(u, u, _m(0), "purchase", 1.0) for u in range(1, 10)]
+    rows2.append((10, 10, _m(0), "purchase", 991.0))
+    d2 = _mini_dir(spark, rows2)
+    out2 = {r.decile: r.cum_share_ppm for r in
+            reg.QUERIES["lorenz_curve_users"](spark, d2).collect()}
+    assert out2[9] == 9 * 1000  # 9 of 1000 dollars = 9000 ppm
+    assert out2[10] == 1_000_000
