@@ -12780,27 +12780,13 @@ FROM dp JOIN mx ON mx.user_id = dp.user_id
 WHERE dp.age = 0 AND dp.i = mx.imax AND dp.j = mx.jmax
 """)
 def q_dtw_distance_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
+    from anomaly_detection_spark.operators.dtw import dtw_cents_kernel
 
     @F.pandas_udf("long")
     def dtw(ua: pd.Series, ra: pd.Series) -> pd.Series:
         out = []
         for a, b in zip(ua, ra):
-            a = np.asarray(a, dtype=np.int64)
-            b = np.asarray(b, dtype=np.int64)
-            n, m = len(a), len(b)
-            cost = np.abs(a[:, None] - b[None, :])
-            dp = np.zeros((n, m), dtype=np.int64)
-            dp[0, 0] = cost[0, 0]
-            for j in range(1, m):
-                dp[0, j] = cost[0, j] + dp[0, j - 1]
-            for i in range(1, n):
-                dp[i, 0] = cost[i, 0] + dp[i - 1, 0]
-                for j in range(1, m):
-                    dp[i, j] = cost[i, j] + min(
-                        dp[i - 1, j], dp[i, j - 1], dp[i - 1, j - 1]
-                    )
-            out.append(int(dp[n - 1, m - 1]))
+            out.append(dtw_cents_kernel(a, b))
         return pd.Series(out, dtype="int64")
 
     ev = load_table(spark, "events", sf_dir)
