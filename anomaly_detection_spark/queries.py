@@ -26,7 +26,6 @@ from pyspark.sql.window import Window
 
 from anomaly_detection_spark.config import DetectorConfig
 from anomaly_detection_spark.detect.rules import rule_flags
-from anomaly_detection_spark.detect.stl import stl_iqr_detect
 from anomaly_detection_spark.operators.completeness import complete_groups
 from anomaly_detection_spark.operators.enrich import enrich
 from anomaly_detection_spark.operators.keys import concat_key, split_key
@@ -515,17 +514,134 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Non-SQL-expressible: STL+IQR detector (rows-only driver check)
 # ---------------------------------------------------------------------------
 
-@register("stl_iqr_events")  # no oracle: per-series decomposition isn't ANSI SQL
+# STL decomposition itself isn't ANSI SQL, but the detector's CONTRACT
+# is checkable (the `approx_distinct_users` error-bound pattern): the
+# query runs the real STL+IQR engine per user over the deterministic
+# per-day series and emits (a) the SQL-recomputable summary columns —
+# last observation, trailing-7 mean, repetitions, sampling gap — on the
+# exact integer-micro grid, and (b) engine invariants asserted as data:
+# scores are non-NaN and ≥ 0, every flagged point sits outside the IQR
+# band (score ≥ 1 — a theorem of the anomalize scoring law, since
+# outside ⇒ |remainder − center| > radius), and the flagged count never
+# exceeds the ⌊max_anoms·n⌋ cap. DuckDB recomputes (a) and expects TRUE
+# for (b). Raw-series per-event detection stays exercised by
+# detect/master.py and tests/test_stl_fidelity.py.
+@register("stl_iqr_events", """
+WITH daily AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS micros
+    FROM events GROUP BY 1, 2
+), seq AS (
+    SELECT user_id, day, micros,
+           row_number() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn,
+           max(CASE WHEN rn0 = 1 THEN micros END)
+               OVER (PARTITION BY user_id) AS last_micros
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY day DESC)
+                   AS rn0
+        FROM daily
+    )
+)
+SELECT user_id,
+       max(CASE WHEN rn = 1 THEN day END) AS data_timestamp,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(CAST(max(last_micros) AS DOUBLE) / 1000000.0, 6) AS value,
+       round(CAST(sum(micros) FILTER (WHERE rn <= 7) AS DOUBLE)
+             / (count(*) FILTER (WHERE rn <= 7) * 1000000.0), 6)
+           AS seven_day_avg,
+       CAST(count(*) FILTER (WHERE rn BETWEEN 2 AND 8
+                             AND micros = last_micros) AS BIGINT)
+           AS repetitions,
+       round(date_diff('second', max(CASE WHEN rn = 2 THEN day END),
+                       max(CASE WHEN rn = 1 THEN day END)) / 86400.0, 6)
+           AS frequency,
+       TRUE AS score_ok,
+       TRUE AS anomaly_score_consistent,
+       TRUE AS anomaly_cap_ok
+FROM seq
+GROUP BY user_id
+HAVING count(*) >= 2
+""")
 def q_stl_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from anomaly_detection_spark.detect.stl import (
+        MAX_ANOMS_DEFAULT, _score, decompose, iqr_anomalize,
+    )
+
     ev = load_table(spark, "events", sf_dir)
-    out = stl_iqr_detect(ev, ["user_id"], "ts", "value")
-    return out.select(
-        "user_id", "data_timestamp",
-        F.round("value", 4).alias("value"),
-        F.round("seven_day_avg", 4).alias("seven_day_avg"),
-        F.round("score", 4).alias("score"),
-        "anomaly", "repetitions",
-        F.round("frequency", 6).alias("frequency"),
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(quantized(F.col("value"), 6)).alias("micros"))
+
+    key_type = ev.schema["user_id"].dataType.simpleString()
+    inv_schema = (
+        f"user_id {key_type}, score_ok boolean, "
+        "anomaly_score_consistent boolean, anomaly_cap_ok boolean"
+    )
+
+    def invariants(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        micros = pdf["micros"].to_numpy(dtype=np.int64)
+        n = len(micros)
+        if n < 2:
+            return pd.DataFrame(columns=[
+                "user_id", "score_ok", "anomaly_score_consistent",
+                "anomaly_cap_ok"])
+        vals = micros / 1e6
+        _season, _trend, remainder = decompose(vals, period=7)
+        is_anom, l1, l2 = iqr_anomalize(remainder)
+        scores = _score(remainder, l1, l2)
+        return pd.DataFrame([{
+            "user_id": pdf["user_id"].iloc[0],
+            "score_ok": bool(
+                (~np.isnan(scores)).all() and (scores >= 0).all()),
+            "anomaly_score_consistent": bool(
+                (~is_anom | (scores >= 1.0)).all()),
+            "anomaly_cap_ok": bool(
+                is_anom.sum() <= int(np.floor(MAX_ANOMS_DEFAULT * n))),
+        }])
+
+    inv = daily.repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    ).groupBy("user_id").applyInPandas(invariants, schema=inv_schema)
+
+    wdesc = Window.partitionBy("user_id").orderBy(F.col("day").desc())
+    wp = Window.partitionBy("user_id")
+    seq = daily.withColumn("rn", F.row_number().over(wdesc)).withColumn(
+        "last_micros",
+        F.max(F.when(F.col("rn") == 1, F.col("micros"))).over(wp),
+    )
+    agg = (
+        seq.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("day")))
+            .alias("data_timestamp"),
+            F.count(F.lit(1)).alias("n_days"),
+            F.max("last_micros").alias("last_micros"),
+            F.sum(F.when(F.col("rn") <= 7, F.col("micros"))).alias("sum7"),
+            F.count(F.when(F.col("rn") <= 7, 1)).alias("cnt7"),
+            F.max(F.when(F.col("rn") == 2, F.col("day"))).alias("prev_day"),
+            F.count(
+                F.when(
+                    F.col("rn").between(2, 8)
+                    & (F.col("micros") == F.col("last_micros")), 1)
+            ).alias("repetitions"),
+        )
+        .where(F.col("n_days") >= 2)
+    )
+    return agg.join(inv, "user_id").select(
+        "user_id",
+        F.col("data_timestamp").cast("timestamp_ntz").alias("data_timestamp"),
+        "n_days",
+        F.round(F.col("last_micros") / F.lit(1e6), 6).alias("value"),
+        exact_mean(F.col("sum7"), F.col("cnt7"), 6, 6).alias("seven_day_avg"),
+        "repetitions",
+        F.round(
+            (epoch_seconds("data_timestamp") - epoch_seconds("prev_day"))
+            / 86400.0, 6,
+        ).alias("frequency"),
+        "score_ok", "anomaly_score_consistent", "anomaly_cap_ok",
     )
 
 
@@ -977,15 +1093,50 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simhash_fingerprints")  # no oracle: xxhash64-based
+# The xxhash64-based fingerprints are engine-specific VALUES, but their
+# LAWS are checkable data (the invariant-oracle pattern): (1) identical
+# text ⇒ identical simhash and identical fingerprint — asserted per
+# exact-duplicate family (grouped on the md5 digest so the shuffle
+# ships 16 bytes, the exact-dedup discipline), which the fixture's
+# planted duplicates make non-vacuous; (2) the fingerprint's documented
+# whitespace normalization — doubling every space must not change it
+# (both variants collapse to the same \\s+-normalized string, a
+# theorem of the definition, pipeline/text.py:fingerprint).
+@register("simhash_fingerprints", """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       TRUE AS simhash_consistent,
+       TRUE AS fingerprint_consistent,
+       TRUE AS fp_whitespace_invariant
+FROM documents
+GROUP BY md5(text)
+""")
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anomaly_detection_spark.pipeline.dedup import simhash64
     from anomaly_detection_spark.pipeline.text import fingerprint
-    docs = load_table(spark, "documents", sf_dir)
-    out = docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
-    return fingerprint(out.join(docs.select("doc_id", "text"), "doc_id"), "text").select(
-        "doc_id", "simhash", "fingerprint"
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    per_doc = fingerprint(
+        fingerprint(
+            docs.select(
+                "doc_id", "text",
+                F.md5(F.col("text")).alias("digest"),
+                simhash64(F.col("text")).alias("simhash"),
+                F.regexp_replace(F.col("text"), " ", "  ").alias("text2x"),
+            ),
+            "text", out_col="fp",
+        ),
+        "text2x", out_col="fp2x",
+    ).select(
+        "doc_id", "digest", "simhash", "fp",
+        (F.col("fp2x") == F.col("fp")).alias("ws_inv"),
     )
+    return per_doc.groupBy("digest").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        (F.countDistinct("simhash") == 1).alias("simhash_consistent"),
+        (F.countDistinct("fp") == 1).alias("fingerprint_consistent"),
+        F.bool_and("ws_inv").alias("fp_whitespace_invariant"),
+    ).drop("digest")
 
 
 # Sign-LSH ANN with a full oracle via planted duplicates: the corpus is
@@ -1360,15 +1511,73 @@ def q_cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # S-H-ESD alternative detector (rows-only: iterative GESD isn't ANSI SQL)
 # ---------------------------------------------------------------------------
 
-@register("shesd_anomalies_events")
+# Iterative GESD isn't ANSI SQL, but S-H-ESD's detection CONTRACT is
+# checkable via planted anomalies (the `lsh_ann_topk` planting
+# pattern): every user's deterministic per-day series is augmented with
+# one synthetic 10⁹ spike on the day after their last observation. A
+# spike 5+ orders of magnitude above the data is guaranteed flagged by
+# the median/MAD GESD step (its studentized deviation R₁ ≈ 10⁹/MAD
+# dwarfs every λ critical value), so the engine's output at the planted
+# timestamp — existence, value, positive residual — is exact expected
+# data DuckDB can state independently. Real-data detection stays
+# exercised by tests/test_sesd.py.
+@register("shesd_anomalies_events", """
+WITH daily AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS micros
+    FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(max(day) + INTERVAL 1 DAY AS TIMESTAMP) AS data_timestamp,
+       CAST(count(*) + 1 AS BIGINT) AS n_days,
+       CAST(1000000000 AS DOUBLE) AS value,
+       TRUE AS planted_detected,
+       TRUE AS residual_positive
+FROM daily
+GROUP BY user_id
+HAVING count(*) + 1 >= 14
+""")
 def q_shesd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anomaly_detection_spark.detect.sesd import shesd_detect
+
     ev = load_table(spark, "events", sf_dir)
-    out = shesd_detect(ev, ["user_id"], "ts", "value", max_anoms=0.05)
-    return out.select(
-        "user_id", "data_timestamp",
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(quantized(F.col("value"), 6)).alias("micros"))
+    per_user = daily.groupBy("user_id").agg(
+        F.max("day").alias("last_day"), F.count(F.lit(1)).alias("n_base")
+    )
+    planted = per_user.select(
+        "user_id",
+        (F.col("last_day") + F.expr("INTERVAL 1 DAY")).alias("day"),
+        F.lit(10**15).cast("long").alias("micros"),
+    )
+    aug = daily.unionByName(planted).select(
+        "user_id", F.col("day").alias("ts"),
+        (F.col("micros") / F.lit(1e6)).alias("value"),
+    )
+    det = shesd_detect(aug, ["user_id"], "ts", "value", max_anoms=0.05)
+    expected = per_user.where(F.col("n_base") + 1 >= 14).select(
+        "user_id",
+        (F.col("last_day") + F.expr("INTERVAL 1 DAY"))
+        .cast("timestamp_ntz").alias("data_timestamp"),
+        (F.col("n_base") + 1).cast("long").alias("n_days"),
+    )
+    hit = det.select(
+        F.col("user_id").alias("h_user"),
+        F.col("data_timestamp").alias("det_ts"),
+        "value", "residual",
+    )
+    return expected.join(
+        hit,
+        (expected.user_id == hit.h_user)
+        & (expected.data_timestamp == hit.det_ts),
+        "left",
+    ).select(
+        "user_id", "data_timestamp", "n_days",
         F.round("value", 4).alias("value"),
-        F.round("residual", 4).alias("residual"),
+        F.col("det_ts").isNotNull().alias("planted_detected"),
+        (F.col("residual") > 0).alias("residual_positive"),
     )
 
 
