@@ -12255,6 +12255,74 @@ def q_hierarchical_rollup_events(
     )
 
 
+# The STREAMING lane's driver-facing row (T29): the events table is
+# replayed through a REAL Structured Streaming job — watermarked
+# 1-minute tumbling windows in append mode (streaming/rules_stream.py:
+# minute_rollup_partials), micro-batched via maxFilesPerTrigger — whose
+# emitted partials are then batch re-aggregated to day grain. Because
+# the partials are exact integers (count + cent sum), the streamed
+# hierarchy is bit-equal to the pure-batch `hierarchical_rollup_events`
+# law the oracle states. A far-future sentinel row in its own last
+# micro-batch advances the watermark so every real window closes (its
+# own window stays open and is never emitted — append-mode semantics —
+# so it cannot leak into the result).
+@register("streaming_minute_rollup_events", """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE)
+             / 10000.0, 4) AS sum_value,
+       CAST(count(DISTINCT date_trunc('minute', ts)) AS BIGINT) AS n_minutes,
+       CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_hours
+FROM events
+GROUP BY 1, 2
+""")
+def q_streaming_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from anomaly_detection_spark.streaming.rules_stream import (
+        minute_rollup_partials, reaggregate_minutes_to_day,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="stream_rollup_")
+    src = os.path.join(work, "src")
+    # micro-batch 0: the real feed (µs-normalized so readStream sees a
+    # plain timestamp schema); micro-batch 1: the watermark sentinel
+    # single part file => one micro-batch for the whole real feed, so
+    # the watermark cannot drop out-of-order rows within it
+    ev.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    sentinel = spark.createDataFrame(
+        [(int(-1), "2030-01-01 00:00:00", "__flush__", 0.0)],
+        "user_id long, ts string, event_type string, value double",
+    ).select(
+        "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "event_type", "value",
+    )
+    sentinel.write.parquet(os.path.join(src, "b1"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    qname = "minute_rollup_" + uuid.uuid4().hex
+    q = (
+        minute_rollup_partials(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(qname)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    minutes = spark.table(qname).where(F.col("event_type") != "__flush__")
+    return reaggregate_minutes_to_day(minutes)
+
+
 # ---------------------------------------------------------------------------
 # Spatial grid-bucketed radius join over the first two embedding dims:
 # each point lands in one cell of an r-sized grid and probes only its
