@@ -6924,25 +6924,75 @@ def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # test_pipeline.py::test_bpe_train_matches_python_reference).
 # ---------------------------------------------------------------------------
 
-@register("bpe_merges_docs")
+# The learned merge TABLE is engine-specific text, but its laws are
+# checkable data (invariant-oracle pattern): training yields exactly
+# n_merges ranked rows; every merged token is, by construction, a
+# contiguous substring of some corpus word (BPE only merges adjacent
+# in-word symbols); every winning pair occurred at least once. DuckDB
+# states the expected rank spine independently via generate_series.
+@register("bpe_merges_docs", """
+SELECT CAST(r AS INT) AS rank,
+       TRUE AS merged_in_corpus,
+       TRUE AS pair_count_positive
+FROM generate_series(1, 12) t(r)
+""")
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anomaly_detection_spark.pipeline.text import bpe_train
 
     docs = load_table(spark, "documents", sf_dir)
-    return bpe_train(docs, n_merges=12)
+    merges = bpe_train(docs, n_merges=12)
+    hits = (
+        F.broadcast(merges.select("rank", "merged", "pair_count"))
+        .crossJoin(docs.select("text"))
+        .groupBy("rank")
+        .agg(
+            F.bool_or(F.contains(F.col("text"), F.col("merged")))
+            .alias("merged_in_corpus"),
+            F.bool_and(F.col("pair_count") >= 1)
+            .alias("pair_count_positive"),
+        )
+    )
+    return hits.select("rank", "merged_in_corpus", "pair_count_positive")
 
 
-@register("bpe_tokenize_docs")
+# Tokenization's CONTRACT is fully checkable even though the token
+# stream is engine-specific: BPE segmentation is lossless (the
+# concatenated tokens reproduce the document's non-whitespace text
+# exactly) and its token count is bracketed by words from below and
+# non-space characters from above (merges only ever shrink the
+# per-word symbol count, never below 1). DuckDB recomputes the word
+# and character totals and expects both laws to hold.
+@register("bpe_tokenize_docs", """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                            w -> length(w) > 0)) AS BIGINT) AS n_words,
+       CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT)
+           AS n_chars_nonspace,
+       TRUE AS roundtrip_ok,
+       TRUE AS token_bounds_ok
+FROM documents
+""")
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train-then-tokenize round trip: token counts under the corpus's
-    own trained merges (rows-only — sequential merge application; the
-    lossless-reconstruction and compression invariants are pinned by
-    test_bpe_segment_roundtrip_and_compression)."""
     from anomaly_detection_spark.pipeline.text import bpe_segment, bpe_train
 
     docs = load_table(spark, "documents", sf_dir)
     merges = bpe_train(docs, n_merges=12)
-    return bpe_segment(docs, merges).select("doc_id", "n_tokens_bpe")
+    seg = bpe_segment(docs, merges)
+    joined = seg.join(docs.select("doc_id", "text"), "doc_id")
+    words = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda w: F.length(w) > 0
+    )
+    squashed = F.regexp_replace(F.trim(F.col("text")), r"\s+", "")
+    return joined.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.length(squashed).cast("long").alias("n_chars_nonspace"),
+        (F.array_join("tokens", "") == squashed).alias("roundtrip_ok"),
+        (
+            (F.col("n_tokens_bpe") >= F.size(words))
+            & (F.col("n_tokens_bpe") <= F.length(squashed))
+        ).alias("token_bounds_ok"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -9379,15 +9429,33 @@ def q_embedding_covariance_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pca_project_embeddings")  # no oracle: eigendecomposition is not
-# ANSI SQL; parity is covered by the numpy differential test in
-# tests/test_linalg_linkage.py (projections match a single-machine PCA
-# to 4 dp with pinned component signs).
+# Eigendecomposition is not ANSI SQL, but centered PCA's LAWS are
+# checkable data (invariant-oracle pattern; the numpy differential in
+# tests/test_linalg_linkage.py still pins the projection values): the
+# scores of each component average to zero (projection of centered
+# data), and sample variance along pc1 is at least that along pc2
+# (eigenvalue ordering). Tolerances cover only the 4-dp output
+# rounding. DuckDB restates the corpus size exactly and expects the
+# laws to hold.
+@register("pca_project_embeddings", """
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       TRUE AS mean_pc1_near_zero,
+       TRUE AS mean_pc2_near_zero,
+       TRUE AS variance_ordered
+FROM embeddings
+""")
 def q_pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anomaly_detection_spark.pipeline.linalg import pca_project
 
     emb = load_table(spark, "embeddings", sf_dir)
-    return pca_project(emb, "embedding", "vec_id", 64, k=2)
+    proj = pca_project(emb, "embedding", "vec_id", 64, k=2)
+    return proj.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (F.abs(F.avg("pc1")) < 1e-3).alias("mean_pc1_near_zero"),
+        (F.abs(F.avg("pc2")) < 1e-3).alias("mean_pc2_near_zero"),
+        (F.var_samp("pc1") >= F.var_samp("pc2") - 1e-3)
+        .alias("variance_ordered"),
+    )
 
 
 # ---------------------------------------------------------------------------
