@@ -15003,6 +15003,292 @@ def q_lorenz_curve_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Difference-in-differences estimator (SURVEY §2.14 U1): the canonical
+# 2×2 causal panel — deterministic hash-free assignment (user parity),
+# a fixed pre/post cut, exact-integer cell means on the micro grid, and
+# the DiD contrast of the four rounded means.  One conditional-
+# aggregate pass over the fact table: a single slim shuffle, no joins.
+# The contrast subtracts identical 6-dp doubles on both engines, so the
+# final round is boundary-safe.
+# ---------------------------------------------------------------------------
+
+@register("diff_in_diff_events", """
+WITH c AS (
+    SELECT CAST(user_id % 2 AS INT) AS treat,
+           CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                THEN 1 ELSE 0 END AS post,
+           CAST(round(value * 1000000, 0) AS BIGINT) AS micros
+    FROM events
+), m AS (
+    SELECT
+        CAST(count(*) FILTER (WHERE treat = 1 AND post = 0) AS BIGINT) AS n_t_pre,
+        CAST(count(*) FILTER (WHERE treat = 1 AND post = 1) AS BIGINT) AS n_t_post,
+        CAST(count(*) FILTER (WHERE treat = 0 AND post = 0) AS BIGINT) AS n_c_pre,
+        CAST(count(*) FILTER (WHERE treat = 0 AND post = 1) AS BIGINT) AS n_c_post,
+        round(CAST(sum(micros) FILTER (WHERE treat = 1 AND post = 0) AS DOUBLE)
+              / (count(*) FILTER (WHERE treat = 1 AND post = 0) * 1000000.0), 6)
+            AS m_t_pre,
+        round(CAST(sum(micros) FILTER (WHERE treat = 1 AND post = 1) AS DOUBLE)
+              / (count(*) FILTER (WHERE treat = 1 AND post = 1) * 1000000.0), 6)
+            AS m_t_post,
+        round(CAST(sum(micros) FILTER (WHERE treat = 0 AND post = 0) AS DOUBLE)
+              / (count(*) FILTER (WHERE treat = 0 AND post = 0) * 1000000.0), 6)
+            AS m_c_pre,
+        round(CAST(sum(micros) FILTER (WHERE treat = 0 AND post = 1) AS DOUBLE)
+              / (count(*) FILTER (WHERE treat = 0 AND post = 1) * 1000000.0), 6)
+            AS m_c_post
+    FROM c
+)
+SELECT *, round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6) AS did
+FROM m
+""")
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    treat = (F.col("user_id") % 2).cast("int")
+    post = F.when(F.col("ts") >= ntz_lit("2024-01-16"), 1).otherwise(0)
+    c = ev.select(
+        treat.alias("treat"), post.alias("post"),
+        quantized(F.col("value"), 6).alias("micros"),
+    )
+
+    def cell(t: int, p: int):
+        cond = (F.col("treat") == t) & (F.col("post") == p)
+        n = F.count(F.when(cond, 1))
+        mean = exact_mean(F.sum(F.when(cond, F.col("micros"))), n, 6, 6)
+        return n, mean
+
+    nt0, mt0 = cell(1, 0)
+    nt1, mt1 = cell(1, 1)
+    nc0, mc0 = cell(0, 0)
+    nc1, mc1 = cell(0, 1)
+    m = c.agg(
+        nt0.alias("n_t_pre"), nt1.alias("n_t_post"),
+        nc0.alias("n_c_pre"), nc1.alias("n_c_post"),
+        mt0.alias("m_t_pre"), mt1.alias("m_t_post"),
+        mc0.alias("m_c_pre"), mc1.alias("m_c_post"),
+    )
+    return m.select(
+        "*",
+        F.round(
+            (F.col("m_t_post") - F.col("m_t_pre"))
+            - (F.col("m_c_post") - F.col("m_c_pre")), 6,
+        ).alias("did"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence intervals (SURVEY §2.14 U2): the
+# cluster-scale bootstrap — per replicate, each row enters with a
+# Poisson(1) weight derived from a PORTABLE hash (md5, the
+# `hash_split_docs` law), so the resample needs no shuffling of the
+# data, no RNG state, and is identical on any engine.  32 replicate
+# means per event_type on the exact integer grid; the CI is an explicit
+# order-statistic law (2nd-smallest / 2nd-largest replicate mean ≈ the
+# 5/95 band for B=32).  Scale shape: one map-side explode (×32) into a
+# single (type, replicate) rollup — the textbook 100 TB bootstrap.
+# ---------------------------------------------------------------------------
+
+_POISSON1_CUM_PPM = (367879, 735758, 919698, 981011, 996340, 999405, 999916)
+
+
+def _poisson1_weight_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {w}" for w, t in enumerate(_POISSON1_CUM_PPM)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+@register("bootstrap_mean_ci_events", f"""
+WITH reps AS (
+    SELECT e.event_type, e.micros, r.r,
+           CAST('0x' || substr(md5('boot:' || CAST(r.r AS VARCHAR) || ':'
+                                   || CAST(e.event_id AS VARCHAR)), 1, 15)
+                AS BIGINT) % 1000000 AS u
+    FROM (SELECT event_type, event_id,
+                 CAST(round(value * 1000000, 0) AS BIGINT) AS micros
+          FROM events) e,
+         (SELECT unnest(generate_series(0, 31)) AS r) r
+), w AS (
+    SELECT event_type, r, micros,
+           {_poisson1_weight_sql('u')} AS wt
+    FROM reps
+), rep_means AS (
+    SELECT event_type, r,
+           round(CAST(sum(wt * micros) AS DOUBLE)
+                 / (sum(wt) * 1000000.0), 6) AS rep_mean
+    FROM w GROUP BY event_type, r
+    HAVING sum(wt) > 0
+), ranked AS (
+    SELECT event_type, rep_mean,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY rep_mean, r) AS ra,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY rep_mean DESC, r DESC) AS rd,
+           count(*) OVER (PARTITION BY event_type) AS b
+    FROM rep_means
+), base AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS DOUBLE)
+                 / (count(*) * 1000000.0), 6) AS mean_value
+    FROM events GROUP BY event_type
+)
+SELECT b.event_type, b.n_events, b.mean_value,
+       max(CASE WHEN ranked.ra = 2 THEN rep_mean END) AS ci_lo,
+       max(CASE WHEN ranked.rd = 2 THEN rep_mean END) AS ci_hi,
+       CAST(max(ranked.b) AS BIGINT) AS n_replicates
+FROM base b JOIN ranked ON ranked.event_type = b.event_type
+GROUP BY b.event_type, b.n_events, b.mean_value
+""")
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", "event_id", quantized(F.col("value"), 6).alias("micros")
+    )
+    reps = ev.select(
+        "event_type", "micros",
+        F.explode(F.lit(list(range(32)))).alias("r"),
+        F.col("event_id"),
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"), F.col("r").cast("string"),
+                        F.lit(":"), F.col("event_id").cast("string"),
+                    ).cast("binary")
+                ), 1, 15,
+            ), 16, 10,
+        ).cast("long") % 1000000,
+    )
+    wt = F.lit(7)
+    for w, t in reversed(list(enumerate(_POISSON1_CUM_PPM))):
+        wt = F.when(F.col("u") < t, w).otherwise(wt)
+    rep_means = (
+        reps.withColumn("wt", wt)
+        .groupBy("event_type", "r")
+        .agg(
+            F.sum(F.col("wt") * F.col("micros")).alias("swm"),
+            F.sum("wt").alias("sw"),
+        )
+        .where(F.col("sw") > 0)
+        .select(
+            "event_type", "r",
+            exact_mean(F.col("swm"), F.col("sw"), 6, 6).alias("rep_mean"),
+        )
+    )
+    wa = Window.partitionBy("event_type").orderBy("rep_mean", "r")
+    wd = Window.partitionBy("event_type").orderBy(
+        F.col("rep_mean").desc(), F.col("r").desc()
+    )
+    wp = Window.partitionBy("event_type")
+    ranked = rep_means.select(
+        "event_type", "rep_mean",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+        F.count(F.lit(1)).over(wp).alias("b"),
+    )
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_mean(F.sum("micros"), F.count(F.lit(1)), 6, 6)
+        .alias("mean_value"),
+    )
+    return base.join(ranked, "event_type").groupBy(
+        "event_type", "n_events", "mean_value"
+    ).agg(
+        F.max(F.when(F.col("ra") == 2, F.col("rep_mean"))).alias("ci_lo"),
+        F.max(F.when(F.col("rd") == 2, F.col("rep_mean"))).alias("ci_hi"),
+        F.max("b").cast("long").alias("n_replicates"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HBOS — histogram-based outlier score (Goldstein & Dengel 2012,
+# SURVEY §2.14 U3): per event, the sum of negative log densities of its
+# bin along three independent dimensions (10 equi-width value bins,
+# hour-of-day, day-of-week).  Entirely relational: two slim rollups
+# (global min/max scalar, per-bin counts) broadcast back onto the fact
+# scan — no UDF, no per-row Python, one wide map stage at 100 TB.
+# Scores live on the quantized-log integer grid (the shared
+# round(round(ln,6)·1e6) law) so the fixed-point sum is cross-engine
+# exact.
+# ---------------------------------------------------------------------------
+
+_HBOS_QLN = (
+    "CAST(round(round(ln(CAST({c} AS DOUBLE) / {n}), 6) * 1000000, 0) "
+    "AS BIGINT)"
+)
+
+
+@register("hbos_outlier_events", f"""
+WITH span AS (
+    SELECT min(value) AS vmin, max(value) AS vmax, count(*) AS n FROM events
+), binned AS (
+    SELECT e.event_id, e.user_id,
+           CAST(least(CAST(floor((e.value - s.vmin) / (s.vmax - s.vmin) * 10)
+                           AS INT), 9) AS INT) AS vbin,
+           CAST(hour(e.ts) AS INT) AS hbin,
+           -- +1: DuckDB dayofweek is 0-based (Sun=0), Spark's is 1-based
+           CAST(dayofweek(e.ts) + 1 AS INT) AS dbin,
+           s.n
+    FROM events e, span s
+), vc AS (SELECT vbin, count(*) AS c FROM binned GROUP BY vbin),
+hc AS (SELECT hbin, count(*) AS c FROM binned GROUP BY hbin),
+dc AS (SELECT dbin, count(*) AS c FROM binned GROUP BY dbin)
+SELECT b.event_id, b.user_id, b.vbin, b.hbin, b.dbin,
+       -({_HBOS_QLN.format(c='vc.c', n='b.n')}
+         + {_HBOS_QLN.format(c='hc.c', n='b.n')}
+         + {_HBOS_QLN.format(c='dc.c', n='b.n')}) AS hbos_fp
+FROM binned b
+JOIN vc ON vc.vbin = b.vbin
+JOIN hc ON hc.hbin = b.hbin
+JOIN dc ON dc.dbin = b.dbin
+""")
+def q_hbos_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    span = ev.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = ev.crossJoin(F.broadcast(span)).select(
+        "event_id", "user_id", "n",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin")) * 10
+            ).cast("int"),
+            F.lit(9),
+        ).alias("vbin"),
+        F.hour("ts").cast("int").alias("hbin"),
+        F.dayofweek("ts").cast("int").alias("dbin"),
+    )
+
+    def qln_density(c, n):
+        return F.round(
+            F.round(F.log(c.cast("double") / n), 6) * 1000000, 0
+        ).cast("long")
+
+    vc = binned.groupBy("vbin").agg(F.count(F.lit(1)).alias("vc"))
+    hc = binned.groupBy("hbin").agg(F.count(F.lit(1)).alias("hc"))
+    dc = binned.groupBy("dbin").agg(F.count(F.lit(1)).alias("dc"))
+    out = (
+        binned.join(F.broadcast(vc), "vbin")
+        .join(F.broadcast(hc), "hbin")
+        .join(F.broadcast(dc), "dbin")
+    )
+    return out.select(
+        "event_id", "user_id", "vbin", "hbin", "dbin",
+        (
+            -(
+                qln_density(F.col("vc"), F.col("n"))
+                + qln_density(F.col("hc"), F.col("n"))
+                + qln_density(F.col("dc"), F.col("n"))
+            )
+        ).alias("hbos_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
