@@ -15289,6 +15289,252 @@ def q_hbos_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# NDCG@10 retrieval evaluation (SURVEY §2.14 U4): the standard ranking
+# metric, self-labelled from the corpus's own exact-duplicate families
+# (relevance = same md5 digest — ground truth by construction, the
+# planted-oracle pattern).  Probes are the 5 lowest-id family heads;
+# candidates are ranked by word-set Jaccard (ppm integer grid,
+# truncating div — both engines' law); discount gains 1/log2(i+1) live
+# on the shared quantized-log grid so DCG/IDCG sums are exact BIGINTs
+# and NDCG is an integer ppm ratio.  Scale shape: probes broadcast
+# (bounded panel), one pass over the corpus, top-10 per probe.
+# ---------------------------------------------------------------------------
+
+@register("ndcg_dup_retrieval", """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 100 < 4
+    UNION ALL
+    SELECT doc_id + 2000000, upper(text) FROM documents WHERE doc_id % 100 < 4
+    UNION ALL
+    SELECT doc_id + 3000000, text || ' extraneous' FROM documents
+    WHERE doc_id % 100 < 4
+), nd AS (
+    SELECT doc_id, text,
+           md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS digest
+    FROM corpus
+), fam AS (
+    SELECT digest, min(doc_id) AS probe_id, count(*) AS n_fam
+    FROM nd GROUP BY digest HAVING count(*) >= 2
+), probes AS (
+    SELECT digest, probe_id, n_fam FROM fam ORDER BY probe_id LIMIT 5
+), toks AS (
+    SELECT doc_id, digest,
+           list_distinct(list_filter(string_split_regex(trim(text), '\\s+'),
+                                     w -> length(w) > 0)) AS ws
+    FROM nd
+), scored AS (
+    SELECT p.probe_id, c.doc_id,
+           CASE WHEN len(list_distinct(list_concat(pt.ws, c.ws))) = 0 THEN 0
+                ELSE CAST(len(list_intersect(pt.ws, c.ws)) AS BIGINT) * 1000000
+                     // CAST(len(list_distinct(list_concat(pt.ws, c.ws)))
+                             AS BIGINT) END AS jac_ppm,
+           CASE WHEN c.digest = p.digest THEN 1 ELSE 0 END AS rel
+    FROM probes p
+    JOIN toks pt ON pt.doc_id = p.probe_id
+    JOIN toks c ON c.doc_id <> p.probe_id
+), ranked AS (
+    SELECT probe_id, rel,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY jac_ppm DESC, doc_id) AS rk
+    FROM scored
+), gains AS (
+    SELECT i AS rk,
+           CAST(round(round(1.0 / log2(i + 1), 6) * 1000000, 0) AS BIGINT) AS g
+    FROM generate_series(1, 10) t(i)
+), dcg AS (
+    SELECT r.probe_id,
+           CAST(sum(CASE WHEN r.rel = 1 THEN g.g ELSE 0 END) AS BIGINT)
+               AS dcg_fp,
+           CAST(sum(r.rel) AS BIGINT) AS hits_at_10
+    FROM ranked r JOIN gains g ON g.rk = r.rk
+    WHERE r.rk <= 10 GROUP BY r.probe_id
+)
+SELECT d.probe_id,
+       CAST(p.n_fam - 1 AS BIGINT) AS n_relevant,
+       d.hits_at_10, d.dcg_fp,
+       CAST((SELECT sum(g) FROM gains
+             WHERE rk <= least(p.n_fam - 1, 10)) AS BIGINT) AS idcg_fp,
+       CAST(d.dcg_fp * 1000000
+            // (SELECT sum(g) FROM gains
+                WHERE rk <= least(p.n_fam - 1, 10)) AS BIGINT) AS ndcg_ppm
+FROM dcg d JOIN probes p ON p.probe_id = d.probe_id
+""")
+def q_ndcg_dup_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    base = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    planted = base.where(F.col("doc_id") % 100 < 4)
+    corpus = (
+        base
+        .unionByName(planted.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+        .unionByName(planted.select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.upper("text").alias("text")))
+        .unionByName(planted.select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extraneous")).alias("text")))
+    )
+    normalized = F.md5(
+        F.trim(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    )
+    docs = corpus.select(
+        "doc_id", normalized.alias("digest"),
+        F.array_distinct(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                     lambda w: F.length(w) > 0)
+        ).alias("ws"),
+    )
+    fam = (
+        docs.groupBy("digest")
+        .agg(F.min("doc_id").alias("probe_id"), F.count(F.lit(1)).alias("n_fam"))
+        .where(F.col("n_fam") >= 2)
+    )
+    probes = fam.orderBy("probe_id").limit(5)
+    pt = probes.join(
+        docs.select(F.col("doc_id").alias("probe_id"),
+                    F.col("ws").alias("pws")),
+        "probe_id",
+    )
+    inter = F.size(F.array_intersect(F.col("pws"), F.col("ws"))).cast("long")
+    union = F.size(F.array_distinct(F.concat(F.col("pws"), F.col("ws")))).cast("long")
+    scored = (
+        F.broadcast(pt.select("probe_id", "digest", "pws", "n_fam"))
+        .join(
+            docs.select("doc_id", F.col("digest").alias("cdigest"), "ws"),
+            F.col("doc_id") != F.col("probe_id"),
+        )
+        .select(
+            "probe_id", "doc_id", "n_fam",
+            (inter * 1000000).alias("_num"),
+            union.alias("_den"),
+            F.when(F.col("cdigest") == F.col("digest"), 1).otherwise(0)
+            .alias("rel"),
+        )
+        .select(
+            "probe_id", "doc_id", "n_fam", "rel",
+            F.when(F.col("_den") == 0, F.lit(0).cast("long"))
+            .otherwise(F.expr("_num div _den")).alias("jac_ppm"),
+        )
+    )
+    wr = Window.partitionBy("probe_id").orderBy(
+        F.col("jac_ppm").desc(), F.col("doc_id")
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(wr)).where(
+        F.col("rk") <= 10
+    )
+    gains = [
+        (i, int(round(round(1.0 / math.log2(i + 1), 6) * 1000000)))
+        for i in range(1, 11)
+    ]
+    gains_df = spark.createDataFrame(gains, "rk int, g long")
+    dcg = (
+        ranked.join(F.broadcast(gains_df), "rk")
+        .groupBy("probe_id", "n_fam")
+        .agg(
+            F.sum(F.when(F.col("rel") == 1, F.col("g")).otherwise(0))
+            .cast("long").alias("dcg_fp"),
+            F.sum("rel").cast("long").alias("hits_at_10"),
+        )
+    )
+    idcg = F.lit(0).cast("long")
+    cum = 0
+    for i, g in gains:
+        cum += g
+        idcg = F.when(F.least(F.col("n_fam") - 1, F.lit(10)) == i, cum).otherwise(idcg)
+    # n_fam - 1 >= 1 by the HAVING, so idcg is always one of the sums
+    return dcg.select(
+        "probe_id",
+        (F.col("n_fam") - 1).cast("long").alias("n_relevant"),
+        "hits_at_10", "dcg_fp",
+        idcg.alias("idcg_fp"),
+    ).select(
+        "*",
+        F.expr("CAST(dcg_fp * 1000000 div idcg_fp AS BIGINT)")
+        .alias("ndcg_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration audit (SURVEY §2.14 U5): reliability bins +
+# Brier decomposition for the quality classifier — the standard ML-eval
+# artifact for any learned filter in a data pipeline.  Predictions are
+# the 4-dp-grid logistic of `quality_classifier_docs`; labels the
+# rule-based `quality_scores_docs` pass flag.  Binning and the Brier
+# sum run entirely on the integer grid (p_fp = round(p·1e4), squared
+# residuals are exact BIGINTs), so every number is engine-independent.
+# Map-only scoring + one 10-row rollup at any scale.
+# ---------------------------------------------------------------------------
+
+@register("brier_calibration_docs", """
+WITH f AS (
+    SELECT doc_id,
+           round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                 / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+           round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                 t -> lower(t) IN ('the','and','of','to','a')))
+                 / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 4)
+               AS stopword_ratio,
+           round(1 - len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                 / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 4)
+               AS dup_token_frac,
+           round(ln(len(string_split_regex(trim(text), '\\s+'))), 4) AS logn,
+           CASE WHEN len(string_split(text, ' ')) >= 20
+                 AND round(CAST(length(text) AS DOUBLE)
+                           / len(string_split(text, ' ')), 4) BETWEEN 3 AND 12
+                THEN 1 ELSE 0 END AS y
+    FROM documents
+), p AS (
+    SELECT doc_id, y,
+           CAST(round(round(1 / (1 + exp(-(1.0 - 4.0 * punct_ratio
+                                           + 3.0 * stopword_ratio
+                                           - 2.0 * dup_token_frac
+                                           + 0.25 * logn))), 4)
+                      * 10000, 0) AS BIGINT) AS p_fp
+    FROM f
+)
+SELECT CAST(least(p_fp // 1000, 9) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(p_fp) AS DOUBLE) / (count(*) * 10000.0), 6)
+           AS mean_pred,
+       CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS obs_rate_ppm,
+       CAST(sum((p_fp - y * 10000) * (p_fp - y * 10000)) AS BIGINT)
+           AS brier_fp
+FROM p
+GROUP BY least(p_fp // 1000, 9)
+""")
+def q_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.text import quality_classifier
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks_sp = F.split(F.col("text"), " ")
+    n_toks_sp = F.size(toks_sp)
+    avg_len = F.round(F.length("text").cast("double") / n_toks_sp, 4)
+    y = F.when((n_toks_sp >= 20) & avg_len.between(3, 12), 1).otherwise(0)
+    scored = quality_classifier(docs).select(
+        "doc_id",
+        quantized(F.col("quality_score"), 4).alias("p_fp"),
+        y.alias("y"),
+    )
+    binned = scored.select(
+        "p_fp", "y",
+        F.least(F.expr("p_fp div 1000"), F.lit(9)).cast("int").alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        exact_mean(F.sum("p_fp"), F.count(F.lit(1)), 4, 6).alias("mean_pred"),
+        F.expr("CAST(sum(y) * 1000000 div count(*) AS BIGINT)")
+        .alias("obs_rate_ppm"),
+        F.sum(
+            (F.col("p_fp") - F.col("y") * 10000)
+            * (F.col("p_fp") - F.col("y") * 10000)
+        ).cast("long").alias("brier_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
