@@ -281,3 +281,87 @@ def holt_smoothing(
         df.sparkSession.sparkContext.defaultParallelism, *keys
     )
     return slim.groupBy(*keys).applyInPandas(smooth, schema=out_schema)
+
+
+def holt_winters(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str = "value",
+    period: int = 7,
+) -> DataFrame:
+    """Holt-Winters TRIPLE (additive-seasonal) smoothing per series,
+    with alpha = 1/2, beta = 1/4, gamma = 1/2 realized as exact integer
+    recursions on the 1e-4 grid (the :func:`holt_smoothing` discipline
+    extended with a length-``period`` seasonal ring buffer):
+
+        l_1 = v_1, b_1 = 0, ring = [0] * period
+        sref_i = ring[0]                       (season from i - period)
+        l_i = floor((v_i - sref_i + l_{i-1} + b_{i-1}) / 2)
+        b_i = floor((l_i - l_{i-1} + 3 * b_{i-1}) / 4)
+        s_i = floor((v_i - l_i + sref_i) / 2)
+        ring = ring[1:] + [s_i]
+
+    Floor division (``//``) everywhere — trend and season go negative,
+    and floor == truncate must NOT be assumed.  The oracle carries the
+    ring as ``period`` explicit columns in a recursive CTE, shifting
+    one slot per step, so both engines run the identical lockstep.
+
+    Output: key_cols + (rn, level, trend, season, forecast) on exact
+    grid doubles; ``forecast`` is the one-step-ahead
+    ``level + trend + ring[0]`` (the seasonal the NEXT step will see).
+    """
+    import math
+
+    import pandas as pd
+
+    keys = list(key_cols)
+    order = list(order_cols)
+    key_fields = ", ".join(
+        f"{k} {df.schema[k].dataType.simpleString()}" for k in keys
+    )
+    out_schema = (
+        f"{key_fields}, rn bigint, level double, trend double, "
+        "season double, forecast double"
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        vals = pdf[value_col].to_numpy()
+        vq = [
+            int(math.copysign(math.floor(abs(float(v)) * 10000 + 0.5), v))
+            for v in vals
+        ]
+        levels: list[int] = []
+        trends: list[int] = []
+        seasons: list[int] = []
+        forecasts: list[int] = []
+        ring = [0] * period
+        l_prev, b_prev = 0, 0
+        for i, v in enumerate(vq):
+            sref = ring[0]
+            if i == 0:
+                l_cur, b_cur = v, 0
+                s_cur = 0
+            else:
+                l_cur = (v - sref + l_prev + b_prev) // 2
+                b_cur = (l_cur - l_prev + 3 * b_prev) // 4
+                s_cur = (v - l_cur + sref) // 2
+            ring = ring[1:] + [s_cur]
+            levels.append(l_cur)
+            trends.append(b_cur)
+            seasons.append(s_cur)
+            forecasts.append(l_cur + b_cur + ring[0])
+            l_prev, b_prev = l_cur, b_cur
+        out = pd.DataFrame({k: pdf[k].to_numpy() for k in keys})
+        out["rn"] = range(1, len(vq) + 1)
+        out["level"] = [x / 10000.0 for x in levels]
+        out["trend"] = [x / 10000.0 for x in trends]
+        out["season"] = [x / 10000.0 for x in seasons]
+        out["forecast"] = [x / 10000.0 for x in forecasts]
+        return out
+
+    slim = df.select(*keys, *order, value_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *keys
+    )
+    return slim.groupBy(*keys).applyInPandas(smooth, schema=out_schema)

@@ -15535,6 +15535,225 @@ def q_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Holt-Winters triple (additive-seasonal) smoothing per user daily
+# series (SURVEY §2.14 U6): the seasonal extension of
+# `holt_smoothing_user`.  α=1/2, β=1/4, γ=1/2 as exact floor'd integer
+# recursions on the 1e-4 grid; the period-7 seasonal state is a ring
+# buffer — the pandas kernel shifts a list, the oracle carries the ring
+# as seven explicit recursive-CTE columns shifting one slot per step.
+# TWO ALGORITHMS, ONE ANSWER: a sequential per-series fold
+# (applyInPandas) vs a lockstep relational recursion, bit-equal because
+# every operation is integer.  Scale: one exchange on user_id, kernel
+# bounded by series length.
+# ---------------------------------------------------------------------------
+
+def _hw_oracle_sql() -> str:
+    lp = ("CAST(floor((nxt.vq - s.c1 + s.l + s.b) / 2.0) AS BIGINT)")
+    bp = f"CAST(floor(({lp} - s.l + 3 * s.b) / 4.0) AS BIGINT)"
+    sp = f"CAST(floor((nxt.vq - {lp} + s.c1) / 2.0) AS BIGINT)"
+    zeros = ", ".join(f"CAST(0 AS BIGINT) AS c{i}" for i in range(1, 8))
+    return f"""
+WITH RECURSIVE daily AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           sum(CAST(round(value * 10000, 0) AS BIGINT)) AS vq
+    FROM events GROUP BY 1, 2
+), seq AS (
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn, vq
+    FROM daily
+), s AS (
+    SELECT user_id, rn, vq AS l, CAST(0 AS BIGINT) AS b,
+           CAST(0 AS BIGINT) AS season, {zeros}
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT nxt.user_id, nxt.rn, {lp} AS l, {bp} AS b, {sp} AS season,
+           s.c2, s.c3, s.c4, s.c5, s.c6, s.c7, {sp}
+    FROM s JOIN seq nxt
+      ON nxt.user_id = s.user_id AND nxt.rn = s.rn + 1
+)
+SELECT user_id, CAST(rn AS BIGINT) AS rn,
+       l / 10000.0 AS level,
+       b / 10000.0 AS trend,
+       season / 10000.0 AS season,
+       (l + b + c1) / 10000.0 AS forecast
+FROM s
+"""
+
+
+@register("holt_winters_user", _hw_oracle_sql())
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.detect.robust import holt_winters
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg((F.sum(quantized(F.col("value"), 4)) / 10000.0).alias("dval"))
+    return holt_winters(
+        daily, key_cols=["user_id"], order_cols=["day"],
+        value_col="dval", period=7,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-level binary segmentation (SURVEY §2.14 U7): the classic
+# recursive changepoint search, unrolled one level beyond
+# `changepoint_argmax_user` — find the best global split by the exact
+# cross-multiplied CUSUM statistic |n·p_i − i·s| (HUGEINT/DECIMAL(38,0)
+# so the products never overflow), then re-run the same argmax inside
+# each half with segment-relative prefixes.  Pure relational algebra on
+# both engines: windows + three deterministic argmaxes (ties to the
+# smallest index), no kernels, one exchange on user_id.
+# ---------------------------------------------------------------------------
+
+@register("binseg_changepoints_user", """
+WITH g AS (
+    SELECT user_id, event_id, ts,
+           CAST(row_number() OVER w AS INT) AS i,
+           count(*) OVER (PARTITION BY user_id) AS n,
+           sum(CAST(round(value * 10000, 0) AS BIGINT))
+               OVER (PARTITION BY user_id) AS s,
+           sum(CAST(round(value * 10000, 0) AS BIGINT)) OVER w AS p
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+), cp1 AS (
+    SELECT user_id, n, s, i AS k1, p AS p1,
+           abs(CAST(n AS HUGEINT) * CAST(p AS HUGEINT)
+               - CAST(i AS HUGEINT) * CAST(s AS HUGEINT)) AS absd1
+    FROM g WHERE i < n
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY abs(CAST(n AS HUGEINT) * CAST(p AS HUGEINT)
+                     - CAST(i AS HUGEINT) * CAST(s AS HUGEINT)) DESC,
+                 i ASC) = 1
+), cpl AS (
+    SELECT g.user_id, g.i AS kl,
+           abs(CAST(c.k1 AS HUGEINT) * CAST(g.p AS HUGEINT)
+               - CAST(g.i AS HUGEINT) * CAST(c.p1 AS HUGEINT)) AS absdl
+    FROM g JOIN cp1 c ON c.user_id = g.user_id
+    WHERE g.i < c.k1
+    QUALIFY row_number() OVER (
+        PARTITION BY g.user_id
+        ORDER BY abs(CAST(c.k1 AS HUGEINT) * CAST(g.p AS HUGEINT)
+                     - CAST(g.i AS HUGEINT) * CAST(c.p1 AS HUGEINT)) DESC,
+                 g.i ASC) = 1
+), cpr AS (
+    SELECT g.user_id, g.i AS kr,
+           abs(CAST(c.n - c.k1 AS HUGEINT) * CAST(g.p - c.p1 AS HUGEINT)
+               - CAST(g.i - c.k1 AS HUGEINT) * CAST(c.s - c.p1 AS HUGEINT))
+               AS absdr
+    FROM g JOIN cp1 c ON c.user_id = g.user_id
+    WHERE g.i > c.k1 AND g.i < c.n
+    QUALIFY row_number() OVER (
+        PARTITION BY g.user_id
+        ORDER BY abs(CAST(c.n - c.k1 AS HUGEINT) * CAST(g.p - c.p1 AS HUGEINT)
+                     - CAST(g.i - c.k1 AS HUGEINT)
+                       * CAST(c.s - c.p1 AS HUGEINT)) DESC,
+                 g.i ASC) = 1
+)
+SELECT c.user_id,
+       CAST(c.n AS BIGINT) AS n,
+       c.k1 AS cp1_index,
+       round(CAST(c.absd1 AS DOUBLE) / (CAST(c.n AS DOUBLE) * 10000.0), 4)
+           AS cp1_stat,
+       l.kl AS cp_left_index,
+       round(CAST(l.absdl AS DOUBLE) / (CAST(c.k1 AS DOUBLE) * 10000.0), 4)
+           AS cp_left_stat,
+       r.kr AS cp_right_index,
+       round(CAST(r.absdr AS DOUBLE)
+             / (CAST(c.n - c.k1 AS DOUBLE) * 10000.0), 4) AS cp_right_stat
+FROM cp1 c
+LEFT JOIN cpl l ON l.user_id = c.user_id
+LEFT JOIN cpr r ON r.user_id = c.user_id
+""")
+def q_binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    dec = "decimal(38,0)"
+    wo = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wp = Window.partitionBy("user_id")
+    cents = F.round(F.col("value") * 10000, 0).cast("bigint")
+    g = ev.select(
+        "user_id",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum(cents).over(wp).alias("s"),
+        F.sum(cents).over(wo).alias("p"),
+    )
+
+    def argmax(df: DataFrame, stat, extra_cols: list):
+        pick = Window.partitionBy("user_id").orderBy(
+            F.col("_absd").desc(), F.col("i").asc()
+        )
+        return (
+            df.withColumn("_absd", stat)
+            .withColumn("_rn", F.row_number().over(pick))
+            .where(F.col("_rn") == 1)
+            .select("user_id", "i", "_absd", *extra_cols)
+        )
+
+    stat1 = F.abs(
+        F.col("n").cast(dec) * F.col("p").cast(dec)
+        - F.col("i").cast(dec) * F.col("s").cast(dec)
+    )
+    cp1 = argmax(
+        g.where(F.col("i") < F.col("n")), stat1, ["n", "s", "p"]
+    ).select(
+        "user_id", F.col("i").alias("k1"), F.col("_absd").alias("absd1"),
+        "n", "s", F.col("p").alias("p1"),
+    )
+    gl = g.join(cp1.select("user_id", "k1", "p1"), "user_id").where(
+        F.col("i") < F.col("k1")
+    )
+    statl = F.abs(
+        F.col("k1").cast(dec) * F.col("p").cast(dec)
+        - F.col("i").cast(dec) * F.col("p1").cast(dec)
+    )
+    cpl = argmax(gl, statl, []).select(
+        "user_id", F.col("i").alias("kl"), F.col("_absd").alias("absdl")
+    )
+    gr = g.join(cp1.select("user_id", "k1", "p1", "s", "n"), ["user_id", "n", "s"]).where(
+        (F.col("i") > F.col("k1")) & (F.col("i") < F.col("n"))
+    )
+    statr = F.abs(
+        (F.col("n") - F.col("k1")).cast(dec)
+        * (F.col("p") - F.col("p1")).cast(dec)
+        - (F.col("i") - F.col("k1")).cast(dec)
+        * (F.col("s") - F.col("p1")).cast(dec)
+    )
+    cpr = argmax(gr, statr, []).select(
+        "user_id", F.col("i").alias("kr"), F.col("_absd").alias("absdr")
+    )
+    return (
+        cp1.join(cpl, "user_id", "left")
+        .join(cpr, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("k1").alias("cp1_index"),
+            c_round(
+                F.col("absd1").cast("double")
+                / (F.col("n").cast("double") * 10000.0), 4,
+            ).alias("cp1_stat"),
+            F.col("kl").alias("cp_left_index"),
+            c_round(
+                F.col("absdl").cast("double")
+                / (F.col("k1").cast("double") * 10000.0), 4,
+            ).alias("cp_left_stat"),
+            F.col("kr").alias("cp_right_index"),
+            c_round(
+                F.col("absdr").cast("double")
+                / ((F.col("n") - F.col("k1")).cast("double") * 10000.0), 4,
+            ).alias("cp_right_stat"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
