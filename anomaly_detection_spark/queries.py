@@ -15754,6 +15754,275 @@ def q_binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# k-core decomposition of the near-duplicate graph (SURVEY §2.14 U8):
+# iterative peeling — drop nodes of degree < k, recompute degrees,
+# repeat — the standard dense-cluster extractor for dedup families and
+# spam rings.  Semantics are a FIXED 6-round 2-core (rounds are part of
+# the operator definition, so both engines run the identical lockstep;
+# the fixture converges well before 6).  Spark folds 6 bounded
+# join+filter stages over the banded-LSH edge list (never all pairs);
+# the oracle unrolls the same 6 rounds as chained CTEs over the
+# brute-force-verified edges (the `minhash_near_dups` safety argument).
+# ---------------------------------------------------------------------------
+
+def _kcore_oracle_sql(k: int = 2, rounds: int = 6) -> str:
+    head = r"""
+WITH sh AS (
+    SELECT doc_id, list_distinct([
+        array_to_string(toks[i:i+2], ' ')
+        for i in range(1, greatest(len(toks) - 2, 1) + 1)
+    ]) AS grams
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          FROM documents)
+), e0 AS MATERIALIZED (
+    SELECT a.doc_id AS ia, b.doc_id AS ib
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.grams, b.grams))), 4) >= 0.5
+), u0 AS MATERIALIZED (
+    SELECT ia AS a, ib AS b FROM e0
+    UNION ALL SELECT ib, ia FROM e0
+)"""
+    parts = [head]
+    prev = "u0"
+    for r in range(1, rounds + 1):
+        # MATERIALIZED: without it DuckDB inlines the chained CTEs
+        # exponentially (each round references the previous one three
+        # times) and the plan explodes
+        parts.append(f""", n{r} AS MATERIALIZED (
+    SELECT a FROM {prev} GROUP BY a HAVING count(*) >= {k}
+), u{r} AS MATERIALIZED (
+    SELECT u.a, u.b FROM {prev} u
+    JOIN n{r} x ON u.a = x.a JOIN n{r} y ON u.b = y.a
+)""")
+        prev = f"u{r}"
+    parts.append(f"""
+SELECT a AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+FROM {prev} GROUP BY a
+""")
+    return "".join(parts)
+
+
+@register("kcore_dup_graph", _kcore_oracle_sql())
+def q_kcore_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.dedup import (
+        minhash_exact_near_duplicates,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    edges = minhash_exact_near_duplicates(
+        docs, "text", "doc_id", num_hashes=64, bands=16,
+        jaccard_threshold=0.5,
+    ).select("id_a", "id_b")
+    und = edges.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
+    ).localCheckpoint()
+    for _ in range(6):
+        alive = (
+            und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= 2).select("a")
+        )
+        und = (
+            und.join(alive, "a")
+            .join(alive.select(F.col("a").alias("b")), "b")
+            .select("a", "b")
+            # pin the lineage each round: 6 chained join stages otherwise
+            # grow the plan (the components.py localCheckpoint discipline)
+            .localCheckpoint()
+        )
+    return und.groupBy(F.col("a").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (SURVEY §2.14 U9; Anderl et al.
+# 2016 — the data-driven alternative to last/linear-touch): user paths
+# truncate at first purchase, a first-order chain is fitted on
+# (START, type…, purchase | NULL) transitions, and each channel's value
+# is how much the absorption probability into `purchase` drops when the
+# channel is deleted (its inbound edges redirected to NULL, its
+# outbound edges dropped).  Absorption runs as TWELVE fixed integer
+# power iterations on the 1e12 grid (the HITS/Viterbi discipline —
+# exact `div` arithmetic, no float fold order).  The transition table
+# is dictionary-sized (|types|+2 states), so Spark collects it as a
+# bounded artifact and folds the 12 iterations driver-side in exact
+# ints; the oracle unrolls the identical 12 steps as chained CTEs over
+# a (removed-channel × edge) grid.  Scale: ONE shuffle builds the
+# transition counts; everything after is O(|states|²).
+# ---------------------------------------------------------------------------
+
+_MRE_SCALE = 1_000_000_000_000
+
+
+def _markov_removal_oracle_sql(iters: int = 12) -> str:
+    head = """
+WITH o AS (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+), fp AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'purchase' THEN rn END) AS prn
+    FROM o GROUP BY user_id
+), path AS (
+    SELECT o.user_id, o.event_type, o.rn
+    FROM o JOIN fp ON fp.user_id = o.user_id
+    WHERE fp.prn IS NULL OR o.rn <= fp.prn
+), hops AS (
+    SELECT user_id, event_type AS u,
+           coalesce(lead(event_type) OVER (PARTITION BY user_id ORDER BY rn),
+                    CASE WHEN event_type = 'purchase' THEN NULL
+                         ELSE '__NULL__' END) AS v
+    FROM path
+), alledges AS (
+    SELECT u, v FROM hops WHERE v IS NOT NULL
+    UNION ALL
+    SELECT '__START__' AS u, event_type AS v FROM path WHERE rn = 1
+), cnt AS (SELECT u, v, count(*) AS c FROM alledges GROUP BY u, v),
+channels AS (
+    SELECT DISTINCT event_type AS ch FROM events
+    WHERE event_type <> 'purchase'
+), graphs AS (
+    SELECT ch.ch AS removed, cnt.u,
+           CASE WHEN cnt.v = ch.ch THEN '__NULL__' ELSE cnt.v END AS v,
+           cnt.c
+    FROM channels ch, cnt
+    WHERE cnt.u <> ch.ch
+    UNION ALL
+    SELECT '__NONE__', u, v, c FROM cnt
+), gcnt AS (
+    SELECT removed, u, v, CAST(sum(c) AS BIGINT) AS c
+    FROM graphs GROUP BY 1, 2, 3
+), gtot AS (
+    SELECT removed, u, CAST(sum(c) AS BIGINT) AS t
+    FROM gcnt GROUP BY 1, 2
+), p0 AS (
+    SELECT removed, u AS state, CAST(0 AS BIGINT) AS p FROM gtot
+)"""
+    parts = [head]
+    for k in range(1, iters + 1):
+        parts.append(f""", p{k} AS (
+    SELECT g.removed, g.u AS state,
+           CAST(sum(g.c * CASE WHEN g.v = 'purchase' THEN {_MRE_SCALE}
+                                WHEN g.v = '__NULL__' THEN 0
+                                ELSE coalesce(pp.p, 0) END) // gt.t
+                AS BIGINT) AS p
+    FROM gcnt g
+    JOIN gtot gt ON gt.removed = g.removed AND gt.u = g.u
+    LEFT JOIN p{k - 1} pp ON pp.removed = g.removed AND pp.state = g.v
+    GROUP BY g.removed, g.u, gt.t
+)""")
+    parts.append(f"""
+SELECT pr.removed AS channel,
+       pf.p AS p_full_fp,
+       pr.p AS p_removed_fp,
+       CAST(CASE WHEN pf.p = 0 THEN 0
+                 ELSE (pf.p - pr.p) * 1000000 // pf.p END AS BIGINT)
+           AS removal_effect_ppm
+FROM (SELECT removed, p FROM p{iters}
+      WHERE removed <> '__NONE__' AND state = '__START__') pr,
+     (SELECT p FROM p{iters}
+      WHERE removed = '__NONE__' AND state = '__START__') pf
+""")
+    return "".join(parts)
+
+
+@register("markov_removal_attribution", _markov_removal_oracle_sql())
+def q_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id")
+    o = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).withColumn(
+        "prn",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rn"))
+        ).over(wp),
+    )
+    path = o.where(F.col("prn").isNull() | (F.col("rn") <= F.col("prn")))
+    nxt = F.lead("event_type").over(
+        Window.partitionBy("user_id").orderBy("rn")
+    )
+    hops = path.select(
+        F.col("event_type").alias("u"),
+        F.coalesce(
+            nxt,
+            F.when(F.col("event_type") == "purchase", F.lit(None))
+            .otherwise(F.lit("__NULL__")),
+        ).alias("v"),
+    ).where(F.col("v").isNotNull())
+    starts = path.where(F.col("rn") == 1).select(
+        F.lit("__START__").alias("u"), F.col("event_type").alias("v")
+    )
+    cnt_rows = (
+        hops.unionByName(starts)
+        .groupBy("u", "v").agg(F.count(F.lit(1)).alias("c"))
+        .collect()  # dictionary-sized artifact: (|types|+2)² rows max
+    )
+    cnt: dict[tuple[str, str], int] = {
+        (r["u"], r["v"]): int(r["c"]) for r in cnt_rows
+    }
+    # channel list from the raw table (the oracle's definition), not
+    # from the truncated paths — a type appearing only after purchases
+    # would otherwise vanish from one side
+    channels = sorted(
+        r["event_type"]
+        for r in ev.select("event_type").distinct().collect()
+        if r["event_type"] != "purchase"
+    )
+
+    def absorb(removed: str | None) -> int:
+        edges: dict[tuple[str, str], int] = {}
+        for (u, v), c in cnt.items():
+            if u == removed:
+                continue
+            vv = "__NULL__" if v == removed else v
+            edges[(u, vv)] = edges.get((u, vv), 0) + c
+        tot: dict[str, int] = {}
+        for (u, _), c in edges.items():
+            tot[u] = tot.get(u, 0) + c
+        p: dict[str, int] = {u: 0 for u in tot}
+        for _ in range(12):
+            nxt_p = {}
+            for u in tot:
+                acc = 0
+                for (uu, v), c in edges.items():
+                    if uu != u:
+                        continue
+                    if v == "purchase":
+                        val = _MRE_SCALE
+                    elif v == "__NULL__":
+                        val = 0
+                    else:
+                        val = p.get(v, 0)
+                    acc += c * val
+                nxt_p[u] = acc // tot[u]
+            p = nxt_p
+        return p.get("__START__", 0)
+
+    p_full = absorb(None)
+    rows = []
+    for ch in channels:
+        p_rem = absorb(ch)
+        if p_full == 0:
+            eff = 0
+        else:
+            d = (p_full - p_rem) * 1000000
+            eff = abs(d) // p_full * (1 if d >= 0 else -1)
+        rows.append((ch, p_full, p_rem, eff))
+    return spark.createDataFrame(
+        rows,
+        "channel string, p_full_fp long, p_removed_fp long, "
+        "removal_effect_ppm long",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
