@@ -11704,6 +11704,78 @@ def q_next_higher_spend_user(
 # stack loses nothing.
 # ---------------------------------------------------------------------------
 
+def _ppjoin_expand(memb: DataFrame, halfpairs: DataFrame) -> DataFrame:
+    """Shared PPJoin tail: fold verified half-pairs (sa < sb by the
+    length order) into per-set best matches, then expand distinct sets
+    back to documents.  Both directions come from ONE pass over
+    halfpairs (a unionByName of a swapped self would recompute the
+    whole candidate pipeline twice); best-per-set is a map-side-
+    combining max_by instead of a row_number window — ties in the
+    double ratio imply the same (i, u) on this path, so (ratio desc,
+    partner asc) stays deterministic."""
+    both = (
+        halfpairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("sa").alias("s"), F.col("sb").alias("o"),
+                        F.col("i").alias("i"), F.col("u").alias("u"),
+                    ),
+                    F.struct(
+                        F.col("sb").alias("s"), F.col("sa").alias("o"),
+                        F.col("i").alias("i"), F.col("u").alias("u"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
+        .where(5 * F.col("i") >= 3 * F.col("u"))
+    )
+    ordkey = F.struct(
+        (F.col("i").cast("double") / F.col("u")).alias("r"),
+        (-F.col("o")).alias("no"),
+    )
+    best_cross = (
+        both.groupBy("s")
+        .agg(
+            F.max_by(F.struct("o", "i", "u"), ordkey).alias("b")
+        )
+        .select(
+            F.col("s").alias("sid"),
+            F.col("b.o").alias("xmatch"),
+            F.col("b.i").alias("i"),
+            F.col("b.u").alias("u"),
+        )
+    )
+
+    jacc_ppm = (
+        F.floor(F.col("i").cast("double") / F.col("u") * 1000000 + F.lit(0.5))
+        / 1000000
+    ).alias("jaccard")
+    # expand back to docs: duplicate families match within the family
+    # at 1.0 (which dominates any cross-set Jaccard < 1.0); singleton
+    # sets take their best cross-set partner's min member doc
+    within = memb.where(F.col("cnt") >= 2).select(
+        "doc_id",
+        F.when(F.col("doc_id") == F.col("sid"), F.col("min2"))
+        .otherwise(F.col("sid")).alias("match_id"),
+        F.col("n").cast("bigint").alias("n_shared"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    cross = (
+        memb.where(F.col("cnt") == 1)
+        .select("doc_id", "sid")
+        .join(best_cross, "sid")
+        .select(
+            "doc_id",
+            F.col("xmatch").alias("match_id"),
+            F.col("i").alias("n_shared"),
+            jacc_ppm,
+        )
+    )
+    return within.unionByName(cross)
+
+
 @register("ppjoin_jaccard_pairs", r"""
 WITH sets AS (
     SELECT doc_id,
@@ -11784,7 +11856,50 @@ def q_ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("wid")).alias("ids"))
     )
 
-    # --- 3. asymmetric prefix postings (Xiao et al. WWW'08 §4): order
+    # --- 3. ADAPTIVE physical strategy on a bounded data statistic (the
+    # AQE spirit, decided at plan-build time): when the corpus
+    # vocabulary fits in a machine word (<= 64 distinct tokens), prefix
+    # filtering cannot be selective — every set shares its rarest
+    # tokens with most others (exactly this fixture: 31 words) — so the
+    # candidate stack only adds overhead.  Each distinct set becomes a
+    # 64-bit BITMASK and the verify is popcount(a AND b) over a
+    # broadcast nested-loop of distinct sets (thousands, not docs):
+    # identical answers, integer-exact, whole-stage-codegen bit ops.
+    # Past 64 tokens the full Xiao WWW'08 prefix/length/positional
+    # stack below takes over.
+    vocab_size = dfreq.count()
+    if vocab_size <= 64:
+        bm = isets.select(
+            "sid", "n",
+            F.expr(
+                "aggregate(ids, 0L, (acc, w) -> acc | shiftleft(1L, w - 1))"
+            ).alias("bm"),
+        )
+        lhs = bm.select(
+            F.col("sid").alias("sa"), F.col("n").alias("na"),
+            F.col("bm").alias("ba"),
+        )
+        rhs = bm.select(
+            F.col("sid").alias("sb"), F.col("n").alias("nb"),
+            F.col("bm").alias("bb"),
+        )
+        ordered = lhs.join(
+            F.broadcast(rhs),
+            (
+                (F.col("na") < F.col("nb"))
+                | ((F.col("na") == F.col("nb")) & (F.col("sa") < F.col("sb")))
+            )
+            & (5 * F.col("na") >= 3 * F.col("nb")),
+        )
+        i_bits = F.bit_count(F.col("ba").bitwiseAND(F.col("bb"))).cast("bigint")
+        halfpairs = ordered.select(
+            "sa", "sb",
+            i_bits.alias("i"),
+            ((F.col("na") + F.col("nb")).cast("bigint") - i_bits).alias("u"),
+        )
+        return _ppjoin_expand(memb, halfpairs)
+
+    # --- 3b. asymmetric prefix postings (Xiao et al. WWW'08 §4): order
     # pairs by (n, sid) so the smaller record is the INDEXED side, which
     # only needs the indexing prefix n - ceil(2t/(1+t)·n) + 1 tokens
     # (t=3/5 -> 2t/(1+t)=3/4, ceil(3n/4) = (3n+3) div 4); the larger
@@ -11842,72 +11957,7 @@ def q_ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             union.cast("bigint").alias("u"),
         )
     )
-    # both directions in ONE pass over halfpairs (a unionByName of a
-    # swapped self would recompute the whole candidate pipeline twice),
-    # then best-per-set as a map-side-combining max_by instead of a
-    # row_number window: ties in the double ratio imply the same (i, u)
-    # on this path, so (ratio desc, partner asc) stays deterministic
-    both = (
-        halfpairs.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("sa").alias("s"), F.col("sb").alias("o"),
-                        F.col("i").alias("i"), F.col("u").alias("u"),
-                    ),
-                    F.struct(
-                        F.col("sb").alias("s"), F.col("sa").alias("o"),
-                        F.col("i").alias("i"), F.col("u").alias("u"),
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.*")
-        .where(5 * F.col("i") >= 3 * F.col("u"))
-    )
-    ordkey = F.struct(
-        (F.col("i").cast("double") / F.col("u")).alias("r"),
-        (-F.col("o")).alias("no"),
-    )
-    best_cross = (
-        both.groupBy("s")
-        .agg(
-            F.max_by(F.struct("o", "i", "u"), ordkey).alias("b")
-        )
-        .select(
-            F.col("s").alias("sid"),
-            F.col("b.o").alias("xmatch"),
-            F.col("b.i").alias("i"),
-            F.col("b.u").alias("u"),
-        )
-    )
-
-    jacc_ppm = (
-        F.floor(F.col("i").cast("double") / F.col("u") * 1000000 + F.lit(0.5))
-        / 1000000
-    ).alias("jaccard")
-    # --- expand back to docs: duplicate families match within the family
-    # at 1.0 (which dominates any cross-set Jaccard < 1.0); singleton
-    # sets take their best cross-set partner's min member doc ------------
-    within = memb.where(F.col("cnt") >= 2).select(
-        "doc_id",
-        F.when(F.col("doc_id") == F.col("sid"), F.col("min2"))
-        .otherwise(F.col("sid")).alias("match_id"),
-        F.col("n").cast("bigint").alias("n_shared"),
-        F.lit(1.0).alias("jaccard"),
-    )
-    cross = (
-        memb.where(F.col("cnt") == 1)
-        .select("doc_id", "sid")
-        .join(best_cross, "sid")
-        .select(
-            "doc_id",
-            F.col("xmatch").alias("match_id"),
-            F.col("i").alias("n_shared"),
-            jacc_ppm,
-        )
-    )
-    return within.unionByName(cross)
+    return _ppjoin_expand(memb, halfpairs)
 
 
 # ---------------------------------------------------------------------------
@@ -16075,6 +16125,14 @@ DRIVER_REVERIFY: dict[str, int] = {
     # round 3: sorted_values serialized as a decimal-string join (raw
     # array<double> broke the driver's pandas canonicalizer in r02)
     "array_functions_per_user": 3,
+    # round 5: adaptive bitmask fast path for machine-word vocabularies
+    # (28.8 s -> 2.9 s at sf0.1, same answers) — the r04 green row no
+    # longer vouches for the executed code path
+    "ppjoin_jaccard_pairs": 5,
+    # round 5: DTW kernel vectorized over anti-diagonals (bit-equal by
+    # fuzz + oracle, but a new kernel) — dtw was never driver-green, so
+    # rotation covers it; listed here for the same-code-path principle
+    "dtw_distance_users": 5,
 }
 
 DRIVER_PRIORITY: list[str] = [
