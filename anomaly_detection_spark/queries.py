@@ -16073,6 +16073,80 @@ def q_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Second streaming driver row (SURVEY §2.10): the stateful run-length
+# engine replayed over the events table as a REAL
+# applyInPandasWithState stream (persistent per-key state, append
+# mode), checked against the batch gaps-and-islands law of
+# `run_length_events`.  Rows are emitted by the state function itself
+# (not watermark-gated), so a single-file replay needs no flush
+# sentinel; (user_id, ts) is unique in the fixture, so the stream's
+# high-water-mark late-drop path never fires and late_dropped is
+# provably zero — which the oracle states as data.
+# ---------------------------------------------------------------------------
+
+@register("streaming_run_length_events", """
+WITH coarse AS (
+    SELECT user_id, ts, CAST(floor(value / 100.0) AS BIGINT) AS bucket
+    FROM events
+), seg AS (
+    SELECT *,
+           CASE WHEN bucket - lag(bucket) OVER w = 0 THEN 1 ELSE 0 END
+               AS repeated,
+           CASE WHEN bucket - lag(bucket) OVER w = 0 THEN 0 ELSE 1 END
+               AS reset
+    FROM coarse WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), segsum AS (
+    SELECT *, CAST(sum(reset) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS BIGINT) AS seg_id
+    FROM seg
+), rl AS (
+    SELECT user_id, ts, bucket,
+           CAST(sum(CASE WHEN reset = 1 THEN 1 ELSE repeated END)
+                OVER (PARTITION BY user_id, seg_id ORDER BY ts) AS BIGINT)
+               AS data_repetitions
+    FROM segsum
+)
+SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+       CAST(bucket AS DOUBLE) AS value,
+       data_repetitions,
+       CAST(CASE WHEN data_repetitions >= 3 THEN 1 ELSE 0 END AS INT)
+           AS data_repetitions_flag,
+       CAST(0 AS BIGINT) AS late_dropped
+FROM rl
+""")
+def q_streaming_run_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from anomaly_detection_spark.streaming.rules_stream import (
+        stateful_run_length,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts",
+        F.floor(F.col("value") / 100.0).cast("double").alias("value"),
+    )
+    work = tempfile.mkdtemp(prefix="stream_rl_")
+    src = os.path.join(work, "src")
+    # one part file => one micro-batch: every key's rows arrive together,
+    # sorted inside the state function, so no high-water-mark drops
+    ev.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    stream = spark.readStream.schema(ev.schema).parquet(src + "/*")
+    qname = "run_length_" + uuid.uuid4().hex
+    q = (
+        stateful_run_length(stream, "user_id", "ts", "value")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(qname)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(qname)
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
