@@ -131,10 +131,23 @@ BENCH_QUERIES = [
     "hits_user_type_engagement",
     "sax_symbols_users",
     "rrf_hybrid_retrieval",
+    # round 5 additions — one exemplar per new paradigm
+    "hbos_outlier_events",
+    "diff_in_diff_events",
+    "bootstrap_mean_ci_events",
+    "holt_winters_user",
+    "binseg_changepoints_user",
+    "brier_calibration_docs",
+    "ndcg_dup_retrieval",
+    "kcore_dup_graph",
+    "markov_removal_attribution",
+    "ppjoin_jaccard_pairs",  # re-entered: bitmask fast path, 28.8->2.9 s
     # mmr_select_embeddings stays OUT of the bench set: 8 sequential
     # argmax jobs are honest greedy-selection cost but pure job-launch
     # overhead at local bench scale (14 s of a 93 s total in the r04
-    # trial run) — the r03 lesson about one query dominating the line
+    # trial run) — the r03 lesson about one query dominating the line.
+    # The two streaming replay queries also stay out: they measure
+    # micro-batch launch latency, not data-path throughput.
 ]
 
 
