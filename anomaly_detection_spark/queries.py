@@ -16147,6 +16147,174 @@ def q_streaming_run_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hodges-Lehmann robust location per user (SURVEY §2.15 U12): the
+# median of Walsh averages (all pairwise means, self-pairs included) —
+# the classic rank-based location estimator between mean and median in
+# efficiency.  Purchase histories are bounded per user, so the Walsh
+# set is generated MAP-SIDE with nested array transforms (no self-join,
+# no extra shuffle) and the median is two order statistics of the
+# sorted array.  Everything stays on the integer cents grid: the
+# estimator is (m1 + m2) / 4 / 100 where m1, m2 are the middle Walsh
+# SUMS — no float until one final exact division.
+# ---------------------------------------------------------------------------
+
+@register("hodges_lehmann_user", """
+WITH p AS (
+    SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+), arrs AS (
+    SELECT user_id, list_sort(list(cents)) AS a, count(*) AS n
+    FROM p GROUP BY user_id
+), walsh AS (
+    SELECT user_id, n,
+           list_sort(flatten([
+               [a[i] + a[j] for j in range(i, len(a) + 1)]
+               for i in range(1, len(a) + 1)
+           ])) AS w
+    FROM arrs
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_purchases,
+       CAST(len(w) AS BIGINT) AS n_walsh,
+       CAST(w[CAST((len(w) + 1) // 2 AS INT)]
+            + w[CAST((len(w) + 2) // 2 AS INT)] AS BIGINT) AS hl_fp,
+       (w[CAST((len(w) + 1) // 2 AS INT)]
+        + w[CAST((len(w) + 2) // 2 AS INT)]) / 400.0 AS hl_value
+FROM walsh
+""")
+def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", quantized(F.col("value"), 2).alias("cents")
+    )
+    arrs = p.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("cents")).alias("a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # Walsh sums a[i]+a[j] for i <= j, generated map-side: slice from
+    # 1-based position i+1 (where posexplode's i is 0-based) starts at
+    # the element itself, so self-pairs are included
+    walsh = arrs.select(
+        "user_id", "n",
+        F.sort_array(
+            F.flatten(
+                F.transform(
+                    "a",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("a"), i + 1, F.size("a") - i),
+                        lambda y: x + y,
+                    ),
+                )
+            )
+        ).alias("w"),
+    )
+    m1 = F.element_at("w", ((F.size("w") + 1) / 2).cast("int"))
+    m2 = F.element_at("w", ((F.size("w") + 2) / 2).cast("int"))
+    return walsh.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_purchases"),
+        F.size("w").cast("bigint").alias("n_walsh"),
+        (m1 + m2).cast("bigint").alias("hl_fp"),
+        ((m1 + m2) / 400.0).alias("hl_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (SURVEY §2.15 U13): the marketing-analytics staple —
+# every user scored 1-5 on Recency (days since last purchase at the
+# pinned eval date), Frequency (purchase count) and Monetary (exact
+# cents), each by an exact integer quintile law over a GLOBAL ranking.
+# The global rankings run through the distributed rank family (range
+# repartition + per-partition offsets — no SinglePartition window), one
+# per dimension, the Borda ×3 pattern.  Quintile = (rank−1)·5 div n + 1
+# with user_id tiebreaks — deterministic, no percentile interpolation
+# to disagree on.
+# ---------------------------------------------------------------------------
+
+@register("rfm_segments_users", """
+WITH p AS (
+    SELECT user_id, CAST(max(ts) AS DATE) AS last_day,
+           count(*) AS f_cnt,
+           sum(CAST(round(value * 100, 0) AS BIGINT)) AS m_cents
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), b AS (
+    SELECT user_id,
+           date_diff('day', last_day, DATE '2024-02-01') AS r_days,
+           f_cnt, m_cents, count(*) OVER () AS n
+    FROM p
+)
+SELECT user_id,
+       CAST(r_days AS BIGINT) AS r_days,
+       CAST(f_cnt AS BIGINT) AS f_cnt,
+       CAST(m_cents AS BIGINT) AS m_cents,
+       CAST((row_number() OVER (ORDER BY r_days DESC, user_id) - 1)
+            * 5 // n + 1 AS INT) AS r_score,
+       CAST((row_number() OVER (ORDER BY f_cnt, user_id) - 1)
+            * 5 // n + 1 AS INT) AS f_score,
+       CAST((row_number() OVER (ORDER BY m_cents, user_id) - 1)
+            * 5 // n + 1 AS INT) AS m_score,
+       CAST(((row_number() OVER (ORDER BY r_days DESC, user_id) - 1)
+             * 5 // n + 1) * 100
+            + ((row_number() OVER (ORDER BY f_cnt, user_id) - 1)
+               * 5 // n + 1) * 10
+            + ((row_number() OVER (ORDER BY m_cents, user_id) - 1)
+               * 5 // n + 1) AS INT) AS rfm_segment
+FROM b
+""")
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    base = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("f_cnt"),
+            F.sum(quantized(F.col("value"), 2)).alias("m_cents"),
+        )
+        .select(
+            "user_id",
+            F.datediff(
+                F.lit("2024-02-01").cast("date"),
+                F.col("last_ts").cast("date"),
+            ).cast("long").alias("r_days"),
+            "f_cnt", "m_cents",
+        )
+        .withColumn("neg_r_days", -F.col("r_days"))
+    )
+    n = base.count()  # bounded scalar (one count job), reused 3x
+
+    def quintile(metric_cols: list[str], out: str) -> DataFrame:
+        ranked = rank_family(
+            base.select("user_id", *metric_cols), metric_cols + ["user_id"]
+        )
+        return ranked.select(
+            "user_id",
+            F.expr(
+                f"CAST(((CAST(global_rn AS BIGINT) - 1) * 5) div {n} + 1"
+                " AS INT)"
+            ).alias(out),
+        )
+
+    r = quintile(["neg_r_days"], "r_score")
+    f = quintile(["f_cnt"], "f_score")
+    m = quintile(["m_cents"], "m_score")
+    return (
+        base.join(r, "user_id").join(f, "user_id").join(m, "user_id")
+        .select(
+            "user_id",
+            F.col("r_days").cast("bigint").alias("r_days"),
+            F.col("f_cnt").cast("bigint").alias("f_cnt"),
+            F.col("m_cents").cast("bigint").alias("m_cents"),
+            "r_score", "f_score", "m_score",
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10
+                + F.col("m_score")
+            ).cast("int").alias("rfm_segment"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
