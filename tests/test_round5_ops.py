@@ -51,3 +51,212 @@ class TestDTWKernel:
         a = np.full(100, 2**39, dtype=np.int64)
         b = np.full(100, -(2**39), dtype=np.int64)
         assert dtw_cents_kernel(a, b) == 100 * 2**40
+
+
+import datetime as dt
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from anomaly_detection_spark import queries as reg
+
+BASE = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _d(days, minutes=0):
+    return BASE + dt.timedelta(days=days, minutes=minutes)
+
+
+def _mini_dir(spark, events_rows=None, extra_tables=None):
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp()
+    if events_rows is not None:
+        ev = spark.createDataFrame(
+            events_rows,
+            "user_id long, event_id long, ts timestamp_ntz, "
+            "event_type string, value double",
+        ).withColumn("props", F.lit("{}"))
+        pq.write_table(
+            pa.Table.from_pandas(ev.toPandas()),
+            os.path.join(d, "events.parquet"),
+        )
+    for name, (rows, schema) in (extra_tables or {}).items():
+        t = spark.createDataFrame(rows, schema)
+        pq.write_table(
+            pa.Table.from_pandas(t.toPandas()),
+            os.path.join(d, f"{name}.parquet"),
+        )
+    return d
+
+
+def test_diff_in_diff_planted_effect(spark):
+    # control (user 2) flat at 10; treated (user 1) 10 pre, 16 post
+    rows = []
+    eid = 0
+    for day in range(10, 20):  # pre: Jan 11-20
+        for u, v in ((1, 10.0), (2, 10.0)):
+            eid += 1
+            rows.append((u, eid, _d(day), "view", v))
+    for day in range(20, 30):  # post: Jan 21-30 (>= Jan 16 cut? no)
+        for u, v in ((1, 16.0), (2, 10.0)):
+            eid += 1
+            rows.append((u, eid, _d(day), "view", v))
+    d = _mini_dir(spark, rows)
+    row = reg.QUERIES["diff_in_diff_events"](spark, d).collect()[0]
+    # user 1 is treat (odd), post cut is Jan 16: pre holds days 11-15
+    assert row.m_t_pre == 10.0 and row.m_c_pre == 10.0
+    assert row.m_c_post == 10.0
+    assert row.did == row.m_t_post - 10.0 > 0
+
+
+def test_hbos_flags_rare_bin_highest(spark):
+    # 40 events at value~100 in one hour, 1 event at 400 (rare value
+    # bin AND rare hour) -> the outlier carries the top score
+    rows = [(1, i, _d(0, i), "view", 100.0) for i in range(40)]
+    rows.append((1, 99, _d(0, 60 * 5), "view", 400.0))
+    d = _mini_dir(spark, rows)
+    out = reg.QUERIES["hbos_outlier_events"](spark, d).collect()
+    top = max(out, key=lambda r: r.hbos_fp)
+    assert top.event_id == 99
+
+
+def test_holt_winters_constant_series_converges(spark):
+    from anomaly_detection_spark.detect.robust import holt_winters
+
+    rows = [(1, _d(i), 20.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "user_id long, day timestamp_ntz, dval double")
+    out = {r.rn: r for r in holt_winters(
+        df, ["user_id"], ["day"], "dval").collect()}
+    # constant input: level locks to the value, trend decays to ~0
+    assert out[1].level == 20.0
+    assert abs(out[20].level - 20.0) < 0.5
+    assert abs(out[20].trend) < 0.1
+
+
+def test_binseg_finds_planted_shifts(spark):
+    # 30 points: 0-9 at 10, 10-19 at 50, 20-29 at 90 -> global split in
+    # the middle region, then each side finds its own boundary
+    rows = [(1, i, _d(0, i), "view", 10.0) for i in range(10)]
+    rows += [(1, 10 + i, _d(0, 10 + i), "view", 50.0) for i in range(10)]
+    rows += [(1, 20 + i, _d(0, 20 + i), "view", 90.0) for i in range(10)]
+    d = _mini_dir(spark, rows)
+    row = reg.QUERIES["binseg_changepoints_user"](spark, d).collect()[0]
+    # the symmetric staircase TIES the CUSUM stat across i = 10..20
+    # (|n·p−i·s| is constant along the middle ramp), so the
+    # smallest-index tiebreak lands on the first boundary; the right
+    # half then isolates the second boundary exactly, and the flat
+    # left half has a degenerate zero statistic
+    assert row.cp1_index == 10
+    assert row.cp_right_index == 20
+    assert row.cp_left_stat == 0.0
+
+
+def test_bootstrap_ci_brackets_mean(spark):
+    rows = [(1, i, _d(0, i), "view", float(10 + (i % 5))) for i in range(200)]
+    d = _mini_dir(spark, rows)
+    row = reg.QUERIES["bootstrap_mean_ci_events"](spark, d).collect()[0]
+    assert row.n_replicates == 32
+    assert row.ci_lo <= row.mean_value <= row.ci_hi
+    assert row.ci_lo < row.ci_hi  # resampling variation exists
+
+
+def test_markov_removal_sole_path_channel_dominates(spark):
+    # every conversion goes view -> click -> purchase; signup leads
+    # nowhere.  Removing click must kill (almost) all conversion.
+    rows = []
+    eid = 0
+    for u in range(1, 11):
+        for i, t in enumerate(("view", "click", "purchase")):
+            eid += 1
+            rows.append((u, eid, _d(0, u * 10 + i), t, 1.0))
+    for u in range(11, 16):
+        eid += 1
+        rows.append((u, eid, _d(0, u * 10), "signup", 1.0))
+    d = _mini_dir(spark, rows)
+    out = {r.channel: r for r in
+           reg.QUERIES["markov_removal_attribution"](spark, d).collect()}
+    assert out["click"].p_removed_fp == 0
+    assert out["click"].removal_effect_ppm == 1000000
+    assert out["signup"].removal_effect_ppm == 0
+
+
+def test_kcore_peels_tail_keeps_clique(spark):
+    # the registered query builds its own edges from near-dup text; use
+    # 4 identical docs (a 4-clique via dedupe family? identical sets
+    # collapse) -- instead craft 3 mutually-similar docs + 1 pendant
+    base = ("one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen fifteen sixteen seventeen eighteen "
+            "nineteen")
+    docs = [
+        (0, base + " zeta", "en", 30, "s"),
+        (1, base + " eta", "en", 30, "s"),
+        (2, base + " theta", "en", 30, "s"),
+        (3, "alpha beta completely different words here", "en", 30, "s"),
+        (4, "unrelated text entirely separate tokens", "en", 30, "s"),
+    ]
+    d = _mini_dir(spark, extra_tables={
+        "documents": (docs, "doc_id long, text string, lang string, "
+                            "n_chars long, source string"),
+    })
+    out = {r.doc_id: r.core_degree for r in
+           reg.QUERIES["kcore_dup_graph"](spark, d).collect()}
+    # docs 0,1,2 form a triangle (pairwise jaccard 5/7 >= 0.5); doc 3
+    # attaches to nothing at >= 0.5, doc 4 isolated
+    assert set(out) == {0, 1, 2}
+    assert all(deg == 2 for deg in out.values())
+
+
+def test_hodges_lehmann_known_walsh_median(spark):
+    rows = [
+        (1, 1, _d(0, 1), "purchase", 1.0),
+        (1, 2, _d(0, 2), "purchase", 2.0),
+        (1, 3, _d(0, 3), "purchase", 10.0),
+    ]
+    d = _mini_dir(spark, rows)
+    row = reg.QUERIES["hodges_lehmann_user"](spark, d).collect()[0]
+    # walsh sums (cents): 200,300,400,1100,1200,2000 -> medians 400,1100
+    assert row.n_walsh == 6
+    assert row.hl_fp == 1500
+    assert row.hl_value == 3.75
+
+
+def test_rfm_quintile_law(spark):
+    # 10 users, user k makes k purchases of value k on day k
+    rows = []
+    eid = 0
+    for u in range(1, 11):
+        for i in range(u):
+            eid += 1
+            rows.append((u, eid, _d(u, i), "purchase", float(u)))
+    d = _mini_dir(spark, rows)
+    out = {r.user_id: r for r in
+           reg.QUERIES["rfm_segments_users"](spark, d).collect()}
+    # frequency and monetary rank identically -> same quintile; user 10
+    # is best on F/M and most recent
+    assert out[10].f_score == 5 and out[10].m_score == 5
+    assert out[10].r_score == 5
+    assert out[1].f_score == 1 and out[1].m_score == 1 and out[1].r_score == 1
+    # quintile law: two users per score bucket
+    from collections import Counter
+    assert Counter(r.f_score for r in out.values()) == Counter(
+        {1: 2, 2: 2, 3: 2, 4: 2, 5: 2})
+
+
+def test_ndcg_planted_copy_ranks_first(spark):
+    docs = [(i, f"doc number {i} with shared words plus unique{i}",
+             "en", 40, "s") for i in range(100)]
+    d = _mini_dir(spark, extra_tables={
+        "documents": (docs, "doc_id long, text string, lang string, "
+                            "n_chars long, source string"),
+    })
+    out = {r.probe_id: r for r in
+           reg.QUERIES["ndcg_dup_retrieval"](spark, d).collect()}
+    # probes 0..3 (doc_id % 100 < 4): exact copy must be found in top-10
+    assert set(out) == {0, 1, 2, 3}
+    for r in out.values():
+        assert r.n_relevant == 2
+        assert r.hits_at_10 >= 1
+        assert 0 < r.ndcg_ppm <= 1000000
