@@ -16315,6 +16315,257 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Third streaming driver row (SURVEY §2.10): native session windows as
+# a REAL watermarked stream — `F.session_window` in append mode over a
+# replay of the events table, flushed by a far-future sentinel whose
+# own (still-open) session can never be emitted.  Oracle = the same
+# gap-based sessionization law as `native_session_windows`.
+# ---------------------------------------------------------------------------
+
+@register("streaming_session_windows_events", """
+WITH gaps AS (
+    SELECT user_id, ts,
+           CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+    SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts)
+               AS session_no
+    FROM gaps
+)
+SELECT user_id,
+       CAST(min(ts) AS TIMESTAMP) AS session_start,
+       CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+       count(*) AS n_events
+FROM sess
+GROUP BY user_id, session_no
+""")
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, "events", sf_dir).select("user_id", "ts")
+    work = tempfile.mkdtemp(prefix="stream_sess_")
+    src = os.path.join(work, "src")
+    ev.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    sentinel = spark.createDataFrame(
+        [(int(-1), "2030-01-01 00:00:00")], "user_id long, ts string"
+    ).select("user_id", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    sentinel.write.parquet(os.path.join(src, "b1"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    agg = (
+        # watermarks need TIMESTAMP (not NTZ); session is UTC so the
+        # cast round-trip preserves wall time
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+    qname = "sess_win_" + uuid.uuid4().hex
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory").queryName(qname)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(qname).where(F.col("user_id") != -1)
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals (SURVEY §2.15 U14; Vovk et al. /
+# Lei et al.): the distribution-free uncertainty wrapper every forecast
+# pipeline needs.  Per user daily series: the first 80% of days
+# calibrate the nonconformity quantile q (k = ⌈0.9·(m+1)⌉-th smallest
+# |Δ| on the exact micro grid, the finite-sample-valid rank law), the
+# remaining days are scored out-of-sample with interval pred ± q and
+# the empirical coverage is emitted — everything order statistics and
+# integer arithmetic, no percentile interpolation.
+# ---------------------------------------------------------------------------
+
+@register("conformal_interval_events", """
+WITH daily AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS micros
+    FROM events GROUP BY 1, 2
+), seq AS (
+    SELECT user_id, day, micros,
+           row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n,
+           lag(micros) OVER (PARTITION BY user_id ORDER BY day) AS prev
+    FROM daily
+), scored AS (
+    SELECT user_id, rn, n, abs(micros - prev) AS score, micros, prev,
+           CAST(floor(n * 0.8) AS BIGINT) AS n_cal
+    FROM seq WHERE prev IS NOT NULL AND n >= 5
+), cal AS (
+    SELECT user_id, score,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY score, rn) AS srn,
+           count(*) OVER (PARTITION BY user_id) AS m
+    FROM scored WHERE rn <= n_cal
+), q AS (
+    SELECT user_id, score AS q_micros, m
+    FROM cal
+    WHERE srn = least((9 * m + 18) // 10, m)
+)
+SELECT s.user_id,
+       CAST(max(s.n) AS BIGINT) AS n_days,
+       CAST(max(q.m) AS BIGINT) AS m_cal,
+       CAST(max(q.q_micros) AS BIGINT) AS q_micros,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(count(*) FILTER (WHERE s.score <= q.q_micros) AS BIGINT)
+           AS n_covered,
+       CAST(count(*) FILTER (WHERE s.score <= q.q_micros) * 1000000
+            // count(*) AS BIGINT) AS coverage_ppm
+FROM scored s JOIN q ON q.user_id = s.user_id
+WHERE s.rn > s.n_cal
+GROUP BY s.user_id
+""")
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(quantized(F.col("value"), 6)).alias("micros"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    wp = Window.partitionBy("user_id")
+    seq = daily.select(
+        "user_id", "day", "micros",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.lag("micros").over(w).alias("prev"),
+    )
+    scored = seq.where(
+        F.col("prev").isNotNull() & (F.col("n") >= 5)
+    ).select(
+        "user_id", "rn", "n",
+        F.abs(F.col("micros") - F.col("prev")).alias("score"),
+        F.floor(F.col("n") * 0.8).cast("long").alias("n_cal"),
+    )
+    cal = scored.where(F.col("rn") <= F.col("n_cal")).select(
+        "user_id", "score",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("score", "rn")
+        ).alias("srn"),
+        F.count(F.lit(1)).over(wp).alias("m"),
+    )
+    qdf = cal.where(
+        F.col("srn")
+        == F.least(F.expr("(9 * m + 18) div 10"), F.col("m"))
+    ).select("user_id", F.col("score").alias("q_micros"), "m")
+    test = scored.where(F.col("rn") > F.col("n_cal"))
+    return (
+        test.join(qdf, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            F.max("m").cast("long").alias("m_cal"),
+            F.max("q_micros").cast("long").alias("q_micros"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.count(F.when(F.col("score") <= F.col("q_micros"), 1))
+            .alias("n_covered"),
+            F.expr(
+                "CAST(count(CASE WHEN score <= q_micros THEN 1 END)"
+                " * 1000000 div count(*) AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout audit (SURVEY §2.15 U15): the data-skipping
+# story made checkable — lineitem rows are assigned the 8-bit Morton
+# code over exact integer rank buckets of (l_partkey, l_suppkey), and
+# per z-cell the query emits how NARROW each dimension's min/max span
+# is (the parquet row-group statistics a scan would prune on).  The
+# Spark side runs `operators/layout.py:_interleave` (the same bit fold
+# `zorder_write` clusters files with, fed explicit integer-law buckets
+# instead of approxQuantile so both engines agree); the oracle
+# recomputes the interleave with plain bit arithmetic.
+# ---------------------------------------------------------------------------
+
+@register("zorder_layout_lineitem", """
+WITH mx AS (
+    SELECT max(l_partkey) AS pmax, max(l_suppkey) AS smax FROM lineitem
+), coded AS (
+    SELECT l_partkey, l_suppkey,
+           (l_partkey - 1) * 16 // pmax AS bp,
+           (l_suppkey - 1) * 16 // smax AS bs
+    FROM lineitem, mx
+), z AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(
+             (((bp >> 0) & 1) << 0) | (((bs >> 0) & 1) << 1)
+           | (((bp >> 1) & 1) << 2) | (((bs >> 1) & 1) << 3)
+           | (((bp >> 2) & 1) << 4) | (((bs >> 2) & 1) << 5)
+           | (((bp >> 3) & 1) << 6) | (((bs >> 3) & 1) << 7)
+           AS BIGINT) AS zcode
+    FROM coded
+)
+SELECT zcode,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(l_partkey) AS BIGINT) AS part_lo,
+       CAST(max(l_partkey) AS BIGINT) AS part_hi,
+       CAST(min(l_suppkey) AS BIGINT) AS supp_lo,
+       CAST(max(l_suppkey) AS BIGINT) AS supp_hi,
+       CAST((max(l_partkey) - min(l_partkey) + 1) * 1000000
+            // (SELECT pmax FROM mx) AS BIGINT) AS part_span_ppm,
+       CAST((max(l_suppkey) - min(l_suppkey) + 1) * 1000000
+            // (SELECT smax FROM mx) AS BIGINT) AS supp_span_ppm
+FROM z GROUP BY zcode
+""")
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.operators.layout import _interleave
+
+    l = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_suppkey"
+    )
+    mx = l.agg(
+        F.max("l_partkey").alias("pmax"), F.max("l_suppkey").alias("smax")
+    )
+    coded = l.crossJoin(F.broadcast(mx)).select(
+        "l_partkey", "l_suppkey", "pmax", "smax",
+        F.expr("(l_partkey - 1) * 16 div pmax").cast("long").alias("bp"),
+        F.expr("(l_suppkey - 1) * 16 div smax").cast("long").alias("bs"),
+    )
+    z = coded.withColumn(
+        "zcode", _interleave([F.col("bp"), F.col("bs")], bits=4)
+    )
+    return (
+        z.groupBy("zcode")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").cast("long").alias("part_lo"),
+            F.max("l_partkey").cast("long").alias("part_hi"),
+            F.min("l_suppkey").cast("long").alias("supp_lo"),
+            F.max("l_suppkey").cast("long").alias("supp_hi"),
+            F.expr(
+                "CAST((max(l_partkey) - min(l_partkey) + 1) * 1000000"
+                " div max(pmax) AS BIGINT)"
+            ).alias("part_span_ppm"),
+            F.expr(
+                "CAST((max(l_suppkey) - min(l_suppkey) + 1) * 1000000"
+                " div max(smax) AS BIGINT)"
+            ).alias("supp_span_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
