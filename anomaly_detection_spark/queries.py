@@ -16566,6 +16566,97 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Weight-of-evidence / information value (SURVEY §2.15 U16): the
+# credit-scoring feature-screening staple — document length binned
+# equi-width, the quality label's good/bad odds per bin on the
+# quantized-log grid, +1 Laplace smoothing so empty cells stay finite,
+# and IV as the exact integer product of the ppm rate gap and the WOE.
+# Two slim rollups (scalar max, 10-bin counts); map-only otherwise.
+# ---------------------------------------------------------------------------
+
+@register("woe_iv_quality_bins", """
+WITH base AS (
+    SELECT doc_id, n_chars,
+           CASE WHEN len(string_split(text, ' ')) >= 20
+                 AND round(CAST(length(text) AS DOUBLE)
+                           / len(string_split(text, ' ')), 4)
+                     BETWEEN 3 AND 12
+                THEN 1 ELSE 0 END AS y
+    FROM documents
+), mx AS (SELECT max(n_chars) AS cmax FROM base),
+binned AS (
+    SELECT CAST(least(n_chars * 10 // (SELECT cmax + 1 FROM mx), 9) AS INT)
+               AS bin, y
+    FROM base
+), cells AS (
+    SELECT bin,
+           CAST(sum(y) + 1 AS BIGINT) AS dg,
+           CAST(count(*) - sum(y) + 1 AS BIGINT) AS db
+    FROM binned GROUP BY bin
+), tot AS (
+    SELECT CAST(sum(dg) AS BIGINT) AS gs, CAST(sum(db) AS BIGINT) AS bs
+    FROM cells
+)
+SELECT bin,
+       dg - 1 AS n_good, db - 1 AS n_bad,
+       CAST(round(round(ln(CAST(dg AS DOUBLE) / gs), 6) * 1000000, 0)
+            AS BIGINT)
+       - CAST(round(round(ln(CAST(db AS DOUBLE) / bs), 6) * 1000000, 0)
+            AS BIGINT) AS woe_fp,
+       (dg * 1000000 // gs - db * 1000000 // bs)
+       * (CAST(round(round(ln(CAST(dg AS DOUBLE) / gs), 6) * 1000000, 0)
+               AS BIGINT)
+          - CAST(round(round(ln(CAST(db AS DOUBLE) / bs), 6) * 1000000, 0)
+               AS BIGINT)) AS iv_contrib_fp
+FROM cells, tot
+""")
+def q_woe_iv_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks_sp = F.split(F.col("text"), " ")
+    n_toks_sp = F.size(toks_sp)
+    avg_len = F.round(F.length("text").cast("double") / n_toks_sp, 4)
+    y = F.when((n_toks_sp >= 20) & avg_len.between(3, 12), 1).otherwise(0)
+    base = docs.select("n_chars", y.alias("y"))
+    mx = base.agg(F.max("n_chars").alias("cmax"))
+    binned = base.crossJoin(F.broadcast(mx)).select(
+        F.least(
+            F.expr("n_chars * 10 div (cmax + 1)"), F.lit(9)
+        ).cast("int").alias("bin"),
+        "y",
+    )
+    cells = binned.groupBy("bin").agg(
+        (F.sum("y") + 1).cast("long").alias("dg"),
+        (F.count(F.lit(1)) - F.sum("y") + 1).cast("long").alias("db"),
+    )
+    tot = cells.agg(
+        F.sum("dg").cast("long").alias("gs"),
+        F.sum("db").cast("long").alias("bs"),
+    )
+
+    def qln_ratio(num, den):
+        return F.round(
+            F.round(F.log(num.cast("double") / den), 6) * 1000000, 0
+        ).cast("long")
+
+    woe = qln_ratio(F.col("dg"), F.col("gs")) - qln_ratio(
+        F.col("db"), F.col("bs")
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        (F.col("dg") - 1).alias("n_good"),
+        (F.col("db") - 1).alias("n_bad"),
+        woe.alias("woe_fp"),
+        (
+            (
+                F.expr("dg * 1000000 div gs")
+                - F.expr("db * 1000000 div bs")
+            )
+            * woe
+        ).alias("iv_contrib_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
