@@ -16657,6 +16657,219 @@ def q_woe_iv_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Theta/KMV sketch distinct counts (SURVEY §2.15 U17): the mergeable
+# sketch family HLL can't cover — k-minimum-values supports set
+# EXPRESSIONS (union shown here) because the k smallest hashes of a
+# union are a subset of the pooled per-set minima.  Unlike HLL's
+# engine-specific registers, the KMV estimate is an EXACT LAW of a
+# portable hash (md5 60-bit, the `hash_split_docs` law): both engines
+# compute θ = the 64th-smallest hash and the identical estimate
+# (k−1)·2⁶⁰ // θ (HUGEINT/DECIMAL — the product overflows int64).
+# Scale shape: per-type top-k is a slim rollup; the union row pools
+# k·|types| candidate minima, never raw data.
+# ---------------------------------------------------------------------------
+
+_THETA_K = 64
+_THETA_U = 1 << 60
+
+
+@register("theta_sketch_users", f"""
+WITH du AS (
+    SELECT DISTINCT event_type, user_id FROM events
+), h AS (
+    SELECT event_type, user_id,
+           CAST('0x' || substr(md5('theta:' || CAST(user_id AS VARCHAR)),
+                               1, 15) AS BIGINT) AS hv
+    FROM du
+), per_type AS (
+    SELECT event_type, hv,
+           row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n_exact
+    FROM h
+), typed AS (
+    SELECT event_type,
+           CAST(max(n_exact) AS BIGINT) AS n_exact,
+           CAST(CASE WHEN max(n_exact) < {_THETA_K} THEN max(n_exact)
+                ELSE CAST({_THETA_K - 1} AS HUGEINT) * {_THETA_U}
+                     // max(CASE WHEN rn = {_THETA_K} THEN hv END)
+                END AS BIGINT) AS kmv_estimate
+    FROM per_type WHERE rn <= {_THETA_K}
+    GROUP BY event_type
+), gu AS (
+    SELECT DISTINCT user_id FROM events
+), gh AS (
+    SELECT CAST('0x' || substr(md5('theta:' || CAST(user_id AS VARCHAR)),
+                               1, 15) AS BIGINT) AS hv
+    FROM gu
+), gtop AS (
+    SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+           (SELECT count(*) FROM gu) AS n_exact
+    FROM gh ORDER BY hv LIMIT {_THETA_K}
+)
+SELECT event_type, n_exact, kmv_estimate FROM typed
+UNION ALL
+SELECT '__ALL__' AS event_type,
+       CAST(max(n_exact) AS BIGINT) AS n_exact,
+       CAST(CASE WHEN max(n_exact) < {_THETA_K} THEN max(n_exact)
+            ELSE CAST({_THETA_K - 1} AS HUGEINT) * {_THETA_U}
+                 // max(CASE WHEN rn = {_THETA_K} THEN hv END)
+            END AS BIGINT) AS kmv_estimate
+FROM gtop
+""")
+def q_theta_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("theta:"), F.col("user_id").cast("string"))
+                .cast("binary")
+            ), 1, 15,
+        ), 16, 10,
+    ).cast("long").alias("hv")
+    du = ev.select("event_type", "user_id").distinct().select(
+        "event_type", "user_id", hv
+    )
+    wt = Window.partitionBy("event_type").orderBy("hv")
+    wp = Window.partitionBy("event_type")
+    per_type = du.select(
+        "event_type", "hv",
+        F.row_number().over(wt).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n_exact"),
+    ).where(F.col("rn") <= _THETA_K)
+
+    def kmv(df: DataFrame, label_col) -> DataFrame:
+        dec = "decimal(38,0)"
+        # floor, not a decimal cast: casting decimal(38,6) -> (38,0)
+        # ROUNDS half-up while DuckDB's // truncates
+        est = F.when(
+            F.max("n_exact") < _THETA_K, F.max("n_exact").cast(dec)
+        ).otherwise(
+            F.floor(
+                F.lit(_THETA_K - 1).cast(dec) * F.lit(_THETA_U).cast(dec)
+                / F.max(
+                    F.when(F.col("rn") == _THETA_K, F.col("hv"))
+                ).cast(dec)
+            ).cast(dec)
+        )
+        return df.groupBy(label_col).agg(
+            F.max("n_exact").cast("long").alias("n_exact"),
+            est.cast("long").alias("kmv_estimate"),
+        )
+
+    typed = kmv(per_type, "event_type")
+    gu = ev.select("user_id").distinct().select("user_id", hv)
+    n_users = gu.count()  # bounded scalar
+    # global k smallest via sort+limit (TakeOrdered — no single wide
+    # partition window anywhere)
+    gtop = gu.orderBy("hv").limit(_THETA_K).select(
+        F.lit("__ALL__").alias("event_type"),
+        F.col("hv"),
+        F.row_number().over(Window.orderBy("hv")).alias("rn"),
+        F.lit(n_users).cast("long").alias("n_exact"),
+    )
+    union_row = kmv(gtop, "event_type")
+    return typed.unionByName(union_row)
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (SURVEY §2.15 U18): the survival
+# lane's third estimator (vs Kaplan-Meier's product and the life-table
+# hazard) — H(t) = Σ_{d ≤ t} d_t / n_at_risk as an exact cumulative sum
+# of the integer ppm hazard terms, right-censored at the pinned eval
+# date like its siblings.
+# ---------------------------------------------------------------------------
+
+@register("nelson_aalen_conversion", f"""
+WITH signup AS (
+    SELECT user_id, min(ts) AS s_ts FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+    SELECT s.user_id, s.s_ts, min(e.ts) AS p_ts
+    FROM signup s LEFT JOIN events e
+      ON e.user_id = s.user_id AND e.event_type = 'purchase'
+     AND e.ts >= s.s_ts
+    GROUP BY s.user_id, s.s_ts
+),
+obs AS (
+    SELECT user_id,
+           CAST(floor((epoch(coalesce(p_ts, TIMESTAMP '{{EVAL}}'))
+                       - epoch(s_ts)) / 86400) AS BIGINT) AS day,
+           (p_ts IS NOT NULL) AS converted
+    FROM conv
+),
+tot AS (SELECT count(*) AS n_total FROM obs),
+per_day AS (
+    SELECT day,
+           CAST(count(*) FILTER (converted) AS BIGINT) AS n_converted,
+           count(*) AS n_leaving
+    FROM obs GROUP BY day
+),
+haz AS (
+    SELECT day, n_converted,
+           CAST(n_total - coalesce(sum(n_leaving) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+    FROM per_day, tot
+)
+SELECT day, n_at_risk, n_converted,
+       CAST(n_converted * 1000000 // n_at_risk AS BIGINT) AS hazard_ppm,
+       CAST(sum(n_converted * 1000000 // n_at_risk)
+            OVER (ORDER BY day) AS BIGINT) AS cumhaz_ppm
+FROM haz
+""".replace("{{EVAL}}", EVAL_TS))
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("s_ts"))
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    conv = (
+        signup.join(
+            pur,
+            (signup.user_id == pur.p_user) & (F.col("pts") >= F.col("s_ts")),
+            "left",
+        )
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("pts").alias("p_ts"))
+    )
+    obs = conv.select(
+        F.floor(
+            (
+                epoch_seconds(F.coalesce(F.col("p_ts"), ntz_lit(EVAL_TS)))
+                - epoch_seconds("s_ts")
+            ) / 86400
+        ).cast("long").alias("day"),
+        F.col("p_ts").isNotNull().alias("converted"),
+    )
+    tot = obs.agg(F.count(F.lit(1)).alias("n_total"))
+    per_day = obs.groupBy("day").agg(
+        F.count(F.when(F.col("converted"), 1)).alias("n_converted"),
+        F.count(F.lit(1)).alias("n_leaving"),
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    haz = per_day.crossJoin(F.broadcast(tot)).select(
+        "day", "n_converted",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("n_leaving").over(wcum), F.lit(0))
+        ).cast("long").alias("n_at_risk"),
+    )
+    wall = Window.orderBy("day")
+    return haz.select(
+        "day", "n_at_risk", "n_converted",
+        F.expr("CAST(n_converted * 1000000 div n_at_risk AS BIGINT)")
+        .alias("hazard_ppm"),
+        F.sum(
+            F.expr("CAST(n_converted * 1000000 div n_at_risk AS BIGINT)")
+        ).over(wall).cast("long").alias("cumhaz_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
