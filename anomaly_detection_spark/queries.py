@@ -16870,6 +16870,154 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Page-Hinkley drift test per user (SURVEY §2.15 U19): the classic
+# sequential change detector — cumulate deviations from the RUNNING
+# mean (minus a drift allowance δ), compare against the running
+# minimum; PH = m_t − min_{i≤t} m_i crossing λ flags a shift.  Each
+# term is quantized to an exact integer (value·1e6 minus the truncated
+# running-mean micro, minus δ·1e6), so the cumulative sum, prefix min
+# and flag are engine-exact window algebra — no kernel, one exchange.
+# ---------------------------------------------------------------------------
+
+@register("page_hinkley_users", """
+WITH o AS (
+    SELECT user_id, event_id,
+           CAST(round(value * 1000000, 0) AS BIGINT) AS vq,
+           row_number() OVER w AS i,
+           sum(CAST(round(value * 1000000, 0) AS BIGINT)) OVER w AS p
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+), terms AS (
+    SELECT user_id, event_id, i,
+           vq - p // i - 50000 AS term_fp
+    FROM o
+), m AS (
+    SELECT user_id, event_id, i,
+           CAST(sum(term_fp) OVER (PARTITION BY user_id ORDER BY i)
+                AS BIGINT) AS m_t
+    FROM terms
+)
+SELECT user_id, event_id, CAST(i AS BIGINT) AS i, m_t,
+       CAST(min(m_t) OVER (PARTITION BY user_id ORDER BY i) AS BIGINT)
+           AS m_min,
+       CAST(m_t - min(m_t) OVER (PARTITION BY user_id ORDER BY i)
+            AS BIGINT) AS ph_fp,
+       CAST(CASE WHEN m_t - min(m_t) OVER (PARTITION BY user_id ORDER BY i)
+                      > 50000000 THEN 1 ELSE 0 END AS INT) AS drift_flag
+FROM m
+""")
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    wo = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    o = ev.select(
+        "user_id", "event_id",
+        quantized(F.col("value"), 6).alias("vq"),
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("i"),
+        F.sum(quantized(F.col("value"), 6)).over(wo).alias("p"),
+    )
+    terms = o.select(
+        "user_id", "event_id", "i",
+        (F.col("vq") - F.expr("p div i") - 50000).alias("term_fp"),
+    )
+    wi = Window.partitionBy("user_id").orderBy("i")
+    m = terms.select(
+        "user_id", "event_id", "i",
+        F.sum("term_fp").over(wi).cast("long").alias("m_t"),
+    )
+    ph = F.col("m_t") - F.min("m_t").over(wi)
+    return m.select(
+        "user_id", "event_id", F.col("i").cast("long").alias("i"), "m_t",
+        F.min("m_t").over(wi).cast("long").alias("m_min"),
+        ph.cast("long").alias("ph_fp"),
+        F.when(ph > 50000000, 1).otherwise(0).cast("int").alias("drift_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curves (SURVEY §2.15 U20): signup-day cohorts × days-since
+# -signup age, cumulative purchase revenue per cohort member — the
+# growth-analytics companion to `cohort_retention_events`.  Exact
+# integer cents cumulated along age inside each cohort (a bounded
+# dictionary of (cohort, age) cells), average as a truncated per-member
+# micro ratio.
+# ---------------------------------------------------------------------------
+
+@register("cohort_ltv_daily", """
+WITH signup AS (
+    SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+), size_ AS (
+    SELECT cohort, count(*) AS n_users FROM signup GROUP BY cohort
+), rev AS (
+    SELECT s.cohort,
+           CAST(floor((epoch(e.ts) - epoch(s.cohort)) / 86400) AS BIGINT)
+               AS age,
+           sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS cents
+    FROM signup s JOIN events e
+      ON e.user_id = s.user_id AND e.event_type = 'purchase'
+     AND e.ts >= s.cohort
+    GROUP BY 1, 2
+), cum AS (
+    SELECT cohort, age, cents,
+           CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY age)
+                AS BIGINT) AS cum_cents
+    FROM rev
+)
+SELECT c.cohort, c.age, CAST(z.n_users AS BIGINT) AS n_users,
+       CAST(c.cents AS BIGINT) AS cents, c.cum_cents,
+       CAST(c.cum_cents * 10000 // z.n_users AS BIGINT)
+           AS ltv_per_user_fp
+FROM cum c JOIN size_ z ON z.cohort = c.cohort
+""")
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).alias("cohort"))
+    )
+    size_ = signup.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_users"))
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts"),
+        quantized(F.col("value"), 2).alias("pc"),
+    )
+    rev = (
+        signup.join(
+            pur,
+            (signup.user_id == pur.p_user)
+            & (F.col("pts") >= F.col("cohort")),
+        )
+        .groupBy(
+            "cohort",
+            F.floor(
+                (epoch_seconds("pts") - epoch_seconds("cohort")) / 86400
+            ).cast("long").alias("age"),
+        )
+        .agg(F.sum("pc").alias("cents"))
+    )
+    wc = Window.partitionBy("cohort").orderBy("age")
+    cum = rev.select(
+        "cohort", "age", "cents",
+        F.sum("cents").over(wc).cast("long").alias("cum_cents"),
+    )
+    return cum.join(size_, "cohort").select(
+        F.col("cohort").cast("timestamp_ntz").alias("cohort"),
+        "age",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("cents").cast("long").alias("cents"),
+        "cum_cents",
+        F.expr("CAST(cum_cents * 10000 div n_users AS BIGINT)")
+        .alias("ltv_per_user_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
