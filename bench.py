@@ -142,6 +142,15 @@ BENCH_QUERIES = [
     "kcore_dup_graph",
     "markov_removal_attribution",
     "ppjoin_jaccard_pairs",  # re-entered: bitmask fast path, 28.8->2.9 s
+    "hodges_lehmann_user",
+    "rfm_segments_users",
+    "conformal_interval_events",
+    "zorder_layout_lineitem",
+    "woe_iv_quality_bins",
+    "theta_sketch_users",
+    "nelson_aalen_conversion",
+    "page_hinkley_users",
+    "cohort_ltv_daily",
     # mmr_select_embeddings stays OUT of the bench set: 8 sequential
     # argmax jobs are honest greedy-selection cost but pure job-launch
     # overhead at local bench scale (14 s of a 93 s total in the r04

@@ -260,3 +260,95 @@ def test_ndcg_planted_copy_ranks_first(spark):
         assert r.n_relevant == 2
         assert r.hits_at_10 >= 1
         assert 0 < r.ndcg_ppm <= 1000000
+
+
+def test_conformal_coverage_law(spark):
+    # 20 days: diffs alternate 1.0 / 3.0 -> q covers everything at the
+    # 0.9 rank; coverage on the test tail must be 1e6 ppm
+    vals = [10.0]
+    for i in range(19):
+        vals.append(vals[-1] + (1.0 if i % 2 == 0 else 3.0))
+    rows = [(1, i, _d(i), "view", v) for i, v in enumerate(vals)]
+    d = _mini_dir(spark, rows)
+    row = reg.QUERIES["conformal_interval_events"](spark, d).collect()[0]
+    assert row.n_days == 20 and row.m_cal == 15
+    assert row.q_micros == 3000000
+    assert row.coverage_ppm == 1000000
+
+
+def test_theta_sketch_small_sets_exact(spark):
+    # under k=64 distinct users the sketch is exact by definition
+    rows = [(u, u, _d(0, u), "view", 1.0) for u in range(1, 31)]
+    rows += [(u, 100 + u, _d(0, 100 + u), "click", 1.0) for u in range(1, 11)]
+    d = _mini_dir(spark, rows)
+    out = {r.event_type: r for r in
+           reg.QUERIES["theta_sketch_users"](spark, d).collect()}
+    assert out["view"].n_exact == out["view"].kmv_estimate == 30
+    assert out["click"].n_exact == out["click"].kmv_estimate == 10
+    assert out["__ALL__"].n_exact == out["__ALL__"].kmv_estimate == 30
+
+
+def test_page_hinkley_flags_level_shift(spark):
+    # 50 points at 10, then 50 points at 200: the running-mean lag makes
+    # post-shift terms hugely positive -> PH crosses the 50-unit lambda
+    rows = [(1, i, _d(0, i), "view", 10.0) for i in range(50)]
+    rows += [(1, 50 + i, _d(0, 50 + i), "view", 200.0) for i in range(50)]
+    d = _mini_dir(spark, rows)
+    out = reg.QUERIES["page_hinkley_users"](spark, d).collect()
+    by_i = {r.i: r for r in out}
+    assert all(by_i[i].drift_flag == 0 for i in range(1, 51))
+    assert by_i[100].drift_flag == 1
+
+
+def test_cohort_ltv_cumulative_law(spark):
+    rows = [
+        (1, 1, _d(0, 1), "signup", 0.0),
+        (1, 2, _d(0, 30), "purchase", 5.0),   # age 0
+        (1, 3, _d(1, 0), "purchase", 7.0),    # age 1
+        (2, 4, _d(0, 2), "signup", 0.0),      # same cohort day
+    ]
+    d = _mini_dir(spark, rows)
+    out = {r.age: r for r in reg.QUERIES["cohort_ltv_daily"](spark, d).collect()}
+    assert out[0].n_users == 2 and out[0].cum_cents == 500
+    assert out[1].cum_cents == 1200
+    # 1200 cents / 2 users on the 1e4-per-unit fp grid: 6.0 -> 60000
+    assert out[1].ltv_per_user_fp == 1200 * 10000 // 2
+
+
+def test_zorder_spans_narrow(spark):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+    rows = [(i, 1 + (i % 64), 1 + (i // 64) % 64, 1.0)
+            for i in range(4096)]
+    d = tempfile.mkdtemp()
+    t = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double")
+    pq.write_table(pa.Table.from_pandas(t.toPandas()),
+                   os.path.join(d, "lineitem.parquet"))
+    out = reg.QUERIES["zorder_layout_lineitem"](spark, d).collect()
+    # uniform 64x64 grid into 16x16 buckets: every z-cell spans exactly
+    # 1/16 of each dimension (4/64 keys)
+    assert len(out) == 256
+    assert all(r.part_hi - r.part_lo + 1 == 4 for r in out)
+    assert all(r.supp_hi - r.supp_lo + 1 == 4 for r in out)
+
+
+def test_woe_iv_direction(spark):
+    # long docs pass quality, short docs fail -> high bins all good:
+    # positive WOE at the top, negative at the bottom
+    docs = []
+    for i in range(50):
+        docs.append((i, "tiny text", "en", 9, "s"))  # fails (n_toks < 20)
+    for i in range(50, 100):
+        docs.append((i, " ".join(["word"] * 30), "en", 149, "s"))
+    d = _mini_dir(spark, extra_tables={
+        "documents": (docs, "doc_id long, text string, lang string, "
+                            "n_chars long, source string"),
+    })
+    out = {r.bin: r for r in
+           reg.QUERIES["woe_iv_quality_bins"](spark, d).collect()}
+    assert out[0].n_good == 0 and out[0].n_bad == 50
+    assert out[9].n_good == 50 and out[9].n_bad == 0
+    assert out[0].woe_fp < 0 < out[9].woe_fp
+    assert out[0].iv_contrib_fp > 0 and out[9].iv_contrib_fp > 0
