@@ -17018,6 +17018,217 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Log-rank test (SURVEY §2.15 U21): the standard two-sample survival
+# comparison — cohorts (user parity) share event days; per day the
+# expected group-A events under H0 are hypergeometric
+# (d·nA/n), the variance d·(nA/n)·(nB/n)·(n−d)/(n−1).  The O−E sum and
+# variance accumulate as ppm-quantized integers (each day's term is a
+# rational of exact counts, truncated identically on both engines), and
+# the χ² statistic is one final shared double expression.
+# ---------------------------------------------------------------------------
+
+@register("logrank_test_conversion", f"""
+WITH signup AS (
+    SELECT user_id, user_id % 2 AS grp, min(ts) AS s_ts FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+    SELECT s.user_id, s.grp, s.s_ts, min(e.ts) AS p_ts
+    FROM signup s LEFT JOIN events e
+      ON e.user_id = s.user_id AND e.event_type = 'purchase'
+     AND e.ts >= s.s_ts
+    GROUP BY s.user_id, s.grp, s.s_ts
+),
+obs AS (
+    SELECT grp,
+           CAST(floor((epoch(coalesce(p_ts, TIMESTAMP '{EVAL_TS}'))
+                       - epoch(s_ts)) / 86400) AS BIGINT) AS day,
+           (p_ts IS NOT NULL) AS converted
+    FROM conv
+),
+tots AS (
+    SELECT CAST(count(*) FILTER (grp = 0) AS BIGINT) AS n0_total,
+           CAST(count(*) FILTER (grp = 1) AS BIGINT) AS n1_total
+    FROM obs
+),
+per_day AS (
+    SELECT day,
+           CAST(count(*) FILTER (converted AND grp = 0) AS BIGINT) AS d0,
+           CAST(count(*) FILTER (converted AND grp = 1) AS BIGINT) AS d1,
+           CAST(count(*) FILTER (grp = 0) AS BIGINT) AS l0,
+           CAST(count(*) FILTER (grp = 1) AS BIGINT) AS l1
+    FROM obs GROUP BY day
+),
+risk AS (
+    SELECT day, d0, d1,
+           n0_total - coalesce(sum(l0) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n0,
+           n1_total - coalesce(sum(l1) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1
+    FROM per_day, tots
+),
+terms AS (
+    SELECT day, d0, d1, n0, n1, n0 + n1 AS n, d0 + d1 AS d,
+           d0 * 1000000 - (d0 + d1) * n0 * 1000000 // (n0 + n1) AS oe_ppm,
+           CASE WHEN n0 + n1 > 1 THEN
+               ((d0 + d1) * n0 * n1 * (n0 + n1 - d0 - d1)) * 1000000
+               // ((n0 + n1) * (n0 + n1) * (n0 + n1 - 1))
+           ELSE 0 END AS var_ppm
+    FROM risk
+)
+SELECT CAST(sum(d) AS BIGINT) AS n_events,
+       CAST(sum(oe_ppm) AS BIGINT) AS oe_sum_ppm,
+       CAST(sum(var_ppm) AS BIGINT) AS var_sum_ppm,
+       round(CAST(sum(oe_ppm) AS DOUBLE) * CAST(sum(oe_ppm) AS DOUBLE)
+             / (CAST(sum(var_ppm) AS DOUBLE) * 1000000.0), 4)
+           AS chi2
+FROM terms
+""")
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+        .select("user_id", (F.col("user_id") % 2).alias("grp"), "s_ts")
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    conv = (
+        signup.join(
+            pur,
+            (signup.user_id == pur.p_user) & (F.col("pts") >= F.col("s_ts")),
+            "left",
+        )
+        .groupBy("user_id", "grp", "s_ts")
+        .agg(F.min("pts").alias("p_ts"))
+    )
+    obs = conv.select(
+        "grp",
+        F.floor(
+            (
+                epoch_seconds(F.coalesce(F.col("p_ts"), ntz_lit(EVAL_TS)))
+                - epoch_seconds("s_ts")
+            ) / 86400
+        ).cast("long").alias("day"),
+        F.col("p_ts").isNotNull().alias("converted"),
+    )
+    tots = obs.agg(
+        F.count(F.when(F.col("grp") == 0, 1)).alias("n0_total"),
+        F.count(F.when(F.col("grp") == 1, 1)).alias("n1_total"),
+    )
+    per_day = obs.groupBy("day").agg(
+        F.count(F.when(F.col("converted") & (F.col("grp") == 0), 1))
+        .alias("d0"),
+        F.count(F.when(F.col("converted") & (F.col("grp") == 1), 1))
+        .alias("d1"),
+        F.count(F.when(F.col("grp") == 0, 1)).alias("l0"),
+        F.count(F.when(F.col("grp") == 1, 1)).alias("l1"),
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    risk = per_day.crossJoin(F.broadcast(tots)).select(
+        "day", "d0", "d1",
+        (
+            F.col("n0_total")
+            - F.coalesce(F.sum("l0").over(wcum), F.lit(0))
+        ).alias("n0"),
+        (
+            F.col("n1_total")
+            - F.coalesce(F.sum("l1").over(wcum), F.lit(0))
+        ).alias("n1"),
+    )
+    terms = risk.select(
+        (F.col("d0") + F.col("d1")).alias("d"),
+        F.expr(
+            "d0 * 1000000 - (d0 + d1) * n0 * 1000000 div (n0 + n1)"
+        ).alias("oe_ppm"),
+        F.expr(
+            "CASE WHEN n0 + n1 > 1 THEN"
+            " ((d0 + d1) * n0 * n1 * (n0 + n1 - d0 - d1)) * 1000000"
+            " div ((n0 + n1) * (n0 + n1) * (n0 + n1 - 1))"
+            " ELSE 0 END"
+        ).alias("var_ppm"),
+    )
+    return terms.agg(
+        F.sum("d").cast("long").alias("n_events"),
+        F.sum("oe_ppm").cast("long").alias("oe_sum_ppm"),
+        F.sum("var_ppm").cast("long").alias("var_sum_ppm"),
+        F.round(
+            F.sum("oe_ppm").cast("double") * F.sum("oe_ppm").cast("double")
+            / (F.sum("var_ppm").cast("double") * 1000000.0), 4,
+        ).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator (SURVEY §2.15 U22): the EVT companion of
+# the POT/GPD fit — α̂⁻¹ = mean of ln(x_(i) / x_(k)) over the top-k
+# order statistics.  Ranks come from a per-type descending row_number
+# (type partitions, not SinglePartition); each log term is quantized to
+# the shared 1e-6 grid before the integer mean, so the estimate is
+# fold-order-free on both engines.
+# ---------------------------------------------------------------------------
+
+@register("hill_tail_index_events", """
+WITH v AS (
+    SELECT event_type,
+           CAST(round(value * 10000, 0) AS BIGINT) AS cents,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value DESC, event_id) AS rn
+    FROM events WHERE value > 0
+), kth AS (
+    SELECT event_type, cents AS kth_cents FROM v WHERE rn = 51
+), terms AS (
+    SELECT v.event_type,
+           CAST(round(round(ln(CAST(v.cents AS DOUBLE)
+                               / k.kth_cents), 6) * 1000000, 0) AS BIGINT)
+               AS lt
+    FROM v JOIN kth k ON k.event_type = v.event_type
+    WHERE v.rn <= 50
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS k_used,
+       CAST(sum(lt) AS BIGINT) AS sum_log_fp,
+       round(CAST(count(*) AS DOUBLE) * 1000000.0
+             / CAST(sum(lt) AS DOUBLE), 4) AS hill_alpha
+FROM terms
+GROUP BY event_type
+""")
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).where(F.col("value") > 0)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    v = ev.select(
+        "event_type",
+        quantized(F.col("value"), 4).alias("cents"),
+        F.row_number().over(w).alias("rn"),
+    )
+    kth = v.where(F.col("rn") == 51).select(
+        "event_type", F.col("cents").alias("kth_cents")
+    )
+    lt = F.round(
+        F.round(
+            F.log(F.col("cents").cast("double") / F.col("kth_cents")), 6
+        ) * 1000000, 0,
+    ).cast("long")
+    terms = (
+        v.where(F.col("rn") <= 50)
+        .join(F.broadcast(kth), "event_type")
+        .select("event_type", lt.alias("lt"))
+    )
+    return terms.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum("lt").cast("long").alias("sum_log_fp"),
+        F.round(
+            F.count(F.lit(1)).cast("double") * 1000000.0
+            / F.sum("lt").cast("double"), 4,
+        ).alias("hill_alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
