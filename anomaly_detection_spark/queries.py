@@ -17229,6 +17229,176 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Readability scores (SURVEY §2.15 U23): Flesch reading ease + Gunning
+# fog over exact integer counts — words (whitespace), sentences
+# (terminal-punctuation count, min 1), syllables (vowel-group runs per
+# word, min 1 — the standard heuristic), complex words (≥ 3 vowel
+# groups).  Map-only; the two indices are single shared double
+# expressions of the integer counts.
+# ---------------------------------------------------------------------------
+
+@register("readability_docs", r"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                       w -> length(w) > 0) AS ws,
+           greatest(length(regexp_replace(text, '[^.!?]', '', 'g')), 1)
+               AS n_sent
+    FROM documents
+), c AS (
+    SELECT doc_id, n_sent,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(ws,
+                w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)))
+               AS BIGINT) AS n_syll,
+           CAST(len(list_filter(ws,
+                w -> len(regexp_extract_all(w, '[aeiouy]+')) >= 3))
+               AS BIGINT) AS n_complex
+    FROM t WHERE len(ws) > 0
+)
+SELECT doc_id, CAST(n_sent AS BIGINT) AS n_sent, n_words, n_syll, n_complex,
+       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+             - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4) AS flesch,
+       round(0.4 * (CAST(n_words AS DOUBLE) / n_sent
+                    + 100.0 * CAST(n_complex AS DOUBLE) / n_words), 4)
+           AS gunning_fog
+FROM c
+""")
+def q_readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    ws = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    n_sent = F.greatest(
+        F.length(F.regexp_replace(F.col("text"), r"[^.!?]", "")), F.lit(1)
+    ).cast("long")
+    t = docs.select(
+        "doc_id", ws.alias("ws"), n_sent.alias("n_sent")
+    ).where(F.size("ws") > 0)
+    c = t.select(
+        "doc_id", "n_sent",
+        F.size("ws").cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(
+                "ws",
+                lambda w: F.greatest(
+                    F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)),
+                    F.lit(1),
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("n_syll"),
+        F.size(
+            F.filter(
+                "ws",
+                lambda w: F.size(
+                    F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)
+                ) >= 3,
+            )
+        ).cast("long").alias("n_complex"),
+    )
+    return c.select(
+        "doc_id", "n_sent", "n_words", "n_syll", "n_complex",
+        F.round(
+            206.835
+            - 1.015 * (F.col("n_words").cast("double") / F.col("n_sent"))
+            - 84.6 * (F.col("n_syll").cast("double") / F.col("n_words")), 4,
+        ).alias("flesch"),
+        F.round(
+            0.4
+            * (
+                F.col("n_words").cast("double") / F.col("n_sent")
+                + 100.0 * F.col("n_complex").cast("double")
+                / F.col("n_words")
+            ), 4,
+        ).alias("gunning_fog"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-decay attribution (SURVEY §2.15 U24): the third credit model
+# beside last-touch and linear — touches before a user's first purchase
+# earn weight halving per whole week of distance (an EXACT integer law:
+# 1e6 >> (Δdays div 7), no libm exp to disagree on).  Per-user credit
+# shares normalize by truncating ppm division; the rollup sums exact
+# integers per channel.
+# ---------------------------------------------------------------------------
+
+@register("attribution_time_decay", """
+WITH firstp AS (
+    SELECT user_id, min(ts) AS p_ts FROM events
+    WHERE event_type = 'purchase' GROUP BY user_id
+), touches AS (
+    SELECT e.user_id, e.event_type,
+           -- CAST before //: on a DOUBLE DuckDB's // is plain division
+           -- and the later INT cast would ROUND the fraction up
+           1000000 >> CAST(least(
+               CAST(floor((epoch(f.p_ts) - epoch(e.ts)) / 86400) AS BIGINT)
+               // 7, 30) AS INT) AS w
+    FROM events e JOIN firstp f ON f.user_id = e.user_id
+    WHERE e.ts < f.p_ts AND e.event_type <> 'purchase'
+), per_user AS (
+    SELECT user_id, event_type,
+           CAST(sum(w) AS BIGINT) AS w_type
+    FROM touches GROUP BY user_id, event_type
+), tot AS (
+    SELECT user_id, CAST(sum(w_type) AS BIGINT) AS w_all
+    FROM per_user GROUP BY user_id
+)
+SELECT p.event_type,
+       CAST(count(*) AS BIGINT) AS n_users_credited,
+       CAST(sum(p.w_type) AS BIGINT) AS weight_fp,
+       CAST(sum(p.w_type * 1000000 // t.w_all) AS BIGINT)
+           AS credit_ppm_sum
+FROM per_user p JOIN tot t ON t.user_id = p.user_id
+GROUP BY p.event_type
+""")
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    firstp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id").agg(F.min("ts").alias("p_ts"))
+    )
+    touches = (
+        ev.join(firstp, "user_id")
+        .where(
+            (F.col("ts") < F.col("p_ts"))
+            & (F.col("event_type") != "purchase")
+        )
+        .withColumn(
+            "dd",
+            F.floor(
+                (epoch_seconds("p_ts") - epoch_seconds("ts")) / 86400
+            ).cast("long"),
+        )
+        .select(
+            "user_id", "event_type",
+            F.expr(
+                "shiftright(1000000, CAST(least(dd div 7, 30) AS INT))"
+            ).alias("w"),
+        )
+    )
+    per_user = touches.groupBy("user_id", "event_type").agg(
+        F.sum("w").cast("long").alias("w_type")
+    )
+    tot = per_user.groupBy("user_id").agg(
+        F.sum("w_type").cast("long").alias("w_all")
+    )
+    return (
+        per_user.join(tot, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users_credited"),
+            F.sum("w_type").cast("long").alias("weight_fp"),
+            F.sum(F.expr("w_type * 1000000 div w_all")).cast("long")
+            .alias("credit_ppm_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
