@@ -17079,9 +17079,10 @@ terms AS (
 SELECT CAST(sum(d) AS BIGINT) AS n_events,
        CAST(sum(oe_ppm) AS BIGINT) AS oe_sum_ppm,
        CAST(sum(var_ppm) AS BIGINT) AS var_sum_ppm,
-       round(CAST(sum(oe_ppm) AS DOUBLE) * CAST(sum(oe_ppm) AS DOUBLE)
-             / (CAST(sum(var_ppm) AS DOUBLE) * 1000000.0), 4)
-           AS chi2
+       CASE WHEN sum(var_ppm) > 0 THEN
+           round(CAST(sum(oe_ppm) AS DOUBLE) * CAST(sum(oe_ppm) AS DOUBLE)
+                 / (CAST(sum(var_ppm) AS DOUBLE) * 1000000.0), 4)
+       ELSE 0.0 END AS chi2
 FROM terms
 """)
 def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -17154,10 +17155,14 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d").cast("long").alias("n_events"),
         F.sum("oe_ppm").cast("long").alias("oe_sum_ppm"),
         F.sum("var_ppm").cast("long").alias("var_sum_ppm"),
-        F.round(
-            F.sum("oe_ppm").cast("double") * F.sum("oe_ppm").cast("double")
-            / (F.sum("var_ppm").cast("double") * 1000000.0), 4,
-        ).alias("chi2"),
+        F.when(
+            F.sum("var_ppm") > 0,
+            F.round(
+                F.sum("oe_ppm").cast("double")
+                * F.sum("oe_ppm").cast("double")
+                / (F.sum("var_ppm").cast("double") * 1000000.0), 4,
+            ),
+        ).otherwise(0.0).alias("chi2"),
     )
 
 

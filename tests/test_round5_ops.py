@@ -352,3 +352,64 @@ def test_woe_iv_direction(spark):
     assert out[9].n_good == 50 and out[9].n_bad == 0
     assert out[0].woe_fp < 0 < out[9].woe_fp
     assert out[0].iv_contrib_fp > 0 and out[9].iv_contrib_fp > 0
+
+
+def test_logrank_identical_groups_null_effect(spark):
+    # both parity groups convert identically -> O-E ~ 0, chi2 ~ 0
+    rows = []
+    eid = 0
+    for u in range(1, 21):
+        eid += 1
+        rows.append((u, eid, _d(0), "signup", 1.0))
+        eid += 1
+        rows.append((u, eid, _d(3), "purchase", 1.0))
+    d = _mini_dir(spark, rows)
+    row = reg.QUERIES["logrank_test_conversion"](spark, d).collect()[0]
+    assert row.n_events == 20
+    assert row.oe_sum_ppm == 0
+    assert row.chi2 == 0.0
+
+
+def test_hill_pareto_recovers_alpha(spark):
+    # exact Pareto(alpha=2) quantiles: x_i = (n/i)^(1/2); Hill on the
+    # top 50 of 500 should estimate alpha ~ 2
+    import math
+    rows = []
+    for i in range(1, 501):
+        v = (500.0 / i) ** 0.5
+        rows.append((1, i, _d(0, i), "view", v))
+    d = _mini_dir(spark, rows)
+    row = reg.QUERIES["hill_tail_index_events"](spark, d).collect()[0]
+    assert row.k_used == 50
+    assert 1.6 < row.hill_alpha < 2.4
+
+
+def test_readability_simple_sentence(spark):
+    docs = [(0, "the cat sat on the mat.", "en", 23, "s")]
+    d = _mini_dir(spark, extra_tables={
+        "documents": (docs, "doc_id long, text string, lang string, "
+                            "n_chars long, source string"),
+    })
+    row = reg.QUERIES["readability_docs"](spark, d).collect()[0]
+    # 6 monosyllabic words, 1 sentence
+    assert row.n_words == 6 and row.n_sent == 1 and row.n_syll == 6
+    assert row.n_complex == 0
+    assert row.flesch == round(206.835 - 1.015 * 6 - 84.6 * 1.0, 4)
+
+
+def test_time_decay_halving_law(spark):
+    # touches 0, 7, and 14 days before the purchase: weights 1, 1/2, 1/4
+    rows = [
+        (1, 1, _d(0), "view", 1.0),      # 14 days before -> >> 2
+        (1, 2, _d(7), "click", 1.0),     # 7 days before  -> >> 1
+        (1, 3, _d(13), "signup", 1.0),   # 1 day before   -> >> 0
+        (1, 4, _d(14), "purchase", 5.0),
+    ]
+    d = _mini_dir(spark, rows)
+    out = {r.event_type: r for r in
+           reg.QUERIES["attribution_time_decay"](spark, d).collect()}
+    assert out["view"].weight_fp == 250000
+    assert out["click"].weight_fp == 500000
+    assert out["signup"].weight_fp == 1000000
+    total = 1750000
+    assert out["signup"].credit_ppm_sum == 1000000 * 1000000 // total
