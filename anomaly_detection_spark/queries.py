@@ -17404,6 +17404,239 @@ def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CUPED variance reduction (SURVEY §2.15 U25; Deng et al. WSDM'13): the
+# modern A/B workhorse — adjust each user's experiment-period metric by
+# their PRE-period covariate, Y' = Y − θ(X − X̄), θ = cov(X,Y)/var(X),
+# then compare parity groups on the adjusted metric.  θ and both group
+# lifts come from exact integer moment sums (DECIMAL(38,0) cross
+# products); variance shrinkage is emitted as data.  One pass builds
+# per-user (X, Y) micros; everything after is scalar algebra.
+# ---------------------------------------------------------------------------
+
+@register("cuped_adjusted_lift", """
+WITH per_user AS (
+    SELECT user_id, CAST(user_id % 2 AS INT) AS treat,
+           sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN CAST(round(value * 1000000, 0) AS BIGINT)
+                    ELSE 0 END) AS x,
+           sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                    THEN CAST(round(value * 1000000, 0) AS BIGINT)
+                    ELSE 0 END) AS y
+    FROM events GROUP BY user_id
+), m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+           CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+    FROM per_user
+), theta AS (
+    SELECT n, sx, sy,
+           CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+           / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS th
+    FROM m
+), adj AS (
+    -- re-quantize the adjusted metric to the micro grid so every
+    -- aggregate below is exact integer algebra (no float fold order)
+    SELECT p.treat,
+           CAST(round(CAST(p.y AS DOUBLE)
+                      - t.th * (CAST(p.x AS DOUBLE)
+                                - CAST(t.sx AS DOUBLE) / t.n), 0)
+                AS BIGINT) AS ya,
+           p.y AS yr
+    FROM per_user p, theta t
+), g AS (
+    SELECT CAST(count(*) FILTER (treat = 1) AS BIGINT) AS n1,
+           CAST(count(*) FILTER (treat = 0) AS BIGINT) AS n0,
+           CAST(sum(ya) FILTER (treat = 1) AS HUGEINT) AS sa1,
+           CAST(sum(ya) FILTER (treat = 0) AS HUGEINT) AS sa0,
+           CAST(sum(yr) FILTER (treat = 1) AS HUGEINT) AS sr1,
+           CAST(sum(yr) FILTER (treat = 0) AS HUGEINT) AS sr0,
+           CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(CAST(ya AS HUGEINT) * ya) AS HUGEINT) AS saa,
+           CAST(sum(ya) AS HUGEINT) AS sa,
+           CAST(sum(CAST(yr AS HUGEINT) * yr) AS HUGEINT) AS srr,
+           CAST(sum(yr) AS HUGEINT) AS sr
+    FROM adj
+)
+SELECT n1 AS n_treat, n0 AS n_control,
+       CAST((sa1 * n0 - sa0 * n1) // (CAST(n1 AS HUGEINT) * n0) AS BIGINT)
+           AS cuped_lift_fp,
+       CAST((sr1 * n0 - sr0 * n1) // (CAST(n1 AS HUGEINT) * n0) AS BIGINT)
+           AS raw_lift_fp,
+       CAST(CASE WHEN n * srr - sr * sr > 0 THEN
+           (n * saa - sa * sa) * 1000000 // (n * srr - sr * sr)
+       ELSE 1000000 END AS BIGINT) AS variance_ratio_ppm
+FROM g
+""")
+def q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    cut = ntz_lit("2024-01-16")
+    micros = quantized(F.col("value"), 6)
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, micros).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("ts") >= cut, micros).otherwise(0)).alias("y"),
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("treat"), "x", "y"
+    )
+    dec = "decimal(38,0)"
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+    ).select(
+        "n", "sx", "sy",
+        (
+            (
+                F.col("n").cast(dec) * F.col("sxy")
+                - F.col("sx").cast(dec) * F.col("sy").cast(dec)
+            ).cast("double")
+            / (
+                F.col("n").cast(dec) * F.col("sxx")
+                - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+            ).cast("double")
+        ).alias("th"),
+    )
+    adj = per_user.crossJoin(F.broadcast(m)).select(
+        "treat",
+        F.round(
+            F.col("y").cast("double")
+            - F.col("th")
+            * (
+                F.col("x").cast("double")
+                - F.col("sx").cast("double") / F.col("n")
+            ), 0,
+        ).cast("long").alias("ya"),
+        F.col("y").alias("yr"),
+    )
+    g = adj.agg(
+        F.count(F.when(F.col("treat") == 1, 1)).alias("n1"),
+        F.count(F.when(F.col("treat") == 0, 1)).alias("n0"),
+        F.sum(F.when(F.col("treat") == 1, F.col("ya"))).cast(dec)
+        .alias("sa1"),
+        F.sum(F.when(F.col("treat") == 0, F.col("ya"))).cast(dec)
+        .alias("sa0"),
+        F.sum(F.when(F.col("treat") == 1, F.col("yr"))).cast(dec)
+        .alias("sr1"),
+        F.sum(F.when(F.col("treat") == 0, F.col("yr"))).cast(dec)
+        .alias("sr0"),
+        F.count(F.lit(1)).cast(dec).alias("nn"),
+        F.sum(F.col("ya").cast(dec) * F.col("ya").cast(dec)).alias("saa"),
+        F.sum("ya").cast(dec).alias("sa"),
+        F.sum(F.col("yr").cast(dec) * F.col("yr").cast(dec)).alias("srr"),
+        F.sum("yr").cast(dec).alias("sr"),
+    )
+    return g.select(
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("n0").cast("long").alias("n_control"),
+        # truncating div (not floor): lifts can be negative and DuckDB's
+        # // truncates toward zero like Spark's div
+        F.expr(
+            "CAST((CAST(sa1 AS BIGINT) * n0 - CAST(sa0 AS BIGINT) * n1)"
+            " div (n1 * n0) AS BIGINT)"
+        ).alias("cuped_lift_fp"),
+        F.expr(
+            "CAST((CAST(sr1 AS BIGINT) * n0 - CAST(sr0 AS BIGINT) * n1)"
+            " div (n1 * n0) AS BIGINT)"
+        ).alias("raw_lift_fp"),
+        F.when(
+            F.col("nn") * F.col("srr") - F.col("sr") * F.col("sr") > 0,
+            F.floor(
+                (F.col("nn") * F.col("saa") - F.col("sa") * F.col("sa"))
+                * 1000000
+                / (F.col("nn") * F.col("srr") - F.col("sr") * F.col("sr"))
+            ),
+        ).otherwise(F.lit(1000000)).cast("long")
+        .alias("variance_ratio_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between event type and value decile (SURVEY §2.15
+# U26): the dependence screen feature pipelines run before modeling —
+# I(T;V) = Σ p(t,v)·log2(p(t,v)/(p(t)p(v))) with every cell term
+# computed from EXACT integer counts: the log argument is the integer
+# ratio n·c_tv/(c_t·c_v) as one double division, the term is quantized
+# to the 1e-8 grid and weighted by the integer cell count (the PSI/
+# entropy convention), so fold order cannot move the sum.
+# ---------------------------------------------------------------------------
+
+@register("mutual_information_type_value", """
+WITH v AS (
+    SELECT event_type,
+           CAST(least(CAST(round(value * 1000000, 0) AS BIGINT) * 10
+                      // (SELECT max(CAST(round(value * 1000000, 0)
+                                          AS BIGINT)) + 1 FROM events),
+                      9) AS INT) AS vbin
+    FROM events
+), cells AS (
+    SELECT event_type, vbin, CAST(count(*) AS BIGINT) AS c
+    FROM v GROUP BY 1, 2
+), margins AS (
+    SELECT event_type, CAST(sum(c) AS BIGINT) AS ct FROM cells GROUP BY 1
+), vmarg AS (
+    SELECT vbin, CAST(sum(c) AS BIGINT) AS cv FROM cells GROUP BY 1
+), n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+terms AS (
+    SELECT c.event_type, c.vbin, c.c,
+           c.c * CAST(round(round(log2(
+               CAST(n.n AS DOUBLE) * c.c / (m.ct * CAST(w.cv AS DOUBLE))
+           ), 8) * 100000000, 0) AS BIGINT) AS term_fp
+    FROM cells c
+    JOIN margins m ON m.event_type = c.event_type
+    JOIN vmarg w ON w.vbin = c.vbin
+    CROSS JOIN n
+)
+SELECT CAST(sum(c) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(term_fp) AS BIGINT) AS mi_weighted_fp,
+       round(CAST(sum(term_fp) AS DOUBLE)
+             / (CAST(sum(c) AS DOUBLE) * 100000000.0), 6) AS mi_bits
+FROM terms
+""")
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    micros = quantized(F.col("value"), 6)
+    mx = ev.agg((F.max(micros) + 1).alias("vmax1"))
+    v = ev.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.expr(
+            "CAST(least(CAST(round(value * 1000000, 0) AS BIGINT) * 10"
+            " div vmax1, 9) AS INT)"
+        ).alias("vbin"),
+    )
+    cells = v.groupBy("event_type", "vbin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    margins = cells.groupBy("event_type").agg(F.sum("c").alias("ct"))
+    vmarg = cells.groupBy("vbin").agg(F.sum("c").alias("cv"))
+    n = cells.agg(F.sum("c").alias("n"))
+    term = F.col("c") * F.round(
+        F.round(
+            F.log2(
+                F.col("n").cast("double") * F.col("c")
+                / (F.col("ct") * F.col("cv").cast("double"))
+            ), 8,
+        ) * 100000000, 0,
+    ).cast("long")
+    terms = (
+        cells.join(F.broadcast(margins), "event_type")
+        .join(F.broadcast(vmarg), "vbin")
+        .crossJoin(F.broadcast(n))
+        .select("c", term.alias("term_fp"))
+    )
+    return terms.agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("term_fp").cast("long").alias("mi_weighted_fp"),
+        F.round(
+            F.sum("term_fp").cast("double")
+            / (F.sum("c").cast("double") * 100000000.0), 6,
+        ).alias("mi_bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
