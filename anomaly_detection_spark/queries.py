@@ -17637,6 +17637,130 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gini decision stump (SURVEY §2.15 U27): the interpretable-ML
+# baseline — the single best split of a user-level feature (event
+# count) predicting conversion, chosen by exact Gini-impurity reduction
+# over the feature's decile thresholds.  Every impurity is the integer
+# law (n² − pos² − neg²)·1e6 div n, argmax tie-breaks to the smallest
+# threshold; one grouped pass + a 9-row candidate scan.
+# ---------------------------------------------------------------------------
+
+@register("decision_stump_events", """
+WITH u AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS f,
+           CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS y
+    FROM events GROUP BY user_id
+), r AS (
+    SELECT f, y, row_number() OVER (ORDER BY f, user_id) AS rn,
+           count(*) OVER () AS n
+    FROM u
+), thr AS (
+    SELECT DISTINCT f AS t FROM r
+    WHERE rn IN (SELECT CAST(k * (SELECT max(n) FROM r) // 10 AS BIGINT)
+                 FROM generate_series(1, 9) g(k))
+), cand AS (
+    SELECT t.t,
+           CAST(sum(CASE WHEN r.f <= t.t THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+           CAST(sum(CASE WHEN r.f <= t.t THEN r.y ELSE 0 END) AS BIGINT) AS pl,
+           CAST(sum(CASE WHEN r.f > t.t THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+           CAST(sum(CASE WHEN r.f > t.t THEN r.y ELSE 0 END) AS BIGINT) AS pr,
+           CAST(max(r.n) AS BIGINT) AS n,
+           CAST(sum(r.y) AS BIGINT) AS p
+    FROM thr t, r GROUP BY t.t
+), scored AS (
+    SELECT t, nl, pl, nr, pr, n, p,
+           (n * n - p * p - (n - p) * (n - p)) * 1000000 // n
+               AS gini_parent_fp,
+           (CASE WHEN nl > 0 THEN
+               (nl * nl - pl * pl - (nl - pl) * (nl - pl)) * 1000000 // nl
+            ELSE 0 END
+            + CASE WHEN nr > 0 THEN
+               (nr * nr - pr * pr - (nr - pr) * (nr - pr)) * 1000000 // nr
+            ELSE 0 END) AS gini_split_fp
+    FROM cand
+)
+SELECT t AS threshold, nl, pl, nr, pr,
+       CAST(gini_parent_fp // n AS BIGINT) AS gini_parent_ppm,
+       CAST(gini_split_fp // n AS BIGINT) AS gini_split_ppm,
+       CAST(gini_parent_fp // n - gini_split_fp // n AS BIGINT)
+           AS gain_ppm
+FROM scored
+QUALIFY row_number() OVER (
+    ORDER BY gini_parent_fp // n - gini_split_fp // n DESC, t ASC) = 1
+""")
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("f"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("y"),
+    )
+    # decile thresholds via the distributed rank family — the user
+    # aggregate is fact-cardinality at scale, so no SinglePartition
+    # window touches it
+    ranked = rank_family(u, ["f", "user_id"])
+    n_total = u.count()  # bounded scalar (one count job)
+    ranks = [k * n_total // 10 for k in range(1, 10)]
+    thr = (
+        ranked.where(F.col("global_rn").cast("long").isin(ranks))
+        .select(F.col("f").alias("t")).distinct()
+    )
+    r = u.select("f", "y", F.lit(n_total).cast("long").alias("n"))
+    cand = (
+        F.broadcast(thr).crossJoin(r)
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("f") <= F.col("t"), 1).otherwise(0))
+            .cast("long").alias("nl"),
+            F.sum(F.when(F.col("f") <= F.col("t"), F.col("y")).otherwise(0))
+            .cast("long").alias("pl"),
+            F.sum(F.when(F.col("f") > F.col("t"), 1).otherwise(0))
+            .cast("long").alias("nr"),
+            F.sum(F.when(F.col("f") > F.col("t"), F.col("y")).otherwise(0))
+            .cast("long").alias("pr"),
+            F.max("n").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("p"),
+        )
+    )
+    scored = cand.select(
+        "*",
+        F.expr(
+            "(n * n - p * p - (n - p) * (n - p)) * 1000000 div n"
+        ).alias("gini_parent_fp"),
+        F.expr(
+            "(CASE WHEN nl > 0 THEN"
+            " (nl * nl - pl * pl - (nl - pl) * (nl - pl)) * 1000000 div nl"
+            " ELSE 0 END"
+            " + CASE WHEN nr > 0 THEN"
+            " (nr * nr - pr * pr - (nr - pr) * (nr - pr)) * 1000000 div nr"
+            " ELSE 0 END)"
+        ).alias("gini_split_fp"),
+    )
+    pick = Window.orderBy(
+        (
+            F.expr("gini_parent_fp div n") - F.expr("gini_split_fp div n")
+        ).desc(),
+        F.col("t").asc(),
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(pick))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("t").alias("threshold"), "nl", "pl", "nr", "pr",
+            F.expr("CAST(gini_parent_fp div n AS BIGINT)")
+            .alias("gini_parent_ppm"),
+            F.expr("CAST(gini_split_fp div n AS BIGINT)")
+            .alias("gini_split_ppm"),
+            F.expr(
+                "CAST(gini_parent_fp div n - gini_split_fp div n AS BIGINT)"
+            ).alias("gain_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
