@@ -17761,6 +17761,97 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Croston's method (SURVEY §2.15 U28): THE estimator for intermittent
+# demand (purchase-day series are mostly zeros, where exponential
+# smoothing of the raw series biases toward zero) — smooth the nonzero
+# demand SIZES and the inter-demand INTERVALS separately (α = 1/4
+# floor'd integer recursions; intervals on a 1e6 micro-period grid),
+# forecast = size / interval.  The state is sequential, so Spark folds
+# it per user inside one grouped pandas kernel (the holt/HW engine
+# shape) while the oracle runs the identical lockstep as a recursive
+# CTE — two algorithms, one integer answer.
+# ---------------------------------------------------------------------------
+
+@register("croston_demand_user", """
+WITH RECURSIVE d AS (
+    SELECT user_id,
+           CAST(date_diff('day', DATE '2024-01-01',
+                          CAST(date_trunc('day', ts) AS DATE)) + 1
+                AS BIGINT) AS t,
+           CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS BIGINT)
+               AS q
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+), seq AS (
+    SELECT user_id, t, q,
+           row_number() OVER (PARTITION BY user_id ORDER BY t) AS rn,
+           t - coalesce(lag(t) OVER (PARTITION BY user_id ORDER BY t), 0)
+               AS g,
+           count(*) OVER (PARTITION BY user_id) AS m
+    FROM d
+), s AS (
+    SELECT user_id, rn, m, q AS z, t * 1000000 AS p
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT nxt.user_id, nxt.rn, nxt.m,
+           CAST(floor((3 * s.z + nxt.q) / 4.0) AS BIGINT) AS z,
+           CAST(floor((3 * s.p + nxt.g * 1000000) / 4.0) AS BIGINT) AS p
+    FROM s JOIN seq nxt
+      ON nxt.user_id = s.user_id AND nxt.rn = s.rn + 1
+)
+SELECT user_id,
+       CAST(m AS BIGINT) AS n_demands,
+       z AS size_fp, p AS interval_fp,
+       CAST(z * 1000000 // p AS BIGINT) AS forecast_fp
+FROM s WHERE rn = m
+""")
+def q_croston_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    d = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            (
+                F.datediff(
+                    F.date_trunc("day", F.col("ts")).cast("date"),
+                    F.lit("2024-01-01").cast("date"),
+                ) + 1
+            ).cast("long").alias("t"),
+        )
+        .agg(F.sum(quantized(F.col("value"), 6)).alias("q"))
+    )
+
+    def croston(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        ts = pdf["t"].to_list()
+        qs_ = pdf["q"].to_list()
+        z = int(qs_[0])
+        p = int(ts[0]) * 1000000
+        prev_t = ts[0]
+        for t, q in zip(ts[1:], qs_[1:]):
+            g = int(t) - int(prev_t)
+            z = (3 * z + int(q)) // 4
+            p = (3 * p + g * 1000000) // 4
+            prev_t = t
+        return pd.DataFrame([{
+            "user_id": pdf["user_id"].iloc[0],
+            "n_demands": len(ts),
+            "size_fp": z,
+            "interval_fp": p,
+            "forecast_fp": z * 1000000 // p,
+        }])
+
+    slim = d.repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
+    return slim.groupBy("user_id").applyInPandas(
+        croston,
+        schema="user_id long, n_demands long, size_fp long, "
+               "interval_fp long, forecast_fp long",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
