@@ -17852,6 +17852,145 @@ def q_croston_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Ljung-Box portmanteau test per user (SURVEY §2.15 U29): the standard
+# white-noise check across lags 1..5 — each autocorrelation is a ratio
+# of EXACT integer moment polynomials (numerator and denominator
+# cross-multiplied by n², DECIMAL(38,0)/HUGEINT), so both engines
+# divide identical integers; the per-lag contributions are quantized to
+# the 1e-10 grid before the Q-statistic sum.  Lagged products come from
+# a rn/rn+k self-join bounded by series length — one exchange on the
+# user key.
+# ---------------------------------------------------------------------------
+
+@register("ljung_box_users", """
+WITH o AS (
+    SELECT user_id,
+           CAST(round(value * 10000, 0) AS BIGINT) AS x,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+), base AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS HUGEINT) AS s,
+           CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+    FROM o GROUP BY user_id
+), lagk AS (
+    SELECT a.user_id, k.k,
+           CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS sxy,
+           CAST(sum(a.x) AS HUGEINT) AS hsum,
+           CAST(sum(b.x) AS HUGEINT) AS tsum,
+           CAST(count(*) AS BIGINT) AS npairs
+    FROM o a
+    JOIN (SELECT unnest(generate_series(1, 5)) AS k) k ON TRUE
+    JOIN o b ON b.user_id = a.user_id AND b.rn = a.rn + k.k
+    GROUP BY a.user_id, k.k
+), rk AS (
+    SELECT l.user_id, l.k, b.n,
+           CAST(CAST(b.n AS HUGEINT) * b.n * l.sxy
+                - b.n * b.s * (l.hsum + l.tsum)
+                + (b.n - l.k) * b.s * b.s AS DOUBLE)
+           / CAST(CAST(b.n AS HUGEINT)
+                  * (b.n * b.sxx - b.s * b.s) AS DOUBLE) AS r
+    FROM lagk l JOIN base b ON b.user_id = l.user_id
+    WHERE b.n * b.sxx - b.s * b.s > 0 AND b.n > 5
+), terms AS (
+    SELECT user_id, n,
+           CAST(round(round(r * r / (n - k), 10) * 10000000000, 0)
+                AS BIGINT) AS term_fp
+    FROM rk
+)
+SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_lags,
+       CAST(sum(term_fp) AS BIGINT) AS sum_fp,
+       round(CAST(max(n) AS DOUBLE) * (max(n) + 2)
+             * CAST(sum(term_fp) AS DOUBLE) / 10000000000.0, 4) AS q_stat
+FROM terms GROUP BY user_id
+""")
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(38,0)"
+    ev = load_table(spark, "events", sf_dir)
+    o = ev.select(
+        "user_id",
+        quantized(F.col("value"), 4).alias("x"),
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("rn"),
+    )
+    base = o.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast(dec).alias("s"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+    )
+    ks = F.explode(F.lit(list(range(1, 6)))).alias("k")
+    a = o.select("user_id", F.col("x").alias("xa"), "rn", ks)
+    b = o.select(
+        F.col("user_id").alias("ub"), F.col("x").alias("xb"),
+        F.col("rn").alias("rnb"),
+    )
+    lagk = (
+        a.join(
+            b,
+            (F.col("ub") == F.col("user_id"))
+            & (F.col("rnb") == F.col("rn") + F.col("k")),
+        )
+        .groupBy("user_id", "k")
+        .agg(
+            F.sum(F.col("xa").cast(dec) * F.col("xb").cast(dec))
+            .alias("sxy"),
+            F.sum("xa").cast(dec).alias("hsum"),
+            F.sum("xb").cast(dec).alias("tsum"),
+        )
+    )
+    rk = (
+        lagk.join(base, "user_id")
+        .where(
+            (
+                F.col("n").cast(dec) * F.col("sxx")
+                - F.col("s") * F.col("s") > 0
+            )
+            & (F.col("n") > 5)
+        )
+        .select(
+            "user_id", "k", "n",
+            (
+                (
+                    F.col("n").cast(dec) * F.col("n").cast(dec)
+                    * F.col("sxy")
+                    - F.col("n").cast(dec) * F.col("s")
+                    * (F.col("hsum") + F.col("tsum"))
+                    + (F.col("n") - F.col("k")).cast(dec)
+                    * F.col("s") * F.col("s")
+                ).cast("double")
+                / (
+                    F.col("n").cast(dec)
+                    * (
+                        F.col("n").cast(dec) * F.col("sxx")
+                        - F.col("s") * F.col("s")
+                    )
+                ).cast("double")
+            ).alias("r"),
+        )
+    )
+    terms = rk.select(
+        "user_id", "n",
+        F.round(
+            F.round(
+                F.col("r") * F.col("r") / (F.col("n") - F.col("k")), 10
+            ) * 10000000000, 0,
+        ).cast("long").alias("term_fp"),
+    )
+    return terms.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).alias("n_lags"),
+        F.sum("term_fp").cast("long").alias("sum_fp"),
+        F.round(
+            F.max("n").cast("double") * (F.max("n") + 2)
+            * F.sum("term_fp").cast("double") / 10000000000.0, 4,
+        ).alias("q_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
