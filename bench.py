@@ -151,6 +151,15 @@ BENCH_QUERIES = [
     "nelson_aalen_conversion",
     "page_hinkley_users",
     "cohort_ltv_daily",
+    "logrank_test_conversion",
+    "hill_tail_index_events",
+    "readability_docs",
+    "attribution_time_decay",
+    "cuped_adjusted_lift",
+    "mutual_information_type_value",
+    "decision_stump_events",
+    "croston_demand_user",
+    "ljung_box_users",
     # mmr_select_embeddings stays OUT of the bench set: 8 sequential
     # argmax jobs are honest greedy-selection cost but pure job-launch
     # overhead at local bench scale (14 s of a 93 s total in the r04
