@@ -21,12 +21,12 @@ from anomaly_detection_spark import queries as reg
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: the two detection engines + one exemplar per operator
-# paradigm.  Capped at ~95 members (r03 ran 122 and the duplicated-run
-# cost plus shared-VM noise made the round total unstable); every
-# paradigm keeps at least one representative, and
-# tests/test_bench_budget.py enforces that each member's output stays
-# bounded (no quadratic-output query can re-enter the set unnoticed —
-# ppjoin_jaccard_pairs' 7.1M-row answer cost 145 s of the r03 bench).
+# paradigm (~120 members in r5).  r03's instability at a similar size
+# was the tail-buffer protocol bug plus one quadratic-output member
+# (ppjoin's 7.1M-row answer cost 145 s alone), both fixed since: the
+# stdout line is compact, every member's output is bounded and
+# enforced sub-quadratic by tests/test_bench_budget.py, and the
+# slowest single member stays under ~5 s at sf0.1.
 BENCH_QUERIES = [
     "rule_flags_events",
     "stl_iqr_events",
