@@ -17991,6 +17991,131 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Vocabulary coverage estimators (SURVEY §2.15 U34): Good-Turing unseen
+# mass (N₁/N — the probability the next token is novel) and the Chao1
+# richness lower bound (V + N₁²/2N₂) from the frequency-of-frequencies
+# table — the language-modeling companion to the Zipf/Heaps fits.  Two
+# slim rollups (term counts → count-of-counts); every estimate is an
+# exact integer rational in ppm.
+# ---------------------------------------------------------------------------
+
+@register("good_turing_vocab", r"""
+WITH tc AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+          FROM documents)
+    WHERE length(w) > 0
+    GROUP BY w
+), fof AS (
+    SELECT c, CAST(count(*) AS BIGINT) AS n_c FROM tc GROUP BY c
+), agg AS (
+    SELECT CAST(sum(c * n_c) AS BIGINT) AS n_tokens,
+           CAST(sum(n_c) AS BIGINT) AS vocab,
+           CAST(coalesce(max(CASE WHEN c = 1 THEN n_c END), 0) AS BIGINT)
+               AS n1,
+           CAST(coalesce(max(CASE WHEN c = 2 THEN n_c END), 0) AS BIGINT)
+               AS n2
+    FROM fof
+)
+SELECT n_tokens, vocab, n1, n2,
+       CAST(n1 * 1000000 // n_tokens AS BIGINT) AS unseen_mass_ppm,
+       CAST(CASE WHEN n2 > 0 THEN vocab + n1 * n1 // (2 * n2)
+            ELSE vocab + n1 * (n1 - 1) // 2 END AS BIGINT) AS chao1_richness
+FROM agg
+""")
+def q_good_turing_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tc = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+        )
+        .where(F.length("w") > 0)
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    fof = tc.groupBy("c").agg(F.count(F.lit(1)).alias("n_c"))
+    agg = fof.agg(
+        F.sum(F.col("c") * F.col("n_c")).cast("long").alias("n_tokens"),
+        F.sum("n_c").cast("long").alias("vocab"),
+        F.coalesce(
+            F.max(F.when(F.col("c") == 1, F.col("n_c"))), F.lit(0)
+        ).cast("long").alias("n1"),
+        F.coalesce(
+            F.max(F.when(F.col("c") == 2, F.col("n_c"))), F.lit(0)
+        ).cast("long").alias("n2"),
+    )
+    return agg.select(
+        "n_tokens", "vocab", "n1", "n2",
+        F.expr("CAST(n1 * 1000000 div n_tokens AS BIGINT)")
+        .alias("unseen_mass_ppm"),
+        F.expr(
+            "CAST(CASE WHEN n2 > 0 THEN vocab + n1 * n1 div (2 * n2)"
+            " ELSE vocab + n1 * (n1 - 1) div 2 END AS BIGINT)"
+        ).alias("chao1_richness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fano factor / index of dispersion per user (SURVEY §2.15 U35): the
+# burstiness screen — daily event counts with variance/mean > 1 mark
+# bursty (overdispersed) users, < 1 regular ones.  Exact: variance
+# numerator n·Σc² − (Σc)² and the Fano ratio cross-multiplied into one
+# integer ppm division; counts come from the calendar-complete daily
+# grid (zero days included via the global day dictionary).
+# ---------------------------------------------------------------------------
+
+@register("fano_factor_users", """
+WITH days AS (
+    SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+    FROM events
+), du AS (SELECT DISTINCT user_id FROM events),
+daily AS (
+    SELECT g.user_id, g.day, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+    FROM (SELECT du.user_id, days.day FROM du, days) g
+    LEFT JOIN (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    ) c ON c.user_id = g.user_id AND c.day = g.day
+), m AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS BIGINT) AS s,
+           CAST(sum(c * c) AS BIGINT) AS s2
+    FROM daily GROUP BY user_id
+)
+SELECT user_id, n, s AS n_events,
+       CAST((n * s2 - s * s) * 1000000 // (n * s) AS BIGINT)
+           AS fano_ppm
+FROM m WHERE s > 0
+""")
+def q_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    days = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    du = ev.select("user_id").distinct()
+    counts = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    grid = du.crossJoin(F.broadcast(days))
+    daily = grid.join(counts, ["user_id", "day"], "left").select(
+        "user_id", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+    )
+    m = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    ).where(F.col("s") > 0)
+    return m.select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("long").alias("n_events"),
+        F.expr(
+            "CAST((n * s2 - s * s) * 1000000 div (n * s) AS BIGINT)"
+        ).alias("fano_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
