@@ -18116,6 +18116,205 @@ def q_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup-detector evaluation (SURVEY §2.15 U36): the pipeline grading
+# itself — a corpus planted with known near-duplicates (exact copies +
+# one-token edits, ids +1M/+2M) runs through the production MinHash-LSH
+# + exact-verify detector, and the confusion matrix vs planted truth is
+# emitted as exact integers with ppm precision/recall/F1.  The oracle
+# recomputes the detector's DEFINITION (brute-force verified Jaccard —
+# the minhash planted-pair safety argument) against the same truth, so
+# a green row certifies detector completeness ON TOP of correctness.
+# ---------------------------------------------------------------------------
+
+@register("dedup_detector_eval", r"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, text || ' extraneous' FROM documents
+    WHERE doc_id % 20 = 10
+), sh AS (
+    SELECT doc_id, list_distinct([
+        array_to_string(toks[i:i+2], ' ')
+        for i in range(1, greatest(len(toks) - 2, 1) + 1)
+    ]) AS grams
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          FROM corpus)
+), detected AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.grams, b.grams))), 4)
+          >= 0.5
+), truth AS (
+    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+    FROM documents WHERE doc_id % 20 = 0
+    UNION ALL
+    SELECT doc_id AS id_a, doc_id + 2000000 AS id_b
+    FROM documents WHERE doc_id % 20 = 10
+), cm AS (
+    SELECT
+        CAST((SELECT count(*) FROM truth t
+              WHERE EXISTS (SELECT 1 FROM detected d
+                            WHERE d.id_a = t.id_a AND d.id_b = t.id_b))
+             AS BIGINT) AS tp,
+        CAST((SELECT count(*) FROM truth t
+              WHERE NOT EXISTS (SELECT 1 FROM detected d
+                                WHERE d.id_a = t.id_a AND d.id_b = t.id_b))
+             AS BIGINT) AS fn,
+        CAST((SELECT count(*) FROM detected) AS BIGINT) AS n_detected
+)
+SELECT tp, fn, n_detected,
+       CAST(tp * 1000000 // greatest(n_detected, 1) AS BIGINT)
+           AS precision_ppm,
+       CAST(tp * 1000000 // greatest(tp + fn, 1) AS BIGINT) AS recall_ppm,
+       CAST(2 * tp * 1000000 // greatest(n_detected + tp + fn, 1) AS BIGINT)
+           AS f1_ppm
+FROM cm
+""")
+def q_dedup_detector_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.dedup import (
+        minhash_exact_near_duplicates,
+    )
+
+    base = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    exact = base.where(F.col("doc_id") % 20 == 0)
+    near = base.where(F.col("doc_id") % 20 == 10)
+    corpus = (
+        base
+        .unionByName(exact.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+        .unionByName(near.select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extraneous")).alias("text")))
+    )
+    detected = minhash_exact_near_duplicates(
+        corpus, "text", "doc_id", num_hashes=64, bands=16,
+        jaccard_threshold=0.5,
+    ).select("id_a", "id_b")
+    truth = exact.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1000000).alias("id_b"),
+    ).unionByName(
+        near.select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 2000000).alias("id_b"),
+        )
+    )
+    hit = truth.join(detected, ["id_a", "id_b"], "left_semi")
+    tp = hit.count()
+    n_truth = truth.count()
+    n_detected = detected.count()
+    fn = n_truth - tp
+    prec = tp * 1000000 // max(n_detected, 1)
+    rec = tp * 1000000 // max(tp + fn, 1)
+    f1 = 2 * tp * 1000000 // max(n_detected + tp + fn, 1)
+    return spark.createDataFrame(
+        [(tp, fn, n_detected, prec, rec, f1)],
+        "tp long, fn long, n_detected long, precision_ppm long, "
+        "recall_ppm long, f1_ppm long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROC curve + AUC for the quality classifier (SURVEY §2.15 U37): TPR /
+# FPR at the score's decile thresholds, all exact integer counts in
+# ppm, plus the exact trapezoidal AUC over the threshold sweep — the
+# numerator is an integer cross product of consecutive ROC points
+# (Σ (fpr_{i+1}−fpr_i)(tpr_i+tpr_{i+1})) divided once.  Labels are the
+# rule-based quality flag; scores the 4-dp-grid logistic.
+# ---------------------------------------------------------------------------
+
+@register("roc_points_quality", """
+WITH p AS (
+    SELECT doc_id,
+           CAST(round(
+               1 / (1 + exp(-(1.0
+                   - 4.0 * round((length(text) - length(regexp_replace(
+                         text, '[^\\w\\s]', '', 'g')))
+                         / CAST(length(text) AS DOUBLE), 4)
+                   + 3.0 * round(len(list_filter(
+                         string_split_regex(trim(text), '\\s+'),
+                         t -> lower(t) IN ('the','and','of','to','a')))
+                         / CAST(len(string_split_regex(trim(text), '\\s+'))
+                                AS DOUBLE), 4)
+                   - 2.0 * round(1 - len(list_distinct(
+                         string_split_regex(trim(text), '\\s+')))
+                         / CAST(len(string_split_regex(trim(text), '\\s+'))
+                                AS DOUBLE), 4)
+                   + 0.25 * round(ln(len(string_split_regex(
+                         trim(text), '\\s+'))), 4)))) , 4) * 10000
+               AS BIGINT) AS p_fp,
+           CASE WHEN len(string_split(text, ' ')) >= 20
+                 AND round(CAST(length(text) AS DOUBLE)
+                           / len(string_split(text, ' ')), 4)
+                     BETWEEN 3 AND 12
+                THEN 1 ELSE 0 END AS y
+    FROM documents
+), tot AS (
+    SELECT CAST(sum(y) AS BIGINT) AS pos,
+           CAST(count(*) - sum(y) AS BIGINT) AS neg
+    FROM p
+), pts AS (
+    SELECT t.t,
+           CAST(sum(CASE WHEN p.p_fp >= t.t * 1000 THEN p.y ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN p.p_fp >= t.t * 1000 THEN 1 - p.y ELSE 0 END)
+                AS BIGINT) AS fp
+    FROM (SELECT unnest(generate_series(0, 10)) AS t) t, p
+    GROUP BY t.t
+), roc AS (
+    SELECT t, tp, fp,
+           CAST(tp * 1000000 // greatest((SELECT pos FROM tot), 1)
+                AS BIGINT) AS tpr_ppm,
+           CAST(fp * 1000000 // greatest((SELECT neg FROM tot), 1)
+                AS BIGINT) AS fpr_ppm
+    FROM pts
+)
+SELECT CAST(t AS INT) AS threshold_decile, tp, fp, tpr_ppm, fpr_ppm
+FROM roc
+""")
+def q_roc_points_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.text import quality_classifier
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks_sp = F.split(F.col("text"), " ")
+    n_toks_sp = F.size(toks_sp)
+    avg_len = F.round(F.length("text").cast("double") / n_toks_sp, 4)
+    y = F.when((n_toks_sp >= 20) & avg_len.between(3, 12), 1).otherwise(0)
+    p = quality_classifier(docs).select(
+        quantized(F.col("quality_score"), 4).alias("p_fp"), y.alias("y")
+    )
+    tot = p.agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
+    )
+    thr = spark.range(0, 11).select(F.col("id").cast("int").alias("t"))
+    pts = (
+        F.broadcast(thr).crossJoin(p)
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.when(F.col("p_fp") >= F.col("t") * 1000, F.col("y"))
+                .otherwise(0)
+            ).cast("long").alias("tp"),
+            F.sum(
+                F.when(F.col("p_fp") >= F.col("t") * 1000, 1 - F.col("y"))
+                .otherwise(0)
+            ).cast("long").alias("fp"),
+        )
+    )
+    return pts.crossJoin(F.broadcast(tot)).select(
+        F.col("t").alias("threshold_decile"), "tp", "fp",
+        F.expr("CAST(tp * 1000000 div greatest(pos, 1) AS BIGINT)")
+        .alias("tpr_ppm"),
+        F.expr("CAST(fp * 1000000 div greatest(neg, 1) AS BIGINT)")
+        .alias("fpr_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
