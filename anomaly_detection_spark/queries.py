@@ -18315,6 +18315,122 @@ def q_roc_points_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Kruskal-Wallis one-way test (SURVEY §2.15 U38): the nonparametric
+# ANOVA — do the event types draw values from the same distribution?
+# Ranks are midranks on the DOUBLED integer grid (2·rank for unique
+# values, 2·avg for ties — exact integers, no .5 fractions), assigned
+# by joining each value to the distinct-value dictionary's cumulative
+# counts (no global row window).  H = 12·Σ(R_g²/n_g)/(N(N+1)) − 3(N+1)
+# with the standard tie correction, every intermediate an exact
+# integer/DECIMAL ratio divided once.
+# ---------------------------------------------------------------------------
+
+@register("kruskal_wallis_types", """
+WITH v AS (
+    SELECT event_type, CAST(round(value * 10000, 0) AS BIGINT) AS x
+    FROM events
+), dict AS (
+    SELECT x, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY x
+), ranked AS (
+    SELECT x, c,
+           CAST(coalesce(sum(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS below
+    FROM dict
+), mid AS (
+    -- midrank doubled: 2*below + c + 1 (exact integer, ties included)
+    SELECT x, c, 2 * below + c + 1 AS r2 FROM ranked
+), g AS (
+    SELECT v.event_type,
+           CAST(count(*) AS BIGINT) AS n_g,
+           CAST(sum(m.r2) AS HUGEINT) AS r2sum
+    FROM v JOIN mid m ON m.x = v.x
+    GROUP BY v.event_type
+), tot AS (
+    -- per-term TRUNCATING integer division (shared law; the <1 loss
+    -- per group is invisible at 4 dp) so no float crosses the sum
+    SELECT CAST(sum(n_g) AS BIGINT) AS n,
+           CAST(sum(CAST(r2sum AS HUGEINT) * r2sum // n_g) AS DOUBLE) AS s
+    FROM g
+), ties AS (
+    SELECT CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS t
+    FROM dict
+)
+SELECT g.event_type, g.n_g,
+       CAST(g.r2sum AS BIGINT) AS rank2_sum,
+       round((12.0 * (SELECT s FROM tot) / 4.0
+              / (CAST((SELECT n FROM tot) AS DOUBLE)
+                 * ((SELECT n FROM tot) + 1))
+              - 3.0 * ((SELECT n FROM tot) + 1))
+             / (1.0 - CAST((SELECT t FROM ties) AS DOUBLE)
+                / (CAST((SELECT n FROM tot) AS DOUBLE)
+                   * (SELECT n FROM tot) * (SELECT n FROM tot)
+                   - (SELECT n FROM tot))), 4) AS h_stat
+FROM g
+""")
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(38,0)"
+    ev = load_table(spark, "events", sf_dir)
+    v = ev.select(
+        "event_type", quantized(F.col("value"), 4).alias("x")
+    )
+    dict_ = v.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    wb = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    mid = dict_.select(
+        "x", "c",
+        (
+            2 * F.coalesce(F.sum("c").over(wb), F.lit(0))
+            + F.col("c") + 1
+        ).cast("long").alias("r2"),
+    )
+    g = (
+        v.join(F.broadcast(mid), "x")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum("r2").cast(dec).alias("r2sum"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum(
+            F.floor(
+                F.col("r2sum") * F.col("r2sum") / F.col("n_g").cast(dec)
+            )
+        ).cast("double").alias("s"),
+    )
+    ties = dict_.agg(
+        F.sum(
+            F.col("c").cast(dec) * F.col("c").cast(dec) * F.col("c").cast(dec)
+            - F.col("c").cast(dec)
+        ).cast(dec).alias("t")
+    )
+    return (
+        g.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(ties))
+        .select(
+            "event_type",
+            F.col("n_g").cast("long").alias("n_g"),
+            F.col("r2sum").cast("long").alias("rank2_sum"),
+            F.round(
+                (
+                    12.0 * F.col("s") / 4.0
+                    / (F.col("n").cast("double") * (F.col("n") + 1))
+                    - 3.0 * (F.col("n") + 1)
+                )
+                / (
+                    1.0
+                    - F.col("t").cast("double")
+                    / (
+                        F.col("n").cast("double") * F.col("n") * F.col("n")
+                        - F.col("n")
+                    )
+                ), 4,
+            ).alias("h_stat"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
