@@ -160,6 +160,11 @@ BENCH_QUERIES = [
     "decision_stump_events",
     "croston_demand_user",
     "ljung_box_users",
+    "good_turing_vocab",
+    "fano_factor_users",
+    "dedup_detector_eval",
+    "roc_points_quality",
+    "kruskal_wallis_types",
     # mmr_select_embeddings stays OUT of the bench set: 8 sequential
     # argmax jobs are honest greedy-selection cost but pure job-launch
     # overhead at local bench scale (14 s of a 93 s total in the r04
