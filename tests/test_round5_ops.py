@@ -413,3 +413,72 @@ def test_time_decay_halving_law(spark):
     assert out["signup"].weight_fp == 1000000
     total = 1750000
     assert out["signup"].credit_ppm_sum == 1000000 * 1000000 // total
+
+
+def test_good_turing_known_fof(spark):
+    # corpus: "a a b c" -> N=4, V=3, N1=2 (b,c), N2=1 (a)
+    docs = [(0, "a a b c", "en", 7, "s")]
+    d = _mini_dir(spark, extra_tables={
+        "documents": (docs, "doc_id long, text string, lang string, "
+                            "n_chars long, source string"),
+    })
+    row = reg.QUERIES["good_turing_vocab"](spark, d).collect()[0]
+    assert (row.n_tokens, row.vocab, row.n1, row.n2) == (4, 3, 2, 1)
+    assert row.unseen_mass_ppm == 500000
+    assert row.chao1_richness == 3 + 2 * 2 // 2
+
+
+def test_fano_regular_vs_bursty(spark):
+    # user 1: one event per day for 10 days (regular, Fano -> 0);
+    # user 2: all 10 events on one day (bursty, Fano = var/mean >> 1)
+    rows = [(1, i, _d(i), "view", 1.0) for i in range(10)]
+    rows += [(2, 100 + i, _d(0, i), "view", 1.0) for i in range(10)]
+    d = _mini_dir(spark, rows)
+    out = {r.user_id: r for r in
+           reg.QUERIES["fano_factor_users"](spark, d).collect()}
+    assert out[1].fano_ppm == 0  # constant 1/day over the grid
+    assert out[2].fano_ppm > 1000000  # overdispersed
+
+
+def test_roc_endpoints(spark):
+    docs = [(i, " ".join(["word"] * 30), "en", 149, "s") for i in range(20)]
+    d = _mini_dir(spark, extra_tables={
+        "documents": (docs, "doc_id long, text string, lang string, "
+                            "n_chars long, source string"),
+    })
+    out = {r.threshold_decile: r for r in
+           reg.QUERIES["roc_points_quality"](spark, d).collect()}
+    # threshold 0 accepts everything; threshold 10 (score >= 1.0)
+    # accepts only perfect scores (none for the logistic)
+    assert out[0].tpr_ppm == 1000000
+    assert out[10].tp == 0 and out[10].fp == 0
+
+
+def test_kruskal_wallis_identical_groups(spark):
+    # identical value multisets per type -> rank sums proportional to
+    # group sizes -> H ~ 0
+    rows = []
+    eid = 0
+    for t in ("view", "click"):
+        for i in range(20):
+            eid += 1
+            rows.append((1, eid, _d(0, eid), t, float(i % 5)))
+    d = _mini_dir(spark, rows)
+    out = reg.QUERIES["kruskal_wallis_types"](spark, d).collect()
+    assert all(abs(r.h_stat) < 0.01 for r in out)
+    # equal group sizes share the same doubled-rank sum
+    assert len({r.rank2_sum for r in out}) == 1
+
+
+def test_dedup_eval_perfect_recall_on_planted(spark):
+    docs = [(i, f"document number {i} " + " ".join(
+        f"tok{i}_{j}" for j in range(20)), "en", 200, "s")
+        for i in range(100)]
+    d = _mini_dir(spark, extra_tables={
+        "documents": (docs, "doc_id long, text string, lang string, "
+                            "n_chars long, source string"),
+    })
+    row = reg.QUERIES["dedup_detector_eval"](spark, d).collect()[0]
+    # 5 exact copies (ids 0,20,..,80) + 5 near copies (10,30,..,90)
+    assert row.tp == 10 and row.fn == 0
+    assert row.recall_ppm == 1000000
