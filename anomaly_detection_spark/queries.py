@@ -16817,7 +16817,7 @@ SELECT day, n_at_risk, n_converted,
        CAST(sum(n_converted * 1000000 // n_at_risk)
             OVER (ORDER BY day) AS BIGINT) AS cumhaz_ppm
 FROM haz
-""".replace("{{EVAL}}", EVAL_TS))
+""".replace("{EVAL}", EVAL_TS))
 def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     signup = (

@@ -1,0 +1,137 @@
+"""Adversarial-shape differentials for round-5 operators: run the REAL
+driver comparison (tests.oracle_check.compare) on synthetic fixtures
+engineered for the edge cases the sf fixtures don't hit — value ties
+everywhere, constant series, minimum-length users, and a >64-token
+vocabulary that forces PPJoin onto its full prefix-filter path instead
+of the bitmask fast path."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from anomaly_detection_spark import queries as reg
+from tests.oracle_check import compare
+
+BASE = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _d(days, minutes=0):
+    return BASE + dt.timedelta(days=days, minutes=minutes)
+
+
+def _write(spark, d, name, rows, schema):
+    t = spark.createDataFrame(rows, schema)
+    pq.write_table(
+        pa.Table.from_pandas(t.toPandas()), os.path.join(d, f"{name}.parquet")
+    )
+
+
+def _adversarial_events_dir(spark):
+    """Ties on every value, one constant-value user, one minimum-length
+    user, bursty and regular users, purchases and signups."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    eid = 0
+    # user 1: constant value (sigma = 0 paths), 20 days
+    for i in range(20):
+        eid += 1
+        rows.append((1, eid, _d(i), "view", 7.0))
+    # user 2: heavy ties (only two distinct values), 20 days
+    for i in range(20):
+        eid += 1
+        rows.append((2, eid, _d(i), "click", 5.0 if i % 2 else 9.0))
+    # user 3: minimum viable series (5 days)
+    for i in range(5):
+        eid += 1
+        rows.append((3, eid, _d(i), "view", float(i + 1)))
+    # user 4: signup -> purchases (survival/attribution paths)
+    eid += 1
+    rows.append((4, eid, _d(0), "signup", 1.0))
+    for i in range(1, 16):
+        eid += 1
+        rows.append((4, eid, _d(i), "purchase", 10.0 + (i % 3)))
+    # user 5: signup, never converts (censoring path)
+    eid += 1
+    rows.append((5, eid, _d(0), "signup", 1.0))
+    for i in range(1, 16):
+        eid += 1
+        rows.append((5, eid, _d(i), "error", 2.5))
+    d = tempfile.mkdtemp()
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double",
+    ).withColumn("props", F.lit("{}"))
+    pq.write_table(
+        pa.Table.from_pandas(ev.toPandas()), os.path.join(d, "events.parquet")
+    )
+    return d
+
+
+ADVERSARIAL_EVENT_QUERIES = [
+    "stl_iqr_events",
+    "shesd_anomalies_events",
+    "holt_winters_user",
+    "binseg_changepoints_user",
+    "page_hinkley_users",
+    "conformal_interval_events",
+    "hodges_lehmann_user",
+    "rfm_segments_users",
+    "nelson_aalen_conversion",
+    "logrank_test_conversion",
+    "cohort_ltv_daily",
+    "attribution_time_decay",
+    "croston_demand_user",
+    "ljung_box_users",
+    "kruskal_wallis_types",
+    "fano_factor_users",
+    "diff_in_diff_events",
+    "cuped_adjusted_lift",
+    "mutual_information_type_value",
+    "decision_stump_events",
+    "theta_sketch_users",
+    "hbos_outlier_events",
+]
+
+
+def test_adversarial_events_differentials(spark):
+    d = _adversarial_events_dir(spark)
+    fails = {}
+    for name in ADVERSARIAL_EVENT_QUERIES:
+        try:
+            problems = compare(
+                reg.QUERIES[name](spark, d), reg.ORACLES[name], d
+            )
+        except Exception as exc:  # crash = red
+            problems = [repr(exc)[:200]]
+        if problems:
+            fails[name] = problems
+    assert not fails, fails
+
+
+def test_ppjoin_full_prefix_path_above_64_tokens(spark):
+    # >64 distinct tokens forces the Xiao prefix/length/positional
+    # stack (the bitmask fast path is vocabulary-gated); near-dup
+    # structure planted so the answer is non-trivial
+    vocab = [f"tok{i:03d}" for i in range(120)]
+    docs = []
+    for i in range(40):
+        words = [vocab[(i * 7 + j) % 120] for j in range(30)]
+        docs.append((i, " ".join(words), "en", 200, "s"))
+        if i % 8 == 0:  # near copy: drop one word
+            docs.append((1000 + i, " ".join(words[:-1]), "en", 195, "s"))
+    d = tempfile.mkdtemp()
+    _write(spark, d, "documents",
+           docs, "doc_id long, text string, lang string, n_chars long, "
+                 "source string")
+    problems = compare(
+        reg.QUERIES["ppjoin_jaccard_pairs"](spark, d),
+        reg.ORACLES["ppjoin_jaccard_pairs"], d,
+    )
+    assert not problems, problems
