@@ -18189,10 +18189,12 @@ def q_dedup_detector_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 2000000).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" extraneous")).alias("text")))
     )
+    # localCheckpoint: three downstream count actions (tp, n_detected,
+    # and the semi-join) must not each re-run the LSH pipeline
     detected = minhash_exact_near_duplicates(
         corpus, "text", "doc_id", num_hashes=64, bands=16,
         jaccard_threshold=0.5,
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint()
     truth = exact.select(
         F.col("doc_id").alias("id_a"),
         (F.col("doc_id") + 1000000).alias("id_b"),
