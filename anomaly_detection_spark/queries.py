@@ -18499,6 +18499,14 @@ DRIVER_PRIORITY: list[str] = [
     # -- r03 verdict flagged this operator (quadratic output); reshaped
     # in r04 to bounded best-match — land its green row THIS round --
     "ppjoin_jaccard_pairs",
+    # -- r04 verdict item 8: the streaming lane should own green
+    # CORRECTNESS rows — front the three replay queries (registered
+    # late, would otherwise wait a round behind the older backlog) --
+    "streaming_minute_rollup_events",
+    "streaming_run_length_events",
+    "streaming_session_windows_events",
+    # -- the detector-completeness self-certification row --
+    "dedup_detector_eval",
     # -- no CORRECTNESS_r01 row (registrations #51-80) --
     "navigation_windows_events",
     "set_ops_users",
