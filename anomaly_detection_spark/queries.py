@@ -18433,6 +18433,156 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Negative-binomial dispersion fit (SURVEY §2.15 U39): the
+# overdispersion companion of the Fano screen — method-of-moments
+# α̂ = (s² − m)/m² per event type over user daily counts, where mean and
+# variance come from exact integer sums (one shared double expression);
+# α > 0 means NB beats Poisson for that type's count model.
+# ---------------------------------------------------------------------------
+
+@register("negbin_dispersion_types", """
+WITH daily AS (
+    SELECT event_type, user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+               AS day,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2, 3
+), m AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(c) AS BIGINT) AS s,
+           CAST(sum(c * c) AS BIGINT) AS s2
+    FROM daily GROUP BY event_type
+)
+SELECT event_type, n, s AS total_events,
+       round(CAST(s AS DOUBLE) / n, 6) AS mean_count,
+       round(CAST(n * s2 - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)),
+             6) AS var_count,
+       round((CAST(n * s2 - s * s AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (n - 1))
+              - CAST(s AS DOUBLE) / n)
+             / ((CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)), 6)
+           AS nb_alpha
+FROM m WHERE n > 1
+""")
+def q_negbin_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    ).where(F.col("n") > 1)
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).cast("double")
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("long").alias("total_events"),
+        F.round(mean, 6).alias("mean_count"),
+        F.round(var, 6).alias("var_count"),
+        F.round((var - mean) / (mean * mean), 6).alias("nb_alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gumbel block-maxima fit (SURVEY §2.15 U40): the other half of EVT —
+# where `evt_pot_tail_fit` models threshold exceedances (GPD), this
+# fits weekly block MAXIMA with Gumbel method-of-moments
+# (β̂ = s·√6/π, μ̂ = m − γ·β̂, γ = Euler-Mascheroni), plus a 99%-quantile
+# return level μ − β·ln(−ln 0.99).  Block maxima are exact integer
+# cents; the moments are exact sums; the constants enter one shared
+# final double expression on both engines.
+# ---------------------------------------------------------------------------
+
+@register("gumbel_block_maxima", """
+WITH blocks AS (
+    SELECT CAST((CAST(date_diff('day', DATE '2024-01-01',
+                     CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)) // 7
+               AS BIGINT) AS week,
+           user_id,
+           CAST(max(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT)
+               AS mx
+    FROM events GROUP BY 1, 2
+), m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(mx) AS BIGINT) AS s,
+           CAST(sum(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS s2
+    FROM blocks
+)
+SELECT n, s AS sum_maxima_fp,
+       round(CAST(s AS DOUBLE) / (n * 10000.0), 4) AS mean_max,
+       round(sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s
+                       AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (n - 1))) / 10000.0
+             * 0.779696801233676, 4) AS gumbel_beta,
+       round(CAST(s AS DOUBLE) / (n * 10000.0)
+             - 0.5772156649015329
+             * (sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s
+                          AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * (n - 1))) / 10000.0
+                * 0.779696801233676), 4) AS gumbel_mu,
+       round(CAST(s AS DOUBLE) / (n * 10000.0)
+             - 0.5772156649015329
+             * (sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s
+                          AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * (n - 1))) / 10000.0
+                * 0.779696801233676)
+             - (sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s
+                          AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * (n - 1))) / 10000.0
+                * 0.779696801233676)
+               * (-4.600149226776579), 4) AS return_level_p99
+FROM m WHERE n > 1
+""")
+def q_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    dec = "decimal(38,0)"
+    ev = load_table(spark, "events", sf_dir)
+    blocks = ev.groupBy(
+        F.expr(
+            "CAST(CAST(datediff(CAST(date_trunc('day', ts) AS DATE),"
+            " DATE '2024-01-01') AS BIGINT) div 7 AS BIGINT)"
+        ).alias("week"),
+        "user_id",
+    ).agg(F.max(quantized(F.col("value"), 4)).alias("mx"))
+    m = blocks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mx").alias("s"),
+        F.sum(F.col("mx").cast(dec) * F.col("mx").cast(dec)).alias("s2"),
+    ).where(F.col("n") > 1)
+    sqrt6_pi = math.sqrt(6.0) / math.pi
+    euler = 0.5772156649015329
+    std = (
+        F.sqrt(
+            (
+                F.col("n").cast(dec) * F.col("s2")
+                - F.col("s").cast(dec) * F.col("s").cast(dec)
+            ).cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+        ) / 10000.0
+    )
+    mean = F.col("s").cast("double") / (F.col("n") * 10000.0)
+    beta = std * sqrt6_pi
+    mu = mean - euler * beta
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("long").alias("sum_maxima_fp"),
+        F.round(mean, 4).alias("mean_max"),
+        F.round(beta, 4).alias("gumbel_beta"),
+        F.round(mu, 4).alias("gumbel_mu"),
+        F.round(mu - beta * F.lit(math.log(-math.log(0.99))), 4)
+        .alias("return_level_p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

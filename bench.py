@@ -165,6 +165,8 @@ BENCH_QUERIES = [
     "dedup_detector_eval",
     "roc_points_quality",
     "kruskal_wallis_types",
+    "negbin_dispersion_types",
+    "gumbel_block_maxima",
     # mmr_select_embeddings stays OUT of the bench set: 8 sequential
     # argmax jobs are honest greedy-selection cost but pure job-launch
     # overhead at local bench scale (14 s of a 93 s total in the r04

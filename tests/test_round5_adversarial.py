@@ -97,6 +97,8 @@ ADVERSARIAL_EVENT_QUERIES = [
     "decision_stump_events",
     "theta_sketch_users",
     "hbos_outlier_events",
+    "negbin_dispersion_types",
+    "gumbel_block_maxima",
 ]
 
 
