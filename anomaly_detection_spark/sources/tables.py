@@ -45,7 +45,18 @@ def _nanos_timestamp_cols_cached(
 
 def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     # cache keyed on (path, mtime, size): a rewritten file at the same
-    # path must not reuse a stale ns-column list
+    # path must not reuse a stale ns-column list.  Directory layouts
+    # (Spark-written datasets, prod date-partitioned tables) sniff the
+    # schema from one part file — all parts share it by construction.
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        if not parts:
+            return ()
+        path = parts[0]
     st = os.stat(path)
     return _nanos_timestamp_cols_cached(path, st.st_mtime_ns, st.st_size)
 

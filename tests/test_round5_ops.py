@@ -482,3 +482,18 @@ def test_dedup_eval_perfect_recall_on_planted(spark):
     # 5 exact copies (ids 0,20,..,80) + 5 near copies (10,30,..,90)
     assert row.tp == 10 and row.fn == 0
     assert row.recall_ppm == 1000000
+
+
+def test_load_table_directory_layout(spark):
+    # Spark-written DATASET directories (prod layouts) must load through
+    # the same ns-normalization path as single files
+    import tempfile, os
+    from anomaly_detection_spark.sources.tables import load_table
+
+    src = load_table(spark, "events", "/root/testdata/sf0.001")
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "events.parquet")
+    src.repartition(3).write.parquet(path)  # directory with 3 part files
+    back = load_table(spark, "events", d)
+    assert back.count() == src.count()
+    assert dict(back.dtypes)["ts"] == dict(src.dtypes)["ts"]
