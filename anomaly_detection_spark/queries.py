@@ -42,6 +42,12 @@ EVAL_TS = "2024-02-01 00:00:00"
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# PPJoin's adaptive gate: all-pairs bitset verification is chosen while
+# n_distinct_sets² x bitset_words stays under this many word-ANDs;
+# beyond it the Xiao prefix stack takes over.  Module-level so tests
+# can force either physical path on small fixtures.
+PPJOIN_BITSET_BUDGET = 4_000_000_000
+
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
@@ -11856,25 +11862,38 @@ def q_ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("wid")).alias("ids"))
     )
 
-    # --- 3. ADAPTIVE physical strategy on a bounded data statistic (the
-    # AQE spirit, decided at plan-build time): when the corpus
-    # vocabulary fits in a machine word (<= 64 distinct tokens), prefix
-    # filtering cannot be selective — every set shares its rarest
-    # tokens with most others (exactly this fixture: 31 words) — so the
-    # candidate stack only adds overhead.  Each distinct set becomes a
-    # 64-bit BITMASK and the verify is popcount(a AND b) over a
-    # broadcast nested-loop of distinct sets (thousands, not docs):
-    # identical answers, integer-exact, whole-stage-codegen bit ops.
-    # Past 64 tokens the full Xiao WWW'08 prefix/length/positional
-    # stack below takes over.
+    # --- 3. ADAPTIVE physical strategy on bounded data statistics (the
+    # AQE spirit, decided at plan-build time): a small vocabulary makes
+    # prefix filtering unselective — every set shares its rarest tokens
+    # with most others (this fixture: 31 words, and token-suffixed
+    # replicas keep the per-replica ratio pathological) — so below a
+    # cost budget the candidate stack only adds overhead.  Each distinct
+    # set becomes a fixed-width BITSET (``W = ceil(vocab/64)`` longs)
+    # and the verify is Σ popcount(a[i] AND b[i]) over a broadcast
+    # nested-loop of DISTINCT SETS (thousands, not docs): identical
+    # answers, integer-exact, whole-stage-codegen bit ops.  The gate is
+    # the actual all-pairs work n_sets²·W — past ~4e9 word-ANDs the
+    # full Xiao WWW'08 prefix/length/positional stack below takes over
+    # (real corpora get there with SELECTIVE prefixes: Heaps' law makes
+    # vocabulary grow with the corpus, unlike this fixture).
     vocab_size = dfreq.count()
-    if vocab_size <= 64:
-        bm = isets.select(
-            "sid", "n",
-            F.expr(
+    n_sets = dsets.count()
+    n_words = (vocab_size + 63) // 64
+    if n_sets * n_sets * n_words <= PPJOIN_BITSET_BUDGET:
+        if n_words == 1:
+            # scalar machine word: plain AND+popcount beats a 1-element
+            # array's HOF overhead ~3x
+            bm_expr = (
                 "aggregate(ids, 0L, (acc, w) -> acc | shiftleft(1L, w - 1))"
-            ).alias("bm"),
-        )
+            )
+        else:
+            slots = ", ".join(
+                f"aggregate(filter(ids, i -> (i - 1) div 64 = {w}), 0L,"
+                f" (acc, i) -> acc | shiftleft(1L, (i - 1) % 64))"
+                for w in range(n_words)
+            )
+            bm_expr = f"array({slots})"
+        bm = isets.select("sid", "n", F.expr(bm_expr).alias("bm"))
         lhs = bm.select(
             F.col("sid").alias("sa"), F.col("n").alias("na"),
             F.col("bm").alias("ba"),
@@ -11891,7 +11910,21 @@ def q_ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             & (5 * F.col("na") >= 3 * F.col("nb")),
         )
-        i_bits = F.bit_count(F.col("ba").bitwiseAND(F.col("bb"))).cast("bigint")
+        if n_words == 1:
+            i_bits = F.bit_count(
+                F.col("ba").bitwiseAND(F.col("bb"))
+            ).cast("bigint")
+        else:
+            # unrolled at plan time: zip_with would allocate an array
+            # per evaluated pair — at n_sets² evaluations that IS the
+            # runtime
+            i_bits = F.expr(
+                " + ".join(
+                    f"bit_count(element_at(ba, {w + 1})"
+                    f" & element_at(bb, {w + 1}))"
+                    for w in range(n_words)
+                )
+            ).cast("bigint")
         halfpairs = ordered.select(
             "sa", "sb",
             i_bits.alias("i"),

@@ -36,12 +36,18 @@ def _rowset(rows, colnames):
     return sorted(",".join(_canon(r[i]) for i in order) for r in rows)
 
 
+def _view_path(p: str) -> str:
+    """Spark-written datasets are DIRECTORIES of part files; DuckDB
+    needs a glob for those."""
+    return os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+
+
 def run_oracle(sql: str, sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{_view_path(p)}'")
     res = con.sql(sql)
     return res.fetchall(), [d.lower() for d in res.columns]
 
@@ -76,7 +82,7 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{_view_path(p)}'")
     res = con.sql(oracle_sql)
     o_cols = [c.lower() for c in res.columns]
     problems.extend(_type_problems(spark_df, res.types, o_cols))

@@ -117,10 +117,10 @@ def test_adversarial_events_differentials(spark):
     assert not fails, fails
 
 
-def test_ppjoin_full_prefix_path_above_64_tokens(spark):
-    # >64 distinct tokens forces the Xiao prefix/length/positional
-    # stack (the bitmask fast path is vocabulary-gated); near-dup
-    # structure planted so the answer is non-trivial
+def test_ppjoin_full_prefix_path_above_64_tokens(spark, monkeypatch):
+    # force the Xiao prefix/length/positional stack by zeroing the
+    # bitset budget — the prefix path must stay oracle-exact on its own
+    monkeypatch.setattr(reg, "PPJOIN_BITSET_BUDGET", 0)
     vocab = [f"tok{i:03d}" for i in range(120)]
     docs = []
     for i in range(40):
@@ -137,3 +137,22 @@ def test_ppjoin_full_prefix_path_above_64_tokens(spark):
         reg.ORACLES["ppjoin_jaccard_pairs"], d,
     )
     assert not problems, problems
+
+
+def test_ppjoin_multiword_bitset_path(spark):
+    # vocab > 64 but n_sets^2*W under budget: the MULTIWORD bitset path
+    vocab = [f"tok{i:03d}" for i in range(120)]
+    docs = []
+    for i in range(40):
+        words = [vocab[(i * 7 + j) % 120] for j in range(30)]
+        docs.append((i, " ".join(words), "en", 200, "s"))
+        if i % 8 == 0:
+            docs.append((1000 + i, " ".join(words[:-1]), "en", 195, "s"))
+    d = tempfile.mkdtemp()
+    _write(spark, d, "documents",
+           docs, "doc_id long, text string, lang string, n_chars long, "
+                 "source string")
+    assert not compare(
+        reg.QUERIES["ppjoin_jaccard_pairs"](spark, d),
+        reg.ORACLES["ppjoin_jaccard_pairs"], d,
+    )
