@@ -18616,6 +18616,73 @@ def q_gumbel_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fourth streaming driver row (SURVEY §2.10): a REAL stream-stream
+# interval join — errors and purchases replayed as two independent
+# watermarked streams, joined on user within [error_ts, error_ts+30min)
+# by `streaming/joins.py:stream_interval_join`, match pairs emitted in
+# append mode (inner matches are not watermark-gated, so a single
+# micro-batch per side needs no flush sentinel), then aggregated per
+# error in batch.  Oracle = the inner interval join law (the LEFT-join
+# sibling `interval_join_error_purchases` keeps zero-match errors; the
+# stream emits matches only, so the oracle is the INNER form).
+# ---------------------------------------------------------------------------
+
+@register("streaming_interval_join_events", """
+SELECT e.event_id AS error_id,
+       count(*) AS n_purchases,
+       round(CAST(sum(CAST(round(p.value * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS purchase_value
+FROM events e
+JOIN events p
+  ON p.user_id = e.user_id AND p.event_type = 'purchase'
+ AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 30 MINUTE
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+""")
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from anomaly_detection_spark.streaming.joins import stream_interval_join
+
+    ev = load_table(spark, "events", sf_dir)
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id",
+        F.col("ts").alias("e_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), "user_id",
+        F.col("ts").alias("p_ts"), "value",
+    )
+    work = tempfile.mkdtemp(prefix="stream_ij_")
+    e_src = os.path.join(work, "errors")
+    p_src = os.path.join(work, "purchases")
+    errors.coalesce(1).write.parquet(os.path.join(e_src, "b0"))
+    purchases.coalesce(1).write.parquet(os.path.join(p_src, "b0"))
+    e_stream = spark.readStream.schema(errors.schema).parquet(e_src + "/*")
+    p_stream = spark.readStream.schema(purchases.schema).parquet(p_src + "/*")
+    joined = stream_interval_join(
+        e_stream, p_stream, ["user_id"], "e_ts", "p_ts", 1800
+    ).select("error_id", "p_event_id", "value")
+    qname = "ij_" + uuid.uuid4().hex
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory").queryName(qname)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(qname).groupBy("error_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(
+            F.sum(quantized(F.col("value"), 2)).cast("double") / 100.0, 2
+        ).alias("purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
@@ -18688,6 +18755,7 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_minute_rollup_events",
     "streaming_run_length_events",
     "streaming_session_windows_events",
+    "streaming_interval_join_events",
     # -- the detector-completeness self-certification row --
     "dedup_detector_eval",
     # -- no CORRECTNESS_r01 row (registrations #51-80) --
