@@ -11843,18 +11843,19 @@ def q_ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- 2. integer token dictionary in global (df asc, token asc) order.
-    # The dictionary window is single-partition but VOCABULARY-sized —
-    # distinct tokens, not rows — the one table in this pipeline that is
-    # orders of magnitude smaller than the corpus.  Dense integer ids
-    # make every downstream comparison (posting join, array_intersect
-    # verify) integer-cheap instead of string-cheap, and because id
-    # order == df order, sorting a set's ids IS the prefix ranking — the
-    # per-set row_number window disappears entirely.
+    # Dense integer ids make every downstream comparison (posting join,
+    # array_intersect verify) integer-cheap instead of string-cheap, and
+    # because id order == df order, sorting a set's ids IS the prefix
+    # ranking — the per-set row_number window disappears entirely.  The
+    # ranking itself is the distributed rank family (range partition +
+    # broadcast offsets): the vocabulary is much smaller than the corpus,
+    # but under Heaps' law a 100-TB corpus still has 10⁸–10⁹ distinct
+    # tokens — a global Window.orderBy would funnel them through ONE
+    # task.  (dfc, w) is unique per row, so global_rn == row_number.
     tok = dsets.select("sid", "n", F.explode("toks").alias("w"))
     dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("dfc"))
-    wdict = dfreq.select(
-        "w",
-        F.row_number().over(Window.orderBy("dfc", "w")).alias("wid"),
+    wdict = rank_family(dfreq, ["dfc", "w"]).select(
+        "w", F.col("global_rn").cast("int").alias("wid")
     )
     isets = (
         tok.join(F.broadcast(wdict), "w")
@@ -11876,8 +11877,15 @@ def q_ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full Xiao WWW'08 prefix/length/positional stack below takes over
     # (real corpora get there with SELECTIVE prefixes: Heaps' law makes
     # vocabulary grow with the corpus, unlike this fixture).
-    vocab_size = dfreq.count()
-    n_sets = dsets.count()
+    # one gate job, not two: every token row carries both ids, so a
+    # single aggregation yields vocabulary size AND distinct-set count
+    # (toks arrays are never empty — split("") is [""] — so every set
+    # has at least one posting row)
+    gate = tok.agg(
+        F.count_distinct("w").alias("v"),
+        F.count_distinct("sid").alias("s"),
+    ).first()
+    vocab_size, n_sets = gate["v"], gate["s"]
     n_words = (vocab_size + 63) // 64
     if n_sets * n_sets * n_words <= PPJOIN_BITSET_BUDGET:
         if n_words == 1:
@@ -12406,6 +12414,26 @@ def q_hierarchical_rollup_events(
     )
 
 
+def _finalize_stream_replay(spark: SparkSession, result: DataFrame,
+                            qname: str, work: str) -> DataFrame:
+    """Materialize a streaming-replay result, then release its scaffolding.
+
+    The memory-sink temp view and the replayed parquet under ``work``
+    back the lazy result plan, so they can only be dropped after an
+    EAGER localCheckpoint cuts that lineage.  Without this, every
+    driver rotation / repeated local run leaks a mkdtemp directory
+    (replay parquet + checkpoints) and a session-registered memory
+    table (ADVICE r5).
+    """
+    import shutil
+
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # The STREAMING lane's driver-facing row (T29): the events table is
 # replayed through a REAL Structured Streaming job — watermarked
 # 1-minute tumbling windows in append mode (streaming/rules_stream.py:
@@ -12468,10 +12496,14 @@ def q_streaming_minute_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     minutes = spark.table(qname).where(F.col("event_type") != "__flush__")
-    return reaggregate_minutes_to_day(minutes)
+    return _finalize_stream_replay(
+        spark, reaggregate_minutes_to_day(minutes), qname, work
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -16174,9 +16206,11 @@ def q_streaming_run_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
-    return spark.table(qname)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return _finalize_stream_replay(spark, spark.table(qname), qname, work)
 
 
 # ---------------------------------------------------------------------------
@@ -16414,9 +16448,13 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
-    return spark.table(qname).where(F.col("user_id") != -1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return _finalize_stream_replay(
+        spark, spark.table(qname).where(F.col("user_id") != -1), qname, work
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -18672,14 +18710,17 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
-    return spark.table(qname).groupBy("error_id").agg(
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    result = spark.table(qname).groupBy("error_id").agg(
         F.count(F.lit(1)).alias("n_purchases"),
         F.round(
             F.sum(quantized(F.col("value"), 2)).cast("double") / 100.0, 2
         ).alias("purchase_value"),
     )
+    return _finalize_stream_replay(spark, result, qname, work)
 
 
 # ---------------------------------------------------------------------------
@@ -18735,10 +18776,11 @@ DRIVER_REVERIFY: dict[str, int] = {
     # round 3: sorted_values serialized as a decimal-string join (raw
     # array<double> broke the driver's pandas canonicalizer in r02)
     "array_functions_per_user": 3,
-    # round 5: adaptive bitmask fast path for machine-word vocabularies
-    # (28.8 s -> 2.9 s at sf0.1, same answers) — the r04 green row no
-    # longer vouches for the executed code path
-    "ppjoin_jaccard_pairs": 5,
+    # round 6: token dictionary re-ranked via the distributed rank
+    # family (was a single-partition row_number window) and the gate
+    # collapsed to one aggregation — the r05 green row no longer
+    # vouches for the executed code path
+    "ppjoin_jaccard_pairs": 6,
     # round 5: DTW kernel vectorized over anti-diagonals (bit-equal by
     # fuzz + oracle, but a new kernel) — dtw was never driver-green, so
     # rotation covers it; listed here for the same-code-path principle

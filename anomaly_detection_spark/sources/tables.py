@@ -49,13 +49,18 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     # (Spark-written datasets, prod date-partitioned tables) sniff the
     # schema from one part file — all parts share it by construction.
     if os.path.isdir(path):
+        # recursive: hive-partitioned layouts (events.parquet/day=.../
+        # part-*.parquet) keep part files below the top level
+        import glob as _glob
+
         parts = sorted(
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
+            _glob.glob(os.path.join(_glob.escape(path), "**", "*.parquet"),
+                       recursive=True)
         )
         if not parts:
-            return ()
+            raise FileNotFoundError(
+                f"no *.parquet part files under directory {path!r}"
+            )
         path = parts[0]
     st = os.stat(path)
     return _nanos_timestamp_cols_cached(path, st.st_mtime_ns, st.st_size)

@@ -21,7 +21,8 @@ from anomaly_detection_spark import queries as reg
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: the two detection engines + one exemplar per operator
-# paradigm (~120 members in r5).  r03's instability at a similar size
+# paradigm (exact count = len(BENCH_QUERIES); the JSON line reports it
+# as n_queries).  r03's instability at a similar size
 # was the tail-buffer protocol bug plus one quadratic-output member
 # (ppjoin's 7.1M-row answer cost 145 s alone), both fixed since: the
 # stdout line is compact, every member's output is bounded and

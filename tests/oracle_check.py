@@ -38,8 +38,18 @@ def _rowset(rows, colnames):
 
 def _view_path(p: str) -> str:
     """Spark-written datasets are DIRECTORIES of part files; DuckDB
-    needs a glob for those."""
-    return os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+    needs a glob for those.  Recursive so hive-partitioned layouts
+    (day=.../part-*.parquet) resolve too, and loud if the glob would
+    create a view over zero files (a silent empty oracle otherwise)."""
+    if not os.path.isdir(p):
+        return p
+    import glob as _glob
+
+    pattern = os.path.join(p, "**", "*.parquet")
+    if not _glob.glob(os.path.join(_glob.escape(p), "**", "*.parquet"),
+                      recursive=True):
+        raise FileNotFoundError(f"no *.parquet part files under {p!r}")
+    return pattern
 
 
 def run_oracle(sql: str, sf_dir: str):
