@@ -11,10 +11,16 @@ specs are simple enough to implement exactly are decoded for REAL:
 - **WAV** (RIFF PCM): 8-bit unsigned / 16-bit signed PCM, any channel
   count, chunk walking (skips LIST/fact/etc.) — ``decode_wav`` /
   ``encode_wav``.
+- **PNG** (non-interlaced, 8-bit gray/RGB/gray+alpha/RGBA): the
+  compression is stdlib ``zlib`` (PNG's DEFLATE is exactly zlib), so
+  the only real codec work is the per-scanline unfilter (None/Sub/Up/
+  Average/Paeth) — ``decode_png`` / ``encode_png``, with chunk CRC
+  verification.
 
-``sniff_and_decode`` dispatches on magic bytes; compressed formats
-(JPEG/PNG/MP3/H.264) stay behind the stub boundary in
-``pipeline/multimodal.py`` — those genuinely need codec libraries.
+``sniff_and_decode`` dispatches on magic bytes; the remaining
+compressed formats (JPEG/MP3/H.264) stay behind the stub boundary in
+``pipeline/multimodal.py`` — those genuinely need codec libraries
+(DCT/entropy coders), unlike PNG whose DEFLATE ships in the stdlib.
 
 Everything here is per-row driver/executor-local math invoked from
 Arrow-batched ``mapInPandas`` kernels; nothing touches the Spark plan,
@@ -226,6 +232,163 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
+# PNG (non-interlaced, bit depth 8; color types 0/2/4/6)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> channel count (3 = palette, rejected explicitly)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(blob: bytes):
+    """Yield (type, data) chunks, verifying each CRC-32 (over type+data,
+    per the spec) — a corrupt stream fails loudly, never decodes wrong."""
+    import zlib
+
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(blob):
+        (size,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4:pos + 8]
+        data = blob[pos + 8:pos + 8 + size]
+        if len(data) < size or pos + 12 + size > len(blob):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", blob, pos + 8 + size)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        pos += 12 + size
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG stream ended without IEND")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filtering: ``raw`` is h rows of (1 filter byte
+    + stride pixel bytes).  Up/Average/None vectorize across the row;
+    Sub/Paeth carry a left-neighbor dependency, so they walk the row in
+    ``bpp``-wide numpy slices (one python iteration per PIXEL COLUMN,
+    vectorized over channels) — exact uint8 modular arithmetic
+    throughout, as the spec requires."""
+    raw = raw.reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].copy()
+        prev = out[y - 1] if y else zero_row
+        if ftype == 0:
+            out[y] = line
+        elif ftype == 1:  # Sub
+            for x in range(0, stride, bpp):
+                if x:
+                    line[x:x + bpp] += line[x - bpp:x]
+            out[y] = line
+        elif ftype == 2:  # Up
+            out[y] = line + prev
+        elif ftype == 3:  # Average: left is sequential, up is not
+            for x in range(0, stride, bpp):
+                left = line[x - bpp:x].astype(np.uint16) if x else 0
+                avg = (left + prev[x:x + bpp].astype(np.uint16)) >> 1
+                line[x:x + bpp] += avg.astype(np.uint8)
+            out[y] = line
+        elif ftype == 4:  # Paeth
+            for x in range(0, stride, bpp):
+                a = line[x - bpp:x] if x else zero_row[:bpp]
+                b = prev[x:x + bpp]
+                c = prev[x - bpp:x] if x else zero_row[:bpp]
+                pred = np.fromiter(
+                    (_paeth(int(ai), int(bi), int(ci))
+                     for ai, bi, ci in zip(a, b, c)),
+                    dtype=np.uint8, count=bpp,
+                )
+                line[x:x + bpp] += pred
+            out[y] = line
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+    return out
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit PNG to (H, W, channels) uint8
+    (channels per color type: gray 1, RGB 3, gray+alpha 2, RGBA 4).
+
+    Rejects interlaced (Adam7), palette, and 16-bit images explicitly —
+    the formats that would need resampling policy decisions — rather
+    than misreading them.
+    """
+    import zlib
+
+    if blob[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    ihdr, idat = None, []
+    for ctype, data in _png_chunks(blob):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"{depth}-bit PNG not supported")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"palette/unknown PNG color type {color}")
+    if comp != 0 or filt != 0:
+        raise ValueError("non-standard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    if w <= 0 or h <= 0:
+        raise ValueError("degenerate PNG dimensions")
+    nch = _PNG_CHANNELS[color]
+    stride = w * nch
+    raw = np.frombuffer(
+        zlib.decompress(b"".join(idat)), dtype=np.uint8
+    )
+    if raw.size != h * (1 + stride):
+        raise ValueError("PNG pixel data size mismatch")
+    px = _png_unfilter(raw, h, stride, nch)
+    return px.reshape(h, w, nch).copy()
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode (H, W) or (H, W, {1,2,3,4}) uint8 as a minimal PNG
+    (bit depth 8, filter 0 on every scanline, one IDAT)."""
+    import zlib
+
+    if img.dtype != np.uint8:
+        raise ValueError("encode_png expects uint8")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.ndim != 3 or img.shape[2] not in (1, 2, 3, 4):
+        raise ValueError("encode_png expects (H, W, {1,2,3,4})")
+    h, w, nch = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    rows = np.zeros((h, 1 + w * nch), dtype=np.uint8)
+    rows[:, 1:] = np.ascontiguousarray(img).reshape(h, w * nch)
+    idat = zlib.compress(rows.tobytes(), 6)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
@@ -233,6 +396,8 @@ def sniff_media_type(blob: bytes) -> str | None:
     """Identify a decodable payload by magic bytes; None if unknown."""
     if blob[:2] == b"BM":
         return "image/bmp"
+    if blob[: len(_PNG_SIG)] == _PNG_SIG:
+        return "image/png"
     if blob[:2] == b"P6":
         return "image/x-portable-pixmap"
     if blob[:2] == b"P5":
@@ -249,6 +414,14 @@ def sniff_and_decode_image(blob: bytes) -> np.ndarray | None:
     kind = sniff_media_type(blob)
     if kind == "image/bmp":
         return decode_bmp(blob)
+    if kind == "image/png":
+        px = decode_png(blob)
+        nch = px.shape[2]
+        if nch == 1:
+            return np.repeat(px, 3, axis=2)
+        if nch == 2:  # gray+alpha: gray replicated, alpha dropped
+            return np.repeat(px[:, :, :1], 3, axis=2)
+        return np.ascontiguousarray(px[:, :, :3])  # RGB(A), alpha dropped
     if kind == "image/x-portable-pixmap":
         return decode_ppm(blob)
     if kind == "image/x-portable-graymap":

@@ -95,7 +95,7 @@ def decode_stub(blob: bytes, fake: bool = False) -> np.ndarray:
         pass
     if not fake:
         raise NotImplementedError(
-            "only BMP/PPM/PGM/WAV decode without external codec "
+            "only BMP/PPM/PGM/PNG/WAV decode without external codec "
             "libraries; pass fake=True for the deterministic stub on "
             "other formats"
         )
@@ -131,14 +131,14 @@ def extract_features(
 
 
 def decode_image_stub(blob: bytes, fake: bool = False, size: int = 16) -> np.ndarray:
-    """Codec boundary for images.  BMP / PPM / PGM payloads are decoded
-    for REAL by the dependency-free ``pipeline.codecs`` module (magic-
-    byte sniffed, so a mixed column just works); compressed formats
-    (JPEG/PNG) genuinely need libjpeg/zlib-backed libraries this
-    container lacks — for those, ``fake=True`` expands the blob's
-    sha256 into a deterministic (size, size, 3) uint8 raster (stable
-    across runs/machines), so the REAL resize math downstream has real
-    pixels to chew on."""
+    """Codec boundary for images.  BMP / PPM / PGM / PNG payloads are
+    decoded for REAL by the dependency-free ``pipeline.codecs`` module
+    (magic-byte sniffed, so a mixed column just works; PNG via stdlib
+    zlib + the full unfilter stack); JPEG genuinely needs a libjpeg-
+    backed DCT/entropy decoder this container lacks — for it,
+    ``fake=True`` expands the blob's sha256 into a deterministic
+    (size, size, 3) uint8 raster (stable across runs/machines), so the
+    REAL resize math downstream has real pixels to chew on."""
     try:
         real = codecs.sniff_and_decode_image(bytes(blob))
         if real is not None:
@@ -147,8 +147,9 @@ def decode_image_stub(blob: bytes, fake: bool = False, size: int = 16) -> np.nda
         real = None  # sniffed magic but unparseable: treat as opaque
     if not fake:
         raise NotImplementedError(
-            "only BMP/PPM/PGM decode without external codec libraries; "
-            "pass fake=True for the deterministic stub on other formats"
+            "only BMP/PPM/PGM/PNG decode without external codec "
+            "libraries; pass fake=True for the deterministic stub on "
+            "other formats (JPEG needs libjpeg)"
         )
     need = size * size * 3
     out = bytearray()

@@ -5344,6 +5344,68 @@ def q_frame_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL PNG encode->decode in the Spark plan (SURVEY §2.15, r5 verdict
+# item 5): each document deterministically becomes a 4x4 grayscale
+# raster (its md5 digest bytes), is encoded to a spec-complete PNG
+# (pipeline/codecs.py:encode_png — stdlib zlib DEFLATE + CRC chunks)
+# and decoded back (decode_png: inflate + scanline unfilter) inside one
+# Arrow-batched mapInPandas — shuffle-free, partition-preserving, the
+# exact shape a 100-TB image-normalization pass has.  The oracle cannot
+# run a codec, so it pins the pipeline the round-trip-identity way: the
+# decoded pixel sum must equal the md5-byte sum DuckDB computes
+# directly from the hex digest, and the identity predicate rides along
+# as data (theorem-as-data, the r5 pattern).
+# ---------------------------------------------------------------------------
+
+@register("png_roundtrip_media", """
+WITH h AS (
+    SELECT doc_id, md5(text) AS hx FROM documents
+)
+SELECT doc_id,
+       CAST(list_sum([
+           (strpos('0123456789abcdef', substr(hx, 2 * i - 1, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(hx, 2 * i, 1)) - 1
+           for i in range(1, 17)
+       ]) AS BIGINT) AS pixel_sum,
+       CAST(16 AS INT) AS n_pixels,
+       TRUE AS roundtrip_ok
+FROM h
+""")
+def q_png_roundtrip_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from anomaly_detection_spark.pipeline.codecs import (
+            decode_png, encode_png,
+        )
+
+        for pdf in batches:
+            ids, sums, ok = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raster = np.frombuffer(
+                    hashlib.md5(text.encode("utf-8")).digest(), np.uint8
+                ).reshape(4, 4)
+                img = decode_png(encode_png(raster))
+                ids.append(doc_id)
+                sums.append(int(img.sum()))
+                ok.append(bool(np.array_equal(img[:, :, 0], raster)))
+            yield pd.DataFrame({
+                "doc_id": ids, "pixel_sum": sums,
+                "n_pixels": [16] * len(ids), "roundtrip_ok": ok,
+            })
+
+    return docs.mapInPandas(
+        run, "doc_id long, pixel_sum long, n_pixels int, roundtrip_ok boolean"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Two-sample Kolmogorov-Smirnov drift statistic: did the value
 # distribution shift between the first and second half of the window?
 # KS = max |EDF_a - EDF_b| over the pooled sample — computed with ONE
@@ -18724,6 +18786,201 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fifth streaming driver row (SURVEY §2.10, r5 verdict item 4): the
+# LEFT OUTER stream-stream interval join — "errors with NO purchase
+# within 30 min", where the ABSENCE of a match is the signal.  Unlike
+# the inner form, outer-null emission is watermark-gated (an unmatched
+# error may only emit once no future purchase can still fall inside its
+# interval), so each side replays as two micro-batches: the whole real
+# feed, then a far-future sentinel that advances the GLOBAL watermark
+# (min across both sources — hence a sentinel per side) and triggers
+# the no-data batch that flushes the outer nulls.  The sentinel pair
+# uses distinct user ids (-1/-2) so it cannot match itself, and the
+# sentinel error row is filtered before aggregation.  Oracle = the
+# batch LEFT-join law: zero-match errors emit n_purchases = 0 with a
+# NULL purchase_value in both engines (SUM over the empty set).
+# ---------------------------------------------------------------------------
+
+@register("streaming_left_interval_join_events", """
+SELECT e.event_id AS error_id,
+       count(p.event_id) AS n_purchases,
+       round(CAST(sum(CAST(round(p.value * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS purchase_value
+FROM events e
+LEFT JOIN events p
+  ON p.user_id = e.user_id AND p.event_type = 'purchase'
+ AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 30 MINUTE
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+""")
+def q_streaming_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from anomaly_detection_spark.streaming.joins import (
+        stream_interval_join_outer,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id",
+        F.col("ts").alias("e_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), "user_id",
+        F.col("ts").alias("p_ts"), "value",
+    )
+    work = tempfile.mkdtemp(prefix="stream_loj_")
+    e_src = os.path.join(work, "errors")
+    p_src = os.path.join(work, "purchases")
+    # micro-batch 0 per side: the whole real feed in ONE part file (no
+    # intra-feed watermark drops); micro-batch 1: the flush sentinel
+    errors.coalesce(1).write.parquet(os.path.join(e_src, "b0"))
+    purchases.coalesce(1).write.parquet(os.path.join(p_src, "b0"))
+    far = "2030-01-01 00:00:00"
+    spark.createDataFrame(
+        [(int(-1), int(-1), far)], "error_id long, user_id long, e_ts string"
+    ).select(
+        "error_id", "user_id", F.col("e_ts").cast("timestamp_ntz").alias("e_ts")
+    ).write.parquet(os.path.join(e_src, "b1"))
+    spark.createDataFrame(
+        [(int(-2), int(-2), far, 0.0)],
+        "p_event_id long, user_id long, p_ts string, value double",
+    ).select(
+        "p_event_id", "user_id",
+        F.col("p_ts").cast("timestamp_ntz").alias("p_ts"), "value",
+    ).write.parquet(os.path.join(p_src, "b1"))
+    e_stream = (
+        spark.readStream.schema(errors.schema)
+        .option("maxFilesPerTrigger", 1).parquet(e_src + "/*")
+    )
+    p_stream = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", 1).parquet(p_src + "/*")
+    )
+    joined = stream_interval_join_outer(
+        e_stream, p_stream, ["user_id"], "e_ts", "p_ts", 1800
+    ).select("error_id", "p_event_id", "value")
+    qname = "loj_" + uuid.uuid4().hex
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory").queryName(qname)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    result = (
+        spark.table(qname)
+        .where(F.col("error_id") != -1)
+        .groupBy("error_id")
+        .agg(
+            F.count("p_event_id").alias("n_purchases"),
+            F.round(
+                F.sum(quantized(F.col("value"), 2)).cast("double") / 100.0, 2
+            ).alias("purchase_value"),
+        )
+    )
+    return _finalize_stream_replay(spark, result, qname, work)
+
+
+# ---------------------------------------------------------------------------
+# Sixth streaming driver row (SURVEY §2.10): per-session CATEGORICAL
+# HISTOGRAMS closed by EVENT-TIME TIMERS — the arbitrary-stateful lane
+# `F.session_window` cannot express (per-session argmax over a
+# type→count map).  `streaming/rules_stream.py:stateful_session_histogram`
+# closes a session either when a later in-stream event reveals a gap
+# > 30 min, or when the WATERMARK passes last-event + gap
+# (GroupStateTimeout.EventTimeTimeout).  Event-time timers are
+# deterministic under availableNow replay (they fire on watermark
+# advancement, a pure function of the micro-batch layout) — unlike the
+# ProcessingTimeTimeout staleness monitor, which stays local-only
+# because wall-clock timers cannot replay deterministically.  Replay =
+# whole feed in one micro-batch, then a far-future sentinel whose own
+# (never-emitted, filtered) session flushes every real timer.  Oracle =
+# the batch sessionization law with a deterministic top-type tie-break
+# (max count, then lexicographic).
+# ---------------------------------------------------------------------------
+
+@register("streaming_session_histogram_events", """
+WITH gaps AS (
+    SELECT user_id, ts, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+    SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts)
+               AS sno
+    FROM gaps
+), tc AS (
+    SELECT user_id, sno, event_type, count(*) AS c
+    FROM sess GROUP BY 1, 2, 3
+), top AS (
+    SELECT user_id, sno, event_type AS top_type,
+           CAST(c AS BIGINT) AS top_count,
+           row_number() OVER (PARTITION BY user_id, sno
+                              ORDER BY c DESC, event_type ASC) AS rn
+    FROM tc
+), agg AS (
+    SELECT user_id, sno,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) AS TIMESTAMP) AS session_end,
+           count(*) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM sess GROUP BY 1, 2
+)
+SELECT a.user_id, a.session_start, a.session_end, a.n_events, a.n_types,
+       t.top_type, t.top_count
+FROM agg a
+JOIN top t ON a.user_id = t.user_id AND a.sno = t.sno AND t.rn = 1
+""")
+def q_streaming_session_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from anomaly_detection_spark.streaming.rules_stream import (
+        stateful_session_histogram,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_type"
+    )
+    work = tempfile.mkdtemp(prefix="stream_shist_")
+    src = os.path.join(work, "src")
+    ev.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    spark.createDataFrame(
+        [(int(-1), "2030-01-01 00:00:00", "__flush__")],
+        "user_id long, ts string, event_type string",
+    ).select(
+        "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "event_type"
+    ).write.parquet(os.path.join(src, "b1"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    qname = "shist_" + uuid.uuid4().hex
+    q = (
+        stateful_session_histogram(stream, "user_id", "ts", "event_type")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(qname)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    result = spark.table(qname).where(F.col("user_id") != -1)
+    return _finalize_stream_replay(spark, result, qname, work)
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
@@ -18798,6 +19055,11 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_run_length_events",
     "streaming_session_windows_events",
     "streaming_interval_join_events",
+    # -- r5 verdict item 4: the LEFT OUTER streaming lane's driver row,
+    # plus the event-time-timer stateful lane (the deterministic twin of
+    # the local-only ProcessingTimeTimeout staleness monitor) --
+    "streaming_left_interval_join_events",
+    "streaming_session_histogram_events",
     # -- the detector-completeness self-certification row --
     "dedup_detector_eval",
     # -- no CORRECTNESS_r01 row (registrations #51-80) --

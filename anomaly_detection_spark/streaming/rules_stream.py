@@ -367,6 +367,15 @@ def staleness_monitor(
     a key goes quiet for ``stale_after_seconds`` of processing time,
     the timeout fires and a stale alert row is emitted. New data for
     the key clears the alert (emits a recovery row).
+
+    Deliberately LOCAL-ONLY (no driver/oracle row): ProcessingTimeTimeout
+    fires on WALL-CLOCK time, so an availableNow replay cannot reproduce
+    its emissions deterministically — which rows appear depends on how
+    long the replay takes.  The state-machine transitions are instead
+    unit-tested against a fake GroupState (`_make_staleness_update` is
+    module-level for exactly this), and the deterministic twin of this
+    lane — event-time timers, which fire on watermark advancement — owns
+    a real driver row (`streaming_session_histogram_events`).
     """
     out_schema = (
         f"{key} long, alert string, last_seen timestamp_ntz, "

@@ -186,3 +186,121 @@ def test_extract_features_real_bmp_payloads(spark):
     for i, img in imgs.items():
         expect = img.astype(np.float64).mean(axis=(0, 1)) / 255.0
         assert rows[i].features[:3] == pytest.approx(list(expect))
+
+
+# --- PNG ---------------------------------------------------------------------
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _hand_png(w, h, color, scanlines: bytes, depth=8, interlace=0) -> bytes:
+    """Assemble a PNG from the spec (NOT with encode_png): signature,
+    IHDR, one IDAT holding the zlib-compressed filtered scanlines."""
+    import zlib
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(scanlines))
+            + _png_chunk(b"IEND", b""))
+
+
+def _ref_unfilter(scanlines, h, stride, bpp):
+    """Independent scalar reference unfilter (pure-python ints, spec
+    pseudocode transcription) — shares no code with the numpy kernel."""
+    out = []
+    for y in range(h):
+        row = list(scanlines[y * (1 + stride) + 1:(y + 1) * (1 + stride)])
+        ft = scanlines[y * (1 + stride)]
+        recon = []
+        for x in range(stride):
+            a = recon[x - bpp] if x >= bpp else 0
+            b = out[y - 1][x] if y else 0
+            c = out[y - 1][x - bpp] if (y and x >= bpp) else 0
+            if ft == 0:
+                v = row[x]
+            elif ft == 1:
+                v = row[x] + a
+            elif ft == 2:
+                v = row[x] + b
+            elif ft == 3:
+                v = row[x] + ((a + b) >> 1)
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = row[x] + pr
+            recon.append(v & 0xFF)
+        out.append(recon)
+    return np.array(out, dtype=np.uint8)
+
+
+def test_png_roundtrip_all_channel_counts():
+    for nch in (1, 2, 3, 4):
+        img = _rng(nch).integers(0, 256, (5, 4, nch), dtype=np.uint8)
+        out = codecs.decode_png(codecs.encode_png(img))
+        assert np.array_equal(out, img), f"nch={nch}"
+
+
+def test_png_all_five_filter_types_match_scalar_reference():
+    # 5 rows x 4 px RGB, one row per filter type, random filtered bytes:
+    # the numpy unfilter must agree with the spec-pseudocode reference
+    w, h, bpp = 4, 5, 3
+    stride = w * bpp
+    rng = _rng(99)
+    scan = bytearray()
+    for ft in (0, 1, 2, 3, 4):
+        scan.append(ft)
+        scan += bytes(rng.integers(0, 256, stride, dtype=np.uint8))
+    blob = _hand_png(w, h, 2, bytes(scan))
+    got = codecs.decode_png(blob)
+    want = _ref_unfilter(bytes(scan), h, stride, bpp).reshape(h, w, bpp)
+    assert np.array_equal(got, want)
+
+
+def test_png_golden_hand_built_sub_filter():
+    # 1 row, 3 RGB pixels, Sub filter: raw (10,20,30 | 5,6,7 | 250,250,250)
+    # -> recon (10,20,30 | 15,26,37 | 9,20,31)  (mod-256 on the last)
+    scan = bytes([1, 10, 20, 30, 5, 6, 7, 250, 250, 250])
+    img = codecs.decode_png(_hand_png(3, 1, 2, scan))
+    assert img.tolist() == [[[10, 20, 30], [15, 26, 37], [9, 20, 31]]]
+
+
+def test_png_rejections():
+    img = _rng(1).integers(0, 256, (2, 2, 3), dtype=np.uint8)
+    good = codecs.encode_png(img)
+    # corrupt one IDAT byte: CRC check must fire
+    bad = bytearray(good)
+    bad[45] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        codecs.decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="interlaced"):
+        codecs.decode_png(_hand_png(2, 1, 2, bytes(7), interlace=1))
+    with pytest.raises(ValueError, match="16-bit"):
+        codecs.decode_png(_hand_png(2, 1, 2, bytes(13), depth=16))
+    with pytest.raises(ValueError, match="palette"):
+        codecs.decode_png(_hand_png(2, 1, 3, bytes(3)))
+    with pytest.raises(ValueError, match="size mismatch"):
+        codecs.decode_png(_hand_png(3, 2, 2, bytes(5)))
+
+
+def test_png_sniff_and_rgb_normalization():
+    gray = _rng(2).integers(0, 256, (3, 3), dtype=np.uint8)
+    blob = codecs.encode_png(gray)
+    assert codecs.sniff_media_type(blob) == "image/png"
+    rgb = codecs.sniff_and_decode_image(blob)
+    assert rgb.shape == (3, 3, 3)
+    assert np.array_equal(rgb[:, :, 0], gray)
+    assert np.array_equal(rgb[:, :, 1], gray)
+    rgba = _rng(3).integers(0, 256, (2, 2, 4), dtype=np.uint8)
+    out = codecs.sniff_and_decode_image(codecs.encode_png(rgba))
+    assert np.array_equal(out, rgba[:, :, :3])  # alpha dropped
+
+
+def test_png_feeds_real_feature_path():
+    img = _rng(4).integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    f = multimodal.decode_stub(codecs.encode_png(img), fake=False)
+    expect = img.astype(np.float64).mean(axis=(0, 1)) / 255.0
+    assert f[:3] == pytest.approx(list(expect))

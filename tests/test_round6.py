@@ -102,6 +102,25 @@ def test_ppjoin_gate_agrees_with_bitset_on_heaps_corpus(spark):
 
 
 # ---------------------------------------------------------------------------
+# New streaming driver rows (r5 verdict item 4)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_left_interval_join_matches_batch_law(spark, sf_dir):
+    name = "streaming_left_interval_join_events"
+    out = reg.QUERIES[name](spark, sf_dir)
+    # zero-match errors must be present (the whole point of LEFT OUTER)
+    assert out.where("n_purchases = 0").count() > 0
+    assert not compare(out, reg.ORACLES[name], sf_dir)
+
+
+def test_streaming_session_histogram_event_time_timers(spark, sf_dir):
+    name = "streaming_session_histogram_events"
+    out = reg.QUERIES[name](spark, sf_dir)
+    assert not compare(out, reg.ORACLES[name], sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # Hive-partitioned directory layouts
 # ---------------------------------------------------------------------------
 
