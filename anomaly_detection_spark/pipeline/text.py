@@ -334,9 +334,12 @@ def quality_classifier(
     t = F.col(text_col)
     toks = F.split(F.trim(t), r"\s+")
     n_toks = F.size(toks)
+    # greatest(len, 1): an empty document has punct_ratio 0, not a
+    # divide-by-zero (ANSI Spark) / NULL (DuckDB) — found by the r6
+    # adversarial empty-text fixture
     punct = F.round(
         (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("double")
-        / F.length(t), 4,
+        / F.greatest(F.length(t), F.lit(1)), 4,
     )
     stop = F.round(
         F.size(F.filter(toks, lambda x: F.lower(x).isin(*_LANG_MARKERS["en"])))

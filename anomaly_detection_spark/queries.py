@@ -3926,7 +3926,7 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH f AS (
     SELECT doc_id,
            round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
-                 / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+                 / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS punct_ratio,
            round(len(list_filter(string_split_regex(trim(text), '\\s+'),
                                  t -> lower(t) IN ('the','and','of','to','a')))
                  / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 4)
@@ -14194,7 +14194,9 @@ firsts AS (
     FROM toks t JOIN dr USING (doc_id) GROUP BY t.tok
 ),
 checkpoints AS (
-    SELECT CAST((j * nd + 9) // 10 AS BIGINT) AS k
+    -- DISTINCT: for nd < 10 several deciles collapse to the same k;
+    -- duplicate checkpoints would double-weight those OLS points
+    SELECT DISTINCT CAST((j * nd + 9) // 10 AS BIGINT) AS k
     FROM (SELECT unnest([1,2,3,4,5,6,7,8,9,10]) AS j), docn
 ),
 heaps_pts AS (
@@ -14252,10 +14254,13 @@ def q_zipf_heaps_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("drank").alias("fr")
     )
     nd = docn.agg(F.count(F.lit(1)).alias("nd"))
+    # distinct: tiny corpora (nd < 10) collapse several deciles onto one
+    # k — without it the crossJoin would double-count those groups
     checkpoints = (
         spark.range(1, 11).select(F.col("id").alias("j"))
         .crossJoin(F.broadcast(nd))
         .select(F.expr("CAST((j * nd + 9) div 10 AS BIGINT)").alias("k"))
+        .distinct()
     )
     # V(k) at 10 checkpoints via ONE range join onto the firsts rollup
     # (10 rows broadcast against the token dictionary), no rescans
@@ -14857,7 +14862,7 @@ terms AS (
 )
 SELECT user_id,
        CAST(sum(c) AS BIGINT) AS n_transitions,
-       round(-CAST(sum(c * lq) AS DOUBLE) / sum(c) / 1000000.0, 4)
+       round(-CAST(sum(c * lq) AS DOUBLE) / sum(c) / 1000000.0, 4) + 0.0
            AS entropy_bits
 FROM terms GROUP BY user_id
 """)
@@ -14885,11 +14890,15 @@ def q_markov_entropy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return terms.groupBy("user_id").agg(
         F.sum("c").cast("long").alias("n_transitions"),
-        F.round(
+        # + 0.0 normalizes IEEE negative zero: a fully-deterministic
+        # chain has every lq = 0, and -(0.0) renders as "-0" in one
+        # engine's canon but "0" in the other's (found by the r6
+        # adversarial fixture's constant-value user)
+        (F.round(
             -F.sum(F.col("c") * F.col("lq")).cast("double")
             / F.sum("c") / 1000000.0,
             4,
-        ).alias("entropy_bits"),
+        ) + F.lit(0.0)).alias("entropy_bits"),
     )
 
 
@@ -15649,7 +15658,7 @@ def q_ndcg_dup_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH f AS (
     SELECT doc_id,
            round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
-                 / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+                 / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS punct_ratio,
            round(len(list_filter(string_split_regex(trim(text), '\\s+'),
                                  t -> lower(t) IN ('the','and','of','to','a')))
                  / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 4)
@@ -18368,7 +18377,7 @@ WITH p AS (
                1 / (1 + exp(-(1.0
                    - 4.0 * round((length(text) - length(regexp_replace(
                          text, '[^\\w\\s]', '', 'g')))
-                         / CAST(length(text) AS DOUBLE), 4)
+                         / CAST(greatest(length(text), 1) AS DOUBLE), 4)
                    + 3.0 * round(len(list_filter(
                          string_split_regex(trim(text), '\\s+'),
                          t -> lower(t) IN ('the','and','of','to','a')))
@@ -19038,6 +19047,11 @@ DRIVER_REVERIFY: dict[str, int] = {
     # collapsed to one aggregation — the r05 green row no longer
     # vouches for the executed code path
     "ppjoin_jaccard_pairs": 6,
+    # round 6: punct_ratio denominator guarded with greatest(len, 1)
+    # (empty-text ANSI divide-by-zero found by the adversarial fixture);
+    # values unchanged on every non-empty document, but the executed
+    # expression changed
+    "quality_classifier_docs": 6,
     # round 5: DTW kernel vectorized over anti-diagonals (bit-equal by
     # fuzz + oracle, but a new kernel) — dtw was never driver-green, so
     # rotation covers it; listed here for the same-code-path principle

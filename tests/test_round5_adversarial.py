@@ -99,6 +99,29 @@ ADVERSARIAL_EVENT_QUERIES = [
     "hbos_outlier_events",
     "negbin_dispersion_types",
     "gumbel_block_maxima",
+    # -- round-6 extension (verdict item 6): every statistical query
+    # with a degenerate regime (zero variance, all-ties, single-row
+    # groups, censored tails) through the REAL compare --
+    "wilson_ci_event_types",
+    "dickey_fuller_users",
+    "markov_stationary_types",
+    "markov_entropy_users",
+    "hazard_rate_conversion",
+    "lorenz_curve_users",
+    "wasserstein_value_drift",
+    "evt_pot_tail_fit",
+    "simpsons_paradox_audit",
+    "bh_fdr_user_anomalies",
+    "viterbi_burst_users",
+    "sax_symbols_users",
+    "hill_tail_index_events",
+    "bootstrap_mean_ci_events",
+    "dtw_distance_users",
+    "hits_user_type_engagement",
+    "kaplan_meier_conversion",
+    "markov_removal_attribution",
+    "streaming_left_interval_join_events",
+    "streaming_session_histogram_events",
 ]
 
 
@@ -106,6 +129,58 @@ def test_adversarial_events_differentials(spark):
     d = _adversarial_events_dir(spark)
     fails = {}
     for name in ADVERSARIAL_EVENT_QUERIES:
+        try:
+            problems = compare(
+                reg.QUERIES[name](spark, d), reg.ORACLES[name], d
+            )
+        except Exception as exc:  # crash = red
+            problems = [repr(exc)[:200]]
+        if problems:
+            fails[name] = problems
+    assert not fails, fails
+
+
+def _adversarial_documents_dir(spark):
+    """Degenerate document shapes: empty text, single word, one word
+    repeated (zero entropy), an exact-duplicate family, whitespace-only,
+    unicode confusables, and a long doc — the regimes sf corpora and
+    their Zipf tails never pin down."""
+    docs = [
+        (1, "", "en", 0, "s"),
+        (2, "word", "en", 4, "s"),
+        (3, "same same same same same same same same", "en", 39, "s"),
+        (4, "alpha beta gamma delta epsilon", "en", 30, "s"),
+        (5, "alpha beta gamma delta epsilon", "en", 30, "s"),  # exact dup
+        (6, "alpha beta gamma delta epsilon", "en", 30, "s"),  # exact dup
+        (7, "   ", "en", 3, "s"),
+        (8, "Ω≈ç√∫ µ≤≥ ÷ Ω≈ç√∫", "xx", 17, "s"),
+        (9, " ".join(f"tok{i % 11}" for i in range(400)), "en", 2000, "s"),
+        (10, "One sentence. Two sentences here! And a third?", "en", 46, "s"),
+    ]
+    d = tempfile.mkdtemp()
+    _write(spark, d, "documents",
+           docs, "doc_id long, text string, lang string, n_chars long, "
+                 "source string")
+    return d
+
+
+ADVERSARIAL_DOCUMENT_QUERIES = [
+    "readability_docs",
+    "good_turing_vocab",
+    "zipf_heaps_corpus",
+    "gtest_collocations",
+    "borda_consensus_docs",
+    "brier_calibration_docs",
+    "roc_points_quality",
+    "woe_iv_quality_bins",
+    "png_roundtrip_media",
+]
+
+
+def test_adversarial_documents_differentials(spark):
+    d = _adversarial_documents_dir(spark)
+    fails = {}
+    for name in ADVERSARIAL_DOCUMENT_QUERIES:
         try:
             problems = compare(
                 reg.QUERIES[name](spark, d), reg.ORACLES[name], d
