@@ -42,10 +42,24 @@ EVAL_TS = "2024-02-01 00:00:00"
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# PPJoin's adaptive gate: all-pairs bitset verification is chosen while
-# n_distinct_sets² x bitset_words stays under this many word-ANDs;
-# beyond it the Xiao prefix stack takes over.  Module-level so tests
-# can force either physical path on small fixtures.
+# PPJoin's adaptive gate (both constants module-level so tests can
+# force either physical path on small fixtures):
+#
+# - PPJOIN_BITSET_MAX_VOCAB: the all-pairs bitset path is only
+#   considered while the vocabulary is SMALL.  Vocabulary size is the
+#   prefix-selectivity proxy: with few distinct tokens every set shares
+#   its rarest tokens with most others, the Xiao prefix stack
+#   degenerates toward all-pairs with a far costlier per-candidate
+#   verify, and machine-word popcounts win (10x measured at vocab<=64).
+#   On NATURAL Heaps-law corpora the r6 crossover probe
+#   (scripts/ppjoin_crossover_probe.py) showed the prefix stack already
+#   wins 3x at vocab 1750 / 3.4e7 word-ANDs and 33x at vocab 4500 /
+#   7.8e8 word-ANDs — raw work budget alone is the wrong discriminator,
+#   so the vocab cap gates first.
+# - PPJOIN_BITSET_BUDGET: secondary cap on the actual all-pairs work
+#   n_distinct_sets² x ceil(vocab/64) word-ANDs, bounding the broadcast
+#   nested loop even inside the small-vocab regime.
+PPJOIN_BITSET_MAX_VOCAB = 512
 PPJOIN_BITSET_BUDGET = 4_000_000_000
 
 QUERIES: dict[str, QueryFn] = {}
@@ -11934,12 +11948,13 @@ def q_ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # set becomes a fixed-width BITSET (``W = ceil(vocab/64)`` longs)
     # and the verify is Σ popcount(a[i] AND b[i]) over a broadcast
     # nested-loop of DISTINCT SETS (thousands, not docs): identical
-    # answers, integer-exact, whole-stage-codegen bit ops.  The gate is
-    # the actual all-pairs work n_sets²·W — past ~4e9 word-ANDs the
-    # full Xiao WWW'08 prefix/length/positional stack below takes over
-    # (real corpora get there with SELECTIVE prefixes: Heaps' law makes
-    # vocabulary grow with the corpus, unlike this fixture).
-    # one gate job, not two: every token row carries both ids, so a
+    # answers, integer-exact, whole-stage-codegen bit ops.  Gate order:
+    # vocabulary cap FIRST (prefix selectivity — the r6 crossover probe
+    # measured the Xiao stack beating the bitset BNLJ 3-33x on natural
+    # Heaps corpora at vocab >= ~1750, while the bitset wins 10x on
+    # small-vocab corpora where prefixes cannot be selective), then the
+    # word-AND work budget bounding the nested loop inside that regime.
+    # One gate job, not two: every token row carries both ids, so a
     # single aggregation yields vocabulary size AND distinct-set count
     # (toks arrays are never empty — split("") is [""] — so every set
     # has at least one posting row)
@@ -11949,7 +11964,8 @@ def q_ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     vocab_size, n_sets = gate["v"], gate["s"]
     n_words = (vocab_size + 63) // 64
-    if n_sets * n_sets * n_words <= PPJOIN_BITSET_BUDGET:
+    if (vocab_size <= PPJOIN_BITSET_MAX_VOCAB
+            and n_sets * n_sets * n_words <= PPJOIN_BITSET_BUDGET):
         if n_words == 1:
             # scalar machine word: plain AND+popcount beats a 1-element
             # array's HOF overhead ~3x
