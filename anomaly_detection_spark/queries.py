@@ -19006,6 +19006,422 @@ def q_streaming_session_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Benford first-digit audit (SURVEY §2.16 V11): the classic
+# fraud/data-quality screen — do purchase amounts follow Benford's law
+# log10(1 + 1/d)?  The leading digit of the exact cents integer is one
+# substring; per-digit observed shares, Benford expectations, and χ²
+# contributions all live on the integer ppm grid (quantized log10,
+# truncating division), so the audit is engine-exact.  One grouped
+# rollup + a 1-row broadcast total.
+# ---------------------------------------------------------------------------
+
+@register("benford_digit_audit", """
+WITH p AS (
+    SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase' AND value > 0
+), d AS (
+    SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+    FROM p
+), c AS (
+    SELECT digit, count(*) AS n FROM d GROUP BY digit
+), t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+e AS (
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           CAST(n * 1000000 // tot AS BIGINT) AS obs_ppm,
+           CAST(round(round(log10(1 + 1.0 / digit), 6) * 1000000, 0)
+                AS BIGINT) AS benford_ppm
+    FROM c, t
+)
+SELECT digit, n, obs_ppm, benford_ppm,
+       (obs_ppm - benford_ppm) * (obs_ppm - benford_ppm) // benford_ppm
+           AS chi_fp
+FROM e
+""")
+def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0)
+    ).select(quantized(F.col("value"), 2).alias("cents"))
+    c = p.select(
+        F.substring(F.col("cents").cast("string"), 1, 1).cast("int")
+        .alias("digit")
+    ).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").cast("long").alias("tot"))
+    e = c.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.expr("CAST(n * 1000000 div tot AS BIGINT)").alias("obs_ppm"),
+        F.round(
+            F.round(F.log10(1 + 1.0 / F.col("digit")), 6) * 1000000, 0
+        ).cast("long").alias("benford_ppm"),
+    )
+    return e.select(
+        "digit", "n", "obs_ppm", "benford_ppm",
+        F.expr(
+            "(obs_ppm - benford_ppm) * (obs_ppm - benford_ppm)"
+            " div benford_ppm"
+        ).alias("chi_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence of the event-type mix, first half vs second
+# half of the window (SURVEY §2.16 V12) — the symmetric, bounded drift
+# measure dashboards prefer over KL.  Each KL term reduces to a pure
+# INTEGER ratio: log2(p_i/m_i) = log2(2·a_i·n_b / (a_i·n_b + b_i·n_a)),
+# quantized to the 1e-6 grid and weighted by the integer count, so the
+# whole statistic is exact integer arithmetic + truncating division.
+# One grouped rollup; counts broadcast as a 1-row total.
+# ---------------------------------------------------------------------------
+
+@register("jensen_shannon_types", """
+WITH labeled AS (
+    SELECT event_type,
+           CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END
+               AS in_a
+    FROM events
+), c AS (
+    SELECT event_type,
+           CAST(sum(in_a) AS BIGINT) AS a,
+           CAST(sum(1 - in_a) AS BIGINT) AS b
+    FROM labeled GROUP BY event_type
+), t AS (
+    SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+    FROM c
+), terms AS (
+    SELECT a, b,
+           CASE WHEN a > 0 THEN a * CAST(round(round(
+               log2(CAST(2 * a * nb AS DOUBLE) / (a * nb + b * na)),
+               6) * 1000000, 0) AS BIGINT) ELSE 0 END AS wa,
+           CASE WHEN b > 0 THEN b * CAST(round(round(
+               log2(CAST(2 * b * na AS DOUBLE) / (a * nb + b * na)),
+               6) * 1000000, 0) AS BIGINT) ELSE 0 END AS wb
+    FROM c, t
+)
+SELECT (SELECT na FROM t) AS n_a,
+       (SELECT nb FROM t) AS n_b,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST((CAST(sum(wa) AS BIGINT) * 1000000
+             // (SELECT na FROM t)
+             + CAST(sum(wb) AS BIGINT) * 1000000
+             // (SELECT nb FROM t)) // 2000000 AS BIGINT) AS js_fp
+FROM terms
+""")
+def q_jensen_shannon_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    cutoff = ntz_lit("2024-01-16 00:00:00")
+    c = ev.select(
+        "event_type",
+        F.when(F.col("ts") < cutoff, 1).otherwise(0).alias("in_a"),
+    ).groupBy("event_type").agg(
+        F.sum("in_a").cast("long").alias("a"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("b"),
+    )
+    t = c.agg(
+        F.sum("a").cast("long").alias("na"),
+        F.sum("b").cast("long").alias("nb"),
+    )
+    qlog = lambda num, den: F.round(  # noqa: E731
+        F.round(F.log2(num.cast("double") / den), 6) * 1000000, 0
+    ).cast("long")
+    terms = c.crossJoin(F.broadcast(t)).select(
+        "na", "nb",
+        F.when(
+            F.col("a") > 0,
+            F.col("a") * qlog(
+                2 * F.col("a") * F.col("nb"),
+                F.col("a") * F.col("nb") + F.col("b") * F.col("na"),
+            ),
+        ).otherwise(F.lit(0)).alias("wa"),
+        F.when(
+            F.col("b") > 0,
+            F.col("b") * qlog(
+                2 * F.col("b") * F.col("na"),
+                F.col("a") * F.col("nb") + F.col("b") * F.col("na"),
+            ),
+        ).otherwise(F.lit(0)).alias("wb"),
+    )
+    return terms.groupBy("na", "nb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.expr(
+            "CAST((CAST(sum(wa) AS BIGINT) * 1000000 div na"
+            "      + CAST(sum(wb) AS BIGINT) * 1000000 div nb)"
+            "     div 2000000 AS BIGINT)"
+        ).alias("js_fp"),
+    ).select(
+        F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
+        "n_types", "js_fp",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t per event type, first half vs second half
+# (SURVEY §2.16 V13) — the workhorse two-sample mean test when variances
+# differ.  Means and variances come from exact integer moments on the
+# cents grid (DECIMAL(38,0) cross products, the ljung_box discipline);
+# t and the Welch–Satterthwaite df are each ONE shared double
+# expression over those identical integers, quantized sign-safely with
+# floor(x·1e4 + 0.5) in both engines.
+# ---------------------------------------------------------------------------
+
+@register("welch_t_drift_types", """
+WITH labeled AS (
+    SELECT event_type,
+           CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END
+               AS in_a,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events
+), m AS (
+    SELECT event_type, in_a,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS s,
+           sum(CAST(cents AS HUGEINT) * cents) AS s2
+    FROM labeled GROUP BY event_type, in_a
+), j AS (
+    SELECT a.event_type,
+           a.n AS na, b.n AS nb,
+           CAST(a.s AS DOUBLE) / a.n / 100.0 AS ma,
+           CAST(b.s AS DOUBLE) / b.n / 100.0 AS mb,
+           CAST(a.n * a.s2 - CAST(a.s AS HUGEINT) * a.s AS DOUBLE)
+               / (CAST(a.n AS DOUBLE) * (a.n - 1)) / 10000.0 AS va,
+           CAST(b.n * b.s2 - CAST(b.s AS HUGEINT) * b.s AS DOUBLE)
+               / (CAST(b.n AS DOUBLE) * (b.n - 1)) / 10000.0 AS vb
+    FROM m a JOIN m b ON a.event_type = b.event_type
+    WHERE a.in_a = 1 AND b.in_a = 0 AND a.n >= 2 AND b.n >= 2
+)
+SELECT event_type, na, nb,
+       CASE WHEN va / na + vb / nb > 0 THEN
+           floor((ma - mb) / sqrt(va / na + vb / nb) * 10000 + 0.5) / 10000
+       END AS welch_t,
+       CASE WHEN (va / na) * (va / na) / (na - 1)
+               + (vb / nb) * (vb / nb) / (nb - 1) > 0 THEN
+           floor((va / na + vb / nb) * (va / na + vb / nb)
+                 / ((va / na) * (va / na) / (na - 1)
+                    + (vb / nb) * (vb / nb) / (nb - 1)) * 10000 + 0.5)
+           / 10000
+       END AS welch_df
+FROM j
+""")
+def q_welch_t_drift_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    cutoff = ntz_lit("2024-01-16 00:00:00")
+    dec = "decimal(38,0)"
+    labeled = ev.select(
+        "event_type",
+        F.when(F.col("ts") < cutoff, 1).otherwise(0).alias("in_a"),
+        quantized(F.col("value"), 2).alias("cents"),
+    )
+    m = labeled.groupBy("event_type", "in_a").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents").cast(dec) * F.col("cents").cast(dec)).alias("s2"),
+    ).where(F.col("n") >= 2)
+    a = m.where(F.col("in_a") == 1).select(
+        "event_type", F.col("n").alias("na"), F.col("s").alias("sa"),
+        F.col("s2").alias("s2a"),
+    )
+    b = m.where(F.col("in_a") == 0).select(
+        "event_type", F.col("n").alias("nb"), F.col("s").alias("sb"),
+        F.col("s2").alias("s2b"),
+    )
+    j = a.join(b, "event_type")
+    var = lambda n, s, s2: (  # noqa: E731
+        (n.cast(dec) * s2 - s.cast(dec) * s.cast(dec)).cast("double")
+        / (n.cast("double") * (n - 1)) / 10000.0
+    )
+    ma = F.col("sa").cast("double") / F.col("na") / 100.0
+    mb = F.col("sb").cast("double") / F.col("nb") / 100.0
+    va = var(F.col("na"), F.col("sa"), F.col("s2a"))
+    vb = var(F.col("nb"), F.col("sb"), F.col("s2b"))
+    se2 = va / F.col("na") + vb / F.col("nb")
+    df_den = (
+        (va / F.col("na")) * (va / F.col("na")) / (F.col("na") - 1)
+        + (vb / F.col("nb")) * (vb / F.col("nb")) / (F.col("nb") - 1)
+    )
+    q4 = lambda x: F.floor(x * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return j.select(
+        "event_type", "na", "nb",
+        F.when(se2 > 0, q4((ma - mb) / F.sqrt(se2))).alias("welch_t"),
+        F.when(df_den > 0, q4(se2 * se2 / df_den)).alias("welch_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes shrinkage of per-user conversion rates (SURVEY §2.16
+# V14): the Stein/beta-binomial method-of-moments staple — noisy
+# small-sample rates shrink toward the population mean in proportion to
+# their evidence.  Raw rates live on the exact ppm grid (truncating
+# division); the prior strength κ = m(1−m)/v − 1 and the shrunk rate
+# (k + κm)/(n + κ) are shared double expressions over exact integer
+# moments (DECIMAL(38,0) cross products), floor-quantized to ppm.  Two
+# grouped rollups + a 1-row broadcast prior.
+# ---------------------------------------------------------------------------
+
+@register("eb_shrunk_conversion_users", """
+WITH u AS (
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS k
+    FROM events GROUP BY user_id
+), r AS (
+    SELECT user_id, n, k, CAST(k * 1000000 // n AS BIGINT) AS rate_ppm
+    FROM u
+), prior AS (
+    SELECT CAST(count(*) AS BIGINT) AS nu,
+           CAST(sum(rate_ppm) AS BIGINT) AS sr,
+           sum(CAST(rate_ppm AS HUGEINT) * rate_ppm) AS sr2
+    FROM r
+), pp AS (
+    SELECT nu,
+           CAST(sr AS DOUBLE) / nu / 1000000.0 AS m,
+           CAST(nu * sr2 - CAST(sr AS HUGEINT) * sr AS DOUBLE)
+               / (CAST(nu AS DOUBLE) * (nu - 1)) / 1000000000000.0 AS v
+    FROM prior
+)
+SELECT user_id, n, k, rate_ppm,
+       CASE WHEN v > 0 AND m * (1 - m) / v - 1 > 0 THEN
+           CAST(floor((k + (m * (1 - m) / v - 1) * m)
+                      / (n + (m * (1 - m) / v - 1)) * 1000000) AS BIGINT)
+       ELSE rate_ppm END AS shrunk_ppm
+FROM r, pp
+""")
+def q_eb_shrunk_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    dec = "decimal(38,0)"
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("k"),
+    )
+    r = u.select(
+        "user_id", "n", "k",
+        F.expr("CAST(k * 1000000 div n AS BIGINT)").alias("rate_ppm"),
+    )
+    prior = r.agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.sum("rate_ppm").cast("long").alias("sr"),
+        F.sum(
+            F.col("rate_ppm").cast(dec) * F.col("rate_ppm").cast(dec)
+        ).alias("sr2"),
+    )
+    m = F.col("sr").cast("double") / F.col("nu") / 1000000.0
+    v = (
+        (F.col("nu").cast(dec) * F.col("sr2")
+         - F.col("sr").cast(dec) * F.col("sr").cast(dec)).cast("double")
+        / (F.col("nu").cast("double") * (F.col("nu") - 1)) / 1.0e12
+    )
+    kappa = m * (1 - m) / v - 1
+    return r.crossJoin(F.broadcast(prior)).select(
+        "user_id", "n", "k", "rate_ppm",
+        F.when(
+            (v > 0) & (kappa > 0),
+            F.floor(
+                (F.col("k") + kappa * m) / (F.col("n") + kappa) * 1000000
+            ).cast("long"),
+        ).otherwise(F.col("rate_ppm")).alias("shrunk_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact Mann-Whitney AUC of the quality classifier (SURVEY §2.16 V15):
+# the single-number companion of `roc_points_quality` — AUC equals the
+# normalized rank-sum U, computed EXACTLY with doubled midranks so ties
+# need no floats: AUC_ppm = (Σ_pos 2R − n₁(n₁+1)) · 10⁶ div (2·n₁·n₀).
+# The cumulative window runs over the DISTINCT 4-dp score dictionary —
+# bounded by the 10⁴-point grid, not the corpus, so the single-task
+# sort is a ≤10 001-row constant at any scale (the documented
+# grid-bounded exception, unlike a corpus-sized window).
+# ---------------------------------------------------------------------------
+
+@register("auc_quality_classifier", """
+WITH f AS (
+    SELECT doc_id,
+           round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                 / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS punct_ratio,
+           round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                 t -> lower(t) IN ('the','and','of','to','a')))
+                 / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 4)
+               AS stopword_ratio,
+           round(1 - len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                 / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 4)
+               AS dup_token_frac,
+           round(ln(len(string_split_regex(trim(text), '\\s+'))), 4) AS logn,
+           CASE WHEN len(string_split(text, ' ')) >= 20
+                 AND round(CAST(length(text) AS DOUBLE)
+                           / len(string_split(text, ' ')), 4) BETWEEN 3 AND 12
+                THEN 1 ELSE 0 END AS y
+    FROM documents
+), p AS (
+    SELECT y,
+           CAST(round(round(1 / (1 + exp(-(1.0 - 4.0 * punct_ratio
+                                           + 3.0 * stopword_ratio
+                                           - 2.0 * dup_token_frac
+                                           + 0.25 * logn))), 4)
+                      * 10000, 0) AS BIGINT) AS p_fp
+    FROM f
+), d AS (
+    SELECT p_fp, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(y) AS BIGINT) AS pos
+    FROM p GROUP BY p_fp
+), cum AS (
+    SELECT p_fp, cnt, pos,
+           CAST(coalesce(sum(cnt) OVER (ORDER BY p_fp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS below
+    FROM d
+), s AS (
+    SELECT CAST(sum(pos * (2 * below + cnt + 1)) AS BIGINT) AS sum_dmid,
+           CAST(sum(pos) AS BIGINT) AS n1,
+           CAST(sum(cnt - pos) AS BIGINT) AS n0
+    FROM cum
+)
+SELECT n1 AS n_pos, n0 AS n_neg,
+       CAST((sum_dmid - n1 * (n1 + 1)) * 1000000 // (2 * n1 * n0)
+            AS BIGINT) AS auc_ppm
+FROM s
+""")
+def q_auc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.text import quality_classifier
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks_sp = F.split(F.col("text"), " ")
+    n_toks_sp = F.size(toks_sp)
+    avg_len = F.round(F.length("text").cast("double") / n_toks_sp, 4)
+    y = F.when((n_toks_sp >= 20) & avg_len.between(3, 12), 1).otherwise(0)
+    scored = quality_classifier(docs).select(
+        quantized(F.col("quality_score"), 4).alias("p_fp"), y.alias("y")
+    )
+    d = scored.groupBy("p_fp").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    # grid-bounded window: distinct 4-dp scores <= 10_001 rows at ANY
+    # corpus size — constant, not corpus-scaled (see docstring)
+    w = Window.orderBy("p_fp").rowsBetween(Window.unboundedPreceding, -1)
+    cum = d.select(
+        "cnt", "pos",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long")
+        .alias("below"),
+    )
+    s = cum.agg(
+        F.sum(
+            F.col("pos") * (2 * F.col("below") + F.col("cnt") + 1)
+        ).cast("long").alias("sum_dmid"),
+        F.sum("pos").cast("long").alias("n1"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("n0"),
+    )
+    return s.select(
+        F.col("n1").alias("n_pos"), F.col("n0").alias("n_neg"),
+        F.expr(
+            "CAST((sum_dmid - n1 * (n1 + 1)) * 1000000"
+            " div (2 * n1 * n0) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -168,6 +168,13 @@ BENCH_QUERIES = [
     "kruskal_wallis_types",
     "negbin_dispersion_types",
     "gumbel_block_maxima",
+    # round 6 additions — one exemplar per new paradigm
+    "benford_digit_audit",
+    "jensen_shannon_types",
+    "welch_t_drift_types",
+    "eb_shrunk_conversion_users",
+    "auc_quality_classifier",
+    "png_roundtrip_media",
     # mmr_select_embeddings stays OUT of the bench set: 8 sequential
     # argmax jobs are honest greedy-selection cost but pure job-launch
     # overhead at local bench scale (14 s of a 93 s total in the r04

@@ -122,6 +122,10 @@ ADVERSARIAL_EVENT_QUERIES = [
     "markov_removal_attribution",
     "streaming_left_interval_join_events",
     "streaming_session_histogram_events",
+    "benford_digit_audit",
+    "jensen_shannon_types",
+    "welch_t_drift_types",
+    "eb_shrunk_conversion_users",
 ]
 
 
@@ -174,6 +178,7 @@ ADVERSARIAL_DOCUMENT_QUERIES = [
     "roc_points_quality",
     "woe_iv_quality_bins",
     "png_roundtrip_media",
+    "auc_quality_classifier",
 ]
 
 
