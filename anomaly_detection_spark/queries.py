@@ -19006,6 +19006,81 @@ def q_streaming_session_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Seventh streaming driver row (SURVEY §2.10): CDC APPLY — the
+# streaming Debezium/binlog MERGE.  Events become a change stream
+# (errors are tombstones, everything else an upsert keyed by user with
+# event_id as the sequence) replayed as THREE micro-batches split by
+# event_id % 3 — so every batch delivers seqs both older and newer than
+# its neighbors, exercising the associative max-seq fold across
+# triggers, not just within one.  `streaming/ingest.py:make_cdc_apply`
+# folds each micro-batch into a version-stamped state table via
+# foreachBatch; `read_cdc_state` reads the newest version minus
+# tombstones.  Oracle = the batch current-state law (argmax event_id
+# per user, deletes hidden).
+# ---------------------------------------------------------------------------
+
+@register("streaming_cdc_state_events", """
+WITH c AS (
+    SELECT user_id, event_id,
+           CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           event_type,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events
+), r AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY event_id DESC) AS rn
+    FROM c
+)
+SELECT user_id, op, event_type, cents, event_id
+FROM r WHERE rn = 1 AND op <> 'D'
+""")
+def q_streaming_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from anomaly_detection_spark.streaming.ingest import (
+        make_cdc_apply, read_cdc_state,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    changes = ev.select(
+        "user_id", "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U")
+        .alias("op"),
+        "event_type",
+        quantized(F.col("value"), 2).alias("cents"),
+    )
+    work = tempfile.mkdtemp(prefix="stream_cdc_")
+    try:
+        src = os.path.join(work, "src")
+        for b in range(3):
+            changes.where(F.col("event_id") % 3 == b).coalesce(1)\
+                .write.parquet(os.path.join(src, f"b{b}"))
+        stream = (
+            spark.readStream.schema(changes.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        state_path = os.path.join(work, "state")
+        q = (
+            stream.writeStream
+            .foreachBatch(make_cdc_apply(state_path, ["user_id"], "event_id"))
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # eager localCheckpoint cuts lineage to the state parquet so the
+        # workdir can be removed (same hygiene as _finalize_stream_replay)
+        return read_cdc_state(spark, state_path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
 # Benford first-digit audit (SURVEY §2.16 V11): the classic
 # fraud/data-quality screen — do purchase amounts follow Benford's law
 # log10(1 + 1/d)?  The leading digit of the exact cents integer is one
@@ -19506,6 +19581,7 @@ DRIVER_PRIORITY: list[str] = [
     # the local-only ProcessingTimeTimeout staleness monitor) --
     "streaming_left_interval_join_events",
     "streaming_session_histogram_events",
+    "streaming_cdc_state_events",
     # -- the detector-completeness self-certification row --
     "dedup_detector_eval",
     # -- no CORRECTNESS_r01 row (registrations #51-80) --

@@ -122,6 +122,7 @@ ADVERSARIAL_EVENT_QUERIES = [
     "markov_removal_attribution",
     "streaming_left_interval_join_events",
     "streaming_session_histogram_events",
+    "streaming_cdc_state_events",
     "benford_digit_audit",
     "jensen_shannon_types",
     "welch_t_drift_types",
