@@ -68,6 +68,12 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        # a duplicate name would silently SHADOW the earlier (possibly
+        # driver-verified) implementation while its green row kept
+        # vouching for code that no longer runs — fail loudly instead
+        # (this bit round 6: a second `benford_digit_audit`)
+        if name in QUERIES:
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -19080,64 +19086,12 @@ def q_streaming_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-# ---------------------------------------------------------------------------
-# Benford first-digit audit (SURVEY §2.16 V11): the classic
-# fraud/data-quality screen — do purchase amounts follow Benford's law
-# log10(1 + 1/d)?  The leading digit of the exact cents integer is one
-# substring; per-digit observed shares, Benford expectations, and χ²
-# contributions all live on the integer ppm grid (quantized log10,
-# truncating division), so the audit is engine-exact.  One grouped
-# rollup + a 1-row broadcast total.
-# ---------------------------------------------------------------------------
-
-@register("benford_digit_audit", """
-WITH p AS (
-    SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents
-    FROM events WHERE event_type = 'purchase' AND value > 0
-), d AS (
-    SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
-    FROM p
-), c AS (
-    SELECT digit, count(*) AS n FROM d GROUP BY digit
-), t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
-e AS (
-    SELECT digit, CAST(n AS BIGINT) AS n,
-           CAST(n * 1000000 // tot AS BIGINT) AS obs_ppm,
-           CAST(round(round(log10(1 + 1.0 / digit), 6) * 1000000, 0)
-                AS BIGINT) AS benford_ppm
-    FROM c, t
-)
-SELECT digit, n, obs_ppm, benford_ppm,
-       (obs_ppm - benford_ppm) * (obs_ppm - benford_ppm) // benford_ppm
-           AS chi_fp
-FROM e
-""")
-def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
-    p = ev.where(
-        (F.col("event_type") == "purchase") & (F.col("value") > 0)
-    ).select(quantized(F.col("value"), 2).alias("cents"))
-    c = p.select(
-        F.substring(F.col("cents").cast("string"), 1, 1).cast("int")
-        .alias("digit")
-    ).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
-    tot = c.agg(F.sum("n").cast("long").alias("tot"))
-    e = c.crossJoin(F.broadcast(tot)).select(
-        "digit",
-        F.col("n").cast("long").alias("n"),
-        F.expr("CAST(n * 1000000 div tot AS BIGINT)").alias("obs_ppm"),
-        F.round(
-            F.round(F.log10(1 + 1.0 / F.col("digit")), 6) * 1000000, 0
-        ).cast("long").alias("benford_ppm"),
-    )
-    return e.select(
-        "digit", "n", "obs_ppm", "benford_ppm",
-        F.expr(
-            "(obs_ppm - benford_ppm) * (obs_ppm - benford_ppm)"
-            " div benford_ppm"
-        ).alias("chi_fp"),
-    )
-
+# (NOTE: a Benford first-digit audit has existed since round 3 —
+# `benford_digit_audit` above, queries.py:5497.  Round 6 initially
+# registered a duplicate under the same name, which would have silently
+# shadowed the driver-verified original; the duplicate was caught by a
+# registry-count check and removed.  Round 6 instead added the ORIGINAL
+# to the bench set and the adversarial events fixture.)
 
 # ---------------------------------------------------------------------------
 # Jensen-Shannon divergence of the event-type mix, first half vs second
