@@ -19094,6 +19094,198 @@ def q_streaming_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to the bench set and the adversarial events fixture.)
 
 # ---------------------------------------------------------------------------
+# Wald's SPRT per user (SURVEY §2.16 V17): the sequential A/B staple —
+# walk the log-likelihood ratio over each user's event stream (success
+# = purchase; H0: p=0.1 vs H1: p=0.25, α=β=0.05) and stop at the first
+# boundary crossing.  Both per-step increments and the ±ln19 boundaries
+# are 1e-6-quantized log literals computed by the SAME expression in
+# both engines; the walk is one cumulative window over the unique
+# (ts, event_id) order and the decision is an exact integer argmin.
+# ---------------------------------------------------------------------------
+
+@register("sprt_conversion_users", """
+WITH inc AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'purchase' THEN
+               CAST(round(round(ln(0.25 / 0.1), 6) * 1000000, 0) AS BIGINT)
+           ELSE
+               CAST(round(round(ln(0.75 / 0.9), 6) * 1000000, 0) AS BIGINT)
+           END AS step,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ
+    FROM events
+), walk AS (
+    SELECT user_id, succ, step,
+           row_number() OVER w AS t,
+           CAST(sum(step) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS llr
+    FROM inc WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), bound AS (
+    SELECT CAST(round(round(ln(19.0), 6) * 1000000, 0) AS BIGINT) AS a
+), crossing AS (
+    SELECT user_id, min(t) AS decision_t
+    FROM walk, bound WHERE llr >= a OR llr <= -a
+    GROUP BY user_id
+), final AS (
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(succ) AS BIGINT) AS k,
+           CAST(sum(step) AS BIGINT) AS llr_final_fp
+    FROM walk GROUP BY user_id
+)
+SELECT f.user_id, f.n_events, f.k, f.llr_final_fp,
+       CAST(c.decision_t AS BIGINT) AS decision_t,
+       CASE WHEN c.decision_t IS NULL THEN 'continue'
+            WHEN (SELECT w.llr FROM walk w
+                  WHERE w.user_id = f.user_id AND w.t = c.decision_t)
+                 >= (SELECT a FROM bound) THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision
+FROM final f LEFT JOIN crossing c ON f.user_id = c.user_id
+""")
+def q_sprt_conversion_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    qlit = lambda x: F.round(  # noqa: E731
+        F.round(F.log(F.lit(x)), 6) * 1000000, 0
+    ).cast("long")
+    l1, l0, a = qlit(0.25 / 0.1), qlit(0.75 / 0.9), qlit(19.0)
+    inc = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "purchase", l1).otherwise(l0)
+        .alias("step"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .alias("succ"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    walk = inc.select(
+        "user_id", "succ", "step",
+        F.row_number().over(w).alias("t"),
+        F.sum("step").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long").alias("llr"),
+    )
+    crossed = walk.where((F.col("llr") >= a) | (F.col("llr") <= -a))
+    # first crossing + its sign in ONE argmin (min struct(t, llr))
+    crossing = crossed.groupBy("user_id").agg(
+        F.min(F.struct("t", "llr")).alias("m")
+    ).select(
+        "user_id",
+        F.col("m.t").cast("long").alias("decision_t"),
+        F.col("m.llr").alias("llr_at_t"),
+    )
+    final = walk.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("succ").cast("long").alias("k"),
+        F.sum("step").cast("long").alias("llr_final_fp"),
+    )
+    return final.join(crossing, "user_id", "left").select(
+        "user_id", "n_events", "k", "llr_final_fp", "decision_t",
+        F.when(F.col("decision_t").isNull(), "continue")
+        .when(F.col("llr_at_t") >= a, "accept_h1")
+        .otherwise("accept_h0").alias("decision"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b per user (SURVEY §2.16 V18): rank correlation between
+# TIME ORDER and value — the distribution-free "is this user trending?"
+# statistic, robust where Pearson is not.  Per-user histories are
+# bounded, so the concordant-minus-discordant sum S = Σ_{i<j}
+# sign(v_j − v_i) is generated MAP-SIDE with nested array transforms
+# over the (ts, event_id)-sorted cents array (the hodges_lehmann
+# pattern: no self-join, no extra shuffle); value-tie corrections come
+# from one grouped rollup; tau_b = S / √((n0−n1)·n0) is one shared
+# double expression floor-quantized to 1e-6.
+# ---------------------------------------------------------------------------
+
+@register("kendall_tau_users", """
+WITH p AS (
+    SELECT user_id, ts, event_id,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events
+), arr AS (
+    SELECT user_id,
+           list(cents ORDER BY ts, event_id) AS a,
+           count(*) AS n
+    FROM p GROUP BY user_id
+), s AS (
+    SELECT user_id, n,
+           CAST(list_sum(flatten([
+               [CASE WHEN a[j] > a[i] THEN 1
+                     WHEN a[j] < a[i] THEN -1 ELSE 0 END
+                for j in range(i + 1, len(a) + 1)]
+               for i in range(1, len(a) + 1)
+           ])) AS BIGINT) AS cd
+    FROM arr WHERE n >= 2
+), ties AS (
+    SELECT user_id,
+           CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n1
+    FROM (SELECT user_id, cents, count(*) AS c FROM p
+          GROUP BY user_id, cents) g
+    GROUP BY user_id
+)
+SELECT s.user_id,
+       CAST(s.n AS BIGINT) AS n_events,
+       coalesce(s.cd, 0) AS s_stat,
+       t.n1 AS tie_pairs,
+       CASE WHEN s.n * (s.n - 1) // 2 - t.n1 > 0 THEN
+           floor(coalesce(s.cd, 0)
+                 / sqrt(CAST((s.n * (s.n - 1) // 2 - t.n1) AS DOUBLE)
+                        * (s.n * (s.n - 1) // 2)) * 1000000 + 0.5)
+           / 1000000
+       END AS tau_b
+FROM s JOIN ties t ON s.user_id = t.user_id
+""")
+def q_kendall_tau_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.select(
+        "user_id", "ts", "event_id", quantized(F.col("value"), 2).alias("cents")
+    )
+    arr = p.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "cents"))
+            ),
+            lambda x: x["cents"],
+        ).alias("a"),
+        F.count(F.lit(1)).alias("n"),
+    ).where(F.col("n") >= 2)
+    # S = Σ_{i<j} sign(a[j] - a[i]), map-side: for the 0-based i-th
+    # element x, the 1-based tail slice starts at i+2
+    s_expr = F.aggregate(
+        F.flatten(
+            F.transform(
+                "a",
+                lambda x, i: F.transform(
+                    F.slice(F.col("a"), i + 2, F.size("a") - i - 1),
+                    lambda y: F.when(y > x, 1).when(y < x, -1).otherwise(0),
+                ),
+            )
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    s = arr.select("user_id", "n", s_expr.alias("cd"))
+    ties = p.groupBy("user_id", "cents").agg(
+        F.count(F.lit(1)).alias("c")
+    ).groupBy("user_id").agg(
+        F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("n1")
+    )
+    n0 = F.expr("n * (n - 1) div 2")
+    denom_sq = (n0 - F.col("n1")).cast("double") * n0
+    return s.join(ties, "user_id").select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        F.coalesce(F.col("cd"), F.lit(0)).cast("long").alias("s_stat"),
+        F.col("n1").alias("tie_pairs"),
+        F.when(
+            n0 - F.col("n1") > 0,
+            F.floor(
+                F.col("cd") / F.sqrt(denom_sq) * 1000000 + F.lit(0.5)
+            ) / 1000000,
+        ).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Jensen-Shannon divergence of the event-type mix, first half vs second
 # half of the window (SURVEY §2.16 V12) — the symmetric, bounded drift
 # measure dashboards prefer over KL.  Each KL term reduces to a pure

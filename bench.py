@@ -175,6 +175,8 @@ BENCH_QUERIES = [
     "eb_shrunk_conversion_users",
     "auc_quality_classifier",
     "png_roundtrip_media",
+    "sprt_conversion_users",
+    "kendall_tau_users",
     # mmr_select_embeddings stays OUT of the bench set: 8 sequential
     # argmax jobs are honest greedy-selection cost but pure job-launch
     # overhead at local bench scale (14 s of a 93 s total in the r04

@@ -127,6 +127,8 @@ ADVERSARIAL_EVENT_QUERIES = [
     "jensen_shannon_types",
     "welch_t_drift_types",
     "eb_shrunk_conversion_users",
+    "sprt_conversion_users",
+    "kendall_tau_users",
 ]
 
 
