@@ -19286,6 +19286,147 @@ def q_kendall_tau_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cochran-Armitage trend test (SURVEY §2.16 V19): is conversion
+# MONOTONICALLY related to an ordered exposure?  Groups = four ordered
+# day-part buckets (hour div 6, scores 0..3), outcome = purchase.  The
+# statistic and its variance are closed forms over five exact integer
+# totals (N, R, Σsn, Σs²n, Σsr) — cross products in DECIMAL(38,0) —
+# and Z is one shared double expression, floor-quantized sign-safely.
+# ---------------------------------------------------------------------------
+
+@register("cochran_armitage_trend", """
+WITH b AS (
+    SELECT CAST(hour(ts) // 6 AS BIGINT) AS s,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+    FROM events
+), g AS (
+    SELECT s, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS r
+    FROM b GROUP BY s
+), t AS (
+    SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(r) AS BIGINT) AS rr,
+           CAST(sum(s * n) AS BIGINT) AS sn,
+           CAST(sum(s * s * n) AS BIGINT) AS s2n,
+           CAST(sum(s * r) AS BIGINT) AS sr
+    FROM g
+)
+SELECT nn AS n_events, rr AS n_success,
+       CAST(nn * sr - rr * sn AS BIGINT) AS t_num_fp,
+       CASE WHEN rr > 0 AND rr < nn
+             AND CAST(nn AS HUGEINT) * s2n - CAST(sn AS HUGEINT) * sn > 0
+       THEN
+           floor((CAST(nn AS DOUBLE) * sr - CAST(rr AS DOUBLE) * sn)
+                 / sqrt(CAST(rr AS DOUBLE) * (nn - rr)
+                        * CAST(CAST(nn AS HUGEINT) * s2n
+                               - CAST(sn AS HUGEINT) * sn AS DOUBLE) / nn)
+                 * 10000 + 0.5) / 10000
+       END AS z_trend
+FROM t
+""")
+def q_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    dec = "decimal(38,0)"
+    b = ev.select(
+        F.expr("CAST(hour(ts) div 6 AS BIGINT)").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    g = b.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("r"),
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("r").cast("long").alias("rr"),
+        F.sum(F.col("s") * F.col("n")).cast("long").alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n")).cast("long").alias("s2n"),
+        F.sum(F.col("s") * F.col("r")).cast("long").alias("sr"),
+    )
+    var_core = (
+        F.col("nn").cast(dec) * F.col("s2n").cast(dec)
+        - F.col("sn").cast(dec) * F.col("sn").cast(dec)
+    )
+    z = (
+        (F.col("nn").cast("double") * F.col("sr")
+         - F.col("rr").cast("double") * F.col("sn"))
+        / F.sqrt(
+            F.col("rr").cast("double") * (F.col("nn") - F.col("rr"))
+            * var_core.cast("double") / F.col("nn")
+        )
+    )
+    return t.select(
+        F.col("nn").alias("n_events"),
+        F.col("rr").alias("n_success"),
+        (F.col("nn").cast(dec) * F.col("sr").cast(dec)
+         - F.col("rr").cast(dec) * F.col("sn").cast(dec))
+        .cast("long").alias("t_num_fp"),
+        F.when(
+            (F.col("rr") > 0) & (F.col("rr") < F.col("nn"))
+            & (var_core > 0),
+            F.floor(z * 10000 + F.lit(0.5)) / 10000,
+        ).alias("z_trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MASE forecast evaluation (SURVEY §2.16 V20; Hyndman & Koehler 2006):
+# the scale-free forecast-accuracy standard — seasonal-naive (lag 7)
+# forecast error scaled by the in-sample naive (lag 1) error, per user
+# daily series.  Both MAEs are exact integer micro sums; MASE is one
+# truncating ppm division, so the eval is engine-exact with no floats
+# at all.
+# ---------------------------------------------------------------------------
+
+@register("mase_seasonal_naive_user", """
+WITH daily AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS micros
+    FROM events GROUP BY 1, 2
+), lagged AS (
+    SELECT user_id, micros,
+           lag(micros, 7) OVER w AS m7,
+           lag(micros, 1) OVER w AS m1
+    FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)
+), scored AS (
+    SELECT user_id,
+           abs(micros - m7) AS e7,
+           abs(micros - m1) AS e1
+    FROM lagged WHERE m7 IS NOT NULL
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_scored,
+       CAST(sum(e7) AS BIGINT) AS mae7_sum_fp,
+       CAST(sum(e1) AS BIGINT) AS mae1_sum_fp,
+       CASE WHEN sum(e1) > 0
+            THEN CAST(sum(e7) * 1000000 // sum(e1) AS BIGINT) END AS mase_ppm
+FROM scored GROUP BY user_id
+""")
+def q_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(quantized(F.col("value"), 6)).alias("micros"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    lagged = daily.select(
+        "user_id", "micros",
+        F.lag("micros", 7).over(w).alias("m7"),
+        F.lag("micros", 1).over(w).alias("m1"),
+    ).where(F.col("m7").isNotNull())
+    scored = lagged.select(
+        "user_id",
+        F.abs(F.col("micros") - F.col("m7")).alias("e7"),
+        F.abs(F.col("micros") - F.col("m1")).alias("e1"),
+    )
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.sum("e7").cast("long").alias("mae7_sum_fp"),
+        F.sum("e1").cast("long").alias("mae1_sum_fp"),
+        F.when(
+            F.sum("e1") > 0,
+            F.expr("CAST(sum(e7) * 1000000 div sum(e1) AS BIGINT)"),
+        ).alias("mase_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Jensen-Shannon divergence of the event-type mix, first half vs second
 # half of the window (SURVEY §2.16 V12) — the symmetric, bounded drift
 # measure dashboards prefer over KL.  Each KL term reduces to a pure

@@ -129,6 +129,8 @@ ADVERSARIAL_EVENT_QUERIES = [
     "eb_shrunk_conversion_users",
     "sprt_conversion_users",
     "kendall_tau_users",
+    "cochran_armitage_trend",
+    "mase_seasonal_naive_user",
 ]
 
 
