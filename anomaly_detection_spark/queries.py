@@ -19366,65 +19366,11 @@ def q_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# MASE forecast evaluation (SURVEY §2.16 V20; Hyndman & Koehler 2006):
-# the scale-free forecast-accuracy standard — seasonal-naive (lag 7)
-# forecast error scaled by the in-sample naive (lag 1) error, per user
-# daily series.  Both MAEs are exact integer micro sums; MASE is one
-# truncating ppm division, so the eval is engine-exact with no floats
-# at all.
-# ---------------------------------------------------------------------------
-
-@register("mase_seasonal_naive_user", """
-WITH daily AS (
-    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-           sum(CAST(round(value * 1000000, 0) AS BIGINT)) AS micros
-    FROM events GROUP BY 1, 2
-), lagged AS (
-    SELECT user_id, micros,
-           lag(micros, 7) OVER w AS m7,
-           lag(micros, 1) OVER w AS m1
-    FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)
-), scored AS (
-    SELECT user_id,
-           abs(micros - m7) AS e7,
-           abs(micros - m1) AS e1
-    FROM lagged WHERE m7 IS NOT NULL
-)
-SELECT user_id,
-       CAST(count(*) AS BIGINT) AS n_scored,
-       CAST(sum(e7) AS BIGINT) AS mae7_sum_fp,
-       CAST(sum(e1) AS BIGINT) AS mae1_sum_fp,
-       CASE WHEN sum(e1) > 0
-            THEN CAST(sum(e7) * 1000000 // sum(e1) AS BIGINT) END AS mase_ppm
-FROM scored GROUP BY user_id
-""")
-def q_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
-    daily = ev.groupBy(
-        "user_id", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.sum(quantized(F.col("value"), 6)).alias("micros"))
-    w = Window.partitionBy("user_id").orderBy("day")
-    lagged = daily.select(
-        "user_id", "micros",
-        F.lag("micros", 7).over(w).alias("m7"),
-        F.lag("micros", 1).over(w).alias("m1"),
-    ).where(F.col("m7").isNotNull())
-    scored = lagged.select(
-        "user_id",
-        F.abs(F.col("micros") - F.col("m7")).alias("e7"),
-        F.abs(F.col("micros") - F.col("m1")).alias("e1"),
-    )
-    return scored.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_scored"),
-        F.sum("e7").cast("long").alias("mae7_sum_fp"),
-        F.sum("e1").cast("long").alias("mae1_sum_fp"),
-        F.when(
-            F.sum("e1") > 0,
-            F.expr("CAST(sum(e7) * 1000000 div sum(e1) AS BIGINT)"),
-        ).alias("mase_ppm"),
-    )
-
+# (NOTE: MASE forecast evaluation has existed since round 3 —
+# `forecast_error_mase_user` above (queries.py:4515, event-grain lag-7
+# seasonal-naive vs lag-1 scaling).  Round 6 briefly added a daily-grain
+# variant, then removed it as paradigm-duplicative; the ORIGINAL joined
+# the adversarial events fixture instead.)
 
 # ---------------------------------------------------------------------------
 # Jensen-Shannon divergence of the event-type mix, first half vs second

@@ -178,7 +178,6 @@ BENCH_QUERIES = [
     "sprt_conversion_users",
     "kendall_tau_users",
     "cochran_armitage_trend",
-    "mase_seasonal_naive_user",
     # mmr_select_embeddings stays OUT of the bench set: 8 sequential
     # argmax jobs are honest greedy-selection cost but pure job-launch
     # overhead at local bench scale (14 s of a 93 s total in the r04

@@ -130,7 +130,7 @@ ADVERSARIAL_EVENT_QUERIES = [
     "sprt_conversion_users",
     "kendall_tau_users",
     "cochran_armitage_trend",
-    "mase_seasonal_naive_user",
+    "forecast_error_mase_user",
 ]
 
 
