@@ -53,6 +53,20 @@ def cosine_similarity(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def nonzero_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Drop zero-norm vectors BEFORE any cosine math.
+
+    A zero vector has no direction, so cosine similarity against it is
+    undefined — ANSI Spark raises DIVIDE_BY_ZERO and DuckDB's
+    list_cosine_similarity quietly returns -1.0, so no shared value
+    exists to agree on.  At 100 TB zero embeddings are routine (failed
+    encoder calls, padding rows), so every similarity operator excludes
+    them at ingest; oracles carry the matching
+    ``WHERE list_dot_product(e, e) > 0``.  (Found by the r6 adversarial
+    zero-vector fixture: 9 operators crashed.)"""
+    return df.where(_dot(F.col(vec_col), F.col(vec_col)) > 0)
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,

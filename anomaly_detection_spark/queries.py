@@ -998,14 +998,18 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register("cosine_topk_embeddings", """
-WITH q AS (
+WITH nz AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+),
+q AS (
     SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
-    FROM embeddings WHERE vec_id IN (0, 1, 2)
+    FROM nz WHERE vec_id IN (0, 1, 2)
 ),
 scored AS (
     SELECT q.query_id, e.vec_id,
            round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6) AS cosine
-    FROM embeddings e CROSS JOIN q
+    FROM nz e CROSS JOIN q
 )
 SELECT query_id, vec_id, cosine,
        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id)
@@ -1014,8 +1018,10 @@ FROM scored
 QUALIFY rank <= 5
 """)
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from anomaly_detection_spark.pipeline.similarity import brute_force_topk
-    emb = load_table(spark, "embeddings", sf_dir)
+    from anomaly_detection_spark.pipeline.similarity import (
+        brute_force_topk, nonzero_vectors,
+    )
+    emb = nonzero_vectors(load_table(spark, "embeddings", sf_dir))
     q = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1654,10 +1660,13 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register("ivf_topk_embeddings", """
-WITH aug AS (
-    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+WITH nz AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+), aug AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM nz
     UNION ALL
-    SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
+    SELECT vec_id + 1000000, embedding::DOUBLE[] FROM nz
 ), probes AS (
     SELECT vec_id AS query_id, v FROM aug WHERE vec_id IN (0, 1, 2, 3, 4)
 ), scored AS (
@@ -1673,8 +1682,12 @@ SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
 FROM scored WHERE rank <= 2
 """)
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from anomaly_detection_spark.pipeline.similarity import ivf_topk
-    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    from anomaly_detection_spark.pipeline.similarity import (
+        ivf_topk, nonzero_vectors,
+    )
+    emb = nonzero_vectors(
+        load_table(spark, "embeddings", sf_dir)
+    ).select("vec_id", "embedding")
     copies = emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
     corpus = emb.unionByName(copies)
     q = emb.where(F.col("vec_id").isin(0, 1, 2, 3, 4)).select(
@@ -1895,11 +1908,15 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register("embedding_near_dups", """
-WITH aug AS (
-    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+WITH nz AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+),
+aug AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM nz
     UNION ALL
     SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 2)
-    FROM embeddings
+    FROM nz
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.v, b.v), 6) AS cosine
@@ -1907,8 +1924,12 @@ FROM aug a JOIN aug b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.999
 """)
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from anomaly_detection_spark.pipeline.similarity import embedding_near_duplicates
-    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    from anomaly_detection_spark.pipeline.similarity import (
+        embedding_near_duplicates, nonzero_vectors,
+    )
+    emb = nonzero_vectors(
+        load_table(spark, "embeddings", sf_dir)
+    ).select("vec_id", "embedding")
     scaled = emb.select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.transform("embedding", lambda x: (x * 2).cast("float")).alias("embedding"),
@@ -3736,14 +3757,17 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register("cluster_assign_embeddings", """
-WITH c AS (
+WITH nz AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+), c AS (
     SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
-    FROM embeddings WHERE vec_id < 8
+    FROM nz WHERE vec_id < 8
 ), scored AS (
     SELECT e.vec_id, c.centroid_id AS cluster_id,
            round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6)
                AS cosine
-    FROM embeddings e CROSS JOIN c
+    FROM nz e CROSS JOIN c
 )
 SELECT vec_id, cluster_id, cosine
 FROM scored
@@ -3751,8 +3775,10 @@ QUALIFY row_number() OVER (PARTITION BY vec_id
                            ORDER BY cosine DESC, cluster_id) = 1
 """)
 def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from anomaly_detection_spark.pipeline.similarity import assign_nearest_centroid
-    emb = load_table(spark, "embeddings", sf_dir)
+    from anomaly_detection_spark.pipeline.similarity import (
+        assign_nearest_centroid, nonzero_vectors,
+    )
+    emb = nonzero_vectors(load_table(spark, "embeddings", sf_dir))
     centroids = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
@@ -3760,14 +3786,17 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("cluster_balanced_sample", """
-WITH c AS (
+WITH nz AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+), c AS (
     SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
-    FROM embeddings WHERE vec_id < 8
+    FROM nz WHERE vec_id < 8
 ), scored AS (
     SELECT e.vec_id, c.centroid_id AS cluster_id,
            round(list_cosine_similarity(e.embedding::DOUBLE[], c.cvec), 6)
                AS cosine
-    FROM embeddings e CROSS JOIN c
+    FROM nz e CROSS JOIN c
 ), assigned AS (
     SELECT vec_id, cluster_id FROM scored
     QUALIFY row_number() OVER (PARTITION BY vec_id
@@ -3786,9 +3815,9 @@ QUALIFY sample_rank <= 5
 """)
 def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anomaly_detection_spark.pipeline.similarity import (
-        assign_nearest_centroid, cluster_balanced_sample,
+        assign_nearest_centroid, cluster_balanced_sample, nonzero_vectors,
     )
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = nonzero_vectors(load_table(spark, "embeddings", sf_dir))
     centroids = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
@@ -4585,12 +4614,15 @@ def q_forecast_error_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register("semantic_dedup_embeddings", """
-WITH aug AS (
-    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+WITH nz AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+), aug AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM nz
     UNION ALL
     SELECT vec_id + 1000000,
            list_transform(embedding::DOUBLE[], x -> x * 2)
-    FROM embeddings
+    FROM nz
 ), c AS (
     SELECT vec_id AS centroid_id, v AS cvec FROM aug WHERE vec_id < 64
 ), scored AS (
@@ -4614,9 +4646,13 @@ WHERE cosine >= 0.95
 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY kept_id) = 1
 """)
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from anomaly_detection_spark.pipeline.similarity import semantic_dedup
+    from anomaly_detection_spark.pipeline.similarity import (
+        nonzero_vectors, semantic_dedup,
+    )
 
-    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    emb = nonzero_vectors(
+        load_table(spark, "embeddings", sf_dir)
+    ).select("vec_id", "embedding")
     planted = emb.select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(2).cast("float"))
@@ -5277,14 +5313,18 @@ SELECT count(*) AS n_queries,
        TRUE AS multiprobe_ge_singleprobe,
        TRUE AS multitable_ge_singletable,
        TRUE AS recall_8t3p_ge_030
-FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10)
+FROM (SELECT DISTINCT vec_id FROM embeddings
+      WHERE vec_id < 10
+        AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)
 """)
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anomaly_detection_spark.pipeline.similarity import (
-        brute_force_topk, lsh_ann_topk,
+        brute_force_topk, lsh_ann_topk, nonzero_vectors,
     )
 
-    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    emb = nonzero_vectors(
+        load_table(spark, "embeddings", sf_dir)
+    ).select("vec_id", "embedding")
     probes = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -7095,6 +7135,7 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("hard_negatives_embeddings", """
 WITH v AS (
     SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ), probes AS (SELECT * FROM v WHERE vec_id < 8),
 scored AS (
     SELECT p.vec_id AS query_id, c.vec_id, p.label = c.label AS same_label,
@@ -7108,10 +7149,10 @@ QUALIFY row_number() OVER (PARTITION BY query_id, same_label
 """)
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from anomaly_detection_spark.pipeline.similarity import (
-        _dot, _norm,
+        _dot, _norm, nonzero_vectors,
     )
 
-    emb = load_table(spark, "embeddings", sf_dir).select(
+    emb = nonzero_vectors(load_table(spark, "embeddings", sf_dir)).select(
         "vec_id", "label", "embedding"
     )
     probes = emb.where(F.col("vec_id") < 8).select(
@@ -14003,12 +14044,16 @@ def q_bh_fdr_user_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mmr_oracle_sql(k: int = 8) -> str:
     head = """
-WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+WITH nz AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM nz WHERE vec_id = 0),
 v AS MATERIALIZED (
     SELECT vec_id, embedding::DOUBLE[] AS ev,
            round(list_cosine_similarity(embedding::DOUBLE[],
                                         (SELECT qv FROM q)), 6) AS rel
-    FROM embeddings
+    FROM nz
 ),
 s1 AS MATERIALIZED (
     SELECT vec_id, ev, rel FROM v ORDER BY rel DESC, vec_id LIMIT 1),
@@ -14036,10 +14081,12 @@ sel{t} AS MATERIALIZED (
 
 @register("mmr_select_embeddings", _mmr_oracle_sql(8))
 def q_mmr_select_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from anomaly_detection_spark.pipeline.similarity import cosine_similarity
+    from anomaly_detection_spark.pipeline.similarity import (
+        cosine_similarity, nonzero_vectors,
+    )
 
     K = 8
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = nonzero_vectors(load_table(spark, "embeddings", sf_dir))
     qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
     qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
     v = emb.select(
@@ -19792,6 +19839,18 @@ DRIVER_REVERIFY: dict[str, int] = {
     # values unchanged on every non-empty document, but the executed
     # expression changed
     "quality_classifier_docs": 6,
+    # round 6: zero-norm vectors excluded at ingest (nonzero_vectors +
+    # matching oracle WHERE) — the adversarial zero-vector fixture
+    # crashed these under ANSI Spark.  Values unchanged at every sf
+    # (no zero vectors there), but the executed plans changed.
+    "cosine_topk_embeddings": 6,
+    "embedding_near_dups": 6,
+    "semantic_dedup_embeddings": 6,
+    "cluster_assign_embeddings": 6,
+    "cluster_balanced_sample": 6,
+    "hard_negatives_embeddings": 6,
+    "ivf_topk_embeddings": 6,
+    "ann_recall_eval": 6,
     # round 5: DTW kernel vectorized over anti-diagonals (bit-equal by
     # fuzz + oracle, but a new kernel) — dtw was never driver-green, so
     # rotation covers it; listed here for the same-code-path principle

@@ -241,3 +241,133 @@ def test_ppjoin_multiword_bitset_path(spark):
         reg.QUERIES["ppjoin_jaccard_pairs"](spark, d),
         reg.ORACLES["ppjoin_jaccard_pairs"], d,
     )
+
+
+def _adversarial_embeddings_dir(spark):
+    """Degenerate vector shapes over the real 64-dim schema: an all-zero
+    vector (undefined cosine), exact duplicates, a 2x-scaled copy
+    (cosine exactly 1), a negated copy (cosine exactly -1), one-hot
+    basis vectors, and a constant vector — the norms/denominators the
+    sf fixtures never push to the boundary."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+
+    def add(vid, vec, label):
+        rows.append((vid, [float(x) for x in vec], label))
+
+    base = rng.normal(size=(8, 64)).astype("float32")
+    for i in range(8):
+        add(i, base[i], i % 3)
+    add(100, np.zeros(64), 0)                 # zero vector
+    add(101, base[0], 1)                      # exact duplicate of 0
+    add(102, base[1] * 2.0, 2)                # scaled copy: cosine == 1
+    add(103, -base[2], 0)                     # negated: cosine == -1
+    onehot = np.zeros(64); onehot[5] = 1.0
+    add(104, onehot, 1)                       # one-hot basis
+    add(105, np.full(64, 0.25), 2)            # constant vector
+    add(106, np.full(64, 1e-8), 0)            # denormal-ish norms
+    d = tempfile.mkdtemp()
+    t = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    pq.write_table(
+        pa.Table.from_pandas(t.toPandas()),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    return d
+
+
+ADVERSARIAL_EMBEDDING_QUERIES = [
+    "embedding_norms_by_label",
+    "cosine_topk_embeddings",
+    "embedding_near_dups",
+    "semantic_dedup_embeddings",
+    "quantize_embeddings_int8",
+    "embedding_covariance_top",
+    "pca_project_embeddings",
+    "spatial_neighbor_counts",
+    "cluster_assign_embeddings",
+    "hard_negatives_embeddings",
+    "lsh_ann_topk",
+    "ivf_topk_embeddings",
+    "pq_topk_embeddings",
+    "mmr_select_embeddings",
+    "cluster_balanced_sample",
+    # ann_recall_eval is EXCLUDED: its recall_8t3p >= 0.3 floor is a
+    # data-dependent contract calibrated to the sf corpus (its own
+    # docstring says so), not a theorem — on 15 near-random vectors the
+    # floor legitimately fails.  Its zero-vector robustness is still
+    # covered: the operator shares nonzero_vectors + brute_force_topk /
+    # lsh_ann_topk with the queries above, and the crash fix is
+    # regression-tested through them.
+]
+
+
+def test_adversarial_embeddings_differentials(spark):
+    d = _adversarial_embeddings_dir(spark)
+    fails = {}
+    for name in ADVERSARIAL_EMBEDDING_QUERIES:
+        try:
+            problems = compare(
+                reg.QUERIES[name](spark, d), reg.ORACLES[name], d
+            )
+        except Exception as exc:  # crash = red
+            problems = [repr(exc)[:200]]
+        if problems:
+            fails[name] = problems
+    assert not fails, fails
+
+
+def _adversarial_parts_dir(spark):
+    """Degenerate part names: empty, whitespace, single char, unicode,
+    an identical-name family, near-identical long names."""
+    rows = [
+        (1, "", "Brand#1", "SMALL PLATED TIN", 1, 100.0),
+        (2, " ", "Brand#1", "SMALL PLATED TIN", 1, 100.5),
+        (3, "x", "Brand#2", "LARGE BRUSHED COPPER", 2, 200.0),
+        (4, "ivory chocolate navy linen sky", "Brand#2",
+         "LARGE BRUSHED COPPER", 3, 300.0),
+        (5, "ivory chocolate navy linen sky", "Brand#3",
+         "MEDIUM ANODIZED STEEL", 4, 301.0),
+        (6, "ivory chocolate navy linen sea", "Brand#3",
+         "MEDIUM ANODIZED STEEL", 5, 302.0),
+        (7, "Ωmega çedilla ünïcode pärt", "Brand#4",
+         "STANDARD POLISHED BRASS", 6, 400.0),
+        (8, "a" * 80, "Brand#4", "STANDARD POLISHED BRASS", 7, 500.0),
+        (9, "a" * 79 + "b", "Brand#5", "ECONOMY BURNISHED NICKEL",
+         8, 501.0),
+        (10, "x", "Brand#5", "ECONOMY BURNISHED NICKEL", 9, 502.0),
+    ]
+    d = tempfile.mkdtemp()
+    t = spark.createDataFrame(
+        rows, "p_partkey long, p_name string, p_brand string, "
+              "p_type string, p_size int, p_retailprice double",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(t.toPandas()), os.path.join(d, "part.parquet")
+    )
+    return d
+
+
+ADVERSARIAL_PART_QUERIES = [
+    "jaro_winkler_parts",
+    "record_linkage_parts",
+    "sorted_neighborhood_parts",
+]
+
+
+def test_adversarial_parts_differentials(spark):
+    d = _adversarial_parts_dir(spark)
+    fails = {}
+    for name in ADVERSARIAL_PART_QUERIES:
+        try:
+            problems = compare(
+                reg.QUERIES[name](spark, d), reg.ORACLES[name], d
+            )
+        except Exception as exc:  # crash = red
+            problems = [repr(exc)[:200]]
+        if problems:
+            fails[name] = problems
+    assert not fails, fails
