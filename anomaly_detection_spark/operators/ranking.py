@@ -41,6 +41,7 @@ def rank_family(
     order_cols: list[str],
     ntile_n: int = 4,
     num_partitions: int | None = None,
+    unpersist_after_offsets: bool = False,
 ) -> DataFrame:
     """Append ``global_rn, rnk, drnk, pct_rank, cume, tile`` computed
     over the global ordering ``order_cols`` — no SinglePartition
@@ -48,6 +49,17 @@ def rank_family(
 
     ``pct_rank``/``cume`` are exact doubles (round in the caller if a
     fixed grid is wanted); ``tile`` uses ``ntile_n`` buckets.
+
+    ``unpersist_after_offsets=True`` releases the ranged cache as soon
+    as the per-partition offsets are collected, so repeated invocations
+    (bench members, session-long callers) don't accumulate cached
+    datasets in executor storage.  Correctness is unaffected: the
+    offsets job and the output job share the SAME ``ranged`` DataFrame
+    object, so the output re-reads the already-materialized shuffle
+    files of the range exchange (identical partition ids) rather than
+    resampling.  Default ``False`` keeps the executed plan of existing
+    callers byte-identical; flipping the default is a planned
+    mass-reverify change.
     """
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
@@ -79,6 +91,12 @@ def rank_family(
             .withColumn("cume", F.lit(None).cast("double"))
             .withColumn("tile", F.lit(None).cast("int"))
         )
+
+    if unpersist_after_offsets:
+        # Offsets are in hand; the output pass below re-reads the range
+        # exchange's shuffle files (same DataFrame object -> same RDD ->
+        # same partitioning), so the cache is no longer needed.
+        ranged.unpersist()
 
     # driver-side cumulative offsets -> tiny literal maps (P entries)
     row_off, dense_off, row_acc, dense_acc = {}, {}, 0, 0

@@ -370,6 +370,11 @@ def encode_png(img: np.ndarray) -> bytes:
     if img.ndim != 3 or img.shape[2] not in (1, 2, 3, 4):
         raise ValueError("encode_png expects (H, W, {1,2,3,4})")
     h, w, nch = img.shape
+    if h == 0 or w == 0:
+        # mirror decode_png's degenerate-dimensions rejection so the
+        # encode->decode round-trip contract holds for every accepted
+        # input
+        raise ValueError("degenerate PNG dimensions")
     color = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
     rows = np.zeros((h, 1 + w * nch), dtype=np.uint8)
     rows[:, 1:] = np.ascontiguousarray(img).reshape(h, w * nch)

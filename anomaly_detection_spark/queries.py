@@ -11977,9 +11977,9 @@ def q_ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # task.  (dfc, w) is unique per row, so global_rn == row_number.
     tok = dsets.select("sid", "n", F.explode("toks").alias("w"))
     dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("dfc"))
-    wdict = rank_family(dfreq, ["dfc", "w"]).select(
-        "w", F.col("global_rn").cast("int").alias("wid")
-    )
+    wdict = rank_family(
+        dfreq, ["dfc", "w"], unpersist_after_offsets=True
+    ).select("w", F.col("global_rn").cast("int").alias("wid"))
     isets = (
         tok.join(F.broadcast(wdict), "w")
         .groupBy("sid", "n")
@@ -19445,10 +19445,12 @@ WITH labeled AS (
     FROM c
 ), terms AS (
     SELECT a, b,
-           CASE WHEN a > 0 THEN a * CAST(round(round(
+           CASE WHEN a > 0 AND na > 0 AND nb > 0
+                THEN a * CAST(round(round(
                log2(CAST(2 * a * nb AS DOUBLE) / (a * nb + b * na)),
                6) * 1000000, 0) AS BIGINT) ELSE 0 END AS wa,
-           CASE WHEN b > 0 THEN b * CAST(round(round(
+           CASE WHEN b > 0 AND na > 0 AND nb > 0
+                THEN b * CAST(round(round(
                log2(CAST(2 * b * na AS DOUBLE) / (a * nb + b * na)),
                6) * 1000000, 0) AS BIGINT) ELSE 0 END AS wb
     FROM c, t
@@ -19456,10 +19458,12 @@ WITH labeled AS (
 SELECT (SELECT na FROM t) AS n_a,
        (SELECT nb FROM t) AS n_b,
        CAST(count(*) AS BIGINT) AS n_types,
-       CAST((CAST(sum(wa) AS BIGINT) * 1000000
-             // (SELECT na FROM t)
-             + CAST(sum(wb) AS BIGINT) * 1000000
-             // (SELECT nb FROM t)) // 2000000 AS BIGINT) AS js_fp
+       CASE WHEN (SELECT na FROM t) > 0 AND (SELECT nb FROM t) > 0
+            THEN CAST((CAST(sum(wa) AS BIGINT) * 1000000
+                  // (SELECT na FROM t)
+                  + CAST(sum(wb) AS BIGINT) * 1000000
+                  // (SELECT nb FROM t)) // 2000000 AS BIGINT)
+            ELSE NULL END AS js_fp
 FROM terms
 """)
 def q_jensen_shannon_types(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -19479,17 +19483,18 @@ def q_jensen_shannon_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     qlog = lambda num, den: F.round(  # noqa: E731
         F.round(F.log2(num.cast("double") / den), 6) * 1000000, 0
     ).cast("long")
+    both = (F.col("na") > 0) & (F.col("nb") > 0)
     terms = c.crossJoin(F.broadcast(t)).select(
         "na", "nb",
         F.when(
-            F.col("a") > 0,
+            (F.col("a") > 0) & both,
             F.col("a") * qlog(
                 2 * F.col("a") * F.col("nb"),
                 F.col("a") * F.col("nb") + F.col("b") * F.col("na"),
             ),
         ).otherwise(F.lit(0)).alias("wa"),
         F.when(
-            F.col("b") > 0,
+            (F.col("b") > 0) & both,
             F.col("b") * qlog(
                 2 * F.col("b") * F.col("na"),
                 F.col("a") * F.col("nb") + F.col("b") * F.col("na"),
@@ -19499,9 +19504,11 @@ def q_jensen_shannon_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("na", "nb").agg(
         F.count(F.lit(1)).cast("long").alias("n_types"),
         F.expr(
-            "CAST((CAST(sum(wa) AS BIGINT) * 1000000 div na"
+            "CASE WHEN na > 0 AND nb > 0 THEN"
+            " CAST((CAST(sum(wa) AS BIGINT) * 1000000 div na"
             "      + CAST(sum(wb) AS BIGINT) * 1000000 div nb)"
             "     div 2000000 AS BIGINT)"
+            " ELSE NULL END"
         ).alias("js_fp"),
     ).select(
         F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
@@ -19829,11 +19836,14 @@ DRIVER_REVERIFY: dict[str, int] = {
     # round 3: sorted_values serialized as a decimal-string join (raw
     # array<double> broke the driver's pandas canonicalizer in r02)
     "array_functions_per_user": 3,
-    # round 6: token dictionary re-ranked via the distributed rank
-    # family (was a single-partition row_number window) and the gate
-    # collapsed to one aggregation — the r05 green row no longer
-    # vouches for the executed code path
-    "ppjoin_jaccard_pairs": 6,
+    # round 7: rank_family invoked with unpersist_after_offsets=True
+    # (ADVICE r6 — the ranged cache leaked into executor storage per
+    # invocation); values unchanged, but the executed path changed
+    "ppjoin_jaccard_pairs": 7,
+    # round 7: encode_png gained a degenerate-dimensions guard (ADVICE
+    # r6) inside the kernel this query executes; values unchanged on
+    # every >=1x1 raster, but the executed kernel changed
+    "png_roundtrip_media": 7,
     # round 6: punct_ratio denominator guarded with greatest(len, 1)
     # (empty-text ANSI divide-by-zero found by the adversarial fixture);
     # values unchanged on every non-empty document, but the executed

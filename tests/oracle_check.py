@@ -45,6 +45,15 @@ def _view_path(p: str) -> str:
         return p
     import glob as _glob
 
+    # The pattern below is handed UNESCAPED to DuckDB, so a directory
+    # path containing glob metacharacters would pass the existence
+    # check (escaped) yet glob differently inside DuckDB — reject
+    # loudly instead of returning a silently-divergent view.
+    if any(ch in p for ch in "*?["):
+        raise ValueError(
+            f"dataset path {p!r} contains glob metacharacters; "
+            "DuckDB view patterns require a metacharacter-free path"
+        )
     pattern = os.path.join(p, "**", "*.parquet")
     if not _glob.glob(os.path.join(_glob.escape(p), "**", "*.parquet"),
                       recursive=True):

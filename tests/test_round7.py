@@ -1,0 +1,85 @@
+"""Round-7 tests: the r6 ADVICE fixes.
+
+1. ``encode_png`` rejects zero-dimension rasters (mirrors
+   ``decode_png``'s degenerate-dimensions rejection, so the
+   encode->decode round-trip contract holds for every accepted input).
+2. ``oracle_check._view_path`` rejects dataset paths containing glob
+   metacharacters instead of handing DuckDB an unescaped pattern that
+   globs differently from the (escaped) Python existence check.
+3. ``rank_family(unpersist_after_offsets=True)`` produces values
+   identical to the default path and leaves NO cached RDD behind.
+4. ``jensen_shannon_types`` on a one-sided window (every event before
+   the cutoff) yields NULL instead of an integer-division-by-zero
+   crash, matching the oracle.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from anomaly_detection_spark import queries as reg
+from anomaly_detection_spark.operators.ranking import rank_family
+from anomaly_detection_spark.pipeline.codecs import decode_png, encode_png
+from tests.oracle_check import _view_path, compare
+
+
+def test_encode_png_rejects_zero_dimensions():
+    for shape in [(0, 4), (4, 0), (0, 0), (0, 3, 3), (3, 0, 4)]:
+        with pytest.raises(ValueError, match="degenerate"):
+            encode_png(np.zeros(shape, dtype=np.uint8))
+
+
+def test_encode_decode_roundtrip_contract_smallest():
+    img = np.arange(6, dtype=np.uint8).reshape(1, 2, 3)
+    assert (decode_png(encode_png(img)) == img).all()
+
+
+def test_view_path_rejects_glob_metacharacters(tmp_path):
+    for bad in ["evil[1]", "star*", "quest?"]:
+        d = tmp_path / bad
+        d.mkdir()
+        (d / "part-0.parquet").write_bytes(b"")
+        with pytest.raises(ValueError, match="glob metacharacters"):
+            _view_path(str(d))
+
+
+def test_rank_family_unpersist_leaves_no_cached_rdd(spark):
+    df = spark.range(0, 500).selectExpr(
+        "id", "cast(id % 7 as long) as k"
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = rank_family(df, ["k", "id"], unpersist_after_offsets=True)
+    rows = out.orderBy("id").collect()
+    after = jsc.getPersistentRDDs().size()
+    assert after == before, "ranged cache leaked despite unpersist flag"
+    # values match the default (persisted) path bit-for-bit
+    ref = rank_family(df, ["k", "id"]).orderBy("id").collect()
+    assert rows == ref
+
+
+def test_jensen_shannon_one_sided_window_yields_null(spark, tmp_path):
+    rows = [
+        {
+            "event_id": i,
+            "ts": dt.datetime(2024, 1, 10, 0, 0, i),
+            "user_id": i % 3,
+            "event_type": ["click", "view"][i % 2],
+            "value": float(i),
+            "props": "{}",
+        }
+        for i in range(20)
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows), os.path.join(tmp_path, "events.parquet")
+    )
+    df = reg.QUERIES["jensen_shannon_types"](spark, str(tmp_path))
+    got = df.collect()
+    assert len(got) == 1 and got[0]["js_fp"] is None
+    assert not compare(df, reg.ORACLES["jensen_shannon_types"], str(tmp_path))
