@@ -17,10 +17,18 @@ specs are simple enough to implement exactly are decoded for REAL:
   Average/Paeth) — ``decode_png`` / ``encode_png``, with chunk CRC
   verification.
 
+- **JPEG** (baseline DCT, ITU-T T.81): SOF0/SOF1 Huffman sequential,
+  8-bit grayscale and YCbCr with arbitrary even sampling ratios
+  (4:4:4 / 4:2:0 / 4:2:2), restart intervals; the encoder emits
+  baseline JFIF with quality-scaled Annex K tables — ``decode_jpeg``
+  / ``encode_jpeg``.  Progressive / arithmetic / 12-bit are rejected
+  loudly.
+
 ``sniff_and_decode`` dispatches on magic bytes; the remaining
-compressed formats (JPEG/MP3/H.264) stay behind the stub boundary in
+compressed formats (MP3/H.264) stay behind the stub boundary in
 ``pipeline/multimodal.py`` — those genuinely need codec libraries
-(DCT/entropy coders), unlike PNG whose DEFLATE ships in the stdlib.
+(psychoacoustic/motion-compensation stacks), unlike PNG whose DEFLATE
+ships in the stdlib and JPEG whose DCT+Huffman fit in plain numpy.
 
 Everything here is per-row driver/executor-local math invoked from
 Arrow-batched ``mapInPandas`` kernels; nothing touches the Spark plan,
@@ -394,6 +402,636 @@ def encode_png(img: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# JPEG (baseline DCT, ITU-T T.81): SOF0/SOF1 sequential Huffman, 8-bit,
+# grayscale or YCbCr with any sampling factors whose ratios divide
+# evenly (4:4:4, 4:2:0, 4:2:2, ...), restart intervals.  Rejected
+# loudly: progressive (SOF2), arithmetic coding, 12-bit, lossless,
+# hierarchical.  The encoder emits baseline JFIF with the standard
+# Annex K quantization + Huffman tables (quality-scaled the libjpeg
+# way) or caller-supplied quantization tables.
+#
+# Exactness law used by the driver row: for an image whose every
+# ALIGNED 8x8 tile is constant, all AC coefficients are exactly zero
+# and DC = 8*(v-128), so whenever the DC quantization step q satisfies
+# q/2 < 8 the reconstruction error per pixel is < 0.5 and the uint8
+# round-trip is EXACT despite JPEG being lossy in general.  (Edge
+# padding replicates pixels from the same tile, so the law holds for
+# non-multiple-of-8 dimensions too.)
+# ---------------------------------------------------------------------------
+
+# zigzag scan position k -> natural (row-major) coefficient index
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K quantization tables (natural order)
+_JPEG_STD_LUMA_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+_JPEG_STD_CHROMA_Q = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# Annex K Huffman tables: (BITS[1..16], HUFFVAL)
+_JPEG_STD_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_STD_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_JPEG_STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix A (A @ A.T == I):
+    forward S = A @ s @ A.T, inverse s = A.T @ S @ A."""
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    a = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    a[0] *= 1.0 / np.sqrt(2.0)
+    return a
+
+
+_JPEG_DCT_A = _jpeg_dct_matrix()
+
+
+def _jpeg_huff_decode_table(bits, values) -> dict:
+    """Canonical Huffman (length, code) -> symbol map per T.81 C.2."""
+    if sum(bits) != len(values):
+        raise ValueError("corrupt JPEG Huffman table")
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = values[k]
+            k += 1
+            code += 1
+        if code > (1 << ln):
+            raise ValueError("non-canonical JPEG Huffman table")
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_encode_table(bits, values) -> dict:
+    """symbol -> (code, length) from the same canonical construction."""
+    enc, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            enc[values[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return enc
+
+
+class _JpegBitReader:
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data, self.pos, self.acc, self.nbits = data, 0, 0, 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_receive_extend(reader: _JpegBitReader, t: int) -> int:
+    if t == 0:
+        return 0
+    v = reader.read_bits(t)
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _jpeg_decode_huff(reader: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_decode_block(reader, dc_tbl, ac_tbl, pred: int):
+    """One 8x8 block: returns (natural-order int coefficients, new DC
+    predictor)."""
+    coef = np.zeros(64, dtype=np.int64)
+    t = _jpeg_decode_huff(reader, dc_tbl)
+    if t > 11:
+        raise ValueError("baseline JPEG DC category > 11")
+    pred += _jpeg_receive_extend(reader, t)
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs = _jpeg_decode_huff(reader, ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG coefficient index overrun")
+        coef[_JPEG_ZIGZAG[k]] = _jpeg_receive_extend(reader, s)
+        k += 1
+    return coef, pred
+
+
+def _jpeg_entropy_segments(blob: bytes, start: int):
+    """Split the scan's entropy data into restart segments with the
+    0xFF00 stuffing removed.  Returns (segments, pos_after_scan)."""
+    segs, cur, i, n = [], bytearray(), start, len(blob)
+    while i < n:
+        b = blob[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = blob[i + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        elif m == 0xFF:  # fill byte
+            i += 1
+        else:  # real marker (EOI / next SOS / ...)
+            break
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Decode a baseline (SOF0/SOF1) 8-bit JPEG to (H, W, 1) grayscale
+    or (H, W, 3) RGB uint8.  Progressive / arithmetic / 12-bit streams
+    are rejected with a clear error rather than misread."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode map
+    comps = None  # list of dicts: id, h, v, tq, td, ta
+    height = width = 0
+    restart_interval = 0
+    i, n = 2, len(blob)
+    while i < n:
+        if blob[i] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        while i < n and blob[i] == 0xFF:
+            i += 1
+        if i >= n:
+            break
+        marker = blob[i]
+        i += 1
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        if i + 2 > n:
+            raise ValueError("truncated JPEG segment header")
+        seglen = struct.unpack_from(">H", blob, i)[0]
+        seg = blob[i + 2: i + seglen]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant tables not supported")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_JPEG_ZIGZAG] = np.frombuffer(
+                    seg[j + 1: j + 65], dtype=np.uint8
+                )
+                qtables[tq] = tbl.reshape(8, 8)
+                j += 65
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1: j + 17])
+                nv = sum(bits)
+                vals = list(seg[j + 17: j + 17 + nv])
+                huff[(tc, th)] = _jpeg_huff_decode_table(bits, vals)
+                j += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline sequential
+            prec = seg[0]
+            if prec != 8:
+                raise ValueError(f"{prec}-bit JPEG not supported")
+            height, width = struct.unpack_from(">HH", seg, 1)
+            if height == 0 or width == 0:
+                raise ValueError("degenerate JPEG dimensions")
+            nc = seg[5]
+            if nc not in (1, 3):
+                raise ValueError(f"{nc}-component JPEG not supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c: 9 + 3 * c]
+                comps.append({
+                    "id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq,
+                })
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline sequential JPEG (SOF0/SOF1) is supported"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS
+            if comps is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            if ns != len(comps):
+                raise ValueError("non-interleaved JPEG scans not supported")
+            by_id = {c["id"]: c for c in comps}
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c: 3 + 2 * c]
+                by_id[cid]["td"], by_id[cid]["ta"] = tt >> 4, tt & 0x0F
+            segs, i = _jpeg_entropy_segments(blob, i + seglen)
+            return _jpeg_decode_scan(
+                comps, qtables, huff, segs, height, width, restart_interval
+            )
+        # APPn / COM / others: skip
+        i += seglen
+    raise ValueError("JPEG stream has no scan data")
+
+
+def _jpeg_decode_scan(comps, qtables, huff, segs, height, width, ri):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise ValueError("unsupported JPEG sampling factors")
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    a_t = _JPEG_DCT_A.T
+    planes = []
+    for c in comps:
+        if c["tq"] not in qtables:
+            raise ValueError("JPEG references an undefined quant table")
+        if (0, c.get("td", -1)) not in huff or (1, c.get("ta", -1)) not in huff:
+            raise ValueError("JPEG references an undefined Huffman table")
+        planes.append(
+            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        )
+    preds = [0] * len(comps)
+    seg_idx = 0
+    reader = _JpegBitReader(segs[0])
+    for mcu in range(mcux * mcuy):
+        if ri and mcu and mcu % ri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("missing JPEG restart segment")
+            reader = _JpegBitReader(segs[seg_idx])
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcux)
+        for ci, c in enumerate(comps):
+            q = qtables[c["tq"]]
+            dc_t, ac_t = huff[(0, c["td"])], huff[(1, c["ta"])]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    coef, preds[ci] = _jpeg_decode_block(
+                        reader, dc_t, ac_t, preds[ci]
+                    )
+                    s = a_t @ (coef.reshape(8, 8) * q) @ _JPEG_DCT_A
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[ci][y0: y0 + 8, x0: x0 + 8] = s + 128.0
+    # crop + upsample each component to full resolution (nearest)
+    out = np.empty((height, width, len(comps)), dtype=np.float64)
+    ys = np.arange(height)
+    xs = np.arange(width)
+    for ci, c in enumerate(comps):
+        out[:, :, ci] = planes[ci][
+            (ys * c["v"] // vmax)[:, None], (xs * c["h"] // hmax)[None, :]
+        ]
+    if len(comps) == 3:  # JFIF YCbCr -> RGB (BT.601)
+        y, cb, cr = out[:, :, 0], out[:, :, 1] - 128.0, out[:, :, 2] - 128.0
+        rgb = np.stack([
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ], axis=2)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _jpeg_quality_tables(quality: int):
+    """libjpeg-style quality scaling of the Annex K tables."""
+    if not 1 <= quality <= 100:
+        raise ValueError("JPEG quality must be in [1, 100]")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    luma = np.clip((_JPEG_STD_LUMA_Q * scale + 50) // 100, 1, 255)
+    chroma = np.clip((_JPEG_STD_CHROMA_Q * scale + 50) // 100, 1, 255)
+    return luma.astype(np.int64), chroma.astype(np.int64)
+
+
+class _JpegBitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out, self.acc, self.nbits = bytearray(), 0, 0
+
+    def write(self, code: int, length: int):
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad_to_byte(self):
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _jpeg_category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _jpeg_encode_block(bw, coef_zz, pred, dc_enc, ac_enc):
+    """Huffman-encode one quantized block (zigzag order)."""
+    diff = int(coef_zz[0]) - pred
+    t = _jpeg_category(diff)
+    code, ln = dc_enc[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    for k in range(1, 64):
+        v = int(coef_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_enc[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = _jpeg_category(v)
+        code, ln = ac_enc[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, ln = ac_enc[0x00]  # EOB
+        bw.write(code, ln)
+    return int(coef_zz[0])
+
+
+def _jpeg_pad_to_blocks(plane: np.ndarray, bh: int, bw_: int) -> np.ndarray:
+    """Edge-replicate so both dims are multiples of (bh, bw_)."""
+    h, w = plane.shape
+    ph, pw = (-h) % bh, (-w) % bw_
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample_420: bool = False,
+    restart_interval: int = 0,
+    quant_tables: tuple[np.ndarray, np.ndarray] | None = None,
+) -> bytes:
+    """Encode (H, W) / (H, W, 1) grayscale or (H, W, 3) RGB uint8 as a
+    baseline JFIF JPEG (SOF0, standard Annex K Huffman tables).
+
+    ``quant_tables`` overrides the quality-scaled (luma, chroma)
+    quantization tables with explicit (8, 8) integer arrays — e.g. all
+    ones for the block-constant exactness law.
+    """
+    if img.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects uint8")
+    if img.ndim == 3 and img.shape[2] == 1:
+        img = img[:, :, 0]
+    if img.ndim == 2:
+        ncomp = 1
+    elif img.ndim == 3 and img.shape[2] == 3:
+        ncomp = 3
+    else:
+        raise ValueError("encode_jpeg expects (H, W[, 1|3])")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("degenerate JPEG dimensions")
+    if h > 65535 or w > 65535:
+        raise ValueError("JPEG dimensions exceed 65535")
+
+    if quant_tables is not None:
+        qluma = np.asarray(quant_tables[0], dtype=np.int64).reshape(8, 8)
+        qchroma = np.asarray(quant_tables[1], dtype=np.int64).reshape(8, 8)
+        if (qluma < 1).any() or (qluma > 255).any() \
+                or (qchroma < 1).any() or (qchroma > 255).any():
+            raise ValueError("JPEG quant table entries must be in [1, 255]")
+    else:
+        qluma, qchroma = _jpeg_quality_tables(quality)
+
+    x = img.astype(np.float64)
+    if ncomp == 3:
+        r, g, b = x[:, :, 0], x[:, :, 1], x[:, :, 2]
+        yp = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample_420:
+            sampling = [(2, 2), (1, 1), (1, 1)]
+            ce = _jpeg_pad_to_blocks(cb, 2, 2)
+            re = _jpeg_pad_to_blocks(cr, 2, 2)
+            cb = (ce[0::2, 0::2] + ce[0::2, 1::2]
+                  + ce[1::2, 0::2] + ce[1::2, 1::2]) / 4.0
+            cr = (re[0::2, 0::2] + re[0::2, 1::2]
+                  + re[1::2, 0::2] + re[1::2, 1::2]) / 4.0
+        else:
+            sampling = [(1, 1), (1, 1), (1, 1)]
+        planes = [yp, cb, cr]
+        qsel = [0, 1, 1]
+    else:
+        sampling = [(1, 1)]
+        planes = [x]
+        qsel = [0]
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = [
+        np.pad(
+            p,
+            ((0, mcuy * sv * 8 - p.shape[0]), (0, mcux * sh * 8 - p.shape[1])),
+            mode="edge",
+        )
+        for p, (sh, sv) in zip(planes, sampling)
+    ]
+    qts = [qluma, qchroma][: (2 if ncomp == 3 else 1)]
+
+    dc_enc = [_jpeg_huff_encode_table(*_JPEG_STD_DC_LUMA),
+              _jpeg_huff_encode_table(*_JPEG_STD_DC_CHROMA)]
+    ac_enc = [_jpeg_huff_encode_table(*_JPEG_STD_AC_LUMA),
+              _jpeg_huff_encode_table(*_JPEG_STD_AC_CHROMA)]
+    tsel = [0, 1, 1][:ncomp]
+
+    a = _JPEG_DCT_A
+    bw = _JpegBitWriter()
+    preds = [0] * ncomp
+    body = bytearray()
+    rst = 0
+    for mcu in range(mcux * mcuy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.pad_to_byte()
+            body += bw.out
+            bw = _JpegBitWriter()
+            body += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            preds = [0] * ncomp
+        my, mx = divmod(mcu, mcux)
+        for ci in range(ncomp):
+            sh, sv = sampling[ci]
+            q = qts[qsel[ci]]
+            for by in range(sv):
+                for bxk in range(sh):
+                    y0 = (my * sv + by) * 8
+                    x0 = (mx * sh + bxk) * 8
+                    blk = padded[ci][y0: y0 + 8, x0: x0 + 8] - 128.0
+                    s = a @ blk @ a.T
+                    coef = np.round(s / q).astype(np.int64)
+                    # baseline AC categories cap at 10 (|v| <= 1023);
+                    # only a basis-aligned checkerboard at quant step 1
+                    # can exceed it — saturate rather than error
+                    dc = coef[0, 0]
+                    coef = np.clip(coef, -1023, 1023)
+                    coef[0, 0] = dc
+                    preds[ci] = _jpeg_encode_block(
+                        bw, coef.reshape(64)[_JPEG_ZIGZAG], preds[ci],
+                        dc_enc[tsel[ci]], ac_enc[tsel[ci]],
+                    )
+    bw.pad_to_byte()
+    body += bw.out
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00" + bytes([1, 1, 0]) +
+               struct.pack(">HH", 1, 1) + bytes([0, 0]))
+    for ti, qt in enumerate(qts):
+        zz = qt.reshape(64)[_JPEG_ZIGZAG]
+        out += seg(0xDB, bytes([ti]) + bytes(int(v) for v in zz))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sh, sv = sampling[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, qsel[ci]])
+    out += seg(0xC0, sof)
+    for cls, tables in ((0, (_JPEG_STD_DC_LUMA, _JPEG_STD_DC_CHROMA)),
+                        (1, (_JPEG_STD_AC_LUMA, _JPEG_STD_AC_CHROMA))):
+        for ti in range(2 if ncomp == 3 else 1):
+            bits, vals = tables[ti]
+            out += seg(0xC4, bytes([(cls << 4) | ti]) + bytes(bits)
+                       + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, (tsel[ci] << 4) | tsel[ci]])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += body
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
@@ -403,6 +1041,8 @@ def sniff_media_type(blob: bytes) -> str | None:
         return "image/bmp"
     if blob[: len(_PNG_SIG)] == _PNG_SIG:
         return "image/png"
+    if blob[:3] == b"\xff\xd8\xff":
+        return "image/jpeg"
     if blob[:2] == b"P6":
         return "image/x-portable-pixmap"
     if blob[:2] == b"P5":
@@ -413,12 +1053,17 @@ def sniff_media_type(blob: bytes) -> str | None:
 
 
 def sniff_and_decode_image(blob: bytes) -> np.ndarray | None:
-    """Decode BMP/PPM/PGM payloads to an (H, W, 3) uint8 RGB raster;
-    None when the magic is not a format this module handles (the
-    caller then falls back to its stub policy)."""
+    """Decode BMP/PNG/JPEG/PPM/PGM payloads to an (H, W, 3) uint8 RGB
+    raster; None when the magic is not a format this module handles
+    (the caller then falls back to its stub policy)."""
     kind = sniff_media_type(blob)
     if kind == "image/bmp":
         return decode_bmp(blob)
+    if kind == "image/jpeg":
+        px = decode_jpeg(blob)
+        if px.shape[2] == 1:
+            return np.repeat(px, 3, axis=2)
+        return px
     if kind == "image/png":
         px = decode_png(blob)
         nch = px.shape[2]

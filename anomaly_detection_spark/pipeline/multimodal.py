@@ -3,10 +3,11 @@
 Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct. The Spark-side machinery — schema, partition-preserving
 ``mapInPandas`` over Arrow batches, bounded batch memory — is real and
-tested. The codec step is REAL for the spec-simple formats (BMP,
-PPM/PGM, RIFF-PCM WAV — see ``pipeline.codecs``, pure numpy, no
-external libraries) and STUBBED only for compressed formats that
-genuinely need libjpeg/ffmpeg: there ``decode_stub`` raises
+tested. The codec step is REAL for every format whose spec fits in
+plain numpy + the stdlib (BMP, PPM/PGM, PNG, baseline JPEG, RIFF-PCM
+WAV — see ``pipeline.codecs``, no external libraries) and STUBBED only
+for formats that genuinely need ffmpeg-class stacks (MP3, H.264):
+there ``decode_stub`` raises
 ``NotImplementedError`` unless ``fake=True``, in which case it
 produces a deterministic fake feature vector so downstream plumbing
 (similarity, dedup on features) can be exercised end to end.
@@ -95,9 +96,10 @@ def decode_stub(blob: bytes, fake: bool = False) -> np.ndarray:
         pass
     if not fake:
         raise NotImplementedError(
-            "only BMP/PPM/PGM/PNG/WAV decode without external codec "
-            "libraries; pass fake=True for the deterministic stub on "
-            "other formats"
+            "only BMP/PPM/PGM/PNG/baseline-JPEG/WAV decode without "
+            "external codec libraries; pass fake=True for the "
+            "deterministic stub on other formats (MP3/H.264 need "
+            "ffmpeg-class codec stacks)"
         )
     digest = hashlib.sha256(blob).digest()
     return np.frombuffer(digest[:32], dtype=np.uint8).reshape(8, 4).mean(axis=1) / 255.0
@@ -131,11 +133,12 @@ def extract_features(
 
 
 def decode_image_stub(blob: bytes, fake: bool = False, size: int = 16) -> np.ndarray:
-    """Codec boundary for images.  BMP / PPM / PGM / PNG payloads are
-    decoded for REAL by the dependency-free ``pipeline.codecs`` module
-    (magic-byte sniffed, so a mixed column just works; PNG via stdlib
-    zlib + the full unfilter stack); JPEG genuinely needs a libjpeg-
-    backed DCT/entropy decoder this container lacks — for it,
+    """Codec boundary for images.  BMP / PPM / PGM / PNG / baseline
+    JPEG payloads are decoded for REAL by the dependency-free
+    ``pipeline.codecs`` module (magic-byte sniffed, so a mixed column
+    just works; PNG via stdlib zlib + the full unfilter stack, JPEG
+    via a pure-numpy Huffman + IDCT baseline decoder).  For genuinely
+    library-bound payloads (progressive JPEG, HEIC, video frames),
     ``fake=True`` expands the blob's sha256 into a deterministic
     (size, size, 3) uint8 raster (stable across runs/machines), so the
     REAL resize math downstream has real pixels to chew on."""
@@ -147,9 +150,9 @@ def decode_image_stub(blob: bytes, fake: bool = False, size: int = 16) -> np.nda
         real = None  # sniffed magic but unparseable: treat as opaque
     if not fake:
         raise NotImplementedError(
-            "only BMP/PPM/PGM/PNG decode without external codec "
-            "libraries; pass fake=True for the deterministic stub on "
-            "other formats (JPEG needs libjpeg)"
+            "only BMP/PPM/PGM/PNG/baseline-JPEG decode without "
+            "external codec libraries; pass fake=True for the "
+            "deterministic stub on other formats"
         )
     need = size * size * 3
     out = bytearray()

@@ -19784,6 +19784,70 @@ def q_auc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL baseline-JPEG encode->decode in the Spark plan (r6 verdict item
+# 3; the PNG row's sibling, pipeline/codecs.py:encode_jpeg/decode_jpeg —
+# pure-numpy DCT + Huffman, standard Annex K tables at quality 90).
+# Each document's md5 digest becomes a 32x32 grayscale raster of
+# sixteen constant 8x8 tiles (one per digest byte).  JPEG is lossy in
+# general, but for an image whose every aligned 8x8 tile is constant
+# all AC coefficients are exactly zero and DC = 8*(v-128); the q90 DC
+# quantization step is 3, so the per-pixel reconstruction error is
+# bounded by (3/2)/8 < 0.5 and the uint8 round trip is EXACT — a
+# provable law the DuckDB oracle pins without running a codec: the
+# decoded pixel sum must equal 64x the digest byte sum computed from
+# the hex digest, and tile-exactness rides along as data.
+# ---------------------------------------------------------------------------
+
+@register("jpeg_roundtrip_media", """
+WITH h AS (
+    SELECT doc_id, md5(text) AS hx FROM documents
+)
+SELECT doc_id,
+       CAST(64 * list_sum([
+           (strpos('0123456789abcdef', substr(hx, 2 * i - 1, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(hx, 2 * i, 1)) - 1
+           for i in range(1, 17)
+       ]) AS BIGINT) AS pixel_sum,
+       CAST(1024 AS INT) AS n_pixels,
+       TRUE AS roundtrip_ok
+FROM h
+""")
+def q_jpeg_roundtrip_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from anomaly_detection_spark.pipeline.codecs import (
+            decode_jpeg, encode_jpeg,
+        )
+
+        for pdf in batches:
+            ids, sums, ok = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                tiles = np.frombuffer(
+                    hashlib.md5(text.encode("utf-8")).digest(), np.uint8
+                ).reshape(4, 4)
+                raster = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+                img = decode_jpeg(encode_jpeg(raster, quality=90))
+                ids.append(doc_id)
+                sums.append(int(img.sum()))
+                ok.append(bool(np.array_equal(img[:, :, 0], raster)))
+            yield pd.DataFrame({
+                "doc_id": ids, "pixel_sum": sums,
+                "n_pixels": [1024] * len(ids), "roundtrip_ok": ok,
+            })
+
+    return docs.mapInPandas(
+        run, "doc_id long, pixel_sum long, n_pixels int, roundtrip_ok boolean"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
@@ -19844,6 +19908,12 @@ DRIVER_REVERIFY: dict[str, int] = {
     # r6) inside the kernel this query executes; values unchanged on
     # every >=1x1 raster, but the executed kernel changed
     "png_roundtrip_media": 7,
+    # round 7: sniff_media_type gained the JPEG magic branch (and the
+    # stub wording changed) inside the kernels these queries execute;
+    # values unchanged on text payloads, but the executed kernels
+    # changed
+    "multimodal_features": 7,
+    "frame_sample_media": 7,
     # round 6: punct_ratio denominator guarded with greatest(len, 1)
     # (empty-text ANSI divide-by-zero found by the adversarial fixture);
     # values unchanged on every non-empty document, but the executed

@@ -304,3 +304,172 @@ def test_png_feeds_real_feature_path():
     f = multimodal.decode_stub(codecs.encode_png(img), fake=False)
     expect = img.astype(np.float64).mean(axis=(0, 1)) / 255.0
     assert f[:3] == pytest.approx(list(expect))
+
+
+# --- JPEG (baseline DCT) -----------------------------------------------------
+
+def _ones_q():
+    q = np.ones((8, 8), dtype=np.int64)
+    return (q, q)
+
+
+def _tile_constant(tiles: np.ndarray) -> np.ndarray:
+    """Expand a (ty, tx) uint8 tile-value grid to (8ty, 8tx) pixels."""
+    return np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+
+
+def test_jpeg_gray_block_constant_exact_q1():
+    tiles = _rng(11).integers(0, 256, (4, 4), dtype=np.uint8)
+    img = _tile_constant(tiles)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(img, quant_tables=_ones_q()))
+    assert dec.shape == (32, 32, 1)
+    assert np.array_equal(dec[:, :, 0], img)
+
+
+def test_jpeg_gray_block_constant_exact_q90_standard_tables():
+    # DC quant step at q90 is 3 < 8, so the block-constant law still
+    # gives an EXACT uint8 round trip through the real Annex K path
+    tiles = _rng(12).integers(0, 256, (2, 5), dtype=np.uint8)
+    img = _tile_constant(tiles)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90))
+    assert np.array_equal(dec[:, :, 0], img)
+
+
+def test_jpeg_non_multiple_of_8_dims_tile_constant_exact():
+    # edge padding replicates pixels from the same aligned tile, so the
+    # constancy (and hence exactness) survives partial border blocks
+    tiles = _rng(13).integers(0, 256, (4, 3), dtype=np.uint8)
+    img = _tile_constant(tiles)[:27, :21]
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=90))
+    assert dec.shape == (27, 21, 1)
+    assert np.array_equal(dec[:, :, 0], img)
+
+
+def test_jpeg_color_444_smooth_gradient_bounded_error():
+    h, w = 40, 56
+    row = np.linspace(30, 220, w)
+    img = np.stack(
+        [np.tile(row, (h, 1)), np.tile(row[::-1], (h, 1)),
+         np.full((h, w), 128.0)], axis=2
+    ).astype(np.uint8)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=95))
+    assert dec.shape == (h, w, 3)
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 4
+
+
+def test_jpeg_420_constant_color_exact_and_smooth_bounded():
+    const = np.zeros((24, 24, 3), np.uint8)
+    const[:, :, 0], const[:, :, 1], const[:, :, 2] = 200, 100, 50
+    dec = codecs.decode_jpeg(
+        codecs.encode_jpeg(const, quality=95, subsample_420=True)
+    )
+    assert np.abs(dec.astype(int) - const.astype(int)).max() <= 1
+    h, w = 22, 30  # odd-ish dims force chroma padding + upsample crop
+    row = np.linspace(60, 200, w)
+    smooth = np.stack([np.tile(row, (h, 1))] * 3, axis=2).astype(np.uint8)
+    dec2 = codecs.decode_jpeg(
+        codecs.encode_jpeg(smooth, quality=95, subsample_420=True)
+    )
+    assert dec2.shape == (h, w, 3)
+    assert np.abs(dec2.astype(int) - smooth.astype(int)).max() <= 8
+
+
+def test_jpeg_restart_intervals_match_unrestarted():
+    tiles = _rng(14).integers(0, 256, (3, 4), dtype=np.uint8)
+    img = _tile_constant(tiles)
+    plain = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=85))
+    rst = codecs.encode_jpeg(img, quality=85, restart_interval=2)
+    assert b"\xff\xdd" in rst and b"\xff\xd0" in rst  # DRI + RST0 present
+    assert np.array_equal(codecs.decode_jpeg(rst), plain)
+
+
+def _hand_jpeg(entropy: bytes, dc_val: int = 4) -> bytes:
+    """Hand-assemble a minimal 8x8 grayscale baseline JPEG with all-1
+    quant tables and trivial one-symbol Huffman tables (DC: symbol
+    ``dc_val`` on code '0'; AC: EOB on code '0') — built from the T.81
+    spec, NOT with encode_jpeg, so the decoder is checked
+    independently."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([1] * 64)
+    out += b"\xff\xc0" + struct.pack(">H", 11) + bytes([8]) \
+        + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    bits1 = bytes([1] + [0] * 15)
+    out += b"\xff\xc4" + struct.pack(">H", 20) + bytes([0x00]) + bits1 \
+        + bytes([dc_val])
+    out += b"\xff\xc4" + struct.pack(">H", 20) + bytes([0x10]) + bits1 \
+        + bytes([0x00])
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_golden_hand_built_positive_dc():
+    # bits: DC code '0', category 4, magnitude 1000 (=+8), AC EOB '0'
+    # -> 0 1000 0 + pad 11 = 0x43; DC=8, IDCT -> 8/8 + 128 = 129
+    img = codecs.decode_jpeg(_hand_jpeg(bytes([0x43])))
+    assert img.shape == (8, 8, 1)
+    assert (img == 129).all()
+
+
+def test_jpeg_golden_hand_built_negative_dc():
+    # 0 0111 0 + pad 11 = 0x3B; receive 7 < 8 -> extend to -8 -> 127
+    img = codecs.decode_jpeg(_hand_jpeg(bytes([0x3B])))
+    assert (img == 127).all()
+
+
+def test_jpeg_rejects_unsupported_modes():
+    tiles = _rng(15).integers(0, 256, (1, 1), dtype=np.uint8)
+    blob = bytearray(codecs.encode_jpeg(_tile_constant(tiles)))
+    i = blob.index(b"\xff\xc0")
+    blob[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        codecs.decode_jpeg(bytes(blob))
+    with pytest.raises(ValueError, match="SOI"):
+        codecs.decode_jpeg(b"\x00\x01")
+    big = _tile_constant(_rng(18).integers(0, 256, (4, 4), dtype=np.uint8))
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_jpeg(codecs.encode_jpeg(big, quality=90)[:-20])
+    q16 = bytearray(_hand_jpeg(bytes([0x43])))
+    q16[q16.index(b"\xff\xdb") + 4] = 0x10  # Pq=1: 16-bit table
+    with pytest.raises(ValueError, match="16-bit"):
+        codecs.decode_jpeg(bytes(q16))
+
+
+def test_jpeg_standard_tables_are_canonical():
+    for bits, vals in (codecs._JPEG_STD_DC_LUMA, codecs._JPEG_STD_DC_CHROMA):
+        assert sum(bits) == len(vals) == 12
+    for bits, vals in (codecs._JPEG_STD_AC_LUMA, codecs._JPEG_STD_AC_CHROMA):
+        assert sum(bits) == len(vals) == 162
+    # canonical construction must not overflow any code length
+    for bits, vals in (codecs._JPEG_STD_DC_LUMA, codecs._JPEG_STD_DC_CHROMA,
+                       codecs._JPEG_STD_AC_LUMA, codecs._JPEG_STD_AC_CHROMA):
+        codecs._jpeg_huff_decode_table(bits, vals)
+
+
+def test_jpeg_sniff_and_rgb_normalization():
+    tiles = _rng(16).integers(0, 256, (2, 2), dtype=np.uint8)
+    blob = codecs.encode_jpeg(_tile_constant(tiles), quality=90)
+    assert codecs.sniff_media_type(blob) == "image/jpeg"
+    rgb = codecs.sniff_and_decode_image(blob)
+    assert rgb.shape == (16, 16, 3)
+    assert np.array_equal(rgb[:, :, 0], _tile_constant(tiles))
+
+
+def test_jpeg_feeds_real_feature_path():
+    tiles = _rng(17).integers(0, 256, (2, 2), dtype=np.uint8)
+    img = _tile_constant(tiles)
+    f = multimodal.decode_stub(codecs.encode_jpeg(img, quality=90),
+                               fake=False)
+    expect = img.astype(np.float64).mean() / 255.0
+    assert f[0] == pytest.approx(expect)
+
+
+def test_jpeg_encode_rejects_bad_inputs():
+    with pytest.raises(ValueError, match="uint8"):
+        codecs.encode_jpeg(np.zeros((4, 4), np.float64))
+    with pytest.raises(ValueError, match="degenerate"):
+        codecs.encode_jpeg(np.zeros((0, 4), np.uint8))
+    with pytest.raises(ValueError, match="quality"):
+        codecs.encode_jpeg(np.zeros((4, 4), np.uint8), quality=0)
