@@ -1356,10 +1356,13 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("qty"),
         )
     )
+    # a returnflag group with NO rows of a pivoted status has count 0,
+    # not NULL (Spark's pivot emits NULL for absent combos; the
+    # oracle's count(*) FILTER is 0) — the qty sums stay NULL in both
     return piv.select(
         "l_returnflag",
-        F.col("O_n").alias("status_o"),
-        F.col("F_n").alias("status_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("status_f"),
         F.col("O_qty").alias("qty_o"),
         F.col("F_qty").alias("qty_f"),
     )
@@ -3462,7 +3465,9 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH cost AS (
     SELECT l_partkey, l_suppkey,
            min(l_extendedprice / l_quantity) AS unit_cost
-    FROM lineitem GROUP BY l_partkey, l_suppkey
+    FROM lineitem
+    WHERE l_quantity > 0
+    GROUP BY l_partkey, l_suppkey
 ), eur AS (
     SELECT s_suppkey, s_name, s_acctbal, n_name
     FROM supplier
@@ -3497,7 +3502,12 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, "nation", sf_dir)
     r = load_table(spark, "region", sf_dir)
     p = load_table(spark, "part", sf_dir)
-    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+    # zero-quantity lines have no unit cost: excluded in BOTH engines
+    # (ANSI Spark would raise DIVIDE_BY_ZERO; DuckDB would silently
+    # yield inf/nan — no shared value exists, the zero-vector lesson)
+    cost = l.where(F.col("l_quantity") > 0).groupBy(
+        "l_partkey", "l_suppkey"
+    ).agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
     eur = (
@@ -19914,6 +19924,14 @@ DRIVER_REVERIFY: dict[str, int] = {
     # changed
     "multimodal_features": 7,
     "frame_sample_media": 7,
+    # round 7: the adversarial TPC-H fixture caught two real bugs —
+    # zero-quantity lines crashed Q2's unit-cost division under ANSI
+    # (now excluded in both engines), and pivot emitted NULL where the
+    # oracle counts 0 for an absent (returnflag, status) combo (now
+    # coalesced).  Values unchanged at every sf, but the executed
+    # plans changed.
+    "tpch_q2_min_cost_supplier": 7,
+    "pivot_status_counts": 7,
     # round 6: punct_ratio denominator guarded with greatest(len, 1)
     # (empty-text ANSI divide-by-zero found by the adversarial fixture);
     # values unchanged on every non-empty document, but the executed

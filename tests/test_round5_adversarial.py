@@ -371,3 +371,162 @@ def test_adversarial_parts_differentials(spark):
         if problems:
             fails[name] = problems
     assert not fails, fails
+
+
+def _adversarial_tpch_dir(spark):
+    """Degenerate TPC-H shapes (r6 verdict item 5): same-day ship vs
+    order dates (zero lifecycle durations), zero-quantity and
+    zero-price lines, discount = 1.0 (revenue exactly zero), an order
+    with NO lineitems, a customer with NO orders (and one with exactly
+    one), tied order dates, zero/negative account balances, orphan
+    foreign keys (order without customer, lineitem without order —
+    the referential-integrity audit's positive case), duplicate
+    customer/part names, an unordered part, a supplier that supplies
+    nothing, and empty nations/regions.  Nation/region layout mirrors
+    the generator (25 nations, 5 regions) so the hardcoded NATION_*/
+    EUROPE literals in the TPC-H ports stay meaningful."""
+    d = tempfile.mkdtemp()
+    _write(spark, d, "region",
+           [(i, n) for i, n in enumerate(
+               ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"])],
+           "r_regionkey int, r_name string")
+    _write(spark, d, "nation",
+           [(i, f"NATION_{i}", i % 5) for i in range(25)],
+           "n_nationkey int, n_name string, n_regionkey int")
+    _write(spark, d, "customer", [
+        (1, "Customer#000000001", 3, 1000.00, "BUILDING"),   # single order
+        (2, "Customer#000000002", 2, 0.00, "HOUSEHOLD"),     # many orders, tied dates
+        (3, "Customer#000000003", 2, 2500.50, "MACHINERY"),  # ZERO orders
+        (4, "Customer#000000004", 3, 0.00, "BUILDING"),      # zero balance, no orders
+        (5, "Customer#000000005", 3, -999.99, "AUTOMOBILE"),  # negative balance
+        (6, "Customer#000000001", 8, 10.00, "BUILDING"),     # duplicate name
+        (7, "Customer#000000007", 7, 5.25, "FURNITURE"),     # order w/o lineitems
+    ], "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+       "c_mktsegment string")
+    _write(spark, d, "supplier", [
+        (1, "Supplier#000000001", 1, 100.00),
+        (2, "Supplier#000000002", 3, 0.00),     # zero balance
+        (3, "Supplier#000000003", 2, 50.00),    # supplies NOTHING
+        (4, "Supplier#000000004", 7, -5.00),    # negative balance
+    ], "s_suppkey long, s_name string, s_nationkey int, s_acctbal double")
+    _write(spark, d, "part", [
+        (1, "small ring", "Brand#1", "ECONOMY", 3, 900.00),
+        (2, "large cog", "Brand#2", "STANDARD", 10, 1500.00),  # never ordered
+        (3, "deluxe widget", "Brand#3", "ECONOMY DELUXE", 15, 0.00),
+        (4, "small ring", "Brand#1", "PROMO", 0, 0.00),        # dup name, size 0
+    ], "p_partkey long, p_name string, p_brand string, p_type string, "
+       "p_size int, p_retailprice double")
+    D = dt.datetime
+    _write(spark, d, "orders", [
+        (100, 1, "F", 31000.00, D(1996, 3, 1), "1-URGENT"),
+        (101, 2, "O", 1150.00, D(1996, 2, 15), "5-LOW"),
+        (102, 2, "P", 7000.00, D(1996, 2, 15), "3-MEDIUM"),   # tied date
+        (103, 2, "F", 0.00, D(1996, 2, 15), "2-HIGH"),        # zero total, tied
+        (104, 5, "F", 4000.00, D(1995, 12, 31), "5-LOW"),
+        (105, 7, "O", 500.00, D(1996, 6, 1), "4-NOT SPECIFIED"),  # NO lineitems
+        (106, 999, "O", 123.45, D(1996, 4, 1), "1-URGENT"),   # orphan custkey
+        (107, 2, "O", 900.00, D(1996, 2, 15), "5-LOW"),       # tied date
+    ], "o_orderkey long, o_custkey long, o_orderstatus string, "
+       "o_totalprice double, o_orderdate timestamp_ntz, "
+       "o_orderpriority string")
+    _write(spark, d, "lineitem", [
+        # o100 (ordered 1996-03-01): same-day ship, zero qty, disc 1.0
+        (100, 1, 1, 1, 0.0, 1000.00, 0.0, 0.0, "R", "F", D(1996, 3, 1)),
+        (100, 3, 2, 2, 25.0, 50000.00, 1.0, 0.08, "A", "F", D(1996, 3, 5)),
+        (100, 3, 1, 3, 23.0, 30000.00, 0.03, 0.02, "N", "O", D(1996, 5, 1)),
+        # o101: q6/q7 shape (disc 0.02, qty < 24, supp nation 1 / cust 2)
+        (101, 1, 1, 1, 23.0, 1150.00, 0.02, 0.0, "N", "O", D(1996, 7, 1)),
+        # o102 (ordered 1996-02-15): every line ships the SAME DAY as
+        # the order — all lifecycle durations exactly zero
+        (102, 1, 2, 1, 5.0, 1000.00, 0.0, 0.0, "N", "O", D(1996, 2, 15)),
+        (102, 1, 2, 2, 0.0, 0.00, 0.0, 0.0, "N", "O", D(1996, 2, 15)),
+        (102, 3, 2, 3, 5.0, 1000.00, 0.1, 0.0, "A", "F", D(1996, 2, 15)),
+        (102, 1, 2, 4, 5.0, 1000.00, 0.0, 0.08, "R", "F", D(1996, 2, 15)),
+        (102, 3, 2, 5, 5.0, 1000.00, 0.05, 0.0, "N", "O", D(1996, 2, 15)),
+        (102, 1, 2, 6, 5.0, 1000.00, 0.0, 0.0, "N", "F", D(1996, 2, 15)),
+        (102, 3, 2, 7, 5.0, 1000.00, 0.0, 0.0, "N", "O", D(1996, 2, 15)),
+        # o103: zero-price line, big quantity, ships in 1998 (q3 window)
+        (103, 4, 4, 1, 40.0, 0.00, 0.0, 0.0, "N", "O", D(1998, 6, 1)),
+        # o104: pre-1996 ship (outside most windows)
+        (104, 3, 1, 1, 25.0, 4000.00, 0.04, 0.0, "R", "F", D(1995, 12, 31)),
+        # o106 (orphan order) still has a line
+        (106, 1, 1, 1, 1.0, 123.45, 0.0, 0.0, "N", "O", D(1996, 4, 2)),
+        # orphan lineitem: orderkey not in orders at all
+        (99999, 1, 1, 1, 2.0, 10.00, 0.0, 0.0, "N", "O", D(1996, 4, 3)),
+    ], "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+       "l_quantity double, l_extendedprice double, l_discount double, "
+       "l_tax double, l_returnflag string, l_linestatus string, "
+       "l_shipdate timestamp_ntz")
+    # tiny events table for the queries that join events with TPC-H
+    # tables (integrity audit wants an orphan user too)
+    _write(spark, d, "events", [
+        (1, 1, D(2024, 1, 10), "purchase", 10.0, "{}"),
+        (2, 2, D(2024, 1, 11), "view", 5.5, "{}"),
+        (2, 3, D(2024, 1, 12), "purchase", 7.25, "{}"),
+        (999, 4, D(2024, 1, 13), "error", 0.0, "{}"),
+    ], "user_id long, event_id long, ts timestamp_ntz, event_type string, "
+       "value double, props string")
+    return d
+
+
+ADVERSARIAL_TPCH_QUERIES = [
+    "tpch_q1_agg",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_top10",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_revenue",
+    "tpch_q6_filter_agg",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q10_returned_top20",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_buckets",
+    "tpch_q13_order_distribution",
+    "tpch_q14_type_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_orders",
+    "tpch_q18_big_orders",
+    "tpch_q19_disjunctive_join",
+    "tpch_q20_heavy_shippers",
+    "tpch_q21_sole_late_supplier",
+    "tpch_q22_idle_customers",
+    "revenue_by_nation",
+    "rollup_revenue",
+    "grouping_sets_orders",
+    "rank_family_orders",
+    "qualify_latest_order",
+    "lateral_top2_orders",
+    "semi_anti_customers",
+    "salted_join_orders",
+    "bloom_pruned_join",
+    "incremental_join_orders",
+    "order_lifecycle_durations",
+    "pivot_status_counts",
+    "unpivot_lineitem_measures",
+    "supplier_window_stats",
+    "weighted_median_lineitem",
+    "sweepline_peak_concurrency",
+    "zorder_layout_lineitem",
+    "cdc_apply_lineitem",
+    "largest_remainder_allocation",
+    "referential_integrity_audit",
+    "full_outer_reconciliation",
+    "join_size_estimate_cms",
+]
+
+
+def test_adversarial_tpch_differentials(spark):
+    d = _adversarial_tpch_dir(spark)
+    fails = {}
+    for name in ADVERSARIAL_TPCH_QUERIES:
+        try:
+            problems = compare(
+                reg.QUERIES[name](spark, d), reg.ORACLES[name], d
+            )
+        except Exception as exc:  # crash = red
+            problems = [repr(exc)[:200]]
+        if problems:
+            fails[name] = problems
+    assert not fails, fails
