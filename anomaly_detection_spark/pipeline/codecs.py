@@ -23,6 +23,13 @@ specs are simple enough to implement exactly are decoded for REAL:
   baseline JFIF with quality-scaled Annex K tables — ``decode_jpeg``
   / ``encode_jpeg``.  Progressive / arithmetic / 12-bit are rejected
   loudly.
+- **GIF** (87a/89a): spec-exact variable-width LZW both directions,
+  local/global color tables, 4-pass interlace, first frame —
+  ``decode_gif`` / ``encode_gif`` (palette-lossless).
+- **G.711** (u-law / A-law telephony companding): vectorized
+  CCITT segment tables both directions, WAV format codes 6/7 wired
+  into ``decode_wav`` — ``ulaw_encode/decode``, ``alaw_encode/
+  decode``, ``encode_wav_g711``.
 
 ``sniff_and_decode`` dispatches on magic bytes; the remaining
 compressed formats (MP3/H.264) stay behind the stub boundary in
@@ -227,9 +234,14 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     audio_format, ch, rate, _, _, bits = fmt
-    if audio_format != 1:
+    if audio_format not in (1, 6, 7):
         raise ValueError(f"non-PCM WAV (format {audio_format}) not supported")
-    if bits == 16:
+    if audio_format in (6, 7):  # G.711 A-law / u-law companded bytes
+        if bits != 8:
+            raise ValueError(f"{bits}-bit G.711 WAV is malformed")
+        codes = np.frombuffer(data, np.uint8)
+        arr = alaw_decode(codes) if audio_format == 6 else ulaw_decode(codes)
+    elif bits == 16:
         arr = np.frombuffer(data, dtype="<i2")
     elif bits == 8:
         arr = ((np.frombuffer(data, np.uint8).astype(np.int16) - 128) << 8)
@@ -399,6 +411,283 @@ def encode_png(img: np.ndarray) -> bytes:
         _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a): LZW-compressed palette images — fully lossless, so the
+# spec-complete decode/encode pair round-trips exactly.  The decoder
+# walks extensions, honors local color tables and Adam-style 4-pass
+# interlacing, and returns the FIRST frame as (H, W, 3) RGB; the
+# encoder emits a single-frame GIF89a from an index raster + palette
+# with spec-exact variable-width LZW (LSB-first packing, clear/EOI
+# codes, 12-bit cap with mid-stream clear).
+# ---------------------------------------------------------------------------
+
+def _gif_lzw_decode(data: bytes, min_code: int, expect: int) -> list[int]:
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out: list[int] = []
+    table: dict[int, tuple[int, ...]] = {}
+    csize = min_code + 1
+    next_code = end + 1
+    prev: tuple[int, ...] | None = None
+    bitpos, total = 0, len(data) * 8
+    while bitpos + csize <= total:
+        byte_i, shift = bitpos >> 3, bitpos & 7
+        chunk = int.from_bytes(data[byte_i: byte_i + 3], "little")
+        code = (chunk >> shift) & ((1 << csize) - 1)
+        bitpos += csize
+        if code == clear:
+            table, csize, next_code, prev = {}, min_code + 1, end + 1, None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("corrupt GIF LZW stream (bad first code)")
+            entry = (code,)
+        else:
+            if code < clear:
+                entry = (code,)
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + (prev[0],)  # the KwKwK case
+            else:
+                raise ValueError("corrupt GIF LZW stream (code gap)")
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << csize) and csize < 12:
+                csize += 1
+        out.extend(entry)
+        prev = entry
+        if len(out) >= expect:
+            break
+    if len(out) < expect:
+        raise ValueError("truncated GIF pixel data")
+    return out[:expect]
+
+
+def _gif_lzw_encode(indices: np.ndarray, min_code: int) -> bytes:
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, csize: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += csize
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[tuple[int, int], int] = {}
+    csize = min_code + 1
+    next_code = end + 1
+    emit(clear, csize)
+    it = iter(int(i) for i in indices)
+    cur = next(it)
+    for k in it:
+        if (cur, k) in table:
+            cur = table[(cur, k)]
+            continue
+        emit(cur, csize)
+        table[(cur, k)] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << csize) and csize < 12:
+            csize += 1
+        cur = k
+        if next_code == 4096:  # dictionary full: reset mid-stream
+            emit(clear, csize)
+            table, csize, next_code = {}, min_code + 1, end + 1
+    emit(cur, csize)
+    emit(end, csize)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step) passes
+
+
+def decode_gif(blob: bytes) -> np.ndarray:
+    """Decode the first frame of a GIF87a/89a to (H, W, 3) uint8 RGB
+    (palette applied; interlaced frames de-interlaced; transparency
+    intentionally flattened — this is a raster path, not a compositor)."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    packed = blob[10]
+    pos, gct = 13, None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x21:  # extension: label + size-prefixed sub-blocks
+            pos += 2
+            while pos < len(blob) and blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            iw, ih = struct.unpack_from("<HH", blob, pos + 5)
+            ipacked = blob[pos + 9]
+            pos += 10
+            if iw == 0 or ih == 0:
+                raise ValueError("degenerate GIF dimensions")
+            lct = None
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                lct = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            min_code = blob[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                raise ValueError("invalid GIF LZW minimum code size")
+            data = bytearray()
+            while pos < len(blob) and blob[pos] != 0:
+                sz = blob[pos]
+                data += blob[pos + 1: pos + 1 + sz]
+                pos += 1 + sz
+            if pos >= len(blob):
+                raise ValueError("truncated GIF data sub-blocks")
+            table = lct if lct is not None else gct
+            if table is None:
+                raise ValueError("GIF frame has no color table")
+            idx = np.array(
+                _gif_lzw_decode(bytes(data), min_code, iw * ih), np.int64
+            )
+            if (idx >= len(table)).any():
+                raise ValueError("GIF index outside color table")
+            img = table[idx].reshape(ih, iw, 3)
+            if ipacked & 0x40:  # interlaced: rows stored in 4 passes
+                rows = []
+                for start, step in _GIF_INTERLACE:
+                    rows.extend(range(start, ih, step))
+                deinter = np.empty_like(img)
+                deinter[np.array(rows)] = img
+                img = deinter
+            return np.ascontiguousarray(img)
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"corrupt GIF block 0x{b0:02x}")
+    raise ValueError("GIF stream has no image data")
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Encode an (H, W) uint8 index raster + (N, 3) uint8 palette as a
+    single-frame GIF89a (global color table, non-interlaced) — exactly
+    losslessly, GIF being palette-exact."""
+    if indices.dtype != np.uint8 or indices.ndim != 2:
+        raise ValueError("encode_gif expects (H, W) uint8 indices")
+    h, w = indices.shape
+    if h == 0 or w == 0:
+        raise ValueError("degenerate GIF dimensions")
+    palette = np.asarray(palette, dtype=np.uint8)
+    if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) < 2:
+        raise ValueError("encode_gif expects an (N>=2, 3) uint8 palette")
+    if int(indices.max()) >= len(palette):
+        raise ValueError("GIF index outside palette")
+    bits = max(2, int(len(palette) - 1).bit_length())
+    if bits > 8:
+        raise ValueError("GIF palettes cap at 256 entries")
+    gct = np.zeros((1 << bits, 3), np.uint8)
+    gct[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0])
+    out += gct.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([bits])
+    lzw = _gif_lzw_encode(indices.reshape(-1), bits)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i: i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# G.711 companding (u-law / A-law) — the telephony byte codecs, straight
+# from the CCITT segment tables.  Both directions are vectorized numpy;
+# the codebook idempotence law encode(decode(byte)) == byte holds for
+# all 256 code values in both laws (tested exhaustively).
+# ---------------------------------------------------------------------------
+
+def ulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """u-law bytes -> int16 PCM (G.711 expansion)."""
+    u = (~np.asarray(codes, dtype=np.uint8)).astype(np.int32)
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def ulaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 PCM -> u-law bytes (G.711 compression, segment search)."""
+    x = np.asarray(pcm, dtype=np.int32) >> 2  # to 14-bit magnitude space
+    mask = np.where(x < 0, 0x7F, 0xFF)
+    x = np.where(x < 0, -x, x)
+    x = np.minimum(x, 8159) + 0x21
+    seg_end = np.array(
+        [0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF], np.int32
+    )
+    seg = np.searchsorted(seg_end, x)
+    uval = (seg << 4) | ((x >> (seg + 1)) & 0x0F)
+    return (uval ^ mask).astype(np.uint8)
+
+
+def alaw_decode(codes: np.ndarray) -> np.ndarray:
+    """A-law bytes -> int16 PCM (G.711 expansion)."""
+    a = (np.asarray(codes, dtype=np.uint8) ^ 0x55).astype(np.int32)
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8,
+                 np.where(seg == 1, t + 0x108, (t + 0x108) << (np.maximum(seg, 1) - 1)))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def alaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """int16 PCM -> A-law bytes (G.711 compression, segment search)."""
+    x = np.asarray(pcm, dtype=np.int32) >> 3  # to 13-bit space
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    x = np.where(x >= 0, x, -x - 1)
+    seg_end = np.array(
+        [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF], np.int32
+    )
+    seg = np.searchsorted(seg_end, x)
+    shift = np.where(seg < 2, 1, np.maximum(seg, 1))
+    aval = np.where(
+        seg >= 8, 0x7F, (seg << 4) | ((x >> shift) & 0x0F)
+    )
+    return (aval ^ mask).astype(np.uint8)
+
+
+def encode_wav_g711(
+    samples: np.ndarray, sample_rate: int = 8000, law: str = "ulaw"
+) -> bytes:
+    """Encode (n, channels) int16 PCM as a RIFF WAV with G.711 u-law
+    (format 7) or A-law (format 6) companded 8-bit payload."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.dtype != np.int16 or samples.ndim != 2:
+        raise ValueError("encode_wav_g711 expects (n[, channels]) int16")
+    if law == "ulaw":
+        fmt_code, payload = 7, ulaw_encode(samples.reshape(-1))
+    elif law == "alaw":
+        fmt_code, payload = 6, alaw_encode(samples.reshape(-1))
+    else:
+        raise ValueError("law must be 'ulaw' or 'alaw'")
+    ch = samples.shape[1]
+    data = payload.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, ch, sample_rate, sample_rate * ch, ch, 8
+    )
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
 # ---------------------------------------------------------------------------
@@ -1043,6 +1332,8 @@ def sniff_media_type(blob: bytes) -> str | None:
         return "image/png"
     if blob[:3] == b"\xff\xd8\xff":
         return "image/jpeg"
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif"
     if blob[:2] == b"P6":
         return "image/x-portable-pixmap"
     if blob[:2] == b"P5":
@@ -1064,6 +1355,8 @@ def sniff_and_decode_image(blob: bytes) -> np.ndarray | None:
         if px.shape[2] == 1:
             return np.repeat(px, 3, axis=2)
         return px
+    if kind == "image/gif":
+        return decode_gif(blob)
     if kind == "image/png":
         px = decode_png(blob)
         nch = px.shape[2]

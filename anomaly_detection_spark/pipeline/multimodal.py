@@ -4,8 +4,9 @@ Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct. The Spark-side machinery — schema, partition-preserving
 ``mapInPandas`` over Arrow batches, bounded batch memory — is real and
 tested. The codec step is REAL for every format whose spec fits in
-plain numpy + the stdlib (BMP, PPM/PGM, PNG, baseline JPEG, RIFF-PCM
-WAV — see ``pipeline.codecs``, no external libraries) and STUBBED only
+plain numpy + the stdlib (BMP, PPM/PGM, PNG, baseline JPEG, GIF,
+RIFF WAV incl. G.711 u-law/A-law — see ``pipeline.codecs``, no
+external libraries) and STUBBED only
 for formats that genuinely need ffmpeg-class stacks (MP3, H.264):
 there ``decode_stub`` raises
 ``NotImplementedError`` unless ``fake=True``, in which case it

@@ -19858,6 +19858,66 @@ def q_jpeg_roundtrip_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL GIF encode->decode in the Spark plan (the PNG/JPEG rows'
+# sibling, pipeline/codecs.py:encode_gif/decode_gif — spec-exact
+# variable-width LZW, no external libraries).  GIF is palette-exact
+# (lossless), so the law is the PNG one: each document's md5 digest
+# becomes a 4x4 INDEX raster over the 256-gray identity palette,
+# encode->decode inside one mapInPandas must reproduce it bit-for-bit,
+# and the oracle pins the decoded pixel sum to 3x the digest byte sum
+# (three identical RGB channels) computed from the hex digest.
+# ---------------------------------------------------------------------------
+
+@register("gif_roundtrip_media", """
+WITH h AS (
+    SELECT doc_id, md5(text) AS hx FROM documents
+)
+SELECT doc_id,
+       CAST(3 * list_sum([
+           (strpos('0123456789abcdef', substr(hx, 2 * i - 1, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(hx, 2 * i, 1)) - 1
+           for i in range(1, 17)
+       ]) AS BIGINT) AS pixel_sum,
+       CAST(16 AS INT) AS n_pixels,
+       TRUE AS roundtrip_ok
+FROM h
+""")
+def q_gif_roundtrip_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from anomaly_detection_spark.pipeline.codecs import (
+            decode_gif, encode_gif,
+        )
+
+        pal = np.arange(256, dtype=np.uint8)[:, None].repeat(3, axis=1)
+        for pdf in batches:
+            ids, sums, ok = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                idx = np.frombuffer(
+                    hashlib.md5(text.encode("utf-8")).digest(), np.uint8
+                ).reshape(4, 4)
+                img = decode_gif(encode_gif(idx, pal))
+                ids.append(doc_id)
+                sums.append(int(img.sum()))
+                ok.append(bool(np.array_equal(img[:, :, 0], idx)))
+            yield pd.DataFrame({
+                "doc_id": ids, "pixel_sum": sums,
+                "n_pixels": [16] * len(ids), "roundtrip_ok": ok,
+            })
+
+    return docs.mapInPandas(
+        run, "doc_id long, pixel_sum long, n_pixels int, roundtrip_ok boolean"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion
@@ -19918,10 +19978,10 @@ DRIVER_REVERIFY: dict[str, int] = {
     # r6) inside the kernel this query executes; values unchanged on
     # every >=1x1 raster, but the executed kernel changed
     "png_roundtrip_media": 7,
-    # round 7: sniff_media_type gained the JPEG magic branch (and the
-    # stub wording changed) inside the kernels these queries execute;
-    # values unchanged on text payloads, but the executed kernels
-    # changed
+    # round 7: sniff_media_type gained the JPEG and GIF magic branches,
+    # decode_wav gained the G.711 format codes, and the stub wording
+    # changed — all inside the kernels these queries execute; values
+    # unchanged on text payloads, but the executed kernels changed
     "multimodal_features": 7,
     "frame_sample_media": 7,
     # round 7: the adversarial TPC-H fixture caught two real bugs —

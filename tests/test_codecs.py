@@ -473,3 +473,136 @@ def test_jpeg_encode_rejects_bad_inputs():
         codecs.encode_jpeg(np.zeros((0, 4), np.uint8))
     with pytest.raises(ValueError, match="quality"):
         codecs.encode_jpeg(np.zeros((4, 4), np.uint8), quality=0)
+
+
+# --- GIF (LZW) ---------------------------------------------------------------
+
+def test_gif_roundtrip_small_palette():
+    rng = _rng(21)
+    idx = rng.integers(0, 7, (13, 21), dtype=np.uint8)
+    pal = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+    img = codecs.decode_gif(codecs.encode_gif(idx, pal))
+    assert np.array_equal(img, pal[idx.astype(int)])
+
+
+def test_gif_roundtrip_256_colors_hits_12bit_codes():
+    # 80x90 random 256-color noise grows the LZW dictionary past
+    # 4096 entries, forcing the 12-bit cap + mid-stream clear path
+    rng = _rng(22)
+    idx = rng.integers(0, 256, (80, 90), dtype=np.uint8)
+    pal = np.arange(256, dtype=np.uint8)[:, None].repeat(3, axis=1)
+    img = codecs.decode_gif(codecs.encode_gif(idx, pal))
+    assert np.array_equal(img[:, :, 0], idx)
+
+
+def _hand_gif() -> bytes:
+    """Hand-assemble a 2x1 two-color GIF from the 89a spec (header,
+    LSD + 2-entry GCT, image descriptor, min-code 2, LZW codes
+    [clear=4, 0, 1, end=5] packed LSB-first = 0x44 0x0A) — built
+    WITHOUT encode_gif, so the decoder is checked independently."""
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", 2, 1)
+        + bytes([0x80, 0, 0])            # GCT present, 2 entries
+        + bytes([10, 20, 30, 200, 210, 220])  # palette
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 1) + b"\x00"
+        + bytes([2])                      # LZW min code size
+        + bytes([2, 0x44, 0x0A])          # one 2-byte data sub-block
+        + b"\x00\x3b"
+    )
+
+
+def test_gif_golden_hand_built():
+    img = codecs.decode_gif(_hand_gif())
+    assert img.shape == (1, 2, 3)
+    assert img[0, 0].tolist() == [10, 20, 30]
+    assert img[0, 1].tolist() == [200, 210, 220]
+
+
+def test_gif_interlaced_roundtrip():
+    # interlace is decode-only: permute rows into pass order by hand
+    # around the encoder's output, then flip the interlace bit
+    rng = _rng(23)
+    idx = rng.integers(0, 16, (11, 5), dtype=np.uint8)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    rows = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        rows.extend(range(start, 11, step))
+    blob = bytearray(codecs.encode_gif(idx[np.array(rows)], pal))
+    # image descriptor starts right after 6+7+GCT(16*3); packed byte is
+    # its 10th byte (0x2c + 4 u16 + packed)
+    dpos = 6 + 7 + 48
+    assert blob[dpos] == 0x2C
+    blob[dpos + 9] |= 0x40
+    img = codecs.decode_gif(bytes(blob))
+    assert np.array_equal(img, pal[idx.astype(int)])
+
+
+def test_gif_rejects_bad_streams():
+    with pytest.raises(ValueError, match="not a GIF"):
+        codecs.decode_gif(b"NOPE")
+    with pytest.raises(ValueError, match="no image data"):
+        codecs.decode_gif(b"GIF89a" + struct.pack("<HH", 1, 1)
+                          + bytes([0, 0, 0]) + b"\x3b")
+    bad = bytearray(_hand_gif())
+    bad[-3] = 0x07  # corrupt a data byte -> dangling LZW code
+    with pytest.raises(ValueError, match="GIF"):
+        codecs.decode_gif(bytes(bad))
+    with pytest.raises(ValueError, match="palette"):
+        codecs.encode_gif(np.zeros((2, 2), np.uint8), np.zeros((1, 3), np.uint8))
+    with pytest.raises(ValueError, match="outside palette"):
+        codecs.encode_gif(np.full((2, 2), 9, np.uint8),
+                          np.zeros((4, 3), np.uint8))
+
+
+def test_gif_sniff_and_dispatch():
+    blob = _hand_gif()
+    assert codecs.sniff_media_type(blob) == "image/gif"
+    assert codecs.sniff_and_decode_image(blob).shape == (1, 2, 3)
+
+
+# --- G.711 companding --------------------------------------------------------
+
+def test_g711_codebook_idempotence():
+    b = np.arange(256, dtype=np.uint8)
+    # A-law: encode(decode(code)) == code for ALL 256 codes
+    assert np.array_equal(codecs.alaw_encode(codecs.alaw_decode(b)), b)
+    # u-law: same, except 0x7F (negative zero) which canonicalizes to
+    # 0xFF (positive zero) — the known G.711 +-0 artifact
+    out = codecs.ulaw_encode(codecs.ulaw_decode(b))
+    mism = np.where(out != b)[0]
+    assert mism.tolist() == [0x7F]
+    assert codecs.ulaw_decode(np.array([0x7F], np.uint8))[0] == 0
+    assert out[0x7F] == 0xFF
+
+
+def test_g711_wav_roundtrip_both_laws():
+    rng = _rng(24)
+    for law, dec_fn in (("ulaw", codecs.ulaw_decode),
+                        ("alaw", codecs.alaw_decode)):
+        # start from decoder-image PCM so companding is exact
+        pcm = dec_fn(rng.integers(0, 256, 600, dtype=np.uint8)).reshape(-1, 2)
+        got, rate = codecs.decode_wav(
+            codecs.encode_wav_g711(pcm, 8000, law)
+        )
+        assert rate == 8000 and np.array_equal(got, pcm)
+
+
+def test_g711_wav_feeds_real_feature_path():
+    pcm = codecs.ulaw_decode(np.arange(0, 250, dtype=np.uint8))[:, None]
+    f = multimodal.decode_stub(
+        codecs.encode_wav_g711(pcm, 8000, "ulaw"), fake=False
+    )
+    x = pcm.astype(np.float64) / 32768.0
+    assert f[0] == pytest.approx(float(x.mean()))
+
+
+def test_g711_monotone_decode():
+    # each law's decode must be monotone over the positive code range
+    # (magnitude grows with segment) — a transcription-error tripwire
+    pos_u = codecs.ulaw_decode(np.arange(0x80, 0x100, dtype=np.uint8)[::-1])
+    assert (np.diff(pos_u.astype(int)) >= 0).all()
+    pos_a = codecs.alaw_decode(
+        (np.arange(0x80) ^ 0x55).astype(np.uint8) | 0x80
+    )
+    assert pos_a.min() >= 0
