@@ -178,6 +178,12 @@ BENCH_QUERIES = [
     "sprt_conversion_users",
     "kendall_tau_users",
     "cochran_armitage_trend",
+    # round 7 additions
+    # jpeg_roundtrip_media is the heavyweight codec kernel (16 DCT
+    # blocks + Python Huffman per 32x32 raster — ~900 imgs/s in the
+    # r7 probe); gif_roundtrip_media stays OUT: its cheap-lossless
+    # codec-row cost profile is already represented by png_roundtrip
+    "jpeg_roundtrip_media",
     # mmr_select_embeddings stays OUT of the bench set: 8 sequential
     # argmax jobs are honest greedy-selection cost but pure job-launch
     # overhead at local bench scale (14 s of a 93 s total in the r04
