@@ -461,6 +461,75 @@ def assign_nearest_centroid(
     )
 
 
+def simplified_silhouette(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette score per vector:
+    ``s = (b - a) / max(a, b)`` with a = cosine distance to the OWN
+    (nearest) centroid and b = distance to the runner-up centroid.
+
+    The classic silhouette is O(n²) in the corpus; the simplified form
+    substitutes centroid distances — linear, one broadcast of K
+    centroids, the standard scale-safe variant.  Computed on the
+    1e-6 integer grid so both engines make identical boundary
+    decisions: ``silhouette_fp = (b - a) * 1e6 div max(a, b)`` (exact
+    integer floor division; b >= a by construction so the quotient is
+    non-negative).  NULL when fewer than two centroids exist (the
+    score is undefined), 0 when the vector coincides with two
+    centroids (a = b = 0).
+    """
+    c = centroids.select(
+        F.col(centroid_id_col), F.col(vec_col).alias("_cvec"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
+    c6 = F.round(
+        F.round(
+            _dot(F.col(vec_col), F.col("_cvec"))
+            / (F.col("_vn") * F.col("_cn")), 6
+        ) * 1_000_000, 0
+    ).cast("long")
+    scored = vectors.withColumn("_vn", _norm(F.col(vec_col))).crossJoin(
+        F.broadcast(c)
+    ).select(
+        id_col,
+        F.col(centroid_id_col).cast("long").alias("_cid"),
+        c6.alias("_c6"),
+    )
+    # top-2 per vector via a map-side sorted K-list (K = |centroids|,
+    # bounded): sort ascending on (-c6, centroid_id) == descending
+    # cosine with lower-id tie-break, the assign_nearest convention
+    top2 = scored.groupBy(id_col).agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct(
+                    (-F.col("_c6")).alias("_nk"), F.col("_cid")
+                ))
+            ), 1, 2
+        ).alias("_t")
+    )
+    a = F.lit(1_000_000) + F.element_at("_t", 1)["_nk"]
+    b = F.lit(1_000_000) + F.element_at("_t", 2)["_nk"]
+    s_fp = F.when(F.size("_t") < 2, F.lit(None).cast("long")).otherwise(
+        F.when(F.greatest(a, b) == 0, F.lit(0).cast("long")).otherwise(
+            F.expr(
+                "CAST((1000000 + element_at(_t, 2)._nk"
+                "      - (1000000 + element_at(_t, 1)._nk)) * 1000000"
+                " div greatest(1000000 + element_at(_t, 1)._nk,"
+                "              1000000 + element_at(_t, 2)._nk) AS BIGINT)"
+            )
+        )
+    )
+    return top2.select(
+        id_col,
+        F.element_at("_t", 1)["_cid"].alias("cluster_id"),
+        s_fp.alias("silhouette_fp"),
+    )
+
+
 def cluster_balanced_sample(
     assigned: DataFrame,
     per_cluster: int,

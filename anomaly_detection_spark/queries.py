@@ -19918,6 +19918,214 @@ def q_gif_roundtrip_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Shapley-value channel attribution (the fifth classic attribution
+# paradigm alongside last-touch, linear, time-decay, and Markov
+# removal): each user's pre-first-purchase exposure set of channels
+# (non-purchase event types) is a coalition; the characteristic
+# function v(S) counts conversions among users whose whole exposure
+# set fits inside S; a channel's Shapley value averages its marginal
+# contribution v(S+i) - v(S) over all orderings.  Channels form a
+# bounded dictionary (event types), so the 2^n coalition lattice is
+# EXACTLY enumerable (n <= 12 guarded): exposure bitmasks are one
+# user-keyed aggregation (bit_or, map-side combinable), and everything
+# after is dictionary-sized math — credits are exact integers
+# (factorial-weighted marginal sums), divided by n! only at the end,
+# so both engines round the same two integers.
+# ---------------------------------------------------------------------------
+
+@register("shapley_attribution_channels", """
+WITH o AS (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+    FROM events
+), p AS (
+    SELECT user_id, min(CASE WHEN event_type = 'purchase' THEN rn END) AS prn
+    FROM o GROUP BY user_id
+), ch AS (
+    SELECT event_type AS c,
+           CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS bit
+    FROM (SELECT DISTINCT event_type FROM events
+          WHERE event_type <> 'purchase') t
+), n AS (
+    SELECT CAST(count(*) AS BIGINT) AS nch FROM ch
+), exposure AS (
+    SELECT p.user_id,
+           CAST(coalesce(sum(DISTINCT (CAST(1 AS BIGINT) << ch.bit)), 0)
+                AS BIGINT) AS m,
+           CASE WHEN p.prn IS NOT NULL THEN 1 ELSE 0 END AS conv
+    FROM p
+    LEFT JOIN o ON o.user_id = p.user_id
+         AND (p.prn IS NULL OR o.rn < p.prn)
+    LEFT JOIN ch ON ch.c = o.event_type
+    GROUP BY p.user_id, p.prn
+), mv AS (
+    SELECT m, CAST(sum(conv) AS BIGINT) AS conv FROM exposure GROUP BY m
+), subsets AS (
+    SELECT CAST(unnest(range(0, (SELECT CAST(1 AS BIGINT) << nch FROM n)))
+                AS BIGINT) AS s
+), v AS (
+    SELECT s.s, CAST(coalesce(sum(mv.conv), 0) AS BIGINT) AS vs
+    FROM subsets s LEFT JOIN mv ON (mv.m & s.s) = mv.m
+    GROUP BY s.s
+), terms AS (
+    SELECT ch.c AS channel,
+           CAST(factorial(CAST(bit_count(s.s) AS INT))
+                * factorial(CAST((SELECT nch FROM n) - 1
+                                 - bit_count(s.s) AS INT))
+                * (vi.vs - vo.vs) AS BIGINT) AS term
+    FROM ch
+    CROSS JOIN subsets s
+    JOIN v vo ON vo.s = s.s
+    JOIN v vi ON vi.s = (s.s | (CAST(1 AS BIGINT) << ch.bit))
+    WHERE (s.s & (CAST(1 AS BIGINT) << ch.bit)) = 0
+)
+SELECT channel,
+       CAST((SELECT nch FROM n) AS BIGINT) AS n_channels,
+       CAST(sum(term) AS BIGINT) AS credit,
+       round(CAST(sum(term) AS DOUBLE)
+             / CAST(factorial(CAST((SELECT nch FROM n) AS INT)) AS DOUBLE),
+             6) AS shapley_value
+FROM terms
+GROUP BY channel
+""")
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    p = o.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rn"))
+        ).alias("prn")
+    )
+    # channel dictionary: bounded artifact (event types), the same
+    # driver-side collection the Markov attribution row documents
+    channels = sorted(
+        r["event_type"]
+        for r in ev.select("event_type").distinct().collect()
+        if r["event_type"] != "purchase"
+    )
+    n = len(channels)
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "channel string, n_channels long, credit long, "
+            "shapley_value double",
+        )
+    if n > 12:
+        raise ValueError(
+            f"{n} channels: exact Shapley enumerates 2^n coalitions — "
+            "cap the channel dictionary or sample orderings"
+        )
+    chbit = F.lit(None).cast("long")
+    for i, cname in enumerate(channels):
+        chbit = F.when(F.col("event_type") == cname, F.lit(1 << i)) \
+            .otherwise(chbit)
+    rows = o.join(p, "user_id").where(
+        F.col("prn").isNull() | (F.col("rn") < F.col("prn"))
+    ).select("user_id", chbit.alias("chbit"))
+    exposure = p.join(rows, "user_id", "left").groupBy(
+        "user_id", "prn"
+    ).agg(F.coalesce(F.bit_or("chbit"), F.lit(0)).alias("m"))
+    mv = exposure.select(
+        "m", F.when(F.col("prn").isNotNull(), 1).otherwise(0).alias("conv")
+    ).groupBy("m").agg(F.sum("conv").cast("long").alias("conv"))
+    subsets = spark.range(1 << n).select(F.col("id").alias("s"))
+    v = subsets.join(
+        mv, mv["m"].bitwiseAND(subsets["s"]) == mv["m"], "left"
+    ).groupBy("s").agg(
+        F.coalesce(F.sum("conv"), F.lit(0)).cast("long").alias("vs")
+    )
+    chdf = spark.createDataFrame(
+        [(c, i) for i, c in enumerate(channels)], "channel string, bit long"
+    )
+    vo = v.select(F.col("s"), F.col("vs").alias("v_out"))
+    vi = v.select(F.col("s").alias("s_in"), F.col("vs").alias("v_in"))
+    bitval = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+    terms = (
+        F.broadcast(chdf).crossJoin(vo)
+        .where(F.col("s").bitwiseAND(bitval) == 0)
+        .join(vi, F.col("s_in") == F.col("s").bitwiseOR(bitval))
+        .select(
+            "channel",
+            (
+                F.factorial(F.bit_count("s").cast("int"))
+                * F.factorial((F.lit(n - 1)
+                               - F.bit_count("s")).cast("int"))
+                * (F.col("v_in") - F.col("v_out"))
+            ).cast("long").alias("term"),
+        )
+    )
+    nfact = float(math.factorial(n))
+    return terms.groupBy("channel").agg(
+        F.lit(n).cast("long").alias("n_channels"),
+        F.sum("term").cast("long").alias("credit"),
+        F.round(F.sum("term").cast("double") / F.lit(nfact), 6)
+        .alias("shapley_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simplified (centroid-based) silhouette score — the clustering-quality
+# eval the similarity stack was missing (recall/NDCG/Brier/AUC cover
+# retrieval and calibration; nothing scored cluster cohesion).  The
+# classic silhouette is O(n²); the simplified variant substitutes
+# centroid distances (a = distance to the own centroid, b = distance to
+# the runner-up), which is linear with one K-row broadcast — the
+# scale-safe standard.  Scores on the 1e-6 integer grid (exact floor
+# division) so both engines agree bit-for-bit; zero-norm vectors are
+# excluded at ingest (they have no direction — the r6 rule).
+# ---------------------------------------------------------------------------
+
+@register("silhouette_embeddings", """
+WITH nz AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+), c AS (
+    SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+    FROM nz WHERE vec_id < 8
+), scored AS (
+    SELECT e.vec_id, c.centroid_id,
+           CAST(round(round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                   c.cvec), 6)
+                      * 1000000, 0) AS BIGINT) AS c6
+    FROM nz e CROSS JOIN c
+), ranked AS (
+    SELECT vec_id, centroid_id, c6,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY c6 DESC, centroid_id) AS rn
+    FROM scored
+), b1 AS (
+    SELECT vec_id, CAST(centroid_id AS BIGINT) AS cluster_id,
+           1000000 - c6 AS a
+    FROM ranked WHERE rn = 1
+), b2 AS (
+    SELECT vec_id, 1000000 - c6 AS b FROM ranked WHERE rn = 2
+)
+SELECT b1.vec_id, b1.cluster_id,
+       CAST(CASE WHEN b2.b IS NULL THEN NULL
+                 WHEN greatest(b1.a, b2.b) = 0 THEN 0
+                 ELSE (b2.b - b1.a) * 1000000 // greatest(b1.a, b2.b)
+            END AS BIGINT) AS silhouette_fp
+FROM b1 LEFT JOIN b2 ON b1.vec_id = b2.vec_id
+""")
+def q_silhouette_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.similarity import (
+        nonzero_vectors, simplified_silhouette,
+    )
+
+    emb = nonzero_vectors(load_table(spark, "embeddings", sf_dir))
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return simplified_silhouette(emb, centroids)
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

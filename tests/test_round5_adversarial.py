@@ -131,6 +131,8 @@ ADVERSARIAL_EVENT_QUERIES = [
     "kendall_tau_users",
     "cochran_armitage_trend",
     "forecast_error_mase_user",
+    # -- round-7 additions --
+    "shapley_attribution_channels",
 ]
 
 
@@ -280,6 +282,7 @@ def _adversarial_embeddings_dir(spark):
 
 
 ADVERSARIAL_EMBEDDING_QUERIES = [
+    "silhouette_embeddings",
     "embedding_norms_by_label",
     "cosine_topk_embeddings",
     "embedding_near_dups",

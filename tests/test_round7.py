@@ -83,3 +83,58 @@ def test_jensen_shannon_one_sided_window_yields_null(spark, tmp_path):
     got = df.collect()
     assert len(got) == 1 and got[0]["js_fp"] is None
     assert not compare(df, reg.ORACLES["jensen_shannon_types"], str(tmp_path))
+
+
+def test_shapley_efficiency_axiom(spark, sf_dir_oracle):
+    """Sum of Shapley credits == n! * (v(grand coalition) - v(empty)):
+    the efficiency axiom, checked against independently computed
+    conversion counts."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from anomaly_detection_spark import queries as reg
+    from anomaly_detection_spark.sources.tables import load_table
+
+    out = reg.QUERIES["shapley_attribution_channels"](
+        spark, sf_dir_oracle
+    ).collect()
+    assert out, "no channels in fixture"
+    n = out[0]["n_channels"]
+    total_credit = sum(r["credit"] for r in out)
+
+    ev = load_table(spark, "events", sf_dir_oracle)
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select("user_id", "event_type",
+                  F.row_number().over(w).alias("rn"))
+    p = o.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "purchase", F.col("rn")))
+        .alias("prn"))
+    # v(full) = all conversions; v(empty) = conversions of users with
+    # EMPTY exposure sets (purchase as their first event)
+    v_full = p.where(F.col("prn").isNotNull()).count()
+    first = o.where(F.col("rn") == 1).select(
+        "user_id", F.col("event_type").alias("first_type"))
+    v_empty = p.join(first, "user_id").where(
+        F.col("prn").isNotNull() & (F.col("first_type") == "purchase")
+    ).count()
+    assert total_credit == math.factorial(n) * (v_full - v_empty)
+
+
+def test_silhouette_bounds_and_best_cluster(spark, sf_dir_oracle):
+    from anomaly_detection_spark import queries as reg
+
+    rows = reg.QUERIES["silhouette_embeddings"](
+        spark, sf_dir_oracle
+    ).collect()
+    assert rows
+    for r in rows:
+        if r["silhouette_fp"] is not None:
+            # simplified silhouette lies in [0, 1e6] here because the
+            # assigned centroid IS the nearest one (b >= a always)
+            assert 0 <= r["silhouette_fp"] <= 1_000_000
+    # centroids score silhouette against themselves: a == 0 and (unless
+    # a twin centroid exists) s == 1e6
+    own = [r for r in rows if r["vec_id"] < 8]
+    assert own and all(r["cluster_id"] == r["vec_id"] for r in own)
