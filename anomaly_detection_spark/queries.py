@@ -20126,6 +20126,104 @@ def q_silhouette_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bivariate Mahalanobis outliers (value x hour-of-day): the
+# correlation-AWARE multivariate outlier detector the engine lacked —
+# STL/S-H-ESD are univariate and HBOS is multivariate-naive
+# (independence-assuming histograms); Mahalanobis scores each event by
+# its distance under the full 2x2 covariance.  Exact integer moments
+# (n, Sx, Sy, Sxx, Syy, Sxy on the unit-value / hour grids) give the
+# scaled covariance A = n·Sxx−Sx², B = n·Syy−Sy², C = n·Sxy−Sx·Sy and
+# centered residuals dx = n·x−Sx, dy = n·y−Sy, all integers; then
+#   md² = (B·dx² − 2C·dx·dy + A·dy²) / (AB−C²)
+# (population covariance: the n² in Σ⁻¹ cancels the n² in the
+# residual grid EXACTLY, leaving ONE integer fixed-point division in
+# DECIMAL(38,0)/HUGEINT — the welch_t/ljung_box discipline; a sample-
+# covariance variant would need an (n−1)-scaled quotient that
+# overflows Spark's BIGINT-returning `div`).  NULL-guarded when AB−C² = 0 (constant or collinear
+# features).  Top-20 by (md2, event_id) — TakeOrderedAndProject, one
+# moments aggregation + one map-side scoring pass.  At 100-TB n the
+# integer grid would overflow 38 digits: the documented scale path is
+# the same single-pass moments folded in doubles.
+# ---------------------------------------------------------------------------
+
+@register("mahalanobis_outliers_events", """
+WITH f AS (
+    SELECT event_id, user_id,
+           CAST(round(value, 0) AS BIGINT) AS x,
+           CAST(hour(ts) AS BIGINT) AS y
+    FROM events
+), m AS (
+    SELECT CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(x) AS HUGEINT) AS sx,
+           CAST(sum(y) AS HUGEINT) AS sy,
+           sum(CAST(x AS HUGEINT) * x) AS sxx,
+           sum(CAST(y AS HUGEINT) * y) AS syy,
+           sum(CAST(x AS HUGEINT) * y) AS sxy
+    FROM f
+), cov AS (
+    SELECT n,
+           n * sxx - sx * sx AS a,
+           n * syy - sy * sy AS b,
+           n * sxy - sx * sy AS c,
+           sx, sy
+    FROM m
+), scored AS (
+    SELECT f.event_id, f.user_id, f.x, f.y,
+           CASE WHEN cov.a * cov.b - cov.c * cov.c > 0 AND cov.n > 1
+                THEN (
+                    (cov.b * ((cov.n * f.x - cov.sx) * (cov.n * f.x - cov.sx))
+                     - 2 * cov.c * ((cov.n * f.x - cov.sx)
+                                    * (cov.n * f.y - cov.sy))
+                     + cov.a * ((cov.n * f.y - cov.sy)
+                                * (cov.n * f.y - cov.sy)))
+                    * 1000000
+                ) // (cov.a * cov.b - cov.c * cov.c)
+                ELSE NULL END AS md2_ppm
+    FROM f CROSS JOIN cov
+)
+SELECT event_id, user_id, x, y, CAST(md2_ppm AS BIGINT) AS md2_ppm
+FROM scored
+ORDER BY md2_ppm DESC, event_id
+LIMIT 20
+""")
+def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    d = "decimal(38,0)"
+    f = ev.select(
+        "event_id", "user_id",
+        F.round("value", 0).cast("long").alias("x"),
+        F.hour("ts").cast("long").alias("y"),
+    )
+    m = f.agg(
+        F.count(F.lit(1)).cast(d).alias("n"),
+        F.sum("x").cast(d).alias("sx"),
+        F.sum("y").cast(d).alias("sy"),
+        F.sum(F.col("x").cast(d) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(d) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(d) * F.col("y")).alias("sxy"),
+    ).select(
+        "n", "sx", "sy",
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("a"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("b"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("c"),
+    )
+    scored = f.crossJoin(F.broadcast(m)).select(
+        "event_id", "user_id", "x", "y",
+        F.expr(
+            "CASE WHEN a * b - c * c > 0 AND n > 1 THEN"
+            " CAST(((b * ((n * x - sx) * (n * x - sx))"
+            "       - 2 * c * ((n * x - sx) * (n * y - sy))"
+            "       + a * ((n * y - sy) * (n * y - sy))) * 1000000)"
+            "      div (a * b - c * c) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("md2_ppm"),
+    )
+    return scored.orderBy(
+        F.col("md2_ppm").desc_nulls_last(), "event_id"
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -133,6 +133,7 @@ ADVERSARIAL_EVENT_QUERIES = [
     "forecast_error_mase_user",
     # -- round-7 additions --
     "shapley_attribution_channels",
+    "mahalanobis_outliers_events",
 ]
 
 
