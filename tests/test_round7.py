@@ -138,3 +138,30 @@ def test_silhouette_bounds_and_best_cluster(spark, sf_dir_oracle):
     # a twin centroid exists) s == 1e6
     own = [r for r in rows if r["vec_id"] < 8]
     assert own and all(r["cluster_id"] == r["vec_id"] for r in own)
+
+
+def test_silhouette_plan_no_single_partition(spark, sf_dir):
+    """Top-2-per-vector goes through a map-side sorted K-list
+    aggregation, never a global window: no SinglePartition exchange of
+    table-sized data may appear (the rank_family lesson)."""
+    from anomaly_detection_spark import queries as reg
+
+    plan = reg.QUERIES["silhouette_embeddings"](
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_mahalanobis_plan_one_moments_pass_and_topk(spark, sf_dir):
+    """One global moments aggregation (its 1-row final agg exchange is
+    the only shuffle) + TakeOrderedAndProject for the top-20 — no sort
+    of the full table, no join shuffle."""
+    from anomaly_detection_spark import queries as reg
+
+    plan = reg.QUERIES["mahalanobis_outliers_events"](
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    import re
+    shuffles = len(re.findall(r"\bExchange (?:hash|range|Single)", plan))
+    assert shuffles <= 1, plan
