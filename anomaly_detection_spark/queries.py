@@ -20224,6 +20224,112 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Permutation entropy (Bandt-Pompe ordinal-pattern complexity, m = 3)
+# per user series — the nonlinear complexity measure the time-series
+# stack lacked: markov_entropy_users scores TRANSITION randomness of
+# the event-type alphabet; permutation entropy scores the SHAPE
+# randomness of the value series itself (robust to monotone
+# transforms, the standard EEG/flow-regime discriminator).  Each
+# consecutive value triple maps to an ordinal code from three strict
+# comparisons (ties resolve by position: earlier = smaller, the
+# Bandt-Pompe convention), so a constant series has ONE code and
+# exactly zero entropy.  Counts are exact integers; the entropy is the
+# jensen_shannon quantized-log2 discipline (log2 of integer ratios on
+# the 1e6 grid, one integer division per user); the normalization
+# divides by a SHARED literal log2(6)·1e6 so both engines round the
+# same two numbers.  Map-side: one user-keyed exchange, bounded
+# per-user arrays (the Hodges-Lehmann argument), JVM transform/explode
+# — no Python.
+# ---------------------------------------------------------------------------
+
+@register("permutation_entropy_users", """
+WITH s AS (
+    SELECT user_id,
+           list(CAST(round(value * 100, 0) AS BIGINT)
+                ORDER BY ts, event_id) AS v
+    FROM events GROUP BY user_id HAVING count(*) >= 3
+), codes AS (
+    SELECT user_id,
+           unnest([
+               4 * CAST(v[i] > v[i + 1] AS INT)
+               + 2 * CAST(v[i + 1] > v[i + 2] AS INT)
+               + CAST(v[i] > v[i + 2] AS INT)
+               for i in range(1, len(v) - 1)
+           ]) AS code
+    FROM s
+), cnt AS (
+    SELECT user_id, code, CAST(count(*) AS BIGINT) AS c
+    FROM codes GROUP BY user_id, code
+), wa AS (
+    SELECT user_id, c,
+           c * CAST(round(round(
+               log2(CAST(c AS DOUBLE)
+                    / (sum(c) OVER (PARTITION BY user_id))),
+               6) * 1000000, 0) AS BIGINT) AS w
+    FROM cnt
+), tot AS (
+    SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_codes,
+           CAST(sum(w) AS BIGINT) AS wsum
+    FROM wa GROUP BY user_id
+)
+SELECT user_id, n AS n_triples, n_codes,
+       CAST((-wsum) // n AS BIGINT) AS h_fp,
+       round(CAST((-wsum) // n AS DOUBLE) / 2584962.500721156, 6)
+           AS pe_norm
+FROM tot
+""")
+def q_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    s = ev.select(
+        "user_id",
+        F.struct("ts", "event_id", quantized(F.col("value"), 2).alias("c"))
+        .alias("row"),
+    ).groupBy("user_id").agg(
+        F.sort_array(F.collect_list("row")).alias("rows"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).where(F.col("cnt") >= 3).select(
+        "user_id", F.expr("transform(rows, r -> r.c)").alias("v")
+    )
+    codes = s.select(
+        "user_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(v) - 2), i ->"
+            " 4 * IF(element_at(v, i) > element_at(v, i + 1), 1, 0)"
+            " + 2 * IF(element_at(v, i + 1) > element_at(v, i + 2), 1, 0)"
+            " + IF(element_at(v, i) > element_at(v, i + 2), 1, 0))"
+        )).alias("code"),
+    )
+    cnt = codes.groupBy("user_id", "code").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wuser = Window.partitionBy("user_id")
+    w = cnt.select(
+        "user_id", "c",
+        (
+            F.col("c")
+            * F.round(
+                F.round(
+                    F.log2(F.col("c").cast("double")
+                           / F.sum("c").over(wuser)), 6
+                ) * 1000000, 0
+            ).cast("long")
+        ).alias("wa"),
+    )
+    return w.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_triples"),
+        F.count(F.lit(1)).cast("long").alias("n_codes"),
+        F.expr("CAST((-CAST(sum(wa) AS BIGINT)) div sum(c) AS BIGINT)")
+        .alias("h_fp"),
+        F.round(
+            F.expr(
+                "CAST((-CAST(sum(wa) AS BIGINT)) div sum(c) AS DOUBLE)"
+            ) / 2584962.500721156, 6
+        ).alias("pe_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

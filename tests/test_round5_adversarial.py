@@ -134,6 +134,7 @@ ADVERSARIAL_EVENT_QUERIES = [
     # -- round-7 additions --
     "shapley_attribution_channels",
     "mahalanobis_outliers_events",
+    "permutation_entropy_users",
 ]
 
 
