@@ -20330,6 +20330,129 @@ def q_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Haar wavelet multi-resolution energy (4 levels over the first 16
+# values of each user's series) — the multi-resolution decomposition
+# the time-series stack lacked: STL separates trend/season/remainder
+# at ONE grain; the Haar pyramid localizes variance BY TIME SCALE
+# (level 1 = adjacent-sample roughness ... level 4 = half-vs-half
+# drift), the classic change/burst feature bank.  Everything is exact:
+# unnormalized detail coefficients (pairwise differences of pairwise
+# sums) are integers on the cents grid, level energies are integer
+# sums of squares, and the orthonormal scaling divides by 2^k — exact
+# in binary doubles.  Parseval's identity (sum of scaled energies ==
+# centered sum of squares... here the full identity incl. the approx
+# term equals the RAW sum of squares) rides along as data, the
+# theorem-as-data pattern.  One user-keyed exchange, bounded arrays,
+# JVM transforms — no Python.
+# ---------------------------------------------------------------------------
+
+@register("haar_energy_users", """
+WITH s AS (
+    SELECT user_id,
+           (list(CAST(round(value * 100, 0) AS BIGINT)
+                 ORDER BY ts, event_id))[1:16] AS v
+    FROM events GROUP BY user_id HAVING count(*) >= 16
+), lvl AS (
+    SELECT user_id, v,
+           [v[2*i-1] + v[2*i] for i in range(1, 9)] AS s1,
+           [v[2*i-1] - v[2*i] for i in range(1, 9)] AS d1
+    FROM s
+), lvl2 AS (
+    SELECT *,
+           [s1[2*i-1] + s1[2*i] for i in range(1, 5)] AS s2,
+           [s1[2*i-1] - s1[2*i] for i in range(1, 5)] AS d2
+    FROM lvl
+), lvl3 AS (
+    SELECT *,
+           [s2[2*i-1] + s2[2*i] for i in range(1, 3)] AS s3,
+           [s2[2*i-1] - s2[2*i] for i in range(1, 3)] AS d3
+    FROM lvl2
+), lvl4 AS (
+    SELECT *,
+           s3[1] + s3[2] AS a4,
+           s3[1] - s3[2] AS d4
+    FROM lvl3
+), e AS (
+    SELECT user_id,
+           CAST(list_sum([x * x for x in v]) AS BIGINT) AS ss,
+           CAST(list_sum([x * x for x in d1]) AS BIGINT) AS e1,
+           CAST(list_sum([x * x for x in d2]) AS BIGINT) AS e2,
+           CAST(list_sum([x * x for x in d3]) AS BIGINT) AS e3,
+           CAST(d4 * d4 AS BIGINT) AS e4,
+           CAST(a4 * a4 AS BIGINT) AS ea
+    FROM lvl4
+)
+SELECT user_id,
+       e1 / 2.0 AS energy_l1,
+       e2 / 4.0 AS energy_l2,
+       e3 / 8.0 AS energy_l3,
+       e4 / 16.0 AS energy_l4,
+       ea / 16.0 AS energy_approx,
+       CAST(ss AS BIGINT) AS sum_squares,
+       (8 * e1 + 4 * e2 + 2 * e3 + e4 + ea) = 16 * ss AS parseval_ok
+FROM e
+""")
+def q_haar_energy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    s = ev.select(
+        "user_id",
+        F.struct("ts", "event_id", quantized(F.col("value"), 2).alias("c"))
+        .alias("row"),
+    ).groupBy("user_id").agg(
+        F.sort_array(F.collect_list("row")).alias("rows"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).where(F.col("cnt") >= 16).select(
+        "user_id",
+        F.expr("slice(transform(rows, r -> r.c), 1, 16)").alias("v"),
+    )
+
+    def pyramid(src: str, n: int) -> tuple[str, str]:
+        pairs = f"sequence(1, {n})"
+        return (
+            f"transform({pairs}, i -> element_at({src}, 2*i-1)"
+            f" + element_at({src}, 2*i))",
+            f"transform({pairs}, i -> element_at({src}, 2*i-1)"
+            f" - element_at({src}, 2*i))",
+        )
+
+    s1, d1 = pyramid("v", 8)
+    lvl = s.select("user_id", "v", F.expr(s1).alias("s1"),
+                   F.expr(d1).alias("d1"))
+    s2, d2 = pyramid("s1", 4)
+    lvl = lvl.select("*", F.expr(s2).alias("s2"), F.expr(d2).alias("d2"))
+    s3, d3 = pyramid("s2", 2)
+    lvl = lvl.select("*", F.expr(s3).alias("s3"), F.expr(d3).alias("d3"))
+    lvl = lvl.select(
+        "*",
+        F.expr("element_at(s3, 1) + element_at(s3, 2)").alias("a4"),
+        F.expr("element_at(s3, 1) - element_at(s3, 2)").alias("d4"),
+    )
+    sq = "aggregate(transform({0}, x -> x * x), 0L, (acc, x) -> acc + x)"
+    e = lvl.select(
+        "user_id",
+        F.expr(sq.format("v")).alias("ss"),
+        F.expr(sq.format("d1")).alias("e1"),
+        F.expr(sq.format("d2")).alias("e2"),
+        F.expr(sq.format("d3")).alias("e3"),
+        (F.col("d4") * F.col("d4")).cast("long").alias("e4"),
+        (F.col("a4") * F.col("a4")).cast("long").alias("ea"),
+    )
+    return e.select(
+        "user_id",
+        (F.col("e1") / 2.0).alias("energy_l1"),
+        (F.col("e2") / 4.0).alias("energy_l2"),
+        (F.col("e3") / 8.0).alias("energy_l3"),
+        (F.col("e4") / 16.0).alias("energy_l4"),
+        (F.col("ea") / 16.0).alias("energy_approx"),
+        F.col("ss").cast("long").alias("sum_squares"),
+        (
+            8 * F.col("e1") + 4 * F.col("e2") + 2 * F.col("e3")
+            + F.col("e4") + F.col("ea") == 16 * F.col("ss")
+        ).alias("parseval_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

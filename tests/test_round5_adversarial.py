@@ -135,6 +135,7 @@ ADVERSARIAL_EVENT_QUERIES = [
     "shapley_attribution_channels",
     "mahalanobis_outliers_events",
     "permutation_entropy_users",
+    "haar_energy_users",
 ]
 
 
