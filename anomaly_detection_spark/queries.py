@@ -20453,6 +20453,146 @@ def q_haar_energy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hurst exponent via rescaled-range (R/S) analysis — the long-memory
+# estimator (H > 0.5 trending/persistent, < 0.5 mean-reverting) that
+# none of the existing stationarity tools measure (Dickey-Fuller tests
+# a unit root, Ljung-Box tests short-lag autocorrelation; Hurst is the
+# SCALING of range with window).  Per user: non-overlapping blocks at
+# w = 8/16/32; per block the cumulative-deviation range R and the
+# population sd S reduce to R/S = R' / sqrt(V) with R' = max-min of
+# the INTEGER prefix sums w·prefix_j - j·Σ and V = w·Σx² - Σ² (both
+# exact on the cents grid, so the sqrt sees the same value in both
+# engines); per-block ratios quantize to the 1e-6 grid before
+# averaging (no float summation-order drift); H = the OLS slope over
+# the three equally-spaced log2 points, which is EXACTLY
+# (lg32 - lg8)/2 — one integer subtraction and division.  Zero-
+# variance blocks are skipped; users missing any of the three scales
+# are omitted (slope undefined).  One user-keyed exchange, bounded
+# arrays, JVM transforms — no Python.
+# ---------------------------------------------------------------------------
+
+@register("hurst_rs_users", """
+WITH s AS (
+    SELECT user_id,
+           list(CAST(round(value * 100, 0) AS BIGINT)
+                ORDER BY ts, event_id) AS v,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id HAVING count(*) >= 32
+), blocks AS (
+    SELECT user_id, n, w, v[(b - 1) * w + 1 : b * w] AS x
+    FROM s,
+         unnest([8, 16, 32]) AS t(w),
+         LATERAL (SELECT unnest(range(1, CAST(n // w AS INT) + 1)) AS b) bs
+), m AS (
+    SELECT user_id, n, w,
+           CAST(list_sum(x) AS BIGINT) AS sx,
+           CAST(list_sum([xi * xi for xi in x]) AS BIGINT) AS sxx,
+           CAST(list_max([w * list_sum(x[1:j]) - j * list_sum(x)
+                          for j in range(1, w + 1)])
+                - list_min([w * list_sum(x[1:j]) - j * list_sum(x)
+                            for j in range(1, w + 1)]) AS BIGINT) AS rr
+    FROM blocks
+), ratio AS (
+    SELECT user_id, n, w,
+           CAST(round(rr * 1000000.0
+                      / sqrt(CAST(w * sxx - sx * sx AS DOUBLE)), 0)
+                AS BIGINT) AS r_fp
+    FROM m
+    WHERE w * sxx - sx * sx > 0
+), pts AS (
+    SELECT user_id, n, w,
+           CAST(round(round(
+               log2(CAST(sum(r_fp) AS DOUBLE) / (count(*) * 1000000.0)),
+               6) * 1000000, 0) AS BIGINT) AS lg_fp
+    FROM ratio GROUP BY user_id, n, w
+), wide AS (
+    SELECT user_id, n,
+           max(CASE WHEN w = 8 THEN lg_fp END) AS lg8,
+           max(CASE WHEN w = 16 THEN lg_fp END) AS lg16,
+           max(CASE WHEN w = 32 THEN lg_fp END) AS lg32
+    FROM pts GROUP BY user_id, n
+    HAVING count(*) = 3
+)
+SELECT user_id, n AS n_events, lg8, lg16, lg32,
+       CAST((lg32 - lg8) // 2 AS BIGINT) AS hurst_fp,
+       round(CAST((lg32 - lg8) // 2 AS DOUBLE) / 1000000.0, 6) AS hurst
+FROM wide
+""")
+def q_hurst_rs_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    s = ev.select(
+        "user_id",
+        F.struct("ts", "event_id", quantized(F.col("value"), 2).alias("c"))
+        .alias("row"),
+    ).groupBy("user_id").agg(
+        F.sort_array(F.collect_list("row")).alias("rows"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).where(F.col("n") >= 32).select(
+        "user_id", "n", F.expr("transform(rows, r -> r.c)").alias("v")
+    )
+    blocks = s.select(
+        "user_id", "n",
+        F.explode(F.array(F.lit(8), F.lit(16), F.lit(32))).alias("w"),
+        "v",
+    ).select(
+        "user_id", "n", "w",
+        F.explode(F.expr(
+            "transform(sequence(1, CAST(n div w AS INT)),"
+            " b -> slice(v, (b - 1) * w + 1, w))"
+        )).alias("x"),
+    )
+    lsum = "aggregate({0}, 0L, (acc, e) -> acc + e)"
+    cums = (
+        "transform(sequence(1, w), j ->"
+        " w * aggregate(slice(x, 1, j), 0L, (acc, e) -> acc + e)"
+        f" - j * {lsum.format('x')})"
+    )
+    m = blocks.select(
+        "user_id", "n", "w",
+        F.expr(lsum.format("x")).alias("sx"),
+        F.expr(lsum.format("transform(x, e -> e * e)")).alias("sxx"),
+        F.expr(
+            f"array_max({cums}) - array_min({cums})"
+        ).alias("rr"),
+    )
+    ratio = m.where(
+        F.col("w") * F.col("sxx") - F.col("sx") * F.col("sx") > 0
+    ).select(
+        "user_id", "n", "w",
+        F.round(
+            F.col("rr") * 1000000.0
+            / F.sqrt(
+                (F.col("w") * F.col("sxx")
+                 - F.col("sx") * F.col("sx")).cast("double")
+            ), 0
+        ).cast("long").alias("r_fp"),
+    )
+    pts = ratio.groupBy("user_id", "n", "w").agg(
+        F.round(
+            F.round(
+                F.log2(
+                    F.sum("r_fp").cast("double")
+                    / (F.count(F.lit(1)) * 1000000.0)
+                ), 6
+            ) * 1000000, 0
+        ).cast("long").alias("lg_fp")
+    )
+    wide = pts.groupBy("user_id", "n").agg(
+        F.max(F.when(F.col("w") == 8, F.col("lg_fp"))).alias("lg8"),
+        F.max(F.when(F.col("w") == 16, F.col("lg_fp"))).alias("lg16"),
+        F.max(F.when(F.col("w") == 32, F.col("lg_fp"))).alias("lg32"),
+        F.count(F.lit(1)).alias("npts"),
+    ).where(F.col("npts") == 3)
+    return wide.select(
+        "user_id", F.col("n").alias("n_events"), "lg8", "lg16", "lg32",
+        F.expr("CAST((lg32 - lg8) div 2 AS BIGINT)").alias("hurst_fp"),
+        F.round(
+            F.expr("CAST((lg32 - lg8) div 2 AS DOUBLE)") / 1000000.0, 6
+        ).alias("hurst"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -136,6 +136,7 @@ ADVERSARIAL_EVENT_QUERIES = [
     "mahalanobis_outliers_events",
     "permutation_entropy_users",
     "haar_energy_users",
+    "hurst_rs_users",
 ]
 
 
