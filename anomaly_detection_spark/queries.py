@@ -20593,6 +20593,160 @@ def q_hurst_rs_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cohen's kappa between the rule label and the quality classifier —
+# chance-CORRECTED agreement, the eval statistic the calibration stack
+# (Brier/ROC/AUC/WOE-IV) doesn't measure: AUC ranks scores, kappa
+# scores the thresholded DECISIONS against what agreement chance alone
+# would produce.  kappa = (N·(n11+n00) − (r1·c1 + r0·c0))
+#                       / (N² − (r1·c1 + r0·c0)) — one exact integer
+# rational from the confusion counts, fixed-pointed with a single
+# truncating division (identical semantics both engines, sign
+# included: kappa is negative when agreement is below chance);
+# NULL-guarded when either rater is constant (pe = 1).
+# ---------------------------------------------------------------------------
+
+@register("cohens_kappa_quality", """
+WITH f AS (
+    SELECT doc_id,
+           round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                 / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS punct_ratio,
+           round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                 t -> lower(t) IN ('the','and','of','to','a')))
+                 / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 4)
+               AS stopword_ratio,
+           round(1 - len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                 / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 4)
+               AS dup_token_frac,
+           round(ln(len(string_split_regex(trim(text), '\\s+'))), 4) AS logn,
+           CASE WHEN len(string_split(text, ' ')) >= 20
+                 AND round(CAST(length(text) AS DOUBLE)
+                           / len(string_split(text, ' ')), 4) BETWEEN 3 AND 12
+                THEN 1 ELSE 0 END AS y
+    FROM documents
+), p AS (
+    SELECT y,
+           CASE WHEN CAST(round(round(1 / (1 + exp(-(1.0 - 4.0 * punct_ratio
+                                           + 3.0 * stopword_ratio
+                                           - 2.0 * dup_token_frac
+                                           + 0.25 * logn))), 4)
+                      * 10000, 0) AS BIGINT) >= 5000
+                THEN 1 ELSE 0 END AS yhat
+    FROM f
+), c AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y * yhat) AS BIGINT) AS n11,
+           CAST(sum(y * (1 - yhat)) AS BIGINT) AS n10,
+           CAST(sum((1 - y) * yhat) AS BIGINT) AS n01,
+           CAST(sum((1 - y) * (1 - yhat)) AS BIGINT) AS n00
+    FROM p
+)
+SELECT n AS n_docs, n11, n10, n01, n00,
+       CASE WHEN n * n - ((n11 + n10) * (n11 + n01)
+                          + (n01 + n00) * (n10 + n00)) > 0
+            THEN CAST(((n * (n11 + n00)
+                        - ((n11 + n10) * (n11 + n01)
+                           + (n01 + n00) * (n10 + n00))) * 1000000)
+                      // (n * n - ((n11 + n10) * (n11 + n01)
+                                   + (n01 + n00) * (n10 + n00)))
+                      AS BIGINT)
+            ELSE NULL END AS kappa_fp
+FROM c
+""")
+def q_cohens_kappa_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.text import quality_classifier
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks_sp = F.split(F.col("text"), " ")
+    n_toks_sp = F.size(toks_sp)
+    avg_len = F.round(F.length("text").cast("double") / n_toks_sp, 4)
+    y = F.when((n_toks_sp >= 20) & avg_len.between(3, 12), 1).otherwise(0)
+    p = quality_classifier(docs).select(
+        y.alias("y"),
+        F.when(
+            quantized(F.col("quality_score"), 4) >= 5000, 1
+        ).otherwise(0).alias("yhat"),
+    )
+    c = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("y") * F.col("yhat")).cast("long").alias("n11"),
+        F.sum(F.col("y") * (1 - F.col("yhat"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("y")) * F.col("yhat")).cast("long").alias("n01"),
+        F.sum((1 - F.col("y")) * (1 - F.col("yhat"))).cast("long")
+        .alias("n00"),
+    )
+    return c.select(
+        F.col("n").alias("n_docs"), "n11", "n10", "n01", "n00",
+        F.expr(
+            "CASE WHEN n * n - ((n11 + n10) * (n11 + n01)"
+            "                   + (n01 + n00) * (n10 + n00)) > 0"
+            " THEN CAST(((n * (n11 + n00)"
+            "             - ((n11 + n10) * (n11 + n01)"
+            "                + (n01 + n00) * (n10 + n00))) * 1000000)"
+            "      div (n * n - ((n11 + n10) * (n11 + n01)"
+            "                    + (n01 + n00) * (n10 + n00))) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("kappa_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Yule's K — lexical CONCENTRATION (how dominated the corpus is by
+# repeated types), the third leg of the vocabulary triad: zipf_heaps
+# fits the GROWTH laws, good_turing estimates UNSEEN mass, Yule's K
+# measures repeat-dominance and is famously length-invariant.
+# K = 10⁴·(Σ tf² − N)/N², and Σ_m m²·V_m = Σ_types tf², so the whole
+# statistic is three exact integers (type frequencies from one token
+# exchange) pushed through one shared double expression — both engines
+# divide the same integers.  Tokenization matches the corpus queries
+# (whitespace split, empty tokens dropped).
+# ---------------------------------------------------------------------------
+
+@register("yule_k_corpus", r"""
+WITH toks AS (
+    SELECT t.tok
+    FROM documents, unnest(string_split_regex(trim(text), '\s+')) AS t(tok)
+    WHERE len(t.tok) > 0
+), tf AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+), agg AS (
+    SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(c * c) AS BIGINT) AS sum_tf2
+    FROM tf
+)
+SELECT n_tokens, n_types, sum_tf2,
+       CASE WHEN n_tokens > 0
+            THEN round(10000.0 * CAST(sum_tf2 - n_tokens AS DOUBLE)
+                       / (CAST(n_tokens AS DOUBLE) * n_tokens), 6)
+            ELSE NULL END AS yule_k
+FROM agg
+""")
+def q_yule_k_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).where(F.length("tok") > 0)
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    agg = tf.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_tf2"),
+    )
+    return agg.select(
+        "n_tokens", "n_types", "sum_tf2",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                10000.0 * (F.col("sum_tf2") - F.col("n_tokens"))
+                .cast("double")
+                / (F.col("n_tokens").cast("double") * F.col("n_tokens")),
+                6,
+            ),
+        ).alias("yule_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

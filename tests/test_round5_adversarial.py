@@ -190,6 +190,9 @@ ADVERSARIAL_DOCUMENT_QUERIES = [
     "woe_iv_quality_bins",
     "png_roundtrip_media",
     "auc_quality_classifier",
+    # -- round-7 additions --
+    "cohens_kappa_quality",
+    "yule_k_corpus",
 ]
 
 
