@@ -20747,6 +20747,80 @@ def q_yule_k_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Recursive-CTE transitive closure (WITH RECURSIVE, new in Spark 4):
+# min-hop reachability over the event-type transition graph (edges =
+# consecutive type pairs observed in any user's stream).  This is the
+# one ANSI SQL surface the engine had only exercised on the ORACLE
+# side (croston's recursive unroll): here Spark's own recursive CTE
+# does the fixed-point.  The graph is dictionary-sized (|types|²
+# edges), recursion is depth-bounded by a shared literal (hops < 8 —
+# any shortest path over a dictionary-sized vertex set is shorter),
+# the recursive member is SELECT DISTINCT (level-synchronous BFS:
+# each level holds at most |types|² triples, so cyclic path
+# multiplicity cannot explode — plain UNION ALL overran Spark's 1M
+# recursion row limit), and min(hops) per pair collapses the rest, so
+# both engines converge to the identical closure.
+# ---------------------------------------------------------------------------
+
+@register("type_reachability_closure", """
+WITH seq AS (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+    FROM events
+), edges AS (
+    SELECT DISTINCT a.event_type AS u, b.event_type AS v
+    FROM seq a JOIN seq b
+      ON b.user_id = a.user_id AND b.rn = a.rn + 1
+), closure AS (
+    WITH RECURSIVE reach(src, dst, hops) AS (
+        SELECT u, v, 1 FROM edges
+        UNION ALL
+        SELECT DISTINCT r.src, e.v, r.hops + 1
+        FROM reach r JOIN edges e ON e.u = r.dst
+        WHERE r.hops < 8
+    )
+    SELECT src, dst, CAST(min(hops) AS BIGINT) AS min_hops
+    FROM reach GROUP BY src, dst
+)
+SELECT src AS src_type, dst AS dst_type, min_hops FROM closure
+""")
+def q_type_reachability_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    nxt = F.lead("event_type").over(
+        Window.partitionBy("user_id").orderBy("rn")
+    )
+    edges = seq.select(
+        F.col("event_type").alias("u"), nxt.alias("v")
+    ).where(F.col("v").isNotNull()).distinct()
+    view = "edges_" + uuid.uuid4().hex
+    edges.createOrReplaceTempView(view)
+    try:
+        out = spark.sql(f"""
+            WITH RECURSIVE reach(src, dst, hops) AS (
+                SELECT u, v, 1 FROM {view}
+                UNION ALL
+                SELECT DISTINCT r.src, e.v, r.hops + 1
+                FROM reach r JOIN {view} e ON e.u = r.dst
+                WHERE r.hops < 8
+            )
+            SELECT src AS src_type, dst AS dst_type,
+                   CAST(min(hops) AS BIGINT) AS min_hops
+            FROM reach GROUP BY src, dst
+        """)
+        # materialize before dropping the backing view
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

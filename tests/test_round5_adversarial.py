@@ -137,6 +137,7 @@ ADVERSARIAL_EVENT_QUERIES = [
     "permutation_entropy_users",
     "haar_energy_users",
     "hurst_rs_users",
+    "type_reachability_closure",
 ]
 
 
