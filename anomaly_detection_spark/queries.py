@@ -20136,10 +20136,16 @@ def q_silhouette_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centered residuals dx = n·x−Sx, dy = n·y−Sy, all integers; then
 #   md² = (B·dx² − 2C·dx·dy + A·dy²) / (AB−C²)
 # (population covariance: the n² in Σ⁻¹ cancels the n² in the
-# residual grid EXACTLY, leaving ONE integer fixed-point division in
-# DECIMAL(38,0)/HUGEINT — the welch_t/ljung_box discipline; a sample-
-# covariance variant would need an (n−1)-scaled quotient that
-# overflows Spark's BIGINT-returning `div`).  NULL-guarded when AB−C² = 0 (constant or collinear
+# residual grid EXACTLY).  The moments stay exact integers
+# (DECIMAL(38,0)/HUGEINT, the welch_t/ljung_box discipline); the
+# quadratic form then runs in IEEE doubles — both engines cast the
+# SAME exact integers and evaluate the SAME scalar expression tree, so
+# every intermediate double is bit-identical, and floor(x·1e6 + 0.5)
+# fixes the grid.  (A pure-integer form overflows 38 digits once
+# n ≳ 10⁶ — caught by the 20x scale probe as an ArithmeticException —
+# and a sample-covariance variant would additionally need an
+# (n−1)-scaled quotient that overflows Spark's BIGINT-returning
+# `div`.)  Double arithmetic removes the scale ceiling entirely.  NULL-guarded when AB−C² = 0 (constant or collinear
 # features).  Top-20 by (md2, event_id) — TakeOrderedAndProject, one
 # moments aggregation + one map-side scoring pass.  At 100-TB n the
 # integer grid would overflow 38 digits: the documented scale path is
@@ -20170,14 +20176,18 @@ WITH f AS (
 ), scored AS (
     SELECT f.event_id, f.user_id, f.x, f.y,
            CASE WHEN cov.a * cov.b - cov.c * cov.c > 0 AND cov.n > 1
-                THEN (
-                    (cov.b * ((cov.n * f.x - cov.sx) * (cov.n * f.x - cov.sx))
-                     - 2 * cov.c * ((cov.n * f.x - cov.sx)
-                                    * (cov.n * f.y - cov.sy))
-                     + cov.a * ((cov.n * f.y - cov.sy)
-                                * (cov.n * f.y - cov.sy)))
-                    * 1000000
-                ) // (cov.a * cov.b - cov.c * cov.c)
+                THEN CAST(floor(
+                    (CAST(cov.b AS DOUBLE)
+                         * CAST(cov.n * f.x - cov.sx AS DOUBLE)
+                         * CAST(cov.n * f.x - cov.sx AS DOUBLE)
+                     - 2 * CAST(cov.c AS DOUBLE)
+                         * CAST(cov.n * f.x - cov.sx AS DOUBLE)
+                         * CAST(cov.n * f.y - cov.sy AS DOUBLE)
+                     + CAST(cov.a AS DOUBLE)
+                         * CAST(cov.n * f.y - cov.sy AS DOUBLE)
+                         * CAST(cov.n * f.y - cov.sy AS DOUBLE))
+                    / CAST(cov.a * cov.b - cov.c * cov.c AS DOUBLE)
+                    * 1000000 + 0.5) AS BIGINT)
                 ELSE NULL END AS md2_ppm
     FROM f CROSS JOIN cov
 )
@@ -20211,10 +20221,18 @@ def q_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "x", "y",
         F.expr(
             "CASE WHEN a * b - c * c > 0 AND n > 1 THEN"
-            " CAST(((b * ((n * x - sx) * (n * x - sx))"
-            "       - 2 * c * ((n * x - sx) * (n * y - sy))"
-            "       + a * ((n * y - sy) * (n * y - sy))) * 1000000)"
-            "      div (a * b - c * c) AS BIGINT)"
+            " CAST(floor("
+            "  (CAST(b AS DOUBLE)"
+            "       * CAST(n * x - sx AS DOUBLE)"
+            "       * CAST(n * x - sx AS DOUBLE)"
+            "   - 2 * CAST(c AS DOUBLE)"
+            "       * CAST(n * x - sx AS DOUBLE)"
+            "       * CAST(n * y - sy AS DOUBLE)"
+            "   + CAST(a AS DOUBLE)"
+            "       * CAST(n * y - sy AS DOUBLE)"
+            "       * CAST(n * y - sy AS DOUBLE))"
+            "  / CAST(a * b - c * c AS DOUBLE)"
+            "  * 1000000 + 0.5) AS BIGINT)"
             " ELSE NULL END"
         ).alias("md2_ppm"),
     )
