@@ -20839,6 +20839,236 @@ def q_type_reachability_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# McNemar's test (rule label vs quality classifier) — the PAIRED
+# marginal-homogeneity test beside cohens_kappa_quality: kappa scores
+# how much the two raters AGREE beyond chance; McNemar asks whether
+# the classifier is systematically BIASED relative to the rule (are
+# the two kinds of disagreement, rule-only positives n10 vs
+# classifier-only positives n01, equally likely?).  Only the
+# discordant counts enter: chi2 = (n10-n01)²/(n10+n01), plus the
+# Edwards continuity-corrected form (|n10-n01|-1)²/(n10+n01) — both
+# exact integer rationals on the 1e6 grid (one truncating division
+# each), NULL when the raters never disagree.  Raters are the SAME
+# two labelers as the kappa row (Gopher-style rule y; logistic quality
+# classifier thresholded at 0.5), so the pair of tests reads off one
+# confusion matrix: one document-keyed aggregation, four exact counts.
+# ---------------------------------------------------------------------------
+
+@register("mcnemar_rule_classifier", """
+WITH f AS (
+    SELECT doc_id,
+           round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                 / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS punct_ratio,
+           round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                 t -> lower(t) IN ('the','and','of','to','a')))
+                 / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 4)
+               AS stopword_ratio,
+           round(1 - len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                 / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 4)
+               AS dup_token_frac,
+           round(ln(len(string_split_regex(trim(text), '\\s+'))), 4) AS logn,
+           CASE WHEN len(string_split(text, ' ')) >= 20
+                 AND round(CAST(length(text) AS DOUBLE)
+                           / len(string_split(text, ' ')), 4) BETWEEN 3 AND 12
+                THEN 1 ELSE 0 END AS y
+    FROM documents
+), p AS (
+    SELECT y,
+           CASE WHEN CAST(round(round(1 / (1 + exp(-(1.0 - 4.0 * punct_ratio
+                                           + 3.0 * stopword_ratio
+                                           - 2.0 * dup_token_frac
+                                           + 0.25 * logn))), 4)
+                      * 10000, 0) AS BIGINT) >= 5000
+                THEN 1 ELSE 0 END AS yhat
+    FROM f
+), c AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y * (1 - yhat)) AS BIGINT) AS n10,
+           CAST(sum((1 - y) * yhat) AS BIGINT) AS n01
+    FROM p
+)
+SELECT n AS n_docs, n10, n01,
+       CASE WHEN n10 + n01 > 0
+            THEN CAST(((n10 - n01) * (n10 - n01) * 1000000)
+                      // (n10 + n01) AS BIGINT)
+            ELSE NULL END AS chi2_fp,
+       CASE WHEN n10 + n01 > 0 AND abs(n10 - n01) >= 1
+            THEN CAST(((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) * 1000000)
+                      // (n10 + n01) AS BIGINT)
+            WHEN n10 + n01 > 0 THEN 0
+            ELSE NULL END AS chi2_cc_fp
+FROM c
+""")
+def q_mcnemar_rule_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.text import quality_classifier
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks_sp = F.split(F.col("text"), " ")
+    n_toks_sp = F.size(toks_sp)
+    avg_len = F.round(F.length("text").cast("double") / n_toks_sp, 4)
+    y = F.when((n_toks_sp >= 20) & avg_len.between(3, 12), 1).otherwise(0)
+    p = quality_classifier(docs).select(
+        y.alias("y"),
+        F.when(
+            quantized(F.col("quality_score"), 4) >= 5000, 1
+        ).otherwise(0).alias("yhat"),
+    )
+    c = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("y") * (1 - F.col("yhat"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("y")) * F.col("yhat")).cast("long").alias("n01"),
+    )
+    return c.select(
+        F.col("n").alias("n_docs"), "n10", "n01",
+        F.expr(
+            "CASE WHEN n10 + n01 > 0"
+            " THEN CAST(((n10 - n01) * (n10 - n01) * 1000000)"
+            "      div (n10 + n01) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("chi2_fp"),
+        F.expr(
+            "CASE WHEN n10 + n01 > 0 AND abs(n10 - n01) >= 1"
+            " THEN CAST(((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1)"
+            "            * 1000000) div (n10 + n01) AS BIGINT)"
+            " WHEN n10 + n01 > 0 THEN CAST(0 AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("chi2_cc_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test per user — the SIGN-SEQUENCE randomness
+# test the series stack lacked: Ljung-Box tests linear autocorrelation
+# of the VALUES, permutation entropy scores ordinal-shape complexity;
+# the runs test asks only whether above-median and below-median
+# observations alternate like a random sequence (too FEW runs =
+# clustering/regime persistence, too MANY = oscillation), robust to
+# any monotone transform of the values.  The median is pinned exactly
+# as the DOUBLED lower+upper middle of the value-sorted cents array
+# (med2 = v[(n+1)//2] + v[(n+2)//2] — integer, no engine median()
+# semantics in play); observations with 2·v = med2 are discarded (the
+# standard treatment).  R = 1 + #(adjacent sign flips), n1/n2 the
+# side counts — all exact integers from bounded per-user arrays (one
+# user-keyed exchange, JVM transform/filter/aggregate, no Python);
+# the Z-score (R - (1 + 2·n1·n2/n)) / sqrt(2·n1·n2·(2·n1·n2 - n)
+# / (n²·(n-1))) is one shared double expression over those integers,
+# NULL-guarded when either side is empty or the variance degenerates
+# (constant series: every value ties the median, m = 0 -> NULL).
+# ---------------------------------------------------------------------------
+
+@register("runs_test_users", """
+WITH s AS (
+    SELECT user_id,
+           list(CAST(round(value * 100, 0) AS BIGINT)
+                ORDER BY ts, event_id) AS v,
+           list(CAST(round(value * 100, 0) AS BIGINT)
+                ORDER BY round(value * 100, 0)) AS sv,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id HAVING count(*) >= 10
+), med AS (
+    SELECT user_id, v, n_events,
+           sv[CAST((n_events + 1) // 2 AS INT)]
+               + sv[CAST((n_events + 2) // 2 AS INT)] AS med2
+    FROM s
+), sgn AS (
+    SELECT user_id, n_events, med2,
+           [CASE WHEN 2 * x > med2 THEN 1 ELSE 0 END
+            for x in v if 2 * x != med2] AS sg
+    FROM med
+), cnt AS (
+    SELECT user_id, n_events,
+           CAST(len(sg) AS BIGINT) AS m,
+           CAST(coalesce(list_sum(sg), 0) AS BIGINT) AS n1,
+           CAST(len(sg) - coalesce(list_sum(sg), 0) AS BIGINT) AS n2,
+           CASE WHEN len(sg) > 0 THEN
+               1 + CAST(coalesce(list_sum(
+                   [CASE WHEN sg[i] != sg[i + 1] THEN 1 ELSE 0 END
+                    for i in range(1, len(sg))]), 0) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS runs
+    FROM sgn
+)
+SELECT user_id, n_events, m AS n_used, n1, n2, runs,
+       CASE WHEN n1 > 0 AND n2 > 0 AND m > 1
+                 AND 2 * n1 * n2 * (2 * n1 * n2 - m) > 0
+            THEN floor((CAST(runs AS DOUBLE)
+                        - (1 + 2 * CAST(n1 AS DOUBLE) * n2 / m))
+                       / sqrt(2 * CAST(n1 AS DOUBLE) * n2
+                              * (2 * CAST(n1 AS DOUBLE) * n2 - m)
+                              / (CAST(m AS DOUBLE) * m * (m - 1)))
+                       * 1000000 + 0.5) / 1000000
+            ELSE NULL END AS z_runs
+FROM cnt
+""")
+def q_runs_test_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    s = ev.select(
+        "user_id",
+        F.struct("ts", "event_id", quantized(F.col("value"), 2).alias("c"))
+        .alias("row"),
+        quantized(F.col("value"), 2).alias("c"),
+    ).groupBy("user_id").agg(
+        F.sort_array(F.collect_list("row")).alias("rows"),
+        F.sort_array(F.collect_list("c")).alias("sv"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    ).where(F.col("n_events") >= 10).select(
+        "user_id", "n_events",
+        F.expr("transform(rows, r -> r.c)").alias("v"),
+        F.expr(
+            "element_at(sv, CAST((n_events + 1) div 2 AS INT))"
+            " + element_at(sv, CAST((n_events + 2) div 2 AS INT))"
+        ).alias("med2"),
+    )
+    sgn = s.select(
+        "user_id", "n_events", "med2",
+        F.expr(
+            "transform(filter(v, x -> 2 * x != med2),"
+            " x -> IF(2 * x > med2, 1, 0))"
+        ).alias("sg"),
+    )
+    cnt = sgn.select(
+        "user_id", "n_events",
+        F.expr("CAST(size(sg) AS BIGINT)").alias("m"),
+        F.expr(
+            "CAST(aggregate(sg, 0L, (acc, x) -> acc + x) AS BIGINT)"
+        ).alias("n1"),
+        F.expr(
+            "CAST(size(sg) - aggregate(sg, 0L, (acc, x) -> acc + x)"
+            " AS BIGINT)"
+        ).alias("n2"),
+        # size(sg) = 1 is split out: Spark's sequence(1, 0) DESCENDS
+        # to [1, 0] (it is not empty like DuckDB's range(1, 1)), and
+        # element_at(sg, 0) throws
+        F.expr(
+            "CASE WHEN size(sg) > 1 THEN"
+            " 1L + aggregate(transform(sequence(1, size(sg) - 1),"
+            "   i -> IF(element_at(sg, i) != element_at(sg, i + 1), 1, 0)),"
+            "   0L, (acc, x) -> acc + x)"
+            " WHEN size(sg) = 1 THEN 1L"
+            " ELSE 0L END"
+        ).alias("runs"),
+    )
+    return cnt.select(
+        "user_id", "n_events", F.col("m").alias("n_used"), "n1", "n2",
+        "runs",
+        # NB: a bare 2.0 literal is DECIMAL in Spark but the division
+        # below must run in doubles in BOTH engines (a decimal tree
+        # rounds differently — caught by the adversarial fixture), so
+        # every factor is cast explicitly
+        F.expr(
+            "CASE WHEN n1 > 0 AND n2 > 0 AND m > 1"
+            "          AND 2 * n1 * n2 * (2 * n1 * n2 - m) > 0"
+            " THEN floor((CAST(runs AS DOUBLE)"
+            "             - (1 + 2 * CAST(n1 AS DOUBLE) * n2 / m))"
+            "            / sqrt(2 * CAST(n1 AS DOUBLE) * n2"
+            "                   * (2 * CAST(n1 AS DOUBLE) * n2 - m)"
+            "                   / (CAST(m AS DOUBLE) * m * (m - 1)))"
+            "            * 1000000 + 0.5) / 1000000"
+            " ELSE NULL END"
+        ).alias("z_runs"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -138,6 +138,7 @@ ADVERSARIAL_EVENT_QUERIES = [
     "haar_energy_users",
     "hurst_rs_users",
     "type_reachability_closure",
+    "runs_test_users",
 ]
 
 
@@ -194,6 +195,7 @@ ADVERSARIAL_DOCUMENT_QUERIES = [
     # -- round-7 additions --
     "cohens_kappa_quality",
     "yule_k_corpus",
+    "mcnemar_rule_classifier",
 ]
 
 
