@@ -21069,6 +21069,350 @@ def q_runs_test_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Spearman rank correlation (doc length vs vocabulary size) — the
+# RANK-correlation estimator between two different variables that the
+# correlation stack lacked: stats_corr_covar is Pearson (linear, on
+# raw values), kendall_tau_users is concordance of one series against
+# time; Spearman is Pearson on midranks — monotone-association, robust
+# to outliers and any monotone transform.  Ranks come from per-variable
+# VALUE DICTIONARIES (distinct token counts — grid-bounded like the
+# AUC midrank dictionary, never a global row sort): doubled midrank
+# dr(v) = 2·below(v) + cnt(v) + 1 is an exact integer from a
+# dictionary-sized cumulative window, broadcast-joined back.  The five
+# moments are exact DECIMAL(38,0)/HUGEINT sums; rho is one shared
+# double expression over those integers, floor-quantized to ppm,
+# NULL-guarded when either variable is constant.  At 100-TB n the
+# 4n⁴-scale integer products stay inside 38 digits until n ≈ 10⁹ docs;
+# past that the documented scale path is single-pass double moments.
+# ---------------------------------------------------------------------------
+
+@register("spearman_tokens_docs", r"""
+WITH f AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                t -> len(t) > 0)) AS BIGINT) AS x,
+           CAST(len(list_distinct(list_filter(
+                    string_split_regex(trim(text), '\s+'),
+                    t -> len(t) > 0))) AS BIGINT) AS y
+    FROM documents
+), dx AS (
+    SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM f GROUP BY x
+), rx AS (
+    SELECT x, 2 * CAST(coalesce(sum(cnt) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) + cnt + 1 AS drx
+    FROM dx
+), dy AS (
+    SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM f GROUP BY y
+), ry AS (
+    SELECT y, 2 * CAST(coalesce(sum(cnt) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) + cnt + 1 AS dry
+    FROM dy
+), j AS (
+    SELECT CAST(rx.drx AS HUGEINT) AS drx, CAST(ry.dry AS HUGEINT) AS dry
+    FROM f JOIN rx ON f.x = rx.x JOIN ry ON f.y = ry.y
+), m AS (
+    SELECT CAST(count(*) AS HUGEINT) AS n,
+           sum(drx) AS sx, sum(dry) AS sy,
+           sum(drx * drx) AS sxx, sum(dry * dry) AS syy,
+           sum(drx * dry) AS sxy
+    FROM j
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                   * CAST(n * syy - sy * sy AS DOUBLE))
+                            * 1000000 + 0.5) AS BIGINT)
+            ELSE NULL END AS rho_ppm
+FROM m
+""")
+def q_spearman_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    d = "decimal(38,0)"
+    f = docs.select(
+        F.expr(
+            "CAST(size(filter(split(trim(text), '\\\\s+'),"
+            " t -> length(t) > 0)) AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(size(array_distinct(filter(split(trim(text), '\\\\s+'),"
+            " t -> length(t) > 0))) AS BIGINT)"
+        ).alias("y"),
+    )
+
+    def midranks(col: str, out: str) -> DataFrame:
+        dd = f.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # dictionary-sized window: distinct token counts are bounded by
+        # the longest document, not the corpus size
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return dd.select(
+            col,
+            (2 * F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long")
+             + F.col("cnt") + 1).alias(out),
+        )
+
+    j = (
+        f.join(F.broadcast(midranks("x", "drx")), "x")
+        .join(F.broadcast(midranks("y", "dry")), "y")
+        .select(F.col("drx").cast(d).alias("drx"),
+                F.col("dry").cast(d).alias("dry"))
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast(d).alias("n"),
+        F.sum("drx").alias("sx"), F.sum("dry").alias("sy"),
+        F.sum(F.col("drx") * F.col("drx")).alias("sxx"),
+        F.sum(F.col("dry") * F.col("dry")).alias("syy"),
+        F.sum(F.col("drx") * F.col("dry")).alias("sxy"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr(
+            "CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"
+            " THEN CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)"
+            "                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+            "                        * CAST(n * syy - sy * sy AS DOUBLE))"
+            "                 * 1000000 + 0.5) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("rho_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA (value across event types) — the k-group MEAN-equality
+# test the group-comparison stack lacked: welch_t compares exactly two
+# windows, kruskal_wallis is the rank-based k-group test; classic
+# ANOVA partitions the raw-value variance into between/within and is
+# the textbook F.  Everything before the final F is exact: per-group
+# cents moments (n_g, S_g, Q_g) in DECIMAL(38,0)/HUGEINT, the
+# between-groups term folded as T_g = S_g² div n_g (truncating,
+# identical in both engines, error < 1 cents² per group), so
+# SSB/SSW/SST are exact integers on the cents² grid; F and eta² are
+# shared double expressions over those integers, floor-quantized to
+# ppm.  One dictionary-sized aggregation tree — group count k = the
+# event-type dictionary, no row-level window anywhere.  (S_g² overflows
+# 38 digits only past ~10¹² rows per group — same documented ceiling
+# and same single-pass-double fallback as mahalanobis.)
+# ---------------------------------------------------------------------------
+
+@register("anova_f_value_types", """
+WITH f AS (
+    SELECT event_type, CAST(round(value * 100, 0) AS HUGEINT) AS xc
+    FROM events
+), g AS (
+    SELECT event_type,
+           CAST(count(*) AS HUGEINT) AS ng,
+           sum(xc) AS sg,
+           sum(xc * xc) AS qg
+    FROM f GROUP BY event_type
+), t AS (
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(ng) AS HUGEINT) AS n,
+           CAST(sum(sg) AS HUGEINT) AS s,
+           CAST(sum(qg) AS HUGEINT) AS q,
+           CAST(sum((sg * sg) // ng) AS HUGEINT) AS st
+    FROM g
+), ss AS (
+    SELECT k, CAST(n AS BIGINT) AS n,
+           CAST(st - (s * s) // n AS BIGINT) AS ssb_c2,
+           CAST(q - st AS BIGINT) AS ssw_c2,
+           CAST(q - (s * s) // n AS BIGINT) AS sst_c2
+    FROM t
+)
+SELECT k AS n_types, n AS n_events, ssb_c2, ssw_c2,
+       CASE WHEN k >= 2 AND n > k AND ssw_c2 > 0
+            THEN CAST(floor((CAST(ssb_c2 AS DOUBLE) / (k - 1))
+                            / (CAST(ssw_c2 AS DOUBLE) / (n - k))
+                            * 1000000 + 0.5) AS BIGINT)
+            ELSE NULL END AS f_ppm,
+       CASE WHEN sst_c2 > 0
+            THEN CAST(floor(CAST(ssb_c2 AS DOUBLE)
+                            / CAST(sst_c2 AS DOUBLE)
+                            * 1000000 + 0.5) AS BIGINT)
+            ELSE NULL END AS eta2_ppm
+FROM ss
+""")
+def q_anova_f_value_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    d = "decimal(38,0)"
+    f = ev.select(
+        "event_type", quantized(F.col("value"), 2).cast(d).alias("xc")
+    )
+    g = f.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d).alias("ng"),
+        F.sum("xc").alias("sg"),
+        F.sum(F.col("xc") * F.col("xc")).alias("qg"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast(d).alias("n"),
+        F.sum("sg").cast(d).alias("s"),
+        F.sum("qg").cast(d).alias("q"),
+        F.sum(F.expr("(sg * sg) div ng")).cast(d).alias("st"),
+    )
+    ss = t.select(
+        "k", F.col("n").cast("long").alias("n"),
+        F.expr("CAST(st - (s * s) div n AS BIGINT)").alias("ssb_c2"),
+        F.expr("CAST(q - st AS BIGINT)").alias("ssw_c2"),
+        F.expr("CAST(q - (s * s) div n AS BIGINT)").alias("sst_c2"),
+    )
+    return ss.select(
+        F.col("k").alias("n_types"), F.col("n").alias("n_events"),
+        "ssb_c2", "ssw_c2",
+        F.expr(
+            "CASE WHEN k >= 2 AND n > k AND ssw_c2 > 0"
+            " THEN CAST(floor((CAST(ssb_c2 AS DOUBLE) / (k - 1))"
+            "                 / (CAST(ssw_c2 AS DOUBLE) / (n - k))"
+            "                 * 1000000 + 0.5) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("f_ppm"),
+        F.expr(
+            "CASE WHEN sst_c2 > 0"
+            " THEN CAST(floor(CAST(ssb_c2 AS DOUBLE)"
+            "                 / CAST(sst_c2 AS DOUBLE)"
+            "                 * 1000000 + 0.5) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("eta2_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe test (value spread across event types) — the k-group
+# VARIANCE-homogeneity test beside anova_f_value_types' mean test:
+# ANOVA asks whether group centers differ; Brown-Forsythe (the
+# median-based Levene) asks whether group SPREADS differ, and is the
+# standard pre-check for the equal-variance assumption.  The statistic
+# is the one-way ANOVA F computed on z = |x - median_g|.  The group
+# median is pinned EXACTLY as the doubled lower+upper middle from the
+# per-type VALUE DICTIONARY (distinct cents values, cumulative counts
+# in a type-partitioned dictionary window — no per-group array
+# collection, no engine median() semantics), so z2 = |2x - med2_g| is
+# an exact integer on the half-cents grid and the whole ANOVA
+# machinery below it (the T_g = S_g² div n_g fold) is exact integer
+# arithmetic; only the final F runs in shared doubles, floor-quantized
+# to ppm.  Scale: dictionary aggregations + one broadcast med2 join —
+# the same shape as the AUC midrank dictionary, sound at any row count.
+# ---------------------------------------------------------------------------
+
+@register("brown_forsythe_types", """
+WITH f AS (
+    SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS xc
+    FROM events
+), d AS (
+    SELECT event_type, xc, CAST(count(*) AS BIGINT) AS cnt
+    FROM f GROUP BY event_type, xc
+), c AS (
+    SELECT event_type, xc, cnt,
+           CAST(coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY xc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS below,
+           CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS ng
+    FROM d
+), med AS (
+    SELECT event_type,
+           CAST(max(CASE WHEN below < (ng + 1) // 2
+                          AND (ng + 1) // 2 <= below + cnt
+                         THEN xc END)
+                + max(CASE WHEN below < (ng + 2) // 2
+                            AND (ng + 2) // 2 <= below + cnt
+                           THEN xc END) AS BIGINT) AS med2
+    FROM c GROUP BY event_type
+), z AS (
+    SELECT f.event_type, CAST(abs(2 * f.xc - med.med2) AS HUGEINT) AS zc
+    FROM f JOIN med ON f.event_type = med.event_type
+), g AS (
+    SELECT event_type,
+           CAST(count(*) AS HUGEINT) AS ng,
+           sum(zc) AS sg,
+           sum(zc * zc) AS qg
+    FROM z GROUP BY event_type
+), t AS (
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(ng) AS HUGEINT) AS n,
+           CAST(sum(qg) AS HUGEINT) AS q,
+           CAST(sum((sg * sg) // ng) AS HUGEINT) AS st,
+           CAST(sum(sg) AS HUGEINT) AS s
+    FROM g
+), ss AS (
+    SELECT k, CAST(n AS BIGINT) AS n,
+           CAST(st - (s * s) // n AS BIGINT) AS ssb_z2,
+           CAST(q - st AS BIGINT) AS ssw_z2
+    FROM t
+)
+SELECT k AS n_types, n AS n_events, ssb_z2, ssw_z2,
+       CASE WHEN k >= 2 AND n > k AND ssw_z2 > 0
+            THEN CAST(floor((CAST(ssb_z2 AS DOUBLE) / (k - 1))
+                            / (CAST(ssw_z2 AS DOUBLE) / (n - k))
+                            * 1000000 + 0.5) AS BIGINT)
+            ELSE NULL END AS w_ppm
+FROM ss
+""")
+def q_brown_forsythe_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    dec = "decimal(38,0)"
+    f = ev.select("event_type", quantized(F.col("value"), 2).alias("xc"))
+    d = f.groupBy("event_type", "xc").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wbelow = (
+        Window.partitionBy("event_type").orderBy("xc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy("event_type")
+    c = d.select(
+        "event_type", "xc", "cnt",
+        F.coalesce(F.sum("cnt").over(wbelow), F.lit(0)).cast("long")
+        .alias("below"),
+        F.sum("cnt").over(wall).cast("long").alias("ng"),
+    )
+    med = c.groupBy("event_type").agg(
+        (
+            F.max(F.expr(
+                "CASE WHEN below < (ng + 1) div 2"
+                " AND (ng + 1) div 2 <= below + cnt THEN xc END"
+            ))
+            + F.max(F.expr(
+                "CASE WHEN below < (ng + 2) div 2"
+                " AND (ng + 2) div 2 <= below + cnt THEN xc END"
+            ))
+        ).cast("long").alias("med2")
+    )
+    z = f.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(2 * F.col("xc") - F.col("med2")).cast(dec).alias("zc"),
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("ng"),
+        F.sum("zc").alias("sg"),
+        F.sum(F.col("zc") * F.col("zc")).alias("qg"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast(dec).alias("n"),
+        F.sum("qg").cast(dec).alias("q"),
+        F.sum(F.expr("(sg * sg) div ng")).cast(dec).alias("st"),
+        F.sum("sg").cast(dec).alias("s"),
+    )
+    ss = t.select(
+        "k", F.col("n").cast("long").alias("n"),
+        F.expr("CAST(st - (s * s) div n AS BIGINT)").alias("ssb_z2"),
+        F.expr("CAST(q - st AS BIGINT)").alias("ssw_z2"),
+    )
+    return ss.select(
+        F.col("k").alias("n_types"), F.col("n").alias("n_events"),
+        "ssb_z2", "ssw_z2",
+        F.expr(
+            "CASE WHEN k >= 2 AND n > k AND ssw_z2 > 0"
+            " THEN CAST(floor((CAST(ssb_z2 AS DOUBLE) / (k - 1))"
+            "                 / (CAST(ssw_z2 AS DOUBLE) / (n - k))"
+            "                 * 1000000 + 0.5) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("w_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -139,6 +139,8 @@ ADVERSARIAL_EVENT_QUERIES = [
     "hurst_rs_users",
     "type_reachability_closure",
     "runs_test_users",
+    "anova_f_value_types",
+    "brown_forsythe_types",
 ]
 
 
@@ -196,6 +198,7 @@ ADVERSARIAL_DOCUMENT_QUERIES = [
     "cohens_kappa_quality",
     "yule_k_corpus",
     "mcnemar_rule_classifier",
+    "spearman_tokens_docs",
 ]
 
 

@@ -73,6 +73,66 @@ def test_runs_test_even_split_median(spark):
                        reg.ORACLES["runs_test_users"], d)
 
 
+def test_anova_identical_groups_zero_between(spark):
+    # two types with IDENTICAL value multisets: SSB = 0 exactly, F = 0
+    d = _events_dir(spark, {1: [1, 2, 3, 4], 2: [5, 6, 7, 8]})
+    # rewrite types so user 1 -> 'a', user 2 -> 'b' with the same values
+    import os
+    import pyarrow.parquet as pq2
+    t = pq2.read_table(os.path.join(d, "events.parquet")).to_pandas()
+    t["event_type"] = ["a", "a", "b", "b", "a", "a", "b", "b"]
+    t["value"] = [1.0, 2.0, 1.0, 2.0, 3.0, 4.0, 3.0, 4.0]
+    pq.write_table(pa.Table.from_pandas(t), os.path.join(d, "events.parquet"))
+    row = reg.QUERIES["anova_f_value_types"](spark, d).collect()[0]
+    assert row["ssb_c2"] == 0 and row["f_ppm"] == 0
+    assert row["eta2_ppm"] == 0
+    assert not compare(reg.QUERIES["anova_f_value_types"](spark, d),
+                       reg.ORACLES["anova_f_value_types"], d)
+    # Brown-Forsythe on the same data: identical spreads -> W = 0
+    bf = reg.QUERIES["brown_forsythe_types"](spark, d).collect()[0]
+    assert bf["ssb_z2"] == 0 and bf["w_ppm"] == 0
+    assert not compare(reg.QUERIES["brown_forsythe_types"](spark, d),
+                       reg.ORACLES["brown_forsythe_types"], d)
+
+
+def test_anova_constant_within_groups_null_f(spark):
+    # constant value inside each type but different across types:
+    # SSW = 0 -> F guard yields NULL, eta2 = 1e6
+    d = _events_dir(spark, {1: [5, 5, 5], 2: [9, 9, 9]})
+    import os
+    t = pq.read_table(os.path.join(d, "events.parquet")).to_pandas()
+    t["event_type"] = ["a"] * 3 + ["b"] * 3
+    pq.write_table(pa.Table.from_pandas(t), os.path.join(d, "events.parquet"))
+    row = reg.QUERIES["anova_f_value_types"](spark, d).collect()[0]
+    assert row["ssw_c2"] == 0 and row["f_ppm"] is None
+    assert row["eta2_ppm"] == 1000000
+    assert not compare(reg.QUERIES["anova_f_value_types"](spark, d),
+                       reg.ORACLES["anova_f_value_types"], d)
+
+
+def test_spearman_perfect_monotone_is_one(spark):
+    import tempfile
+
+    docs = [
+        (1, "a", ),
+        (2, "a b"),
+        (3, "a b c"),
+        (4, "a b c d"),
+    ]
+    d = tempfile.mkdtemp()
+    t = spark.createDataFrame(
+        [(i, s, "en", len(s), "s") for i, s in docs],
+        "doc_id long, text string, lang string, n_chars long, source string",
+    )
+    pq.write_table(pa.Table.from_pandas(t.toPandas()),
+                   os.path.join(d, "documents.parquet"))
+    row = reg.QUERIES["spearman_tokens_docs"](spark, d).collect()[0]
+    # all tokens distinct per doc: x == y, rho = +1 exactly
+    assert row["rho_ppm"] == 1000000
+    assert not compare(reg.QUERIES["spearman_tokens_docs"](spark, d),
+                       reg.ORACLES["spearman_tokens_docs"], d)
+
+
 def test_mcnemar_identities_sf0001(spark):
     sf = "/root/testdata/sf0.001"
     row = reg.QUERIES["mcnemar_rule_classifier"](spark, sf).collect()[0]
