@@ -21413,6 +21413,289 @@ def q_brown_forsythe_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Matrix-profile discord per user — the DISCORD-discovery paradigm of
+# the time-series anomaly stack (Keogh's matrix profile): STL/S-H-ESD
+# flag point outliers against a decomposition, binseg finds mean
+# shifts; the matrix profile finds the SUBSEQUENCE most unlike every
+# other subsequence of the same series (the classic "anomalous
+# heartbeat" detector).  Per user: the first 16 cents values, window
+# w = 4 -> 13 subsequences; dist²(i,j) = Σ_t (v[i+t]-v[j+t])² is an
+# exact integer, the profile mp_i = min over j with |i-j| >= w (the
+# standard trivial-match exclusion zone), and the discord is the
+# argmax of mp (ties -> smallest index).  Unnormalized distance is
+# used deliberately — it keeps the whole statistic in exact integers
+# (z-normalized MASS distances are the float variant; the level/scale
+# components it would discount are here genuine anomaly signal).
+# Bounded per-user arrays (13x13 pairs), one user-keyed exchange, JVM
+# transforms only.
+# ---------------------------------------------------------------------------
+
+@register("discord_matrix_profile_users", """
+WITH s AS (
+    SELECT user_id,
+           (list(CAST(round(value * 100, 0) AS BIGINT)
+                 ORDER BY ts, event_id))[1:16] AS v
+    FROM events GROUP BY user_id HAVING count(*) >= 16
+), mp AS (
+    SELECT user_id,
+           [list_min([
+                (v[i] - v[j]) * (v[i] - v[j])
+                + (v[i+1] - v[j+1]) * (v[i+1] - v[j+1])
+                + (v[i+2] - v[j+2]) * (v[i+2] - v[j+2])
+                + (v[i+3] - v[j+3]) * (v[i+3] - v[j+3])
+                for j in range(1, 14) if abs(i - j) >= 4
+            ]) for i in range(1, 14)] AS prof
+    FROM s
+)
+SELECT user_id,
+       CAST(list_position(prof, list_max(prof)) AS BIGINT) AS discord_idx,
+       CAST(list_max(prof) AS BIGINT) AS discord_d2,
+       CAST(list_min(prof) AS BIGINT) AS motif_d2
+FROM mp
+""")
+def q_discord_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    s = ev.select(
+        "user_id",
+        F.struct("ts", "event_id", quantized(F.col("value"), 2).alias("c"))
+        .alias("row"),
+    ).groupBy("user_id").agg(
+        F.sort_array(F.collect_list("row")).alias("rows"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).where(F.col("cnt") >= 16).select(
+        "user_id",
+        F.expr("slice(transform(rows, r -> r.c), 1, 16)").alias("v"),
+    )
+    d2 = (
+        "(element_at(v, i) - element_at(v, j))"
+        " * (element_at(v, i) - element_at(v, j))"
+        " + (element_at(v, i+1) - element_at(v, j+1))"
+        " * (element_at(v, i+1) - element_at(v, j+1))"
+        " + (element_at(v, i+2) - element_at(v, j+2))"
+        " * (element_at(v, i+2) - element_at(v, j+2))"
+        " + (element_at(v, i+3) - element_at(v, j+3))"
+        " * (element_at(v, i+3) - element_at(v, j+3))"
+    )
+    mp = s.select(
+        "user_id",
+        F.expr(
+            "transform(sequence(1, 13), i -> array_min("
+            f" transform(filter(sequence(1, 13), j -> abs(i - j) >= 4),"
+            f" j -> {d2})))"
+        ).alias("prof"),
+    )
+    return mp.select(
+        "user_id",
+        F.expr("CAST(array_position(prof, array_max(prof)) AS BIGINT)")
+        .alias("discord_idx"),
+        F.expr("CAST(array_max(prof) AS BIGINT)").alias("discord_d2"),
+        F.expr("CAST(array_min(prof) AS BIGINT)").alias("motif_d2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness-memory phase plane (Goh & Barabási, EPL 81:48002) per
+# user — the INTER-EVENT-TIME characterization the timing stack
+# lacked: fano_factor_users measures count dispersion across fixed
+# windows, hazard/Kaplan-Meier model one waiting time; the (B, M)
+# plane classifies the whole arrival process (B = (σ-μ)/(σ+μ) of
+# inter-event gaps: -1 periodic, 0 Poisson, ->1 bursty; M = lag-1
+# correlation of consecutive gaps: do long waits follow long waits?).
+# Both reduce to exact integer moments of epoch-second gaps — for B
+# the m's cancel so B = (√(mQ-S²) - S)/(√(mQ-S²) + S) needs only two
+# exact integers; M is the Pearson form over the (τ_i, τ_{i+1}) pair
+# moments — pushed through shared double expressions, floor-quantized
+# ppm.  Bounded per-user arrays, one user-keyed exchange, no Python.
+# ---------------------------------------------------------------------------
+
+@register("burstiness_memory_users", """
+WITH s AS (
+    SELECT user_id,
+           list(epoch_us(ts) ORDER BY ts, event_id) AS a
+    FROM events GROUP BY user_id HAVING count(*) >= 12
+), tau AS (
+    SELECT user_id,
+           [CAST(a[i + 1] - a[i] AS HUGEINT)
+            for i in range(1, len(a))] AS t
+    FROM s
+), m AS (
+    SELECT user_id,
+           CAST(len(t) AS HUGEINT) AS m,
+           list_sum(t) AS sg,
+           list_sum([x * x for x in t]) AS qg,
+           CAST(len(t) - 1 AS HUGEINT) AS np,
+           list_sum(t[1:len(t) - 1]) AS sx,
+           list_sum(t[2:len(t)]) AS sy,
+           list_sum([x * x for x in t[1:len(t) - 1]]) AS sxx,
+           list_sum([x * x for x in t[2:len(t)]]) AS syy,
+           list_sum([t[i] * t[i + 1] for i in range(1, len(t))]) AS sxy
+    FROM tau
+)
+SELECT user_id, CAST(m AS BIGINT) AS n_gaps,
+       CASE WHEN m * qg - sg * sg >= 0 AND
+                 sqrt(CAST(m * qg - sg * sg AS DOUBLE))
+                 + CAST(sg AS DOUBLE) > 0
+            THEN CAST(floor((sqrt(CAST(m * qg - sg * sg AS DOUBLE))
+                             - CAST(sg AS DOUBLE))
+                            / (sqrt(CAST(m * qg - sg * sg AS DOUBLE))
+                               + CAST(sg AS DOUBLE))
+                            * 1000000 + 0.5) AS BIGINT)
+            ELSE NULL END AS b_ppm,
+       CASE WHEN np * sxx - sx * sx > 0 AND np * syy - sy * sy > 0
+            THEN CAST(floor(CAST(np * sxy - sx * sy AS DOUBLE)
+                            / sqrt(CAST(np * sxx - sx * sx AS DOUBLE)
+                                   * CAST(np * syy - sy * sy AS DOUBLE))
+                            * 1000000 + 0.5) AS BIGINT)
+            ELSE NULL END AS m_ppm
+FROM m
+""")
+def q_burstiness_memory_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    dec = "decimal(38,0)"
+    s = ev.select(
+        "user_id",
+        # integer MICROSECONDS (unix_micros / epoch_us both exact) —
+        # a seconds double would round vs truncate differently across
+        # engines on sub-second timestamps
+        F.struct("ts", "event_id",
+                 F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("e"))
+        .alias("row"),
+    ).groupBy("user_id").agg(
+        F.sort_array(F.collect_list("row")).alias("rows"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).where(F.col("cnt") >= 12).select(
+        "user_id", F.expr("transform(rows, r -> r.e)").alias("a")
+    )
+    tau = s.select(
+        "user_id",
+        F.expr(
+            "transform(sequence(1, size(a) - 1),"
+            " i -> CAST(element_at(a, i + 1) - element_at(a, i)"
+            f" AS {dec}))"
+        ).alias("t"),
+    )
+    z = f"CAST(0 AS {dec})"
+    m = tau.select(
+        "user_id",
+        F.expr(f"CAST(size(t) AS {dec})").alias("m"),
+        F.expr(f"aggregate(t, {z}, (acc, x) -> acc + x)").alias("sg"),
+        F.expr(f"aggregate(t, {z}, (acc, x) -> acc + x * x)").alias("qg"),
+        F.expr(f"CAST(size(t) - 1 AS {dec})").alias("np"),
+        F.expr(
+            f"aggregate(slice(t, 1, size(t) - 1), {z},"
+            " (acc, x) -> acc + x)"
+        ).alias("sx"),
+        F.expr(
+            f"aggregate(slice(t, 2, size(t) - 1), {z},"
+            " (acc, x) -> acc + x)"
+        ).alias("sy"),
+        F.expr(
+            f"aggregate(slice(t, 1, size(t) - 1), {z},"
+            " (acc, x) -> acc + x * x)"
+        ).alias("sxx"),
+        F.expr(
+            f"aggregate(slice(t, 2, size(t) - 1), {z},"
+            " (acc, x) -> acc + x * x)"
+        ).alias("syy"),
+        F.expr(
+            f"aggregate(sequence(1, size(t) - 1), {z}, (acc, i) ->"
+            " acc + element_at(t, i) * element_at(t, i + 1))"
+        ).alias("sxy"),
+    )
+    return m.select(
+        "user_id", F.col("m").cast("long").alias("n_gaps"),
+        F.expr(
+            "CASE WHEN m * qg - sg * sg >= 0 AND"
+            "          sqrt(CAST(m * qg - sg * sg AS DOUBLE))"
+            "          + CAST(sg AS DOUBLE) > 0"
+            " THEN CAST(floor((sqrt(CAST(m * qg - sg * sg AS DOUBLE))"
+            "                  - CAST(sg AS DOUBLE))"
+            "                 / (sqrt(CAST(m * qg - sg * sg AS DOUBLE))"
+            "                    + CAST(sg AS DOUBLE))"
+            "                 * 1000000 + 0.5) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("b_ppm"),
+        F.expr(
+            "CASE WHEN np * sxx - sx * sx > 0 AND np * syy - sy * sy > 0"
+            " THEN CAST(floor(CAST(np * sxy - sx * sy AS DOUBLE)"
+            "                 / sqrt(CAST(np * sxx - sx * sx AS DOUBLE)"
+            "                        * CAST(np * syy - sy * sy AS DOUBLE))"
+            "                 * 1000000 + 0.5) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("m_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Padding efficiency under power-of-two length bucketing — the
+# TRAINING-BATCH design analysis the pipeline stack lacked:
+# pack_documents_contiguous concatenates documents into fixed windows
+# (no padding, loses example boundaries); the alternative every
+# fine-tuning pipeline weighs is pad-to-bucket batching, and its cost
+# is exactly this table — per power-of-two bucket, how many pad
+# tokens the bucket ceiling wastes (efficiency = real/padded tokens).
+# The bucket exponent comes from length(bin(n)) — an exact integer
+# floor(log2)+1, immune to libm log2 rounding at the 2^k boundaries —
+# and everything else is one groupBy over the bucket dictionary:
+# perfectly partitioned at any corpus size, no windows, no Python.
+# ---------------------------------------------------------------------------
+
+@register("padding_efficiency_buckets", r"""
+WITH f AS (
+    SELECT greatest(CAST(len(list_filter(
+               string_split_regex(trim(text), '\s+'),
+               t -> len(t) > 0)) AS BIGINT), 1) AS n_tok
+    FROM documents
+), b AS (
+    SELECT n_tok,
+           CASE WHEN n_tok = 1 << (length(bin(n_tok)) - 1) THEN n_tok
+                ELSE 1 << length(bin(n_tok)) END AS bucket_max
+    FROM f
+)
+SELECT CAST(bucket_max AS BIGINT) AS bucket_max,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+       CAST(sum(bucket_max - n_tok) AS BIGINT) AS pad_tokens,
+       CAST(sum(n_tok) * 1000000 // (count(*) * bucket_max) AS BIGINT)
+           AS efficiency_ppm
+FROM b GROUP BY bucket_max
+""")
+def q_padding_efficiency_buckets(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    f = docs.select(
+        F.greatest(
+            F.expr(
+                "CAST(size(filter(split(trim(text), '\\\\s+'),"
+                " t -> length(t) > 0)) AS BIGINT)"
+            ),
+            F.lit(1).cast("long"),
+        ).alias("n_tok")
+    )
+    b = f.select(
+        "n_tok",
+        F.expr(
+            "CASE WHEN n_tok = shiftleft(1L, length(bin(n_tok)) - 1)"
+            " THEN n_tok"
+            " ELSE shiftleft(1L, length(bin(n_tok))) END"
+        ).alias("bucket_max"),
+    )
+    return b.groupBy("bucket_max").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("real_tokens"),
+        F.sum(F.col("bucket_max") - F.col("n_tok")).cast("long")
+        .alias("pad_tokens"),
+    ).select(
+        F.col("bucket_max").cast("long").alias("bucket_max"),
+        "n_docs", "real_tokens", "pad_tokens",
+        F.expr(
+            "CAST(real_tokens * 1000000"
+            " div (n_docs * bucket_max) AS BIGINT)"
+        ).alias("efficiency_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -141,6 +141,8 @@ ADVERSARIAL_EVENT_QUERIES = [
     "runs_test_users",
     "anova_f_value_types",
     "brown_forsythe_types",
+    "discord_matrix_profile_users",
+    "burstiness_memory_users",
 ]
 
 
@@ -199,6 +201,7 @@ ADVERSARIAL_DOCUMENT_QUERIES = [
     "yule_k_corpus",
     "mcnemar_rule_classifier",
     "spearman_tokens_docs",
+    "padding_efficiency_buckets",
 ]
 
 

@@ -133,6 +133,80 @@ def test_spearman_perfect_monotone_is_one(spark):
                        reg.ORACLES["spearman_tokens_docs"], d)
 
 
+def test_discord_planted_spike(spark):
+    # constant series with one spike at position 8: every subsequence
+    # window overlapping the spike is far from all non-overlapping
+    # windows -> the discord must cover index 8 (subsequence i in 5..8)
+    vals = [1.0] * 16
+    vals[7] = 100.0  # 1-based position 8
+    d = _events_dir(spark, {1: vals, 2: [3.0] * 16})
+    out = {r["user_id"]: r for r in
+           reg.QUERIES["discord_matrix_profile_users"](spark, d).collect()}
+    assert 5 <= out[1]["discord_idx"] <= 8
+    assert out[1]["discord_d2"] > 0 and out[1]["motif_d2"] == 0
+    # constant series: all pairwise distances exactly zero
+    assert out[2]["discord_d2"] == 0 and out[2]["discord_idx"] == 1
+    assert not compare(
+        reg.QUERIES["discord_matrix_profile_users"](spark, d),
+        reg.ORACLES["discord_matrix_profile_users"], d)
+
+
+def test_burstiness_periodic_is_minus_one(spark):
+    # user 1: perfectly periodic daily gaps -> sigma = 0 -> B = -1,
+    # M undefined (zero gap variance).  user 2: alternating short/long
+    # gaps -> anticorrelated consecutive gaps, M < 0.
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for i in range(14):
+        eid += 1
+        rows.append((1, eid, base + dt.timedelta(days=i), "view", 1.0))
+    t = base
+    for i in range(14):
+        eid += 1
+        t = t + dt.timedelta(hours=1 if i % 2 else 47)
+        rows.append((2, eid, t, "view", 1.0))
+    import tempfile
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp()
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double",
+    ).withColumn("props", F.lit("{}"))
+    pq.write_table(pa.Table.from_pandas(ev.toPandas()),
+                   os.path.join(d, "events.parquet"))
+    out = {r["user_id"]: r for r in
+           reg.QUERIES["burstiness_memory_users"](spark, d).collect()}
+    assert out[1]["b_ppm"] == -1000000 and out[1]["m_ppm"] is None
+    assert out[2]["b_ppm"] > 0 and out[2]["m_ppm"] < -900000
+    assert not compare(reg.QUERIES["burstiness_memory_users"](spark, d),
+                       reg.ORACLES["burstiness_memory_users"], d)
+
+
+def test_padding_efficiency_exact_buckets(spark):
+    import tempfile
+
+    docs = [(1, "a b c d e"), (2, "a b c d e f g h"), (3, ""), (4, "x")]
+    d = tempfile.mkdtemp()
+    t = spark.createDataFrame(
+        [(i, s, "en", len(s), "s") for i, s in docs],
+        "doc_id long, text string, lang string, n_chars long, source string",
+    )
+    pq.write_table(pa.Table.from_pandas(t.toPandas()),
+                   os.path.join(d, "documents.parquet"))
+    out = {r["bucket_max"]: r for r in
+           reg.QUERIES["padding_efficiency_buckets"](spark, d).collect()}
+    # 5 tokens -> bucket 8 (pad 3); 8 tokens -> bucket 8 (pad 0);
+    # empty and single-token docs clamp to n_tok >= 1 -> bucket 1
+    assert out[8]["n_docs"] == 2 and out[8]["pad_tokens"] == 3
+    assert out[8]["efficiency_ppm"] == 13 * 1000000 // 16
+    assert out[1]["n_docs"] == 2 and out[1]["pad_tokens"] == 0
+    assert out[1]["efficiency_ppm"] == 1000000
+    assert not compare(reg.QUERIES["padding_efficiency_buckets"](spark, d),
+                       reg.ORACLES["padding_efficiency_buckets"], d)
+
+
 def test_mcnemar_identities_sf0001(spark):
     sf = "/root/testdata/sf0.001"
     row = reg.QUERIES["mcnemar_rule_classifier"](spark, sf).collect()[0]
