@@ -530,6 +530,121 @@ def simplified_silhouette(
     )
 
 
+def local_outlier_factor(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Cluster-scoped Local Outlier Factor (Breunig et al., SIGMOD'00):
+    density-RELATIVE outliers over an embedding column — the kNN-based
+    detector the anomaly stack lacked (Mahalanobis is global-
+    covariance, HBOS independence-assuming; LOF flags points whose
+    local density is low *relative to their own neighbors'*, the
+    standard multi-density detector).
+
+    Scale shape: the classic LOF is O(n²); here neighborhoods are
+    scoped to the nearest-centroid cell (the SemDeDup/IVF argument —
+    cells are bounded by construction), so the quadratic is per-cell
+    and the whole thing is dictionary joins + cell-partitioned
+    windows.  Every distance is an exact integer on the 1e-6 cosine
+    grid (d = 1e6 - cos6); k-distance, reachability, lrd and LOF are
+    exact integer rationals (lrd on a 1e12 grid, LOF in ppm) so both
+    engines truncate identically.  Cells with <= k members are
+    excluded (LOF undefined); duplicate-saturated neighborhoods
+    (sum of reachabilities = 0) yield NULL, and a NULL lrd among a
+    point's neighbors nulls its LOF (no silent partial sums).
+    """
+    assigned = assign_nearest_centroid(
+        vectors, centroids, id_col=id_col, vec_col=vec_col,
+        centroid_id_col=centroid_id_col,
+    ).select(id_col, "cluster_id")
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_n"),
+    )
+    a = assigned.join(v, id_col).select(
+        F.col(id_col).alias("p"), "cluster_id", "_v", "_n"
+    )
+    big = (
+        a.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_sz"))
+        .where(F.col("_sz") > k).select("cluster_id")
+    )
+    a = a.join(F.broadcast(big), "cluster_id")
+    b = a.select(
+        F.col("cluster_id"), F.col("p").alias("o"),
+        F.col("_v").alias("_w"), F.col("_n").alias("_m"),
+    )
+    d6 = (
+        F.lit(1_000_000)
+        - F.round(
+            F.round(_dot(F.col("_v"), F.col("_w"))
+                    / (F.col("_n") * F.col("_m")), 6) * 1_000_000, 0
+        ).cast("long")
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .where(F.col("p") != F.col("o"))
+        .select("cluster_id", "p", "o", d6.alias("d"))
+    )
+    wp = Window.partitionBy("p").orderBy("d", "o")
+    kd = (
+        pairs.withColumn("_rn", F.row_number().over(wp))
+        .groupBy("p")
+        .agg(F.max(F.when(F.col("_rn") == k, F.col("d"))).alias("kdist"))
+    )
+    nbrs = (
+        pairs.join(kd, "p")
+        .where(F.col("d") <= F.col("kdist"))
+        .select("cluster_id", "p", "o", "d")
+    )
+    ko = kd.select(F.col("p").alias("o"), F.col("kdist").alias("kdist_o"))
+    lrd = (
+        nbrs.join(ko, "o")
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("np"),
+            F.sum(F.greatest(F.col("kdist_o"), F.col("d"))).cast("long")
+            .alias("sum_reach"),
+        )
+        .select(
+            "p", "np",
+            F.expr(
+                "CASE WHEN sum_reach > 0"
+                " THEN np * 1000000000000L div sum_reach"
+                " ELSE NULL END"
+            ).alias("lrd_fp"),
+        )
+    )
+    lo = lrd.select(F.col("p").alias("o"), F.col("lrd_fp").alias("lrd_o"))
+    agg = (
+        nbrs.join(lo, "o")
+        .groupBy("p")
+        .agg(
+            F.count("lrd_o").cast("long").alias("_cnt"),
+            F.sum(F.col("lrd_o").cast("decimal(38,0)")).alias("_sum"),
+        )
+    )
+    out = (
+        lrd.join(agg, "p")
+        .join(a.select("p", "cluster_id"), "p")
+        .select(
+            F.col("p").alias(id_col),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("np").alias("n_neighbors"),
+            F.expr(
+                "CASE WHEN lrd_fp IS NOT NULL AND _cnt = np"
+                " THEN CAST((_sum * 1000000)"
+                "      div (CAST(np AS DECIMAL(38,0)) * lrd_fp) AS BIGINT)"
+                " ELSE NULL END"
+            ).alias("lof_ppm"),
+        )
+    )
+    return out
+
+
 def cluster_balanced_sample(
     assigned: DataFrame,
     per_cluster: int,

@@ -21696,6 +21696,95 @@ def q_padding_efficiency_buckets(spark: SparkSession, sf_dir: str
 
 
 # ---------------------------------------------------------------------------
+# Local Outlier Factor over embeddings (cluster-scoped, k = 3) — the
+# density-RELATIVE outlier detector beside the global-covariance
+# (mahalanobis) and histogram (HBOS) ones: LOF flags vectors whose
+# local kNN density is low relative to their own neighbors' densities,
+# the standard multi-density anomaly score.  Neighborhoods are scoped
+# to nearest-centroid cells (the SemDeDup/IVF bounded-cell argument —
+# the per-cell quadratic never becomes corpus-quadratic); distances
+# are exact integers on the 1e-6 cosine grid and k-distance /
+# reachability / lrd / LOF are exact integer rationals, so both
+# engines truncate identically.  See
+# pipeline/similarity.py:local_outlier_factor for the full contract.
+# ---------------------------------------------------------------------------
+
+@register("lof_embeddings", """
+WITH nz AS MATERIALIZED (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+), c AS (
+    SELECT vec_id AS centroid_id, v AS cvec FROM nz WHERE vec_id < 8
+), assigned AS MATERIALIZED (
+    SELECT vec_id, cluster_id, v FROM (
+        SELECT nz.vec_id, c.centroid_id AS cluster_id, nz.v,
+               round(list_cosine_similarity(nz.v, c.cvec), 6) AS cosine
+        FROM nz CROSS JOIN c)
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cosine DESC, cluster_id) = 1
+), big AS MATERIALIZED (
+    SELECT cluster_id FROM assigned GROUP BY cluster_id
+    HAVING count(*) > 3
+), members AS MATERIALIZED (
+    SELECT a.* FROM assigned a JOIN big USING (cluster_id)
+), pairs AS MATERIALIZED (
+    SELECT a.cluster_id, a.vec_id AS p, b.vec_id AS o,
+           1000000 - CAST(round(round(list_cosine_similarity(a.v, b.v), 6)
+                                * 1000000, 0) AS BIGINT) AS d
+    FROM members a JOIN members b
+      ON a.cluster_id = b.cluster_id AND a.vec_id != b.vec_id
+), kd AS MATERIALIZED (
+    SELECT p, max(CASE WHEN rn = 3 THEN d END) AS kdist
+    FROM (SELECT p, d,
+                 row_number() OVER (PARTITION BY p ORDER BY d, o) AS rn
+          FROM pairs)
+    GROUP BY p
+), nbrs AS MATERIALIZED (
+    SELECT pairs.cluster_id, pairs.p, pairs.o, pairs.d
+    FROM pairs JOIN kd ON pairs.p = kd.p
+    WHERE pairs.d <= kd.kdist
+), lrd AS MATERIALIZED (
+    SELECT n.p,
+           CAST(count(*) AS BIGINT) AS np,
+           CAST(sum(greatest(ko.kdist, n.d)) AS BIGINT) AS sum_reach
+    FROM nbrs n JOIN kd ko ON n.o = ko.p
+    GROUP BY n.p
+), lrdv AS MATERIALIZED (
+    SELECT p, np,
+           CASE WHEN sum_reach > 0
+                THEN np * 1000000000000 // sum_reach
+                ELSE NULL END AS lrd_fp
+    FROM lrd
+), agg AS MATERIALIZED (
+    SELECT n.p,
+           CAST(count(lo.lrd_fp) AS BIGINT) AS cnt_o,
+           CAST(sum(CAST(lo.lrd_fp AS HUGEINT)) AS HUGEINT) AS sum_lrd_o
+    FROM nbrs n JOIN lrdv lo ON n.o = lo.p
+    GROUP BY n.p
+)
+SELECT l.p AS vec_id,
+       CAST(m.cluster_id AS BIGINT) AS cluster_id,
+       l.np AS n_neighbors,
+       CASE WHEN l.lrd_fp IS NOT NULL AND g.cnt_o = l.np
+            THEN CAST((g.sum_lrd_o * 1000000)
+                      // (CAST(l.np AS HUGEINT) * l.lrd_fp) AS BIGINT)
+            ELSE NULL END AS lof_ppm
+FROM lrdv l JOIN agg g ON l.p = g.p
+JOIN members m ON l.p = m.vec_id
+""")
+def q_lof_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.similarity import (
+        local_outlier_factor, nonzero_vectors,
+    )
+
+    emb = nonzero_vectors(load_table(spark, "embeddings", sf_dir))
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return local_outlier_factor(emb, centroids, k=3)
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -207,6 +207,38 @@ def test_padding_efficiency_exact_buckets(spark):
                        reg.ORACLES["padding_efficiency_buckets"], d)
 
 
+def test_lof_planted_density_outlier(spark):
+    import tempfile
+
+    import numpy as np
+
+    # one centroid (vec_id 0); ten tight vectors around [1, 0, 0, ...]
+    # (tiny deterministic wiggle so distances are nonzero); one planted
+    # outlier pointing well away but still assigned to the only cell.
+    rng = []
+    dim = 8
+    base = np.zeros(dim); base[0] = 1.0
+    rows = [(0, [float(x) for x in base], "c")]
+    for i in range(10, 20):
+        v = base.copy()
+        v[1] = 0.001 * (i - 9)     # distinct near-duplicates
+        rows.append((i, [float(x) for x in v], "in"))
+    out_v = np.zeros(dim); out_v[0] = 1.0; out_v[2] = 1.0  # 45 degrees
+    rows.append((20, [float(x) for x in out_v], "out"))
+    d = tempfile.mkdtemp()
+    t = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    pq.write_table(pa.Table.from_pandas(t.toPandas()),
+                   os.path.join(d, "embeddings.parquet"))
+    res = {r["vec_id"]: r for r in
+           reg.QUERIES["lof_embeddings"](spark, d).collect()}
+    inlier_max = max(res[i]["lof_ppm"] for i in range(10, 20))
+    assert res[20]["lof_ppm"] > 3 * inlier_max > 0
+    assert not compare(reg.QUERIES["lof_embeddings"](spark, d),
+                       reg.ORACLES["lof_embeddings"], d)
+
+
 def test_mcnemar_identities_sf0001(spark):
     sf = "/root/testdata/sf0.001"
     row = reg.QUERIES["mcnemar_rule_classifier"](spark, sf).collect()[0]
