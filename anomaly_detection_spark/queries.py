@@ -21785,6 +21785,67 @@ def q_lof_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming state-store deduplication (the EIGHTH streaming lane):
+# ``dropDuplicatesWithinWatermark`` recovering exactly-once output
+# from an at-least-once feed — the one stateful surface the streaming
+# stack hadn't exercised (windows, run-length, sessions, two interval
+# joins, event-time timers, CDC apply are the other seven).  The
+# replay delivers micro-batch b0 = the even-event_id half, then b1 =
+# the ENTIRE feed (odd rows new, even rows redelivered) — so every
+# duplicate arrives in a LATER micro-batch than its original and only
+# the dedup state store can drop it (the watermark delay exceeds the
+# data span, so late-drop can do no work).  The batch law the oracle
+# states is simply the events table itself, exactly once.
+# streaming/ingest.py:exactly_once_dedup.
+# ---------------------------------------------------------------------------
+
+@register("streaming_dedup_state_events", """
+SELECT event_id, user_id, event_type,
+       CAST(round(value * 100, 0) AS BIGINT) AS cents
+FROM events
+""")
+def q_streaming_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from anomaly_detection_spark.streaming.ingest import exactly_once_dedup
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id",
+        # watermarks require TIMESTAMP (session TZ = UTC), not NTZ
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        quantized(F.col("value"), 2).alias("cents"),
+    )
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    src = os.path.join(work, "src")
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src, "b0")
+    )
+    ev.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    qname = "dedup_state_" + uuid.uuid4().hex
+    q = (
+        exactly_once_dedup(stream, ["event_id"])
+        .select("event_id", "user_id", "event_type", "cents")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(qname)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return _finalize_stream_replay(spark, spark.table(qname), qname, work)
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

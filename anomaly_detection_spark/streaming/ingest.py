@@ -206,3 +206,22 @@ def read_cdc_state(spark, state_path: str, op_col: str = "op",
     if state is None:
         return None
     return state.where(F.col(op_col) != delete_op)
+
+
+def exactly_once_dedup(stream, keys, watermark_col: str = "ts",
+                       delay: str = "365 days"):
+    """State-store deduplication of an at-least-once feed:
+    ``dropDuplicatesWithinWatermark`` keeps the FIRST arrival per key
+    and drops every redelivery while the key is inside the watermark
+    horizon — the standard exactly-once recovery for sources that
+    redeliver on retry (Kafka producers, file re-uploads, CDC replays).
+
+    The ``delay`` bounds the dedup state: a key older than the
+    watermark is evicted and a *very* late redelivery would surface
+    again — the deliberate state/completeness trade every streaming
+    dedup makes.  Callers replaying a bounded fixture pick a delay
+    longer than the data span so the test exercises pure state-store
+    semantics (nothing is ever late-dropped).
+    """
+    return stream.withWatermark(watermark_col, delay) \
+                 .dropDuplicatesWithinWatermark(keys)

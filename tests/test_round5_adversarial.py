@@ -123,6 +123,7 @@ ADVERSARIAL_EVENT_QUERIES = [
     "streaming_left_interval_join_events",
     "streaming_session_histogram_events",
     "streaming_cdc_state_events",
+    "streaming_dedup_state_events",
     "benford_digit_audit",
     "jensen_shannon_types",
     "welch_t_drift_types",
