@@ -21846,6 +21846,228 @@ def q_streaming_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Partial autocorrelation at lag 2 (Durbin-Levinson) per user — the
+# AR-order identification tool beside the raw ACF (autocorr_lag7_user)
+# and the portmanteau test (ljung_box_users): the ACF at lag 2 mixes
+# the direct lag-2 effect with the path THROUGH lag 1; the PACF
+# removes the mediation, phi22 = (r2 - r1²)/(1 - r1²), and is the
+# statistic that distinguishes AR(1) (phi22 = 0) from AR(2) series.
+# The biased ACF estimator (full-sample mean, divide-by-A0) keeps
+# |r_k| <= 1 by Cauchy-Schwarz; its covariances are EXACT integers:
+# A_k = Σ_t (n·x_t - S)(n·x_{t+k} - S) over t <= n-k on the cents
+# grid (the n² residual scaling cancels in every ratio).  r1/phi22
+# are shared double expressions over those integers, floor-quantized
+# ppm, NULL-guarded on constant series (A0 = 0) and |r1| = 1.
+# Bounded per-user arrays, one user-keyed exchange, no Python.
+# ---------------------------------------------------------------------------
+
+@register("pacf_lag2_users", """
+WITH s AS (
+    SELECT user_id,
+           list(CAST(round(value * 100, 0) AS HUGEINT)
+                ORDER BY ts, event_id) AS v,
+           CAST(count(*) AS HUGEINT) AS n
+    FROM events GROUP BY user_id HAVING count(*) >= 12
+), r AS (
+    SELECT user_id, n, list_sum(v) AS sv FROM s
+), a AS (
+    SELECT s.user_id, s.n,
+           list_sum([(s.n * x - r.sv) * (s.n * x - r.sv)
+                     for x in s.v]) AS a0,
+           list_sum([(s.n * s.v[i] - r.sv) * (s.n * s.v[i + 1] - r.sv)
+                     for i in range(1, len(s.v))]) AS a1,
+           list_sum([(s.n * s.v[i] - r.sv) * (s.n * s.v[i + 2] - r.sv)
+                     for i in range(1, len(s.v) - 1)]) AS a2
+    FROM s JOIN r ON s.user_id = r.user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       CASE WHEN a0 > 0
+            THEN CAST(floor(CAST(a1 AS DOUBLE) / CAST(a0 AS DOUBLE)
+                            * 1000000 + 0.5) AS BIGINT)
+            ELSE NULL END AS r1_ppm,
+       CASE WHEN a0 > 0
+            THEN CAST(floor(CAST(a2 AS DOUBLE) / CAST(a0 AS DOUBLE)
+                            * 1000000 + 0.5) AS BIGINT)
+            ELSE NULL END AS r2_ppm,
+       CASE WHEN a0 > 0 AND a0 * a0 - a1 * a1 > 0
+            THEN CAST(floor((CAST(a2 AS DOUBLE) / CAST(a0 AS DOUBLE)
+                             - (CAST(a1 AS DOUBLE) / CAST(a0 AS DOUBLE))
+                               * (CAST(a1 AS DOUBLE) / CAST(a0 AS DOUBLE)))
+                            / (1 - (CAST(a1 AS DOUBLE) / CAST(a0 AS DOUBLE))
+                                   * (CAST(a1 AS DOUBLE) / CAST(a0 AS DOUBLE)))
+                            * 1000000 + 0.5) AS BIGINT)
+            ELSE NULL END AS phi22_ppm
+FROM a
+""")
+def q_pacf_lag2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    dec = "decimal(38,0)"
+    s = ev.select(
+        "user_id",
+        F.struct("ts", "event_id", quantized(F.col("value"), 2).alias("c"))
+        .alias("row"),
+    ).groupBy("user_id").agg(
+        F.sort_array(F.collect_list("row")).alias("rows"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).where(F.col("cnt") >= 12).select(
+        "user_id",
+        F.expr(f"transform(rows, r -> CAST(r.c AS {dec}))").alias("v"),
+        F.expr(f"CAST(size(rows) AS {dec})").alias("n"),
+    )
+    z = f"CAST(0 AS {dec})"
+    a = s.select(
+        "user_id", "n", "v",
+        F.expr(f"aggregate(v, {z}, (acc, x) -> acc + x)").alias("sv"),
+    ).select(
+        "user_id", "n",
+        F.expr(
+            f"aggregate(v, {z},"
+            " (acc, x) -> acc + (n * x - sv) * (n * x - sv))"
+        ).alias("a0"),
+        F.expr(
+            f"aggregate(sequence(1, size(v) - 1), {z}, (acc, i) ->"
+            " acc + (n * element_at(v, i) - sv)"
+            "     * (n * element_at(v, i + 1) - sv))"
+        ).alias("a1"),
+        F.expr(
+            f"aggregate(sequence(1, size(v) - 2), {z}, (acc, i) ->"
+            " acc + (n * element_at(v, i) - sv)"
+            "     * (n * element_at(v, i + 2) - sv))"
+        ).alias("a2"),
+    )
+    return a.select(
+        "user_id", F.col("n").cast("long").alias("n_events"),
+        F.expr(
+            "CASE WHEN a0 > 0"
+            " THEN CAST(floor(CAST(a1 AS DOUBLE) / CAST(a0 AS DOUBLE)"
+            "                 * 1000000 + 0.5) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("r1_ppm"),
+        F.expr(
+            "CASE WHEN a0 > 0"
+            " THEN CAST(floor(CAST(a2 AS DOUBLE) / CAST(a0 AS DOUBLE)"
+            "                 * 1000000 + 0.5) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("r2_ppm"),
+        F.expr(
+            "CASE WHEN a0 > 0 AND a0 * a0 - a1 * a1 > 0"
+            " THEN CAST(floor((CAST(a2 AS DOUBLE) / CAST(a0 AS DOUBLE)"
+            "                  - (CAST(a1 AS DOUBLE) / CAST(a0 AS DOUBLE))"
+            "                    * (CAST(a1 AS DOUBLE) / CAST(a0 AS DOUBLE)))"
+            "                 / (1 - (CAST(a1 AS DOUBLE) / CAST(a0 AS DOUBLE))"
+            "                        * (CAST(a1 AS DOUBLE)"
+            "                           / CAST(a0 AS DOUBLE)))"
+            "                 * 1000000 + 0.5) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("phi22_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V (event type × ISO weekday) — the bounded EFFECT-SIZE for
+# categorical association the contingency stack lacked:
+# chi_square_drift_events TESTS whether a window's type mix moved
+# (a p-value grows with n even for trivial effects); Cramér's V
+# normalizes the same chi-square to [0, 1] so association strength is
+# comparable across corpora sizes — the categorical analogue of a
+# correlation coefficient.  The full r×c grid is completed explicitly
+# (dictionary cross join + left join; absent combos COUNT AS ZERO —
+# the pivot_status_counts lesson), each cell's term is the exact
+# integer (n·n_ij - r_i·c_j)²·1e6 div (n·r_i·c_j) so the cell sum is
+# order-free, and V = sqrt(chi²/(n·(min(r,c)-1))) is one shared double
+# expression, floor-quantized ppm.  Weekday via isodow/weekday()+1
+# (DuckDB dayofweek is 0-based vs Spark's 1-based — the r5 gotcha).
+# Everything is dictionary-sized after one (type, dow) aggregation.
+# ---------------------------------------------------------------------------
+
+@register("cramers_v_type_weekday", """
+WITH f AS (
+    SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow FROM events
+), cells AS (
+    SELECT event_type, dow, CAST(count(*) AS HUGEINT) AS nij
+    FROM f GROUP BY event_type, dow
+), types AS (
+    SELECT event_type, CAST(sum(nij) AS HUGEINT) AS ri
+    FROM cells GROUP BY event_type
+), dows AS (
+    SELECT dow, CAST(sum(nij) AS HUGEINT) AS cj FROM cells GROUP BY dow
+), tot AS (
+    SELECT CAST(sum(nij) AS HUGEINT) AS n,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
+           CAST(count(DISTINCT dow) AS BIGINT) AS nc
+    FROM cells
+), grid AS (
+    SELECT t.event_type, d.dow, t.ri, d.cj,
+           coalesce(c.nij, 0) AS nij
+    FROM types t CROSS JOIN dows d
+    LEFT JOIN cells c
+      ON c.event_type = t.event_type AND c.dow = d.dow
+), chi AS (
+    SELECT CAST(sum(
+               ((tot.n * grid.nij - grid.ri * grid.cj)
+                * (tot.n * grid.nij - grid.ri * grid.cj) * 1000000)
+               // (tot.n * grid.ri * grid.cj)
+           ) AS BIGINT) AS chi2_fp
+    FROM grid CROSS JOIN tot
+)
+SELECT CAST(tot.n AS BIGINT) AS n_events, tot.nr AS n_types,
+       tot.nc AS n_days, chi.chi2_fp,
+       CASE WHEN tot.nr >= 2 AND tot.nc >= 2 AND tot.n > 0
+            THEN CAST(floor(sqrt((CAST(chi.chi2_fp AS DOUBLE) / 1000000)
+                                 / (CAST(tot.n AS DOUBLE)
+                                    * (least(tot.nr, tot.nc) - 1)))
+                            * 1000000 + 0.5) AS BIGINT)
+            ELSE NULL END AS v_ppm
+FROM chi CROSS JOIN tot
+""")
+def q_cramers_v_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    dec = "decimal(38,0)"
+    f = ev.select(
+        "event_type", (F.weekday("ts") + 1).cast("long").alias("dow")
+    )
+    cells = f.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast(dec).alias("nij")
+    )
+    types = cells.groupBy("event_type").agg(
+        F.sum("nij").cast(dec).alias("ri")
+    )
+    dows = cells.groupBy("dow").agg(F.sum("nij").cast(dec).alias("cj"))
+    tot = cells.agg(
+        F.sum("nij").cast(dec).alias("n"),
+        F.count_distinct("event_type").cast("long").alias("nr"),
+        F.count_distinct("dow").cast("long").alias("nc"),
+    )
+    grid = (
+        types.crossJoin(F.broadcast(dows))
+        .join(F.broadcast(cells), ["event_type", "dow"], "left")
+        .select(
+            "ri", "cj",
+            F.coalesce(F.col("nij"), F.lit(0).cast(dec)).alias("nij"),
+        )
+    )
+    chi = grid.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.expr(
+            "((n * nij - ri * cj) * (n * nij - ri * cj) * 1000000)"
+            " div (n * ri * cj)"
+        )).cast("long").alias("chi2_fp")
+    )
+    return chi.crossJoin(F.broadcast(tot)).select(
+        F.col("n").cast("long").alias("n_events"),
+        F.col("nr").alias("n_types"), F.col("nc").alias("n_days"),
+        "chi2_fp",
+        F.expr(
+            "CASE WHEN nr >= 2 AND nc >= 2 AND n > 0"
+            " THEN CAST(floor(sqrt((CAST(chi2_fp AS DOUBLE) / 1000000)"
+            "                      / (CAST(n AS DOUBLE)"
+            "                         * (least(nr, nc) - 1)))"
+            "                 * 1000000 + 0.5) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("v_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

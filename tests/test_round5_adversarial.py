@@ -144,6 +144,8 @@ ADVERSARIAL_EVENT_QUERIES = [
     "brown_forsythe_types",
     "discord_matrix_profile_users",
     "burstiness_memory_users",
+    "pacf_lag2_users",
+    "cramers_v_type_weekday",
 ]
 
 

@@ -239,6 +239,62 @@ def test_lof_planted_density_outlier(spark):
                        reg.ORACLES["lof_embeddings"], d)
 
 
+def test_pacf_constant_and_alternating(spark):
+    d = _events_dir(spark, {
+        1: [7.0] * 12,          # constant: a0 = 0 -> all NULL
+        2: [1.0, 9.0] * 8,      # alternating: r1 near -1
+    })
+    out = {r["user_id"]: r for r in
+           reg.QUERIES["pacf_lag2_users"](spark, d).collect()}
+    assert out[1]["r1_ppm"] is None and out[1]["phi22_ppm"] is None
+    assert out[2]["r1_ppm"] < -800000 and out[2]["r2_ppm"] > 700000
+    assert not compare(reg.QUERIES["pacf_lag2_users"](spark, d),
+                       reg.ORACLES["pacf_lag2_users"], d)
+
+
+def test_cramers_v_independence_and_perfect(spark):
+    import tempfile
+    from pyspark.sql import functions as F
+
+    # 2024-01-01 is a Monday.  Independent block: each type appears
+    # the same number of times on each of two weekdays -> V = 0.
+    rows, eid = [], 0
+    for ty in ("a", "b"):
+        for day in (0, 1):
+            for _ in range(3):
+                eid += 1
+                rows.append((1, eid, BASE + dt.timedelta(days=day),
+                             ty, 1.0))
+    d = tempfile.mkdtemp()
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double",
+    ).withColumn("props", F.lit("{}"))
+    pq.write_table(pa.Table.from_pandas(ev.toPandas()),
+                   os.path.join(d, "events.parquet"))
+    row = reg.QUERIES["cramers_v_type_weekday"](spark, d).collect()[0]
+    assert row["chi2_fp"] == 0 and row["v_ppm"] == 0
+    assert not compare(reg.QUERIES["cramers_v_type_weekday"](spark, d),
+                       reg.ORACLES["cramers_v_type_weekday"], d)
+
+    # perfect association: each type pinned to its own weekday -> V = 1
+    rows2 = [(1, i + 1, BASE + dt.timedelta(days=i % 2),
+              "a" if i % 2 == 0 else "b", 1.0) for i in range(12)]
+    d2 = tempfile.mkdtemp()
+    ev2 = spark.createDataFrame(
+        rows2,
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double",
+    ).withColumn("props", F.lit("{}"))
+    pq.write_table(pa.Table.from_pandas(ev2.toPandas()),
+                   os.path.join(d2, "events.parquet"))
+    row2 = reg.QUERIES["cramers_v_type_weekday"](spark, d2).collect()[0]
+    assert row2["v_ppm"] == 1000000
+    assert not compare(reg.QUERIES["cramers_v_type_weekday"](spark, d2),
+                       reg.ORACLES["cramers_v_type_weekday"], d2)
+
+
 def test_mcnemar_identities_sf0001(spark):
     sf = "/root/testdata/sf0.001"
     row = reg.QUERIES["mcnemar_rule_classifier"](spark, sf).collect()[0]
