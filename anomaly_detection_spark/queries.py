@@ -22068,6 +22068,273 @@ def q_cramers_v_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Pettitt changepoint test per user — the RANK-based nonparametric
+# changepoint detector beside the parametric family (binseg minimizes
+# SSE, cusum/page-hinkley track mean shifts): Pettitt's statistic is
+# the Mann-Whitney U evaluated at every split point, K = max_t |U_t|
+# with U_t = Σ_{i<=t} Σ_{j>t} sign(x_i - x_j), so it finds a
+# distribution shift with no normality or variance assumption and is
+# immune to outliers that blow up SSE-based splits.  Everything is
+# exact integers: the O(n²) pair-sign sum is bounded per key (the
+# Kendall/Hodges-Lehmann argument) and folded as a running prefix —
+# U_t+1 = U_t + Σ_j sign(x_{t+1} - x_j) costs one pass per t.  The
+# changepoint is the argmax of |U_t| (ties -> smallest t).
+# One user-keyed exchange, JVM transforms, no Python.
+# ---------------------------------------------------------------------------
+
+@register("pettitt_changepoint_users", """
+WITH s AS (
+    SELECT user_id,
+           list(CAST(round(value * 100, 0) AS BIGINT)
+                ORDER BY ts, event_id) AS v
+    FROM events GROUP BY user_id HAVING count(*) >= 12
+), d AS (
+    SELECT user_id, len(v) AS n,
+           [list_sum([
+                CASE WHEN x > y THEN 1 WHEN x < y THEN -1 ELSE 0 END
+                for y in v
+            ]) for x in v] AS ds
+    FROM s
+), u AS (
+    SELECT user_id, n,
+           [list_sum(ds[1:t]) for t in range(1, n)] AS ut
+    FROM d
+), k AS (
+    SELECT user_id, CAST(n AS BIGINT) AS n_events, ut,
+           list_max([abs(x) for x in ut]) AS kmax
+    FROM u
+)
+SELECT user_id, n_events,
+       CAST(kmax AS BIGINT) AS k_stat,
+       CAST(list_position([abs(x) for x in ut], kmax) AS BIGINT)
+           AS change_t
+FROM k
+""")
+def q_pettitt_changepoint_users(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    s = ev.select(
+        "user_id",
+        F.struct("ts", "event_id", quantized(F.col("value"), 2).alias("c"))
+        .alias("row"),
+    ).groupBy("user_id").agg(
+        F.sort_array(F.collect_list("row")).alias("rows"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).where(F.col("cnt") >= 12).select(
+        "user_id", F.expr("transform(rows, r -> r.c)").alias("v")
+    )
+    # U_t = U_{t-1} + D_t with D_t = sum_j sign(x_t - x_j): the O(n²)
+    # fold (one pairwise pass for D, one prefix pass for U) instead of
+    # the naive O(n³) re-sum per split point
+    d = s.select(
+        "user_id", "v",
+        F.expr(
+            "transform(v, x -> aggregate(v, 0L, (acc, y) ->"
+            " acc + CASE WHEN x > y THEN 1 WHEN x < y THEN -1"
+            " ELSE 0 END))"
+        ).alias("ds"),
+    )
+    u = d.select(
+        "user_id",
+        F.expr("CAST(size(v) AS BIGINT)").alias("n_events"),
+        F.expr(
+            "transform(sequence(1, size(v) - 1),"
+            " t -> aggregate(slice(ds, 1, t), 0L, (acc, x) -> acc + x))"
+        ).alias("ut"),
+    )
+    return u.select(
+        "user_id", "n_events",
+        F.expr(
+            "CAST(array_max(transform(ut, x -> abs(x))) AS BIGINT)"
+        ).alias("k_stat"),
+        F.expr(
+            "CAST(array_position(transform(ut, x -> abs(x)),"
+            " array_max(transform(ut, x -> abs(x)))) AS BIGINT)"
+        ).alias("change_t"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity release audit — the PRIVACY gate a
+# training-data pipeline runs before publishing event-derived data
+# (redact_pii_docs scrubs free text; this audits STRUCTURED
+# re-identification risk): under the quasi-identifier (event_type,
+# ISO weekday, value kilo-bucket), k = the equivalence-class size
+# (an attacker matching a QI tuple narrows a person to k rows) and
+# l = the class's distinct-user count (sensitive-value diversity).
+# One exact aggregation tree: QI group counts + distinct users, then
+# a single summary row — classes below k < 5 / l < 3, the rows they
+# expose, and the corpus minima.  Pure groupBy, perfectly partitioned
+# at any scale.
+# ---------------------------------------------------------------------------
+
+@register("k_anonymity_audit_events", """
+WITH qi AS (
+    SELECT event_type,
+           CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(round(value * 100, 0) AS BIGINT) // 1000 AS vbucket,
+           user_id
+    FROM events
+), g AS (
+    SELECT event_type, dow, vbucket,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS l
+    FROM qi GROUP BY event_type, dow, vbucket
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(k) AS BIGINT) AS n_rows,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(min(l) AS BIGINT) AS min_l,
+       CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS classes_below_k5,
+       CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+           AS rows_below_k5,
+       CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS classes_below_l3,
+       CAST(sum(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT)
+           AS rows_below_l3
+FROM g
+""")
+def q_k_anonymity_audit_events(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    qi = ev.select(
+        "event_type",
+        (F.weekday("ts") + 1).cast("long").alias("dow"),
+        F.expr(
+            "CAST(round(value * 100, 0) AS BIGINT) div 1000"
+        ).alias("vbucket"),
+        "user_id",
+    )
+    g = qi.groupBy("event_type", "dow", "vbucket").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.count_distinct("user_id").cast("long").alias("l"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("k").cast("long").alias("n_rows"),
+        F.min("k").cast("long").alias("min_k"),
+        F.min("l").cast("long").alias("min_l"),
+        F.sum(F.when(F.col("k") < 5, 1).otherwise(0)).cast("long")
+        .alias("classes_below_k5"),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0)).cast("long")
+        .alias("rows_below_k5"),
+        F.sum(F.when(F.col("l") < 3, 1).otherwise(0)).cast("long")
+        .alias("classes_below_l3"),
+        F.sum(F.when(F.col("l") < 3, F.col("k")).otherwise(0)).cast("long")
+        .alias("rows_below_l3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One Lloyd update step (k-means centroid re-estimation) — the
+# TRAINING half of the clustering stack (assign_nearest_centroid /
+# silhouette / balanced-sample only ever CONSUME fixed centroids):
+# given the current centroids (vec_id < 8), re-assign every vector
+# and emit each cluster's new centroid as the element-wise mean of
+# its members, plus the L1 shift from the old centroid — the
+# convergence signal an iterative driver loop would watch.  Exact:
+# components land on the 1e-6 integer grid (float32 -> double -> grid
+# is exact), per-(cluster, dim) sums are integer, the mean is one
+# truncating division, and the shift is an integer L1 sum — both
+# engines truncate identically.  Shape: one posexplode/unnest keyed
+# by (cluster, dim) — D·n rows map-side folded before the exchange,
+# the standard distributed k-means iteration at any scale.
+# ---------------------------------------------------------------------------
+
+@register("kmeans_update_embeddings", """
+WITH nz AS MATERIALIZED (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+), c AS (
+    SELECT vec_id AS centroid_id, v AS cvec FROM nz WHERE vec_id < 8
+), assigned AS MATERIALIZED (
+    SELECT vec_id, cluster_id, v FROM (
+        SELECT nz.vec_id, c.centroid_id AS cluster_id, nz.v,
+               round(list_cosine_similarity(nz.v, c.cvec), 6) AS cosine
+        FROM nz CROSS JOIN c)
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cosine DESC, cluster_id) = 1
+), comp AS (
+    SELECT a.cluster_id, CAST(t.i AS BIGINT) AS dim,
+           CAST(round(a.v[CAST(t.i AS INT)] * 1000000, 0) AS BIGINT)
+               AS x_fp
+    FROM assigned a, unnest(range(1, len(a.v) + 1)) AS t(i)
+), agg AS (
+    SELECT cluster_id, dim,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(x_fp) AS BIGINT) AS sum_fp
+    FROM comp GROUP BY cluster_id, dim
+), mean AS (
+    SELECT cluster_id, dim, n_members,
+           CASE WHEN sum_fp >= 0 THEN sum_fp // n_members
+                ELSE -((-sum_fp) // n_members) END AS mean_fp
+    FROM agg
+), old AS (
+    SELECT centroid_id AS cluster_id, CAST(t.i AS BIGINT) AS dim,
+           CAST(round(c.cvec[CAST(t.i AS INT)] * 1000000, 0) AS BIGINT)
+               AS old_fp
+    FROM c, unnest(range(1, len(c.cvec) + 1)) AS t(i)
+)
+SELECT CAST(m.cluster_id AS BIGINT) AS cluster_id,
+       CAST(max(m.n_members) AS BIGINT) AS n_members,
+       CAST(sum(abs(m.mean_fp - o.old_fp)) AS BIGINT) AS l1_shift_fp
+FROM mean m JOIN old o
+  ON m.cluster_id = o.cluster_id AND m.dim = o.dim
+GROUP BY m.cluster_id
+""")
+def q_kmeans_update_embeddings(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    from anomaly_detection_spark.pipeline.similarity import (
+        assign_nearest_centroid, nonzero_vectors,
+    )
+
+    emb = nonzero_vectors(load_table(spark, "embeddings", sf_dir))
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = assign_nearest_centroid(emb, centroids).select(
+        "vec_id", "cluster_id"
+    ).join(emb, "vec_id")
+    comp = assigned.select(
+        "cluster_id",
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select(
+        "cluster_id",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.round(F.col("x").cast("double") * 1_000_000, 0).cast("long")
+        .alias("x_fp"),
+    )
+    agg = comp.groupBy("cluster_id", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("x_fp").cast("long").alias("sum_fp"),
+    )
+    # truncate-toward-zero mean so Spark's `div` (truncating) and the
+    # sign-split DuckDB `//` (flooring) agree on negative sums
+    mean = agg.select(
+        "cluster_id", "dim", "n_members",
+        F.expr("sum_fp div n_members").alias("mean_fp"),
+    )
+    old = centroids.select(
+        F.col("centroid_id").alias("cluster_id"),
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select(
+        "cluster_id",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.round(F.col("x").cast("double") * 1_000_000, 0).cast("long")
+        .alias("old_fp"),
+    )
+    return mean.join(old, ["cluster_id", "dim"]).groupBy("cluster_id").agg(
+        F.max("n_members").cast("long").alias("n_members"),
+        F.sum(F.abs(F.col("mean_fp") - F.col("old_fp"))).cast("long")
+        .alias("l1_shift_fp"),
+    ).select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "n_members", "l1_shift_fp",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -146,6 +146,8 @@ ADVERSARIAL_EVENT_QUERIES = [
     "burstiness_memory_users",
     "pacf_lag2_users",
     "cramers_v_type_weekday",
+    "pettitt_changepoint_users",
+    "k_anonymity_audit_events",
 ]
 
 
@@ -318,6 +320,7 @@ ADVERSARIAL_EMBEDDING_QUERIES = [
     "mmr_select_embeddings",
     "cluster_balanced_sample",
     "lof_embeddings",
+    "kmeans_update_embeddings",
     # ann_recall_eval is EXCLUDED: its recall_8t3p >= 0.3 floor is a
     # data-dependent contract calibrated to the sf corpus (its own
     # docstring says so), not a theorem — on 15 near-random vectors the

@@ -295,6 +295,75 @@ def test_cramers_v_independence_and_perfect(spark):
                        reg.ORACLES["cramers_v_type_weekday"], d2)
 
 
+def test_pettitt_planted_shift(spark):
+    # level shift exactly after position 10: U_t peaks at t = 10 with
+    # K = 10*10 (every pre-shift value below every post-shift value)
+    d = _events_dir(spark, {1: [1.0] * 10 + [9.0] * 10,
+                            2: [5.0] * 15})
+    out = {r["user_id"]: r for r in
+           reg.QUERIES["pettitt_changepoint_users"](spark, d).collect()}
+    assert out[1]["change_t"] == 10 and out[1]["k_stat"] == 100
+    # constant series: U_t = 0 everywhere, argmax ties -> t = 1
+    assert out[2]["k_stat"] == 0 and out[2]["change_t"] == 1
+    assert not compare(
+        reg.QUERIES["pettitt_changepoint_users"](spark, d),
+        reg.ORACLES["pettitt_changepoint_users"], d)
+
+
+def test_k_anonymity_violations_counted(spark):
+    # one QI class of size 6 with 3 users (safe), one of size 2 with
+    # 1 user (violates both k < 5 and l < 3)
+    import tempfile
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(6):
+        rows.append((i % 3, i + 1, BASE, "view", 1.0))
+    rows += [(9, 7, BASE + dt.timedelta(days=1), "click", 1.0),
+             (9, 8, BASE + dt.timedelta(days=1), "click", 1.0)]
+    d = tempfile.mkdtemp()
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double",
+    ).withColumn("props", F.lit("{}"))
+    pq.write_table(pa.Table.from_pandas(ev.toPandas()),
+                   os.path.join(d, "events.parquet"))
+    row = reg.QUERIES["k_anonymity_audit_events"](spark, d).collect()[0]
+    assert row["n_classes"] == 2 and row["min_k"] == 2 and row["min_l"] == 1
+    assert row["classes_below_k5"] == 1 and row["rows_below_k5"] == 2
+    assert row["classes_below_l3"] == 1 and row["rows_below_l3"] == 2
+    assert not compare(reg.QUERIES["k_anonymity_audit_events"](spark, d),
+                       reg.ORACLES["k_anonymity_audit_events"], d)
+
+
+def test_kmeans_update_fixed_point_and_pull(spark):
+    import tempfile
+
+    # cluster 0's members sit exactly ON the centroid -> zero shift;
+    # cluster 1 has one member pulled away -> positive shift
+    dim = 4
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], "c"),
+        (1, [0.0, 1.0, 0.0, 0.0], "c"),
+        (10, [1.0, 0.0, 0.0, 0.0], "m"),
+        (11, [1.0, 0.0, 0.0, 0.0], "m"),
+        (12, [0.0, 1.0, 0.5, 0.0], "m"),
+    ]
+    d = tempfile.mkdtemp()
+    t = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    pq.write_table(pa.Table.from_pandas(t.toPandas()),
+                   os.path.join(d, "embeddings.parquet"))
+    out = {r["cluster_id"]: r for r in
+           reg.QUERIES["kmeans_update_embeddings"](spark, d).collect()}
+    assert out[0]["l1_shift_fp"] == 0 and out[0]["n_members"] == 3
+    assert out[1]["l1_shift_fp"] > 0 and out[1]["n_members"] == 2
+    assert not compare(reg.QUERIES["kmeans_update_embeddings"](spark, d),
+                       reg.ORACLES["kmeans_update_embeddings"], d)
+
+
 def test_mcnemar_identities_sf0001(spark):
     sf = "/root/testdata/sf0.001"
     row = reg.QUERIES["mcnemar_rule_classifier"](spark, sf).collect()[0]
