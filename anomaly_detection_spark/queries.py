@@ -22155,78 +22155,6 @@ def q_pettitt_changepoint_users(spark: SparkSession, sf_dir: str
 
 
 # ---------------------------------------------------------------------------
-# k-anonymity / l-diversity release audit — the PRIVACY gate a
-# training-data pipeline runs before publishing event-derived data
-# (redact_pii_docs scrubs free text; this audits STRUCTURED
-# re-identification risk): under the quasi-identifier (event_type,
-# ISO weekday, value kilo-bucket), k = the equivalence-class size
-# (an attacker matching a QI tuple narrows a person to k rows) and
-# l = the class's distinct-user count (sensitive-value diversity).
-# One exact aggregation tree: QI group counts + distinct users, then
-# a single summary row — classes below k < 5 / l < 3, the rows they
-# expose, and the corpus minima.  Pure groupBy, perfectly partitioned
-# at any scale.
-# ---------------------------------------------------------------------------
-
-@register("k_anonymity_audit_events", """
-WITH qi AS (
-    SELECT event_type,
-           CAST(isodow(ts) AS BIGINT) AS dow,
-           CAST(round(value * 100, 0) AS BIGINT) // 1000 AS vbucket,
-           user_id
-    FROM events
-), g AS (
-    SELECT event_type, dow, vbucket,
-           CAST(count(*) AS BIGINT) AS k,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS l
-    FROM qi GROUP BY event_type, dow, vbucket
-)
-SELECT CAST(count(*) AS BIGINT) AS n_classes,
-       CAST(sum(k) AS BIGINT) AS n_rows,
-       CAST(min(k) AS BIGINT) AS min_k,
-       CAST(min(l) AS BIGINT) AS min_l,
-       CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
-           AS classes_below_k5,
-       CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
-           AS rows_below_k5,
-       CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
-           AS classes_below_l3,
-       CAST(sum(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT)
-           AS rows_below_l3
-FROM g
-""")
-def q_k_anonymity_audit_events(spark: SparkSession, sf_dir: str
-                               ) -> DataFrame:
-    ev = load_table(spark, "events", sf_dir)
-    qi = ev.select(
-        "event_type",
-        (F.weekday("ts") + 1).cast("long").alias("dow"),
-        F.expr(
-            "CAST(round(value * 100, 0) AS BIGINT) div 1000"
-        ).alias("vbucket"),
-        "user_id",
-    )
-    g = qi.groupBy("event_type", "dow", "vbucket").agg(
-        F.count(F.lit(1)).cast("long").alias("k"),
-        F.count_distinct("user_id").cast("long").alias("l"),
-    )
-    return g.agg(
-        F.count(F.lit(1)).cast("long").alias("n_classes"),
-        F.sum("k").cast("long").alias("n_rows"),
-        F.min("k").cast("long").alias("min_k"),
-        F.min("l").cast("long").alias("min_l"),
-        F.sum(F.when(F.col("k") < 5, 1).otherwise(0)).cast("long")
-        .alias("classes_below_k5"),
-        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0)).cast("long")
-        .alias("rows_below_k5"),
-        F.sum(F.when(F.col("l") < 3, 1).otherwise(0)).cast("long")
-        .alias("classes_below_l3"),
-        F.sum(F.when(F.col("l") < 3, F.col("k")).otherwise(0)).cast("long")
-        .alias("rows_below_l3"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # One Lloyd update step (k-means centroid re-estimation) — the
 # TRAINING half of the clustering stack (assign_nearest_centroid /
 # silhouette / balanced-sample only ever CONSUME fixed centroids):

@@ -184,6 +184,14 @@ BENCH_QUERIES = [
     # r7 probe); gif_roundtrip_media stays OUT: its cheap-lossless
     # codec-row cost profile is already represented by png_roundtrip
     "jpeg_roundtrip_media",
+    # r7 session-2 exemplar: the per-key O(n²) rank-fold family
+    # (Pettitt; also covers runs/pacf/burstiness which share the
+    # array-fold shape — all flat 1x->20x in scale_probe_r7b).
+    # lof_embeddings stays OUT: 12.2 s at sf0.1 (the fixed-8-cell
+    # fixture makes every cell corpus/8 and the per-cell quadratic
+    # dominates — the r03 one-member-dominates lesson); its scaling
+    # story lives in scale_probe_r7b instead.
+    "pettitt_changepoint_users",
     # mmr_select_embeddings stays OUT of the bench set: 8 sequential
     # argmax jobs are honest greedy-selection cost but pure job-launch
     # overhead at local bench scale (14 s of a 93 s total in the r04

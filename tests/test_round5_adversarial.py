@@ -147,7 +147,6 @@ ADVERSARIAL_EVENT_QUERIES = [
     "pacf_lag2_users",
     "cramers_v_type_weekday",
     "pettitt_changepoint_users",
-    "k_anonymity_audit_events",
 ]
 
 

@@ -310,33 +310,6 @@ def test_pettitt_planted_shift(spark):
         reg.ORACLES["pettitt_changepoint_users"], d)
 
 
-def test_k_anonymity_violations_counted(spark):
-    # one QI class of size 6 with 3 users (safe), one of size 2 with
-    # 1 user (violates both k < 5 and l < 3)
-    import tempfile
-    from pyspark.sql import functions as F
-
-    rows = []
-    for i in range(6):
-        rows.append((i % 3, i + 1, BASE, "view", 1.0))
-    rows += [(9, 7, BASE + dt.timedelta(days=1), "click", 1.0),
-             (9, 8, BASE + dt.timedelta(days=1), "click", 1.0)]
-    d = tempfile.mkdtemp()
-    ev = spark.createDataFrame(
-        rows,
-        "user_id long, event_id long, ts timestamp_ntz, "
-        "event_type string, value double",
-    ).withColumn("props", F.lit("{}"))
-    pq.write_table(pa.Table.from_pandas(ev.toPandas()),
-                   os.path.join(d, "events.parquet"))
-    row = reg.QUERIES["k_anonymity_audit_events"](spark, d).collect()[0]
-    assert row["n_classes"] == 2 and row["min_k"] == 2 and row["min_l"] == 1
-    assert row["classes_below_k5"] == 1 and row["rows_below_k5"] == 2
-    assert row["classes_below_l3"] == 1 and row["rows_below_l3"] == 2
-    assert not compare(reg.QUERIES["k_anonymity_audit_events"](spark, d),
-                       reg.ORACLES["k_anonymity_audit_events"], d)
-
-
 def test_kmeans_update_fixed_point_and_pull(spark):
     import tempfile
 
