@@ -22263,6 +22263,208 @@ def q_kmeans_update_embeddings(spark: SparkSession, sf_dir: str
 
 
 # ---------------------------------------------------------------------------
+# Granger-style lag-1 predictive regression per user (do yesterday's
+# ERRORS predict today's PURCHASES beyond purchases' own momentum?) —
+# the OBSERVATIONAL cross-series causality tool beside the
+# experiment-based causal suite (diff-in-diff needs a treatment
+# group, CUPED a pre-period covariate; Granger asks whether adding
+# x_{t-1} to an AR(1) of y reduces residual variance).  Daily counts
+# on a COMPLETE per-user day spine (gap days are real zero
+# observations — skipping them would misalign every lag), then the
+# restricted (y ~ y_lag) vs full (y ~ y_lag + x_lag) OLS comparison
+# entirely from exact integer centered cross-moments:
+# n·RSS_restricted = Cyy - Cyl²/Cll and n·RSS_full via Cramer's rule
+# on the 2×2 normal equations (the n's cancel in F), so both engines
+# push the SAME integers through the SAME double expression.
+# F = (U_r - U_f)·(n-3)/U_f, the cross-lag coefficient rides along.
+# NULL-guarded on degenerate designs (constant y_lag, collinear
+# lags, zero full-model residual).  Per-user spans are bounded (the
+# day spine, not the event count, sizes the window state).
+# ---------------------------------------------------------------------------
+
+@register("granger_lag_users", """
+WITH daily AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS y,
+           CAST(sum(CASE WHEN event_type = 'error'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS x
+    FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+), span AS (
+    SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily
+    GROUP BY user_id
+    HAVING date_diff('day', min(d), max(d)) >= 11
+), spine AS (
+    SELECT s.user_id, CAST(t.gd AS DATE) AS d
+    FROM span s, unnest(generate_series(s.d0, s.d1,
+                                        INTERVAL 1 DAY)) AS t(gd)
+), grid AS (
+    SELECT sp.user_id, sp.d,
+           coalesce(dl.y, 0) AS y, coalesce(dl.x, 0) AS x
+    FROM spine sp LEFT JOIN daily dl
+      ON sp.user_id = dl.user_id AND sp.d = dl.d
+), lagged AS (
+    SELECT user_id, y,
+           lag(y) OVER (PARTITION BY user_id ORDER BY d) AS l,
+           lag(x) OVER (PARTITION BY user_id ORDER BY d) AS xl
+    FROM grid
+), m AS (
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(l) AS BIGINT) AS sl,
+           CAST(sum(xl) AS BIGINT) AS sx,
+           CAST(sum(y * y) AS BIGINT) AS syy,
+           CAST(sum(l * l) AS BIGINT) AS sll,
+           CAST(sum(xl * xl) AS BIGINT) AS sxx,
+           CAST(sum(y * l) AS BIGINT) AS syl,
+           CAST(sum(y * xl) AS BIGINT) AS syx,
+           CAST(sum(l * xl) AS BIGINT) AS slx
+    FROM lagged WHERE l IS NOT NULL
+    GROUP BY user_id
+), c AS (
+    SELECT user_id, n,
+           n * syy - sy * sy AS cyy,
+           n * sll - sl * sl AS cll,
+           n * sxx - sx * sx AS cxx,
+           n * syl - sy * sl AS cyl,
+           n * syx - sy * sx AS cyx,
+           n * slx - sl * sx AS clx
+    FROM m
+)
+SELECT user_id, n AS n_samples,
+       CASE WHEN n > 3 AND cll > 0 AND cll * cxx - clx * clx > 0
+            THEN CAST(floor((CAST(cyx AS DOUBLE) * cll
+                             - CAST(cyl AS DOUBLE) * clx)
+                            / (CAST(cll AS DOUBLE) * cxx
+                               - CAST(clx AS DOUBLE) * clx)
+                            * 1000000 + 0.5) AS BIGINT)
+            ELSE NULL END AS xlag_coef_ppm,
+       CASE WHEN n > 3 AND cll > 0 AND cll * cxx - clx * clx > 0
+                 AND (CAST(cyy AS DOUBLE)
+                      - (CAST(cyl AS DOUBLE)
+                         * (CAST(cyl AS DOUBLE) * cxx
+                            - CAST(cyx AS DOUBLE) * clx)
+                         + CAST(cyx AS DOUBLE)
+                           * (CAST(cyx AS DOUBLE) * cll
+                              - CAST(cyl AS DOUBLE) * clx))
+                        / (CAST(cll AS DOUBLE) * cxx
+                           - CAST(clx AS DOUBLE) * clx)) > 0
+            THEN CAST(floor(
+                ((CAST(cyy AS DOUBLE)
+                  - CAST(cyl AS DOUBLE) * cyl / CAST(cll AS DOUBLE))
+                 - (CAST(cyy AS DOUBLE)
+                    - (CAST(cyl AS DOUBLE)
+                       * (CAST(cyl AS DOUBLE) * cxx
+                          - CAST(cyx AS DOUBLE) * clx)
+                       + CAST(cyx AS DOUBLE)
+                         * (CAST(cyx AS DOUBLE) * cll
+                            - CAST(cyl AS DOUBLE) * clx))
+                      / (CAST(cll AS DOUBLE) * cxx
+                         - CAST(clx AS DOUBLE) * clx)))
+                * (n - 3)
+                / (CAST(cyy AS DOUBLE)
+                   - (CAST(cyl AS DOUBLE)
+                      * (CAST(cyl AS DOUBLE) * cxx
+                         - CAST(cyx AS DOUBLE) * clx)
+                      + CAST(cyx AS DOUBLE)
+                        * (CAST(cyx AS DOUBLE) * cll
+                           - CAST(cyl AS DOUBLE) * clx))
+                     / (CAST(cll AS DOUBLE) * cxx
+                        - CAST(clx AS DOUBLE) * clx))
+                * 1000000 + 0.5) AS BIGINT)
+            ELSE NULL END AS f_ppm
+FROM c
+""")
+def q_granger_lag_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("y"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long").alias("x"),
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    ).where(F.datediff("d1", "d0") >= 11)
+    spine = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"),
+    )
+    grid = spine.join(daily, ["user_id", "d"], "left").select(
+        "user_id", "d",
+        F.coalesce("y", F.lit(0)).alias("y"),
+        F.coalesce("x", F.lit(0)).alias("x"),
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    lagged = grid.select(
+        "user_id", "y",
+        F.lag("y").over(w).alias("l"),
+        F.lag("x").over(w).alias("xl"),
+    ).where(F.col("l").isNotNull())
+    m = lagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("l").cast("long").alias("sl"),
+        F.sum("xl").cast("long").alias("sx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("l") * F.col("l")).cast("long").alias("sll"),
+        F.sum(F.col("xl") * F.col("xl")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("l")).cast("long").alias("syl"),
+        F.sum(F.col("y") * F.col("xl")).cast("long").alias("syx"),
+        F.sum(F.col("l") * F.col("xl")).cast("long").alias("slx"),
+    )
+    c = m.select(
+        "user_id", "n",
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .alias("cyy"),
+        (F.col("n") * F.col("sll") - F.col("sl") * F.col("sl"))
+        .alias("cll"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .alias("cxx"),
+        (F.col("n") * F.col("syl") - F.col("sy") * F.col("sl"))
+        .alias("cyl"),
+        (F.col("n") * F.col("syx") - F.col("sy") * F.col("sx"))
+        .alias("cyx"),
+        (F.col("n") * F.col("slx") - F.col("sl") * F.col("sx"))
+        .alias("clx"),
+    )
+    det = ("(CAST(cll AS DOUBLE) * cxx - CAST(clx AS DOUBLE) * clx)")
+    uf = (
+        "(CAST(cyy AS DOUBLE)"
+        " - (CAST(cyl AS DOUBLE)"
+        "    * (CAST(cyl AS DOUBLE) * cxx - CAST(cyx AS DOUBLE) * clx)"
+        "    + CAST(cyx AS DOUBLE)"
+        "      * (CAST(cyx AS DOUBLE) * cll - CAST(cyl AS DOUBLE) * clx))"
+        f"   / {det})"
+    )
+    ur = (
+        "(CAST(cyy AS DOUBLE)"
+        " - CAST(cyl AS DOUBLE) * cyl / CAST(cll AS DOUBLE))"
+    )
+    return c.select(
+        "user_id", F.col("n").alias("n_samples"),
+        F.expr(
+            "CASE WHEN n > 3 AND cll > 0 AND cll * cxx - clx * clx > 0"
+            " THEN CAST(floor((CAST(cyx AS DOUBLE) * cll"
+            "                  - CAST(cyl AS DOUBLE) * clx)"
+            f"                / {det}"
+            "                 * 1000000 + 0.5) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("xlag_coef_ppm"),
+        F.expr(
+            "CASE WHEN n > 3 AND cll > 0 AND cll * cxx - clx * clx > 0"
+            f"          AND {uf} > 0"
+            f" THEN CAST(floor(({ur} - {uf}) * (n - 3) / {uf}"
+            "                 * 1000000 + 0.5) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("f_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

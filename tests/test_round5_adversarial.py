@@ -147,6 +147,7 @@ ADVERSARIAL_EVENT_QUERIES = [
     "pacf_lag2_users",
     "cramers_v_type_weekday",
     "pettitt_changepoint_users",
+    "granger_lag_users",
 ]
 
 

@@ -337,6 +337,47 @@ def test_kmeans_update_fixed_point_and_pull(spark):
                        reg.ORACLES["kmeans_update_embeddings"], d)
 
 
+def test_granger_planted_cross_lag(spark):
+    import tempfile
+    from pyspark.sql import functions as F
+
+    # user 1: an error on every even day, a purchase on every odd day
+    # -> purchases(t) = errors(t-1) almost exactly (one planted
+    # exception on day 8 keeps the full-model residual nonzero), so
+    # the cross-lag term explains nearly everything: F large, coef ~ 1.
+    # user 2: no errors at all -> Cxx = 0 -> NULL guards.
+    rows, eid = [], 0
+    for day in range(14):
+        if day % 2 == 0:
+            eid += 1
+            rows.append((1, eid, BASE + dt.timedelta(days=day), "error", 1.0))
+        else:
+            eid += 1
+            rows.append((1, eid, BASE + dt.timedelta(days=day),
+                         "purchase", 1.0))
+    eid += 1
+    rows.append((1, eid, BASE + dt.timedelta(days=8), "purchase", 1.0))
+    for day in range(14):
+        eid += 1
+        rows.append((2, eid, BASE + dt.timedelta(days=day),
+                     "purchase" if day in (3, 9) else "view", 1.0))
+    d = tempfile.mkdtemp()
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double",
+    ).withColumn("props", F.lit("{}"))
+    pq.write_table(pa.Table.from_pandas(ev.toPandas()),
+                   os.path.join(d, "events.parquet"))
+    out = {r["user_id"]: r for r in
+           reg.QUERIES["granger_lag_users"](spark, d).collect()}
+    assert out[1]["f_ppm"] > 5_000_000          # F > 5
+    assert 800_000 < out[1]["xlag_coef_ppm"] < 1_200_000
+    assert out[2]["f_ppm"] is None and out[2]["xlag_coef_ppm"] is None
+    assert not compare(reg.QUERIES["granger_lag_users"](spark, d),
+                       reg.ORACLES["granger_lag_users"], d)
+
+
 def test_mcnemar_identities_sf0001(spark):
     sf = "/root/testdata/sf0.001"
     row = reg.QUERIES["mcnemar_rule_classifier"](spark, sf).collect()[0]
