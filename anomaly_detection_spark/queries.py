@@ -22465,6 +22465,278 @@ def q_granger_lag_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ICSS variance changepoint per user (Inclán-Tiao centered cumulative
+# sum of squares) — the VOLATILITY-shift detector completing the
+# changepoint triad: binseg splits on mean SSE, Pettitt on rank
+# (location), ICSS finds where the VARIANCE regime changes (the
+# classic GARCH-era volatility-break statistic).  Exact throughout:
+# with residual grid a_s = n·x_s - S, the centered squares are
+# integers, D_t = Q_t/Q_n - t/n rationalizes to N_t = n·Q_t - t·Q_n
+# over a CONSTANT denominator n·Q_n — so the argmax over |N_t| is an
+# exact integer comparison (ties -> smallest t) and only the reported
+# magnitude divides, floor-quantized ppm.  NULL on constant series
+# (Q_n = 0).  Bounded per-user arrays, one exchange, no Python.
+# ---------------------------------------------------------------------------
+
+@register("icss_variance_changepoint_users", """
+WITH s AS (
+    SELECT user_id,
+           list(CAST(round(value * 100, 0) AS HUGEINT)
+                ORDER BY ts, event_id) AS v,
+           CAST(count(*) AS HUGEINT) AS n
+    FROM events GROUP BY user_id HAVING count(*) >= 12
+), r AS (
+    SELECT user_id, n, v, list_sum(v) AS sv FROM s
+), q AS (
+    SELECT user_id, n,
+           [list_sum([(n * v[s] - sv) * (n * v[s] - sv)
+                      for s in range(1, t + 1)])
+            for t in range(1, len(v))] AS qt,
+           list_sum([(n * x - sv) * (n * x - sv) for x in v]) AS qn
+    FROM r
+), d AS (
+    SELECT user_id, n, qn,
+           [abs(n * qt[t] - t * qn) for t in range(1, len(qt) + 1)]
+               AS nt
+    FROM q
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       CASE WHEN qn > 0
+            THEN CAST(list_position(nt, list_max(nt)) AS BIGINT)
+            ELSE NULL END AS change_t,
+       CASE WHEN qn > 0
+            THEN CAST(floor(CAST(list_max(nt) AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * CAST(qn AS DOUBLE))
+                            * 1000000 + 0.5) AS BIGINT)
+            ELSE NULL END AS d_ppm
+FROM d
+""")
+def q_icss_variance_changepoint(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    dec = "decimal(38,0)"
+    s = ev.select(
+        "user_id",
+        F.struct("ts", "event_id", quantized(F.col("value"), 2).alias("c"))
+        .alias("row"),
+    ).groupBy("user_id").agg(
+        F.sort_array(F.collect_list("row")).alias("rows"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).where(F.col("cnt") >= 12).select(
+        "user_id",
+        F.expr(f"transform(rows, r -> CAST(r.c AS {dec}))").alias("v"),
+        F.expr(f"CAST(size(rows) AS {dec})").alias("n"),
+    )
+    z = f"CAST(0 AS {dec})"
+    r = s.select(
+        "user_id", "n", "v",
+        F.expr(f"aggregate(v, {z}, (acc, x) -> acc + x)").alias("sv"),
+    )
+    # prefix cumulative of centered squares: one O(n) scan building
+    # the per-prefix sums via a running aggregate (the qt array), not
+    # an O(n^2) per-t re-sum — sq is the per-position centered square
+    q = r.select(
+        "user_id", "n",
+        F.expr(
+            f"aggregate(slice(transform(v, x -> (n * x - sv) * (n * x - sv)),"
+            f" 1, size(v) - 1), named_struct('acc', CAST(array() AS"
+            f" ARRAY<{dec}>), 'run', {z}),"
+            " (st, sq) -> named_struct('acc',"
+            "   concat(st.acc, array(st.run + sq)), 'run', st.run + sq),"
+            " st -> st.acc)"
+        ).alias("qt"),
+        F.expr(
+            f"aggregate(v, {z},"
+            " (acc, x) -> acc + (n * x - sv) * (n * x - sv))"
+        ).alias("qn"),
+    )
+    d = q.select(
+        "user_id", "n", "qn",
+        F.expr(
+            "transform(sequence(1, size(qt)),"
+            " t -> abs(n * element_at(qt, t) - t * qn))"
+        ).alias("nt"),
+    )
+    return d.select(
+        "user_id", F.col("n").cast("long").alias("n_events"),
+        F.expr(
+            "CASE WHEN qn > 0"
+            " THEN CAST(array_position(nt, array_max(nt)) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("change_t"),
+        F.expr(
+            "CASE WHEN qn > 0"
+            " THEN CAST(floor(CAST(array_max(nt) AS DOUBLE)"
+            "                 / (CAST(n AS DOUBLE) * CAST(qn AS DOUBLE))"
+            "                 * 1000000 + 0.5) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("d_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cook's distance per user (most influential observation on the
+# value-vs-time trend) — the regression INFLUENCE diagnostic the
+# detector stack lacked: outlier detectors (STL, Mahalanobis, LOF)
+# flag points far from the bulk; Cook's D flags the points that most
+# CHANGE THE FITTED MODEL if deleted — high-leverage endpoints with
+# modest residuals outrank mid-series spikes, which is exactly what
+# plain residual screens miss.  OLS of cents on the per-user time
+# rank: every ingredient reduces to the exact integer centered
+# moments (Ctt, Cty, Cyy) and residual grids dy_i = n·y_i - Sy,
+# dt_i = n·t_i - St, pushed through ONE shared double expression:
+# h_i = 1/n + dt_i²/(n·Ctt), n·e_i = dy_i - (Cty/Ctt)·dt_i,
+# D_i = e_i²·h_i/(2·s²·(1-h_i)²) with s² = RSS/(n-2).  The argmax is
+# taken on the QUANTIZED D (1e6 grid) with event_id as tie-break, so
+# both engines pick the identical row.  NULL-guarded on perfect-line
+# series (RSS = 0).  One moments aggregation + one user-keyed join +
+# one argmax — no windows beyond the rank.
+# ---------------------------------------------------------------------------
+
+@register("cooks_distance_users", """
+WITH b AS (
+    SELECT user_id, event_id,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS HUGEINT) AS t,
+           CAST(round(value * 100, 0) AS HUGEINT) AS y
+    FROM events
+), sized AS (
+    SELECT user_id FROM b GROUP BY user_id HAVING count(*) >= 12
+), m AS (
+    SELECT b.user_id,
+           CAST(count(*) AS HUGEINT) AS n,
+           sum(b.t) AS st, sum(b.y) AS sy,
+           sum(b.t * b.t) AS stt, sum(b.y * b.y) AS syy,
+           sum(b.t * b.y) AS sty
+    FROM b JOIN sized ON b.user_id = sized.user_id
+    GROUP BY b.user_id
+), c AS (
+    SELECT user_id, n, st, sy,
+           n * stt - st * st AS ctt,
+           n * sty - st * sy AS cty,
+           n * syy - sy * sy AS cyy
+    FROM m
+), scored AS (
+    SELECT b.user_id, b.event_id, c.n,
+           CASE WHEN c.ctt > 0
+                 AND CAST(c.cyy AS DOUBLE)
+                     - CAST(c.cty AS DOUBLE) * c.cty
+                       / CAST(c.ctt AS DOUBLE) > 0
+                 AND c.n > 2
+            THEN CAST(floor(
+                (CAST(b.n_e AS DOUBLE) * b.n_e
+                 / (CAST(c.n AS DOUBLE) * c.n))
+                * b.h
+                / (2 * ((CAST(c.cyy AS DOUBLE)
+                         - CAST(c.cty AS DOUBLE) * c.cty
+                           / CAST(c.ctt AS DOUBLE))
+                        / (CAST(c.n AS DOUBLE) * c.n)
+                        / (CAST(c.n AS DOUBLE) - 2))
+                     * (1 - b.h) * (1 - b.h))
+                * 1000000 + 0.5) AS BIGINT)
+            ELSE NULL END AS d_fp
+    FROM (
+        SELECT bb.user_id, bb.event_id,
+               CAST(cc.n * bb.y - cc.sy AS DOUBLE)
+               - CAST(cc.cty AS DOUBLE) / CAST(cc.ctt AS DOUBLE)
+                 * CAST(cc.n * bb.t - cc.st AS DOUBLE) AS n_e,
+               1 / CAST(cc.n AS DOUBLE)
+               + CAST(cc.n * bb.t - cc.st AS DOUBLE)
+                 * CAST(cc.n * bb.t - cc.st AS DOUBLE)
+                 / (CAST(cc.n AS DOUBLE) * CAST(cc.ctt AS DOUBLE))
+                   AS h
+        FROM b bb JOIN c cc ON bb.user_id = cc.user_id
+        WHERE cc.ctt > 0
+    ) b JOIN c ON b.user_id = c.user_id
+), best AS (
+    SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+           max(CASE WHEN rn = 1 THEN event_id END) AS top_event_id,
+           max(CASE WHEN rn = 1 THEN d_fp END) AS cook_d_fp
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY d_fp DESC, event_id) AS rn
+        FROM scored WHERE d_fp IS NOT NULL
+    ) GROUP BY user_id
+)
+SELECT user_id, n_events, top_event_id, cook_d_fp FROM best
+""")
+def q_cooks_distance_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    dec = "decimal(38,0)"
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    b = ev.select(
+        "user_id", "event_id",
+        F.row_number().over(w).cast(dec).alias("t"),
+        quantized(F.col("value"), 2).cast(dec).alias("y"),
+    )
+    sized = b.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("_n")
+    ).where(F.col("_n") >= 12).select("user_id")
+    bb = b.join(sized, "user_id")
+    m = bb.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("t").alias("st"), F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+    )
+    c = m.select(
+        "user_id", "n", "st", "sy",
+        (F.col("n") * F.col("stt") - F.col("st") * F.col("st"))
+        .alias("ctt"),
+        (F.col("n") * F.col("sty") - F.col("st") * F.col("sy"))
+        .alias("cty"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .alias("cyy"),
+    )
+    inner = bb.join(c, "user_id").where(F.col("ctt") > 0).select(
+        "user_id", "event_id", "n", "ctt", "cty", "cyy",
+        F.expr(
+            "CAST(n * y - sy AS DOUBLE)"
+            " - CAST(cty AS DOUBLE) / CAST(ctt AS DOUBLE)"
+            "   * CAST(n * t - st AS DOUBLE)"
+        ).alias("n_e"),
+        F.expr(
+            "1 / CAST(n AS DOUBLE)"
+            " + CAST(n * t - st AS DOUBLE) * CAST(n * t - st AS DOUBLE)"
+            "   / (CAST(n AS DOUBLE) * CAST(ctt AS DOUBLE))"
+        ).alias("h"),
+    )
+    scored = inner.select(
+        "user_id", "event_id", "n",
+        F.expr(
+            "CASE WHEN ctt > 0"
+            "      AND CAST(cyy AS DOUBLE)"
+            "          - CAST(cty AS DOUBLE) * cty"
+            "            / CAST(ctt AS DOUBLE) > 0"
+            "      AND n > 2"
+            " THEN CAST(floor("
+            "  (CAST(n_e AS DOUBLE) * n_e / (CAST(n AS DOUBLE) * n))"
+            "  * h"
+            "  / (2 * ((CAST(cyy AS DOUBLE)"
+            "           - CAST(cty AS DOUBLE) * cty"
+            "             / CAST(ctt AS DOUBLE))"
+            "          / (CAST(n AS DOUBLE) * n)"
+            "          / (CAST(n AS DOUBLE) - 2))"
+            "       * (1 - h) * (1 - h))"
+            "  * 1000000 + 0.5) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("d_fp"),
+    ).where(F.col("d_fp").isNotNull())
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("d_fp").desc(), "event_id"
+    )
+    return scored.withColumn("rn", F.row_number().over(wr)).groupBy(
+        "user_id"
+    ).agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.max(F.when(F.col("rn") == 1, F.col("event_id")))
+        .alias("top_event_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("d_fp"))).alias("cook_d_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

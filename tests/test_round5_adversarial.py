@@ -148,6 +148,8 @@ ADVERSARIAL_EVENT_QUERIES = [
     "cramers_v_type_weekday",
     "pettitt_changepoint_users",
     "granger_lag_users",
+    "icss_variance_changepoint_users",
+    "cooks_distance_users",
 ]
 
 

@@ -378,6 +378,40 @@ def test_granger_planted_cross_lag(spark):
                        reg.ORACLES["granger_lag_users"], d)
 
 
+def test_icss_planted_variance_shift(spark):
+    # low-variance regime (alternating 4.9/5.1) then high-variance
+    # (alternating 1/9): the centered cumulative sum of squares bends
+    # hardest at the regime boundary
+    d = _events_dir(spark, {
+        1: [4.9, 5.1] * 5 + [1.0, 9.0] * 5,
+        2: [7.0] * 12,      # constant -> Q_n = 0 -> NULL
+    })
+    out = {r["user_id"]: r for r in
+           reg.QUERIES["icss_variance_changepoint_users"](spark, d)
+           .collect()}
+    assert 9 <= out[1]["change_t"] <= 11 and out[1]["d_ppm"] > 300000
+    assert out[2]["change_t"] is None and out[2]["d_ppm"] is None
+    assert not compare(
+        reg.QUERIES["icss_variance_changepoint_users"](spark, d),
+        reg.ORACLES["icss_variance_changepoint_users"], d)
+
+
+def test_cooks_distance_flags_endpoint_outlier(spark):
+    # near-perfect line with one corrupted ENDPOINT (max leverage +
+    # max residual): Cook's D must pick that event; a second user on
+    # an exact line has RSS = 0 and drops out entirely
+    vals = [float(i) for i in range(1, 20)] + [100.0]
+    d = _events_dir(spark, {1: vals,
+                            2: [float(2 * i) for i in range(1, 15)]})
+    rows = reg.QUERIES["cooks_distance_users"](spark, d).collect()
+    out = {r["user_id"]: r for r in rows}
+    # user 1's events are event_id 1..20 in order; the outlier is #20
+    assert out[1]["top_event_id"] == 20 and out[1]["cook_d_fp"] > 1000000
+    assert 2 not in out        # perfect line -> undefined, excluded
+    assert not compare(reg.QUERIES["cooks_distance_users"](spark, d),
+                       reg.ORACLES["cooks_distance_users"], d)
+
+
 def test_mcnemar_identities_sf0001(spark):
     sf = "/root/testdata/sf0.001"
     row = reg.QUERIES["mcnemar_rule_classifier"](spark, sf).collect()[0]
