@@ -22737,6 +22737,130 @@ def q_cooks_distance_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Ansari-Bradley scale test per event type (early vs late window) —
+# the rank-based two-sample DISPERSION test completing the
+# nonparametric pair: Mann-Whitney/AUC ranks detect a LOCATION shift,
+# Ansari-Bradley scores ranks from BOTH ENDS inward (score =
+# min(r, N+1-r)), so a sample concentrated mid-range scores high and
+# a sample spread to the extremes scores low — variance drift that
+# location tests are blind to, with no normality assumption (the
+# parametric sibling is brown_forsythe across types; this one is
+# nonparametric across TIME within a type).  Entirely exact: per-type
+# VALUE DICTIONARIES (the AUC pattern), tied blocks get the exact
+# closed-form doubled score sum 2·S(lo,hi,N) from triangular numbers
+# (no per-rank expansion), per-block averages land on a deterministic
+# 1e6 grid, and the observed statistic rides with its exact H0
+# expectation n1·(Σ2S)/(2N) for drift reading.  Dictionary windows
+# partitioned by type — scale-safe at any row count.
+# ---------------------------------------------------------------------------
+
+@register("ansari_bradley_types", """
+WITH f AS (
+    SELECT event_type,
+           CAST(round(value * 100, 0) AS BIGINT) AS xc,
+           CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                THEN 1 ELSE 0 END AS early
+    FROM events
+), d AS (
+    SELECT event_type, xc,
+           CAST(sum(early) AS BIGINT) AS ca,
+           CAST(sum(1 - early) AS BIGINT) AS cb
+    FROM f GROUP BY event_type, xc
+), c AS (
+    SELECT event_type, xc, ca, cb, ca + cb AS cnt,
+           CAST(coalesce(sum(ca + cb) OVER (PARTITION BY event_type
+               ORDER BY xc ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS below,
+           CAST(sum(ca + cb) OVER (PARTITION BY event_type) AS BIGINT)
+               AS nn
+    FROM d
+), sc AS (
+    SELECT event_type, ca, cb, cnt, nn,
+           below + 1 AS lo, below + cnt AS hi,
+           (nn + 1) // 2 AS h
+    FROM c
+), s2 AS (
+    SELECT event_type, ca, cb, cnt, nn,
+           (CASE WHEN least(hi, h) >= lo
+                 THEN least(hi, h) * (least(hi, h) + 1)
+                      - (lo - 1) * lo
+                 ELSE 0 END)
+           + (CASE WHEN hi >= greatest(lo, h + 1)
+                   THEN 2 * (nn + 1) * (hi - greatest(lo, h + 1) + 1)
+                        - (hi * (hi + 1)
+                           - (greatest(lo, h + 1) - 1)
+                             * greatest(lo, h + 1))
+                   ELSE 0 END) AS s2
+    FROM sc
+)
+SELECT event_type,
+       CAST(sum(ca) AS BIGINT) AS n_early,
+       CAST(sum(cb) AS BIGINT) AS n_late,
+       CAST(sum(ca * ((s2 * 1000000) // cnt)) AS BIGINT) AS ab2_fp,
+       CAST(sum(ca) * ((sum(s2) * 1000000) // max(nn))
+            AS BIGINT) AS ab2_h0_fp
+FROM s2 GROUP BY event_type
+""")
+def q_ansari_bradley_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    f = ev.select(
+        "event_type", quantized(F.col("value"), 2).alias("xc"),
+        F.when(F.col("ts") < ntz_lit("2024-01-16 00:00:00"), 1)
+        .otherwise(0).alias("early"),
+    )
+    d = f.groupBy("event_type", "xc").agg(
+        F.sum("early").cast("long").alias("ca"),
+        F.sum(1 - F.col("early")).cast("long").alias("cb"),
+    )
+    wb = (
+        Window.partitionBy("event_type").orderBy("xc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wa = Window.partitionBy("event_type")
+    c = d.select(
+        "event_type", "ca", "cb",
+        (F.col("ca") + F.col("cb")).alias("cnt"),
+        F.coalesce(
+            F.sum(F.col("ca") + F.col("cb")).over(wb), F.lit(0)
+        ).cast("long").alias("below"),
+        F.sum(F.col("ca") + F.col("cb")).over(wa).cast("long").alias("nn"),
+    )
+    sc = c.select(
+        "event_type", "ca", "cb", "cnt", "nn",
+        (F.col("below") + 1).alias("lo"),
+        (F.col("below") + F.col("cnt")).alias("hi"),
+        F.expr("(nn + 1) div 2").alias("h"),
+    )
+    s2 = sc.select(
+        "event_type", "ca", "cb", "cnt", "nn",
+        F.expr(
+            "(CASE WHEN least(hi, h) >= lo"
+            "      THEN least(hi, h) * (least(hi, h) + 1)"
+            "           - (lo - 1) * lo"
+            "      ELSE 0 END)"
+            " + (CASE WHEN hi >= greatest(lo, h + 1)"
+            "        THEN 2 * (nn + 1) * (hi - greatest(lo, h + 1) + 1)"
+            "             - (hi * (hi + 1)"
+            "                - (greatest(lo, h + 1) - 1)"
+            "                  * greatest(lo, h + 1))"
+            "        ELSE 0 END)"
+        ).alias("s2"),
+    )
+    return s2.groupBy("event_type").agg(
+        F.sum("ca").cast("long").alias("n_early"),
+        F.sum("cb").cast("long").alias("n_late"),
+        F.sum(F.expr("ca * ((s2 * 1000000) div cnt)")).cast("long")
+        .alias("ab2_fp"),
+        # both observed and H0-expected are on the DOUBLED-score scale
+        # (2S per block), so the two columns compare directly
+        F.expr(
+            "CAST(sum(ca) * ((sum(s2) * 1000000) div max(nn))"
+            " AS BIGINT)"
+        ).alias("ab2_h0_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -150,6 +150,7 @@ ADVERSARIAL_EVENT_QUERIES = [
     "granger_lag_users",
     "icss_variance_changepoint_users",
     "cooks_distance_users",
+    "ansari_bradley_types",
 ]
 
 

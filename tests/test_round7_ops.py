@@ -412,6 +412,38 @@ def test_cooks_distance_flags_endpoint_outlier(spark):
                        reg.ORACLES["cooks_distance_users"], d)
 
 
+def test_ansari_bradley_closed_form(spark):
+    import tempfile
+    from pyspark.sql import functions as F
+
+    # one type, combined sorted sample {1, 4, 5, 9}: AB scores
+    # min(r, 5-r) = 1,2,2,1.  Early sample = {4, 5} (mid-range,
+    # ranks 2,3) -> doubled AB = 2*(2+2) = 8 -> 8e6; doubled H0
+    # expectation = n1 * sum(2S)/N = 2 * 12/4 = 6 -> 6e6.  The
+    # early sample scoring ABOVE expectation = concentrated = LESS
+    # dispersed, exactly the reading the test is for.
+    rows = [
+        (1, 1, BASE, "view", 4.0),
+        (1, 2, BASE + dt.timedelta(days=1), "view", 5.0),
+        (1, 3, BASE + dt.timedelta(days=20), "view", 1.0),
+        (1, 4, BASE + dt.timedelta(days=21), "view", 9.0),
+    ]
+    d = tempfile.mkdtemp()
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double",
+    ).withColumn("props", F.lit("{}"))
+    pq.write_table(pa.Table.from_pandas(ev.toPandas()),
+                   os.path.join(d, "events.parquet"))
+    row = reg.QUERIES["ansari_bradley_types"](spark, d).collect()[0]
+    assert row["n_early"] == 2 and row["n_late"] == 2
+    assert row["ab2_fp"] == 8_000_000
+    assert row["ab2_h0_fp"] == 6_000_000
+    assert not compare(reg.QUERIES["ansari_bradley_types"](spark, d),
+                       reg.ORACLES["ansari_bradley_types"], d)
+
+
 def test_mcnemar_identities_sf0001(spark):
     sf = "/root/testdata/sf0.001"
     row = reg.QUERIES["mcnemar_rule_classifier"](spark, sf).collect()[0]
