@@ -22861,6 +22861,143 @@ def q_ansari_bradley_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Little's law audit over user sessions — the QUEUEING identity
+# (L = λ·W) as a data-quality invariant: sessionize (30-min gap),
+# then compute the time-average concurrency L two INDEPENDENT ways —
+# the sweepline integral of the concurrency step function (sum of
+# level·Δt over boundary intervals) and the Fubini identity Σ(session
+# durations) — and emit both sides plus their equality.  A pipeline
+# whose sessionizer drops, overlaps, or double-counts intervals
+# breaks the equality; the theorem-as-data pattern (Parseval /
+# Shapley efficiency) applied to interval algebra.  Scale shape: the
+# concurrency cumsum uses the sweepline two-level trick (partition-
+# partial cumsums per day + dictionary-sized carried day offsets);
+# the inter-boundary Δt uses lead-within-day plus a day-dictionary
+# lookup for the day's last boundary — no global row window anywhere.
+# All arithmetic in exact integer MICROSECONDS.
+# ---------------------------------------------------------------------------
+
+@register("littles_law_sessions", """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS us
+    FROM events
+), lagged AS (
+    SELECT user_id, us,
+           CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+                                        ORDER BY us) > 1800000000
+                     OR lag(us) OVER (PARTITION BY user_id
+                                      ORDER BY us) IS NULL
+                THEN 1 ELSE 0 END AS new_s
+    FROM e
+), sess AS (
+    SELECT user_id,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS sid,
+           us
+    FROM lagged
+), iv AS (
+    SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+    FROM sess GROUP BY user_id, sid
+), b AS (
+    SELECT s_us AS us, 1 AS delta FROM iv
+    UNION ALL
+    SELECT e_us AS us, -1 AS delta FROM iv
+), d AS (
+    SELECT us, CAST(sum(delta) AS BIGINT) AS delta FROM b GROUP BY us
+), lv AS (
+    SELECT us,
+           CAST(sum(delta) OVER (ORDER BY us) AS BIGINT) AS level,
+           lead(us) OVER (ORDER BY us) AS next_us
+    FROM d
+), parts AS (
+    SELECT CAST(sum(level * (next_us - us)) AS BIGINT) AS integral_us
+    FROM lv WHERE next_us IS NOT NULL
+), direct AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(e_us - s_us) AS BIGINT) AS sum_dur_us,
+           CAST(max(e_us) - min(s_us) AS BIGINT) AS span_us
+    FROM iv
+)
+SELECT d.n_sessions, d.sum_dur_us, d.span_us, p.integral_us,
+       p.integral_us = d.sum_dur_us AS littles_ok,
+       CASE WHEN d.span_us > 0
+            THEN CAST(p.integral_us * 1000000 // d.span_us AS BIGINT)
+            ELSE NULL END AS l_ppm
+FROM direct d CROSS JOIN parts p
+""")
+def q_littles_law_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("us")
+    lagged = e.select(
+        "user_id", "us",
+        F.when(
+            (F.col("us") - F.lag("us").over(wu) > 1_800_000_000)
+            | F.lag("us").over(wu).isNull(), 1
+        ).otherwise(0).alias("new_s"),
+    )
+    sess = lagged.select(
+        "user_id", "us",
+        F.sum("new_s").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("sid"),
+    )
+    iv = sess.groupBy("user_id", "sid").agg(
+        F.min("us").alias("s_us"), F.max("us").alias("e_us")
+    )
+    b = iv.select(F.col("s_us").alias("us"), F.lit(1).alias("delta")) \
+        .unionAll(iv.select(F.col("e_us").alias("us"),
+                            F.lit(-1).alias("delta")))
+    d = b.groupBy("us").agg(F.sum("delta").cast("long").alias("delta")) \
+        .withColumn("day", F.expr("CAST(us div 86400000000 AS BIGINT)"))
+    # two-level cumsum (the sweepline pattern): per-day partial runs +
+    # dictionary-sized carried day offsets
+    w_in = Window.partitionBy("day").orderBy("us")
+    part = d.withColumn("run", F.sum("delta").over(w_in)) \
+        .withColumn("next_in_day", F.lead("us").over(w_in))
+    totals = d.groupBy("day").agg(F.sum("delta").alias("tot"),
+                                  F.min("us").alias("first_us"))
+    w_day = Window.orderBy("day")
+    offsets = totals.select(
+        "day",
+        F.coalesce(
+            F.sum("tot").over(
+                w_day.rowsBetween(Window.unboundedPreceding, -1)
+            ), F.lit(0)
+        ).alias("off"),
+        F.lead("first_us").over(w_day).alias("next_day_first_us"),
+    )
+    lv = part.join(F.broadcast(offsets), "day").select(
+        (F.col("run") + F.col("off")).cast("long").alias("level"),
+        "us",
+        F.coalesce("next_in_day", "next_day_first_us").alias("next_us"),
+    )
+    parts = lv.where(F.col("next_us").isNotNull()).agg(
+        F.sum(F.col("level") * (F.col("next_us") - F.col("us")))
+        .cast("long").alias("integral_us")
+    )
+    direct = iv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.col("e_us") - F.col("s_us")).cast("long")
+        .alias("sum_dur_us"),
+        (F.max("e_us") - F.min("s_us")).cast("long").alias("span_us"),
+    )
+    return direct.crossJoin(F.broadcast(parts)).select(
+        "n_sessions", "sum_dur_us", "span_us", "integral_us",
+        (F.col("integral_us") == F.col("sum_dur_us")).alias("littles_ok"),
+        F.expr(
+            "CASE WHEN span_us > 0"
+            " THEN CAST(integral_us * 1000000 div span_us AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("l_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

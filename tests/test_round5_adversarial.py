@@ -151,6 +151,7 @@ ADVERSARIAL_EVENT_QUERIES = [
     "icss_variance_changepoint_users",
     "cooks_distance_users",
     "ansari_bradley_types",
+    "littles_law_sessions",
 ]
 
 

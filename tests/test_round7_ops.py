@@ -444,6 +444,38 @@ def test_ansari_bradley_closed_form(spark):
                        reg.ORACLES["ansari_bradley_types"], d)
 
 
+def test_littles_law_overlapping_sessions(spark):
+    import tempfile
+    from pyspark.sql import functions as F
+
+    # user 1 session [0, 10 min], user 2 session [5, 15 min]:
+    # concurrency 1,2,1 over three 5-min intervals -> integral
+    # = 20 min = sum of durations; L = 20/15
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, 1, BASE, "view", 1.0),
+        (1, 2, BASE + 10 * m, "view", 1.0),
+        (2, 3, BASE + 5 * m, "view", 1.0),
+        (2, 4, BASE + 15 * m, "view", 1.0),
+    ]
+    d = tempfile.mkdtemp()
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double",
+    ).withColumn("props", F.lit("{}"))
+    pq.write_table(pa.Table.from_pandas(ev.toPandas()),
+                   os.path.join(d, "events.parquet"))
+    row = reg.QUERIES["littles_law_sessions"](spark, d).collect()[0]
+    assert row["n_sessions"] == 2
+    assert row["sum_dur_us"] == 20 * 60_000_000
+    assert row["integral_us"] == row["sum_dur_us"]
+    assert row["littles_ok"] is True
+    assert row["l_ppm"] == 20 * 60_000_000 * 1000000 // (15 * 60_000_000)
+    assert not compare(reg.QUERIES["littles_law_sessions"](spark, d),
+                       reg.ORACLES["littles_law_sessions"], d)
+
+
 def test_mcnemar_identities_sf0001(spark):
     sf = "/root/testdata/sf0.001"
     row = reg.QUERIES["mcnemar_rule_classifier"](spark, sf).collect()[0]
