@@ -22998,6 +22998,182 @@ def q_littles_law_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Capture-recapture duplicate-mass estimate (Chapman / Lincoln-
+# Petersen) — the two-LIST abundance estimator applied to dedup
+# coverage: good_turing/Chao1 estimates unseen mass from frequency-
+# of-frequencies within ONE detector; capture-recapture crosses TWO
+# detectors with different blind spots — a bag-of-words signature
+# (catches reordered duplicates, misses tail edits) and a first-8-
+# token prefix signature (catches same-opening variants, misses
+# reorders) — and estimates how many duplicate documents BOTH missed
+# from the overlap: N-hat = (n_a+1)(n_b+1)/(m+1) - 1 (Chapman's
+# bias-corrected form; neither list nests in the other, unlike
+# exact-vs-bag which would be degenerate).  The dedup-detector
+# counterpart of dedup_detector_eval's planted-truth P/R: this one
+# needs NO ground truth, the standard ecology estimator for "how
+# much duplication is left".  All counts exact; one truncating
+# division.  Signature aggregations only — scale-safe.
+# ---------------------------------------------------------------------------
+
+@register("capture_recapture_dups", r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                       t -> len(t) > 0) AS tk
+    FROM documents
+), sig AS (
+    SELECT doc_id,
+           md5(array_to_string(list_sort(tk), ' ')) AS bag_sig,
+           md5(array_to_string(tk[1:8], ' ')) AS pre_sig
+    FROM toks
+), bag AS (
+    SELECT doc_id, count(*) OVER (PARTITION BY bag_sig) > 1 AS in_a
+    FROM sig
+), pre AS (
+    SELECT doc_id, count(*) OVER (PARTITION BY pre_sig) > 1 AS in_b
+    FROM sig
+), j AS (
+    SELECT bag.doc_id,
+           CAST(bag.in_a AS INT) AS a, CAST(pre.in_b AS INT) AS b
+    FROM bag JOIN pre ON bag.doc_id = pre.doc_id
+), c AS (
+    SELECT CAST(sum(a) AS BIGINT) AS n_a,
+           CAST(sum(b) AS BIGINT) AS n_b,
+           CAST(sum(a * b) AS BIGINT) AS n_both,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM j
+)
+SELECT n_docs, n_a, n_b, n_both,
+       CAST(((n_a + 1) * (n_b + 1) * 1000000) // (n_both + 1)
+            - 1000000 AS BIGINT) AS chapman_est_fp
+FROM c
+""")
+def q_capture_recapture_dups(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    sig = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(split(trim(lower(text)), '\\\\s+'),"
+            " t -> length(t) > 0)"
+        ).alias("tk"),
+    ).select(
+        "doc_id",
+        F.md5(F.expr("array_join(array_sort(tk), ' ')").cast("binary"))
+        .alias("bag_sig"),
+        F.md5(F.expr("array_join(slice(tk, 1, 8), ' ')").cast("binary"))
+        .alias("pre_sig"),
+    )
+    wb = Window.partitionBy("bag_sig")
+    wp = Window.partitionBy("pre_sig")
+    j = sig.select(
+        (F.count(F.lit(1)).over(wb) > 1).cast("int").alias("a"),
+        (F.count(F.lit(1)).over(wp) > 1).cast("int").alias("b"),
+    )
+    c = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum("b").cast("long").alias("n_b"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n_both"),
+    )
+    return c.select(
+        "n_docs", "n_a", "n_b", "n_both",
+        F.expr(
+            "CAST(((n_a + 1) * (n_b + 1) * 1000000) div (n_both + 1)"
+            " - 1000000 AS BIGINT)"
+        ).alias("chapman_est_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One IPF raking iteration (iterative proportional fitting) over the
+# (lang, source) corpus grid — the survey-reweighting tool a training
+# mixture needs when BOTH margins must hit targets at once (weighted
+# mixture sampling fixes ONE margin; raking alternates row and column
+# scalings until both hold): here one full iteration (langs then
+# sources) toward UNIFORM targets, emitting per-cell weights and the
+# achieved margins — the residual column-margin error after the row
+# step is exactly what the next iteration would fix, made visible as
+# data.  Deterministic: every scaling lands on a 1e6 integer grid
+# before the next step (both engines truncate identically), cells are
+# dictionary-sized, and the weighted sums are exact integer products.
+# ---------------------------------------------------------------------------
+
+@register("ipf_raking_lang_source", """
+WITH cells AS (
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY lang, source
+), tot AS (
+    SELECT CAST(sum(n) AS BIGINT) AS nn,
+           CAST(count(DISTINCT lang) AS BIGINT) AS nl,
+           CAST(count(DISTINCT source) AS BIGINT) AS ns
+    FROM cells
+), lang_m AS (
+    SELECT lang, CAST(sum(n) AS BIGINT) AS ln FROM cells GROUP BY lang
+), w1 AS (
+    SELECT c.lang, c.source, c.n,
+           (tot.nn * 1000000) // (tot.nl * lang_m.ln) AS w_fp
+    FROM cells c CROSS JOIN tot
+    JOIN lang_m ON c.lang = lang_m.lang
+), src_m AS (
+    SELECT source, CAST(sum(n * w_fp) AS BIGINT) AS sw
+    FROM w1 GROUP BY source
+), w2 AS (
+    SELECT w1.lang, w1.source, w1.n,
+           CAST((CAST(w1.w_fp AS HUGEINT)
+                 * ((tot.nn * 1000000) // tot.ns))
+                // src_m.sw AS BIGINT) AS w_fp
+    FROM w1 CROSS JOIN tot
+    JOIN src_m ON w1.source = src_m.source
+)
+SELECT w2.lang, w2.source, w2.n, w2.w_fp,
+       CAST(w2.n * w2.w_fp AS BIGINT) AS mass_fp
+FROM w2
+""")
+def q_ipf_raking_lang_source(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count_distinct("lang").cast("long").alias("nl"),
+        F.count_distinct("source").cast("long").alias("ns"),
+    )
+    lang_m = cells.groupBy("lang").agg(F.sum("n").cast("long").alias("ln"))
+    w1 = (
+        cells.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(lang_m), "lang")
+        .select(
+            "lang", "source", "n", "nn", "ns",
+            F.expr("(nn * 1000000) div (nl * ln)").alias("w_fp"),
+        )
+    )
+    src_m = w1.groupBy("source").agg(
+        F.sum(F.col("n") * F.col("w_fp")).cast("long").alias("sw")
+    )
+    w2 = (
+        w1.join(F.broadcast(src_m), "source")
+        .select(
+            "lang", "source", "n",
+            # the 1e6 grids of w_fp and the target cancel against sw's
+            # 1e6, so the result lands back on the 1e6 weight grid;
+            # DECIMAL(38,0) for headroom on the intermediate product
+            F.expr(
+                "CAST((CAST(w_fp AS DECIMAL(38,0))"
+                " * ((nn * 1000000) div ns))"
+                " div sw AS BIGINT)"
+            ).alias("w_fp"),
+        )
+    )
+    return w2.select(
+        "lang", "source", "n", "w_fp",
+        F.expr("CAST(n * w_fp AS BIGINT)").alias("mass_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -211,6 +211,8 @@ ADVERSARIAL_DOCUMENT_QUERIES = [
     "mcnemar_rule_classifier",
     "spearman_tokens_docs",
     "padding_efficiency_buckets",
+    "capture_recapture_dups",
+    "ipf_raking_lang_source",
 ]
 
 

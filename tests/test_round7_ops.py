@@ -476,6 +476,52 @@ def test_littles_law_overlapping_sessions(spark):
                        reg.ORACLES["littles_law_sessions"], d)
 
 
+def _docs_dir(spark, texts):
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    t = spark.createDataFrame(
+        [(i + 1, s, "en", len(s), "s") for i, s in enumerate(texts)],
+        "doc_id long, text string, lang string, n_chars long, source string",
+    )
+    pq.write_table(pa.Table.from_pandas(t.toPandas()),
+                   os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_capture_recapture_two_list_closed_form(spark):
+    # exact pair: caught by BOTH signatures; reorder pair: bag only;
+    # shared-8-token-prefix pair with different tails: prefix only;
+    # two singletons caught by neither.
+    pre = "p1 p2 p3 p4 p5 p6 p7 p8"
+    d = _docs_dir(spark, [
+        "a b c", "a b c",                     # exact dup pair
+        "x y z", "z y x",                     # reorder pair (bag only)
+        pre + " tail1 t1", pre + " tail2 t2", # prefix pair (pre only)
+        "lonely one", "another single",
+    ])
+    row = reg.QUERIES["capture_recapture_dups"](spark, d).collect()[0]
+    assert row["n_a"] == 4 and row["n_b"] == 4 and row["n_both"] == 2
+    assert row["chapman_est_fp"] == (5 * 5 * 1000000) // 3 - 1000000
+    assert not compare(reg.QUERIES["capture_recapture_dups"](spark, d),
+                       reg.ORACLES["capture_recapture_dups"], d)
+
+
+def test_ipf_raking_hits_source_margin(spark):
+    sf = "/root/testdata/sf0.001"
+    rows = reg.QUERIES["ipf_raking_lang_source"](spark, sf).collect()
+    nn = sum(r["n"] for r in rows)
+    ns = len({r["source"] for r in rows})
+    target = (nn * 1000000) // ns
+    by_src = {}
+    for r in rows:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + r["mass_fp"]
+    # after the column step every source margin hits the uniform
+    # target up to per-cell truncation
+    for s, mass in by_src.items():
+        assert abs(mass - target) / target < 0.01, (s, mass, target)
+
+
 def test_mcnemar_identities_sf0001(spark):
     sf = "/root/testdata/sf0.001"
     row = reg.QUERIES["mcnemar_rule_classifier"](spark, sf).collect()[0]
