@@ -23174,6 +23174,86 @@ def q_ipf_raking_lang_source(spark: SparkSession, sf_dir: str
 
 
 # ---------------------------------------------------------------------------
+# DAU / WAU / stickiness per day — the ROLLING-DISTINCT active-user
+# surface (cohort_retention tracks cohorts forward; this is the
+# product-analytics daily pulse: stickiness = DAU/WAU).  Rolling
+# COUNT(DISTINCT) has no mergeable window form, so the scale shape is
+# the standard FANOUT EXPANSION: each (user, active-day) pair
+# contributes itself to the 7 trailing windows it belongs to
+# (explode day..day+6 — fanout exactly 7, no range join, no
+# per-window rescan), then one distinct aggregation per window day.
+# The day spine is completed explicitly so zero-DAU days appear with
+# dau = 0 (and their WAU still counts the trailing week).  Exact
+# integers; stickiness on the 1e6 grid, NULL when the whole trailing
+# week is silent.
+# ---------------------------------------------------------------------------
+
+@register("dau_wau_stickiness", """
+WITH du AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+    FROM events
+), bounds AS (
+    SELECT min(d) AS d0, max(d) AS d1 FROM du
+), spine AS (
+    SELECT CAST(t.gd AS DATE) AS d
+    FROM bounds, unnest(generate_series(bounds.d0, bounds.d1,
+                                        INTERVAL 1 DAY)) AS t(gd)
+), dau AS (
+    SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY d
+), expanded AS (
+    SELECT du.user_id, CAST(t.gd AS DATE) AS wd
+    FROM du, unnest(generate_series(du.d, du.d + INTERVAL 6 DAY,
+                                    INTERVAL 1 DAY)) AS t(gd)
+), wau AS (
+    SELECT wd AS d, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+    FROM expanded GROUP BY wd
+)
+SELECT s.d AS day,
+       coalesce(dau.dau, 0) AS dau,
+       coalesce(wau.wau, 0) AS wau,
+       CASE WHEN coalesce(wau.wau, 0) > 0
+            THEN CAST(coalesce(dau.dau, 0) * 1000000 // wau.wau
+                      AS BIGINT)
+            ELSE NULL END AS stickiness_ppm
+FROM spine s
+LEFT JOIN dau ON s.d = dau.d
+LEFT JOIN wau ON s.d = wau.d
+""")
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    du = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    bounds = du.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d")
+    )
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    expanded = du.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(d, d + interval 6 day, interval 1 day)")
+        ).alias("wd"),
+    )
+    wau = expanded.groupBy(F.col("wd").alias("d")).agg(
+        F.count_distinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        spine.join(dau, "d", "left").join(wau, "d", "left")
+        .select(
+            F.col("d").alias("day"),
+            F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+            F.coalesce("wau", F.lit(0)).cast("long").alias("wau"),
+            F.expr(
+                "CASE WHEN coalesce(wau, 0) > 0"
+                " THEN CAST(coalesce(dau, 0) * 1000000 div wau AS BIGINT)"
+                " ELSE NULL END"
+            ).alias("stickiness_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

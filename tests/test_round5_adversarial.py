@@ -152,6 +152,7 @@ ADVERSARIAL_EVENT_QUERIES = [
     "cooks_distance_users",
     "ansari_bradley_types",
     "littles_law_sessions",
+    "dau_wau_stickiness",
 ]
 
 

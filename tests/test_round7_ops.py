@@ -522,6 +522,38 @@ def test_ipf_raking_hits_source_margin(spark):
         assert abs(mass - target) / target < 0.01, (s, mass, target)
 
 
+def test_dau_wau_stickiness_closed_form(spark):
+    # user 1 active on days 0 and 3; user 2 on day 0 only.
+    # day 0: dau 2, wau 2; day 3: dau 1 (u1), wau 2 (both within 7d);
+    # day 2 (silent): dau 0, wau 2 -> stickiness 0
+    import tempfile
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 1, BASE, "view", 1.0),
+        (1, 2, BASE + dt.timedelta(days=3), "view", 1.0),
+        (2, 3, BASE, "view", 1.0),
+    ]
+    d = tempfile.mkdtemp()
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double",
+    ).withColumn("props", F.lit("{}"))
+    pq.write_table(pa.Table.from_pandas(ev.toPandas()),
+                   os.path.join(d, "events.parquet"))
+    out = {str(r["day"]): r for r in
+           reg.QUERIES["dau_wau_stickiness"](spark, d).collect()}
+    assert out["2024-01-01"]["dau"] == 2 and out["2024-01-01"]["wau"] == 2
+    assert out["2024-01-01"]["stickiness_ppm"] == 1000000
+    assert out["2024-01-03"]["dau"] == 0 and out["2024-01-03"]["wau"] == 2
+    assert out["2024-01-03"]["stickiness_ppm"] == 0
+    assert out["2024-01-04"]["dau"] == 1 and out["2024-01-04"]["wau"] == 2
+    assert out["2024-01-04"]["stickiness_ppm"] == 500000
+    assert not compare(reg.QUERIES["dau_wau_stickiness"](spark, d),
+                       reg.ORACLES["dau_wau_stickiness"], d)
+
+
 def test_mcnemar_identities_sf0001(spark):
     sf = "/root/testdata/sf0.001"
     row = reg.QUERIES["mcnemar_rule_classifier"](spark, sf).collect()[0]
