@@ -34,6 +34,9 @@ _TEXT_DEFAULTS = {
         "nullValue": "\\N",  # distinguish NULL from empty string
     },
     "json": {"timestampNTZFormat": _TS_NTZ_FMT},
+    # XML is built into Spark 4 (the former spark-xml): schema-on-read
+    # like csv/json, one element per row under rowTag
+    "xml": {"rowTag": "row", "timestampNTZFormat": _TS_NTZ_FMT},
 }
 
 

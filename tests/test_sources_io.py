@@ -38,6 +38,17 @@ def test_json_roundtrip_lossless(spark, sf_dir, tmp_path):
     assert _rows(back) == _rows(ev)
 
 
+def test_xml_roundtrip_lossless(spark, sf_dir, tmp_path):
+    # Spark 4 ships XML natively (the former spark-xml): same
+    # schema-on-read contract as csv/json through the facade
+    ev = load_table(spark, "events", sf_dir).limit(300)
+    path = os.path.join(tmp_path, "ev_xml")
+    write_sink(ev, path, fmt="xml")
+    back = read_source(spark, path, fmt="xml", schema=EVENTS_SCHEMA)
+    assert back.schema == ev.schema
+    assert _rows(back) == _rows(ev)
+
+
 def test_csv_null_vs_empty_string(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, None), (2, ""), (3, "x")], "id bigint, s string"
