@@ -23254,6 +23254,127 @@ def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TwoNN intrinsic dimension per cluster (Facco et al., the two-
+# nearest-neighbor manifold-dimensionality estimator) — the embedding
+# GEOMETRY diagnostic the similarity stack lacked: PCA reports
+# variance directions, silhouette reports cluster cohesion; TwoNN
+# estimates the dimension of the manifold the vectors actually live
+# on (d-hat = n / Σ ln(r2/r1)) — the standard check for collapsed or
+# over-compressed embedding spaces.  Cell-scoped like LOF (bounded
+# nearest-centroid cells, never corpus-quadratic); r1/r2 are the two
+# smallest NONZERO distances on the exact 1e-6 cosine grid
+# (duplicates carry no dimensional information and r1 = 0 is
+# undefined); each ln(r2/r1) is quantized with the permutation-
+# entropy double-round log discipline so the per-vector terms are
+# integers and the cluster sum is order-free.  NULL when every ratio
+# ties at 1 (all-equidistant degenerate cells).
+# ---------------------------------------------------------------------------
+
+@register("twonn_intrinsic_dim", """
+WITH nz AS MATERIALIZED (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+), c AS (
+    SELECT vec_id AS centroid_id, v AS cvec FROM nz WHERE vec_id < 8
+), assigned AS MATERIALIZED (
+    SELECT vec_id, cluster_id, v FROM (
+        SELECT nz.vec_id, c.centroid_id AS cluster_id, nz.v,
+               round(list_cosine_similarity(nz.v, c.cvec), 6) AS cosine
+        FROM nz CROSS JOIN c)
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cosine DESC, cluster_id) = 1
+), big AS (
+    SELECT cluster_id FROM assigned GROUP BY cluster_id
+    HAVING count(*) >= 3
+), members AS MATERIALIZED (
+    SELECT a.* FROM assigned a JOIN big USING (cluster_id)
+), pairs AS MATERIALIZED (
+    SELECT a.cluster_id, a.vec_id AS p,
+           1000000 - CAST(round(round(list_cosine_similarity(a.v, b.v), 6)
+                                * 1000000, 0) AS BIGINT) AS d
+    FROM members a JOIN members b
+      ON a.cluster_id = b.cluster_id AND a.vec_id != b.vec_id
+), rr AS (
+    SELECT cluster_id, p, list_sort(list(d)) AS ds
+    FROM pairs WHERE d > 0 GROUP BY cluster_id, p
+), mu AS (
+    SELECT cluster_id,
+           CAST(round(round(ln(CAST(ds[2] AS DOUBLE) / ds[1]), 6)
+                      * 1000000, 0) AS BIGINT) AS lnmu_fp
+    FROM rr WHERE len(ds) >= 2
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_used,
+       CASE WHEN sum(lnmu_fp) > 0
+            THEN CAST((count(*) * 1000000 * 1000000) // sum(lnmu_fp)
+                      AS BIGINT)
+            ELSE NULL END AS id_ppm
+FROM mu GROUP BY cluster_id
+""")
+def q_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from anomaly_detection_spark.pipeline.similarity import (
+        _dot, _norm, assign_nearest_centroid, nonzero_vectors,
+    )
+
+    emb = nonzero_vectors(load_table(spark, "embeddings", sf_dir))
+    centroids = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = assign_nearest_centroid(emb, centroids).select(
+        "vec_id", "cluster_id"
+    ).join(emb, "vec_id")
+    a = assigned.select(
+        "cluster_id", F.col("vec_id").alias("p"),
+        F.col("embedding").alias("_v"),
+        _norm(F.col("embedding")).alias("_n"),
+    )
+    big = (
+        a.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_sz"))
+        .where(F.col("_sz") >= 3).select("cluster_id")
+    )
+    a = a.join(F.broadcast(big), "cluster_id")
+    b = a.select(
+        F.col("cluster_id"), F.col("p").alias("o"),
+        F.col("_v").alias("_w"), F.col("_n").alias("_m"),
+    )
+    d6 = (
+        F.lit(1_000_000)
+        - F.round(
+            F.round(_dot(F.col("_v"), F.col("_w"))
+                    / (F.col("_n") * F.col("_m")), 6) * 1_000_000, 0
+        ).cast("long")
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .where(F.col("p") != F.col("o"))
+        .select("cluster_id", "p", d6.alias("d"))
+        .where(F.col("d") > 0)
+    )
+    rr = pairs.groupBy("cluster_id", "p").agg(
+        F.expr("slice(sort_array(collect_list(d)), 1, 2)").alias("ds")
+    ).where(F.size("ds") >= 2)
+    mu = rr.select(
+        "cluster_id",
+        F.expr(
+            "CAST(round(round(ln(CAST(element_at(ds, 2) AS DOUBLE)"
+            " / element_at(ds, 1)), 6) * 1000000, 0) AS BIGINT)"
+        ).alias("lnmu_fp"),
+    )
+    return mu.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.expr(
+            "CASE WHEN sum(lnmu_fp) > 0"
+            " THEN CAST((count(*) * 1000000 * 1000000) div sum(lnmu_fp)"
+            "      AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("id_ppm"),
+    ).select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "n_used", "id_ppm",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -554,6 +554,38 @@ def test_dau_wau_stickiness_closed_form(spark):
                        reg.ORACLES["dau_wau_stickiness"], d)
 
 
+def test_twonn_arc_closed_form(spark):
+    import math
+    import tempfile
+
+    # ten unit vectors evenly spaced 0.01 rad apart on a 2-D arc,
+    # one centroid (vec 0): the eight INTERIOR vectors see equidistant
+    # neighbors on both sides (r1 = r2 = 50 on the 1e-6 grid, ln mu
+    # = 0) and only the two ENDPOINTS see 50 then 200 (mu = 4), so
+    # the cluster sum is exactly 2 * round(ln 4, 6)*1e6 = 2772588
+    # and the estimate is the deterministic 10e12 // 2772588
+    rows = []
+    for i in range(10):
+        th = 0.01 * i
+        # only vec 0 is a centroid (the vec_id < 8 convention);
+        # the rest start at id 10 so the cell has all ten members
+        rows.append((0 if i == 0 else 9 + i,
+                     [math.cos(th), math.sin(th), 0.0, 0.0], "a"))
+    d = tempfile.mkdtemp()
+    t = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    pq.write_table(pa.Table.from_pandas(t.toPandas()),
+                   os.path.join(d, "embeddings.parquet"))
+    out = reg.QUERIES["twonn_intrinsic_dim"](spark, d).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_used"] == 10
+    assert row["id_ppm"] == (10 * 10**12) // (2 * 1386294)
+    assert not compare(reg.QUERIES["twonn_intrinsic_dim"](spark, d),
+                       reg.ORACLES["twonn_intrinsic_dim"], d)
+
+
 def test_mcnemar_identities_sf0001(spark):
     sf = "/root/testdata/sf0.001"
     row = reg.QUERIES["mcnemar_rule_classifier"](spark, sf).collect()[0]
