@@ -23375,6 +23375,72 @@ def q_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Maximum drawdown per user — the PATH-DEPENDENT running-extreme
+# statistic (peak-to-trough loss of the value series), and the BATCH
+# LAW of the streaming TWS lane: streaming/tws.py's DrawdownProcessor
+# maintains exactly this running peak in ValueState, and
+# transformWithStateInPandas cannot run in this container (COVERAGE
+# §2.10 — pyspark's TWS worker imports google.protobuf), so this row
+# puts the SAME semantics under the driver's oracle gate — the
+# processor is locally tested against this law (test_tws.py), and the
+# law itself is now driver-verified.  Exact cents integers: running
+# max via an expanding window, drawdown = peak - value, the argmax
+# taken on (drawdown, -event_id) so ties pick the EARLIEST trough.
+# One user-partitioned window — the flags-engine shuffle shape.
+# ---------------------------------------------------------------------------
+
+@register("max_drawdown_users", """
+WITH s AS (
+    SELECT user_id, event_id,
+           CAST(round(value * 100, 0) AS BIGINT) AS v,
+           CAST(max(CAST(round(value * 100, 0) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS peak
+    FROM events
+), d AS (
+    SELECT user_id, event_id, peak, peak - v AS dd FROM s
+), best AS (
+    SELECT user_id,
+           max(struct_pack(dd := dd, negid := -event_id)) AS pk,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(peak) AS BIGINT) AS peak_cents
+    FROM d GROUP BY user_id
+)
+SELECT user_id, n_events, peak_cents,
+       CAST(pk.dd AS BIGINT) AS max_drawdown_cents,
+       CAST(-pk.negid AS BIGINT) AS trough_event_id
+FROM best
+""")
+def q_max_drawdown_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = ev.select(
+        "user_id", "event_id",
+        quantized(F.col("value"), 2).alias("v"),
+        F.max(quantized(F.col("value"), 2)).over(w).cast("long")
+        .alias("peak"),
+    )
+    d = s.select(
+        "user_id", "event_id", "peak",
+        (F.col("peak") - F.col("v")).alias("dd"),
+    )
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("peak").cast("long").alias("peak_cents"),
+        F.max(F.struct(F.col("dd"),
+                       (-F.col("event_id")).alias("negid"))).alias("pk"),
+    ).select(
+        "user_id", "n_events", "peak_cents",
+        F.col("pk.dd").cast("long").alias("max_drawdown_cents"),
+        (-F.col("pk.negid")).cast("long").alias("trough_event_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

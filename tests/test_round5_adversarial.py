@@ -153,6 +153,7 @@ ADVERSARIAL_EVENT_QUERIES = [
     "ansari_bradley_types",
     "littles_law_sessions",
     "dau_wau_stickiness",
+    "max_drawdown_users",
 ]
 
 

@@ -586,6 +586,21 @@ def test_twonn_arc_closed_form(spark):
                        reg.ORACLES["twonn_intrinsic_dim"], d)
 
 
+def test_max_drawdown_closed_form(spark):
+    # peaks 5,5,8,8,9 -> drawdowns 0,2,0,6,0: max 6.0 at event 4;
+    # monotone user: zero drawdown, earliest trough = event 1's tie
+    d = _events_dir(spark, {1: [5.0, 3.0, 8.0, 2.0, 9.0],
+                            2: [1.0, 2.0, 3.0]})
+    out = {r["user_id"]: r for r in
+           reg.QUERIES["max_drawdown_users"](spark, d).collect()}
+    assert out[1]["max_drawdown_cents"] == 600
+    assert out[1]["trough_event_id"] == 4
+    assert out[1]["peak_cents"] == 900
+    assert out[2]["max_drawdown_cents"] == 0
+    assert not compare(reg.QUERIES["max_drawdown_users"](spark, d),
+                       reg.ORACLES["max_drawdown_users"], d)
+
+
 def test_mcnemar_identities_sf0001(spark):
     sf = "/root/testdata/sf0.001"
     row = reg.QUERIES["mcnemar_rule_classifier"](spark, sf).collect()[0]
