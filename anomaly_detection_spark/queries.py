@@ -23441,6 +23441,203 @@ def q_max_drawdown_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Peak detection with prominence per user — the signal-processing
+# PRIMITIVE (scipy find_peaks family) the series stack lacked:
+# changepoint detectors find regime boundaries, S-H-ESD flags global
+# outliers; prominence measures how much a local maximum stands out
+# from its surrounding TERRAIN (height above the higher of the two
+# key saddles), which is what separates a real peak from ripple on a
+# slope.  Definitions, exactly: i is a peak if v[i] > v[i-1] and
+# v[i] >= v[i+1] (left-strict plateau convention); its left saddle is
+# the minimum between i and the nearest HIGHER value to the left
+# (whole prefix if none), likewise right; prominence = v[i] -
+# max(saddles) — the scipy convention: the base is the HIGHER of the
+# two side minima, so the global maximum measures down to its higher
+# edge-side minimum, not the global one.  All exact cents integers on
+# bounded per-user arrays (O(n²) scans, the Kendall argument); output
+# = the most prominent peak (ties -> smallest index) + the count of
+# peaks with prominence >= 100 cents.
+# ---------------------------------------------------------------------------
+
+@register("peak_prominence_users", """
+WITH s AS (
+    SELECT user_id,
+           list(CAST(round(value * 100, 0) AS BIGINT)
+                ORDER BY ts, event_id) AS v
+    FROM events GROUP BY user_id HAVING count(*) >= 5
+), pk AS (
+    SELECT user_id, v,
+           [i for i in range(2, len(v))
+            if v[i] > v[i - 1] AND v[i] >= v[i + 1]] AS peaks
+    FROM s
+), pr AS (
+    SELECT user_id, len(v) AS n,
+           [CAST(v[i] - greatest(
+                coalesce(list_min([v[j] for j in range(1, i)
+                                   if j > coalesce(list_max(
+                                       [k for k in range(1, i)
+                                        if v[k] > v[i]]), 0)]),
+                         list_min(v)),
+                coalesce(list_min([v[j] for j in range(i + 1, len(v) + 1)
+                                   if j < coalesce(list_min(
+                                       [k for k in range(i + 1, len(v) + 1)
+                                        if v[k] > v[i]]), len(v) + 1)]),
+                         list_min(v))) AS BIGINT)
+            for i in peaks] AS proms,
+           peaks
+    FROM pk
+), best AS (
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           CAST(len(peaks) AS BIGINT) AS n_peaks,
+           CASE WHEN len(peaks) > 0
+                THEN CAST(list_max(proms) AS BIGINT) ELSE NULL END
+               AS top_prominence,
+           CASE WHEN len(peaks) > 0
+                THEN CAST(peaks[list_position(proms, list_max(proms))]
+                          AS BIGINT)
+                ELSE NULL END AS top_peak_idx,
+           CAST(len([p for p in proms if p >= 100]) AS BIGINT)
+               AS n_prominent
+    FROM pr
+)
+SELECT * FROM best
+""")
+def q_peak_prominence_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    s = ev.select(
+        "user_id",
+        F.struct("ts", "event_id", quantized(F.col("value"), 2).alias("c"))
+        .alias("row"),
+    ).groupBy("user_id").agg(
+        F.sort_array(F.collect_list("row")).alias("rows"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).where(F.col("cnt") >= 5).select(
+        "user_id", F.expr("transform(rows, r -> r.c)").alias("v")
+    )
+    pk = s.select(
+        "user_id", "v",
+        F.expr(
+            "filter(sequence(2, size(v) - 1),"
+            " i -> element_at(v, i) > element_at(v, i - 1)"
+            " AND element_at(v, i) >= element_at(v, i + 1))"
+        ).alias("peaks"),
+    )
+    # nearest higher index left of i (0 if none) / right of i
+    # (size+1 if none), then the min over the open interval to it
+    left_saddle = (
+        "coalesce(array_min(filter(transform(sequence(1, i - 1),"
+        "   j -> IF(j > coalesce(array_max(filter(sequence(1, i - 1),"
+        "        k -> element_at(v, k) > element_at(v, i))), 0),"
+        "        element_at(v, j), NULL)), x -> x IS NOT NULL)),"
+        " array_min(v))"
+    )
+    right_saddle = (
+        "coalesce(array_min(filter(transform(sequence(i + 1, size(v)),"
+        "   j -> IF(j < coalesce(array_min(filter(sequence(i + 1, size(v)),"
+        "        k -> element_at(v, k) > element_at(v, i))), size(v) + 1),"
+        "        element_at(v, j), NULL)), x -> x IS NOT NULL)),"
+        " array_min(v))"
+    )
+    pr = pk.select(
+        "user_id",
+        F.expr("CAST(size(v) AS BIGINT)").alias("n_events"),
+        "peaks",
+        F.expr(
+            f"transform(peaks, i -> CAST(element_at(v, i)"
+            f" - greatest({left_saddle}, {right_saddle}) AS BIGINT))"
+        ).alias("proms"),
+    )
+    return pr.select(
+        "user_id", "n_events",
+        F.expr("CAST(size(peaks) AS BIGINT)").alias("n_peaks"),
+        F.expr(
+            "CASE WHEN size(peaks) > 0"
+            " THEN CAST(array_max(proms) AS BIGINT) ELSE NULL END"
+        ).alias("top_prominence"),
+        F.expr(
+            "CASE WHEN size(peaks) > 0"
+            " THEN CAST(element_at(peaks,"
+            "  CAST(array_position(proms, array_max(proms)) AS INT))"
+            "  AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("top_peak_idx"),
+        F.expr(
+            "CAST(size(filter(proms, p -> p >= 100)) AS BIGINT)"
+        ).alias("n_prominent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trapezoidal exposure integral per user — numeric integration of an
+# IRREGULARLY-SAMPLED signal (∫ value dt): littles_law integrates a
+# step function of session concurrency; this integrates the sampled
+# value series linearly between observations — the standard estimate
+# of cumulative exposure/load when samples arrive at uneven times
+# (billing for metered usage, dose-response areas, AUC over time).
+# Exact integers end to end: timestamps in microseconds, values in
+# cents, each trapezoid contributes (v_i + v_{i+1})·Δus — summed as
+# DECIMAL(38,0) and reported halved at the end (one truncating
+# division), so no float enters at any point.  One user-keyed
+# exchange over bounded arrays.
+# ---------------------------------------------------------------------------
+
+@register("trapezoid_exposure_users", """
+WITH s AS (
+    SELECT user_id,
+           list(struct_pack(us := epoch_us(ts),
+                            v := CAST(round(value * 100, 0) AS BIGINT))
+                ORDER BY ts, event_id) AS a,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id HAVING count(*) >= 2
+), t AS (
+    SELECT user_id, n,
+           list_sum([
+               CAST(a[i].v + a[i + 1].v AS HUGEINT)
+               * (a[i + 1].us - a[i].us)
+               for i in range(1, len(a))
+           ]) AS twice_area
+    FROM s
+)
+SELECT user_id, n AS n_events,
+       CAST(twice_area // 2 AS BIGINT) AS exposure_cents_us
+FROM t
+""")
+def q_trapezoid_exposure_users(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    dec = "decimal(38,0)"
+    s = ev.select(
+        "user_id",
+        F.struct(
+            "ts", "event_id",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+            quantized(F.col("value"), 2).alias("v"),
+        ).alias("row"),
+    ).groupBy("user_id").agg(
+        F.sort_array(F.collect_list("row")).alias("rows"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).where(F.col("n") >= 2).select(
+        "user_id", "n",
+        F.expr("transform(rows, r -> struct(r.us AS us, r.v AS v))")
+        .alias("a"),
+    )
+    t = s.select(
+        "user_id", "n",
+        F.expr(
+            f"aggregate(sequence(1, size(a) - 1), CAST(0 AS {dec}),"
+            " (acc, i) -> acc"
+            f" + CAST(element_at(a, i).v + element_at(a, i + 1).v AS {dec})"
+            "   * (element_at(a, i + 1).us - element_at(a, i).us))"
+        ).alias("twice_area"),
+    )
+    return t.select(
+        "user_id", F.col("n").alias("n_events"),
+        F.expr("CAST(twice_area div 2 AS BIGINT)")
+        .alias("exposure_cents_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

@@ -154,6 +154,8 @@ ADVERSARIAL_EVENT_QUERIES = [
     "littles_law_sessions",
     "dau_wau_stickiness",
     "max_drawdown_users",
+    "peak_prominence_users",
+    "trapezoid_exposure_users",
 ]
 
 

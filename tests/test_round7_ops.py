@@ -601,6 +601,32 @@ def test_max_drawdown_closed_form(spark):
                        reg.ORACLES["max_drawdown_users"], d)
 
 
+def test_peak_prominence_closed_form(spark):
+    # cents series 100,500,200,700,300: peaks at idx 2 (prom = 500 -
+    # max(100, 200) = 300) and idx 4 (global max, scipy convention:
+    # base = the HIGHER side minimum -> prom = 700 - 300 = 400);
+    # both clear the 100-cent bar
+    d = _events_dir(spark, {1: [1.0, 5.0, 2.0, 7.0, 3.0],
+                            2: [9.0, 8.0, 7.0, 6.0, 5.0]})
+    out = {r["user_id"]: r for r in
+           reg.QUERIES["peak_prominence_users"](spark, d).collect()}
+    assert out[1]["n_peaks"] == 2 and out[1]["n_prominent"] == 2
+    assert out[1]["top_peak_idx"] == 4 and out[1]["top_prominence"] == 400
+    # strictly decreasing: no interior peak at all
+    assert out[2]["n_peaks"] == 0 and out[2]["top_prominence"] is None
+    assert not compare(reg.QUERIES["peak_prominence_users"](spark, d),
+                       reg.ORACLES["peak_prominence_users"], d)
+
+
+def test_trapezoid_exposure_closed_form(spark):
+    # two samples one day apart: area = (v1+v2)/2 * 86400e6 us
+    d = _events_dir(spark, {1: [1.0, 3.0]})
+    row = reg.QUERIES["trapezoid_exposure_users"](spark, d).collect()[0]
+    assert row["exposure_cents_us"] == (100 + 300) * 86_400_000_000 // 2
+    assert not compare(reg.QUERIES["trapezoid_exposure_users"](spark, d),
+                       reg.ORACLES["trapezoid_exposure_users"], d)
+
+
 def test_mcnemar_identities_sf0001(spark):
     sf = "/root/testdata/sf0.001"
     row = reg.QUERIES["mcnemar_rule_classifier"](spark, sf).collect()[0]
