@@ -50,15 +50,28 @@ EVENT_QUERIES = [
     "anova_f_value_types",
     "brown_forsythe_types",
     "cramers_v_type_weekday",
+    # -- wave 2/3 --
+    "granger_lag_users",
+    "icss_variance_changepoint_users",
+    "cooks_distance_users",
+    "ansari_bradley_types",
+    "littles_law_sessions",
+    "dau_wau_stickiness",
+    "max_drawdown_users",
+    "peak_prominence_users",
+    "trapezoid_exposure_users",
 ]
 DOC_QUERIES = [
     "spearman_tokens_docs",
     "padding_efficiency_buckets",
     "mcnemar_rule_classifier",
+    "capture_recapture_dups",
+    "ipf_raking_lang_source",
 ]
 EMB_QUERIES = [
     "kmeans_update_embeddings",
     "lof_embeddings",
+    "twonn_intrinsic_dim",
 ]
 
 
