@@ -23638,6 +23638,290 @@ def q_trapezoid_exposure_users(spark: SparkSession, sf_dir: str
 
 
 # ---------------------------------------------------------------------------
+# Aalen-Johansen cumulative incidence (competing risks) — the
+# COMPETING-RISKS estimator completing the survival suite: KM and
+# Nelson-Aalen treat conversion as the only exit, but a signup can
+# first PURCHASE (the event of interest) or first ERROR (a competing
+# exit) — and 1 - KM over purchases alone OVERSTATES incidence when
+# competitors remove users from risk.  CIF_k(t) = Σ_{s<=t}
+# S(s-)·d_k(s)/n(s) with S the any-event KM: the overall survival
+# follows kaplan_meier_conversion's quantized ln-sum-exp discipline,
+# each day's increment is one shared double expression floor-quantized
+# to 1e-6, and the cumulative sums run in the SAME day-dictionary
+# window order in both engines, so every partial sum matches exactly.
+# Cause tie on the same timestamp resolves to purchase
+# (deterministic, stated).  Day dictionary = calendar-bounded.
+# ---------------------------------------------------------------------------
+
+@register("aj_cumulative_incidence", f"""
+WITH signup AS (
+    SELECT user_id, min(ts) AS s_ts FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+), firsts AS (
+    SELECT s.user_id, s.s_ts,
+           min(CASE WHEN e.event_type = 'purchase' THEN e.ts END) AS p_ts,
+           min(CASE WHEN e.event_type = 'error' THEN e.ts END) AS e_ts
+    FROM signup s LEFT JOIN events e
+      ON e.user_id = s.user_id AND e.ts >= s.s_ts
+     AND e.event_type IN ('purchase', 'error')
+    GROUP BY s.user_id, s.s_ts
+), obs AS (
+    SELECT user_id,
+           CAST(floor((epoch(coalesce(least(
+                           coalesce(p_ts, TIMESTAMP '9999-01-01'),
+                           coalesce(e_ts, TIMESTAMP '9999-01-01')),
+                       TIMESTAMP '{EVAL_TS}'))
+                       - epoch(s_ts)) / 86400) AS BIGINT) AS day,
+           CASE WHEN p_ts IS NOT NULL
+                     AND (e_ts IS NULL OR p_ts <= e_ts) THEN 1
+                WHEN e_ts IS NOT NULL THEN 2
+                ELSE 0 END AS cause
+    FROM firsts
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM obs),
+per_day AS (
+    SELECT day,
+           CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d1,
+           CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d2,
+           CAST(count(*) AS BIGINT) AS n_leaving
+    FROM obs GROUP BY day
+), risk AS (
+    SELECT day, d1, d2, d1 + d2 AS dtot,
+           CAST(n_total - coalesce(sum(n_leaving) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+    FROM per_day, tot
+), lo AS (
+    SELECT day, d1, d2, dtot, n_at_risk,
+           CASE WHEN dtot >= n_at_risk THEN NULL
+                ELSE CAST(round(round(ln(
+                         CAST(n_at_risk - dtot AS DOUBLE) / n_at_risk),
+                         6) * 1000000, 0) AS BIGINT)
+           END AS lnq_micro,
+           CASE WHEN dtot >= n_at_risk THEN 1 ELSE 0 END AS hit_zero
+    FROM risk
+), terms AS (
+    SELECT day, d1, d2, dtot, n_at_risk,
+           CASE WHEN coalesce(max(hit_zero) OVER prev, 0) = 1 THEN 0.0
+                ELSE exp(CAST(coalesce(sum(lnq_micro) OVER prev, 0)
+                              AS DOUBLE) / 1000000) END AS s_prev
+    FROM lo
+    WINDOW prev AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING)
+), inc AS (
+    SELECT day, d1, d2, dtot, n_at_risk,
+           CAST(floor(s_prev * d1 / n_at_risk * 1000000 + 0.5)
+                AS BIGINT) AS t1_fp,
+           CAST(floor(s_prev * d2 / n_at_risk * 1000000 + 0.5)
+                AS BIGINT) AS t2_fp
+    FROM terms
+)
+SELECT day, n_at_risk, d1 AS d_purchase, d2 AS d_error,
+       CAST(sum(t1_fp) OVER cum AS BIGINT) AS cif_purchase_fp,
+       CAST(sum(t2_fp) OVER cum AS BIGINT) AS cif_error_fp
+FROM inc
+WHERE dtot > 0
+WINDOW cum AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+""")
+def q_aj_cumulative_incidence(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("s_ts"))
+    )
+    ex = ev.where(F.col("event_type").isin("purchase", "error")).select(
+        F.col("user_id").alias("x_user"), "event_type",
+        F.col("ts").alias("xts"),
+    )
+    firsts = (
+        signup.join(
+            ex,
+            (F.col("user_id") == F.col("x_user"))
+            & (F.col("xts") >= F.col("s_ts")),
+            "left",
+        )
+        .groupBy("user_id", "s_ts")
+        .agg(
+            F.min(F.when(F.col("event_type") == "purchase",
+                         F.col("xts"))).alias("p_ts"),
+            F.min(F.when(F.col("event_type") == "error",
+                         F.col("xts"))).alias("e_ts"),
+        )
+    )
+    far = ntz_lit("9999-01-01 00:00:00")
+    obs = firsts.select(
+        F.floor(
+            (epoch_seconds(
+                F.least(
+                    F.least(F.coalesce(F.col("p_ts"), far),
+                            F.coalesce(F.col("e_ts"), far)),
+                    ntz_lit(EVAL_TS),
+                )
+            ) - epoch_seconds(F.col("s_ts"))) / 86400
+        ).cast("long").alias("day"),
+        F.when(
+            F.col("p_ts").isNotNull()
+            & (F.col("e_ts").isNull() | (F.col("p_ts") <= F.col("e_ts"))),
+            1,
+        ).when(F.col("e_ts").isNotNull(), 2).otherwise(0).alias("cause"),
+    )
+    tot = obs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    per_day = obs.groupBy("day").agg(
+        F.sum(F.when(F.col("cause") == 1, 1).otherwise(0)).cast("long")
+        .alias("d1"),
+        F.sum(F.when(F.col("cause") == 2, 1).otherwise(0)).cast("long")
+        .alias("d2"),
+        F.count(F.lit(1)).cast("long").alias("n_leaving"),
+    )
+    wprev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_day.crossJoin(F.broadcast(tot)).select(
+        "day", "d1", "d2", (F.col("d1") + F.col("d2")).alias("dtot"),
+        (F.col("n_total")
+         - F.coalesce(F.sum("n_leaving").over(wprev), F.lit(0)))
+        .cast("long").alias("n_at_risk"),
+    )
+    hit = F.col("dtot") >= F.col("n_at_risk")
+    lo = risk.withColumn(
+        "lnq_micro",
+        F.when(hit, F.lit(None)).otherwise(
+            F.round(
+                F.round(
+                    F.log((F.col("n_at_risk") - F.col("dtot"))
+                          .cast("double") / F.col("n_at_risk")), 6
+                ) * 1000000, 0
+            ).cast("long")
+        ),
+    ).withColumn("hit_zero", hit.cast("int"))
+    terms = lo.withColumn(
+        "s_prev",
+        F.when(
+            F.coalesce(F.max("hit_zero").over(wprev), F.lit(0)) == 1,
+            F.lit(0.0),
+        ).otherwise(
+            F.exp(F.coalesce(F.sum("lnq_micro").over(wprev), F.lit(0))
+                  .cast("double") / 1000000)
+        ),
+    )
+    inc = terms.select(
+        "day", "d1", "d2", "dtot", "n_at_risk",
+        F.expr(
+            "CAST(floor(s_prev * d1 / n_at_risk * 1000000 + 0.5)"
+            " AS BIGINT)"
+        ).alias("t1_fp"),
+        F.expr(
+            "CAST(floor(s_prev * d2 / n_at_risk * 1000000 + 0.5)"
+            " AS BIGINT)"
+        ).alias("t2_fp"),
+    )
+    return (
+        inc.withColumn("cif_purchase_fp",
+                       F.sum("t1_fp").over(wcum).cast("long"))
+        .withColumn("cif_error_fp", F.sum("t2_fp").over(wcum).cast("long"))
+        .where(F.col("dtot") > 0)
+        .select("day", "n_at_risk", F.col("d1").alias("d_purchase"),
+                F.col("d2").alias("d_error"), "cif_purchase_fp",
+                "cif_error_fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank test (paired first-half vs second-half spend
+# per user) — the PAIRED location test completing the rank family:
+# AUC/Mann-Whitney compares two INDEPENDENT samples, the sign of a
+# per-user change ignores magnitude; Wilcoxon ranks |d_u| (the exact
+# integer cents difference between each user's last-k and first-k
+# event sums, k = n div 2 — equal-size halves so no rational means
+# appear) and sums the ranks of the positive changes.  Midranks come
+# from a |d| VALUE DICTIONARY (the AUC pattern: doubled midrank
+# dr = 2·below + cnt + 1, exact integers, never a global row sort);
+# zero differences are discarded (the standard treatment).  Output:
+# m, the doubled statistic W2+ = Σ_{d>0} dr, and its exact doubled H0
+# mean m(m+1)/2 for direct comparison.
+# ---------------------------------------------------------------------------
+
+@register("wilcoxon_signed_rank_users", """
+WITH s AS (
+    SELECT user_id,
+           list(CAST(round(value * 100, 0) AS BIGINT)
+                ORDER BY ts, event_id) AS v,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id HAVING count(*) >= 12
+), d AS (
+    SELECT user_id,
+           CAST(list_sum(v[len(v) - CAST(n // 2 AS INT) + 1:len(v)])
+                - list_sum(v[1:CAST(n // 2 AS INT)]) AS BIGINT) AS du
+    FROM s
+), nz AS (
+    SELECT abs(du) AS ad, CAST(du > 0 AS INT) AS pos
+    FROM d WHERE du != 0
+), dict AS (
+    SELECT ad, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(pos) AS BIGINT) AS npos
+    FROM nz GROUP BY ad
+), cum AS (
+    SELECT ad, cnt, npos,
+           CAST(coalesce(sum(cnt) OVER (ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS below
+    FROM dict
+)
+SELECT CAST(sum(cnt) AS BIGINT) AS m,
+       CAST(sum(npos * (2 * below + cnt + 1)) AS BIGINT) AS w2_plus,
+       CAST(sum(cnt) * (sum(cnt) + 1) // 2 AS BIGINT) AS w2_h0
+FROM cum
+""")
+def q_wilcoxon_signed_rank_users(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    s = ev.select(
+        "user_id",
+        F.struct("ts", "event_id", quantized(F.col("value"), 2).alias("c"))
+        .alias("row"),
+    ).groupBy("user_id").agg(
+        F.sort_array(F.collect_list("row")).alias("rows"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).where(F.col("n") >= 12).select(
+        "user_id", "n", F.expr("transform(rows, r -> r.c)").alias("v")
+    )
+    d = s.select(
+        "user_id",
+        F.expr(
+            "CAST(aggregate(slice(v, size(v) - CAST(n div 2 AS INT) + 1,"
+            "                     CAST(n div 2 AS INT)),"
+            "          0L, (acc, x) -> acc + x)"
+            " - aggregate(slice(v, 1, CAST(n div 2 AS INT)),"
+            "          0L, (acc, x) -> acc + x) AS BIGINT)"
+        ).alias("du"),
+    )
+    nz = d.where(F.col("du") != 0).select(
+        F.abs("du").alias("ad"),
+        (F.col("du") > 0).cast("int").alias("pos"),
+    )
+    dict_ = nz.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("npos"),
+    )
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    cum = dict_.select(
+        "cnt", "npos",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long")
+        .alias("below"),
+    )
+    return cum.agg(
+        F.sum("cnt").cast("long").alias("m"),
+        F.sum(F.col("npos") * (2 * F.col("below") + F.col("cnt") + 1))
+        .cast("long").alias("w2_plus"),
+        F.expr(
+            "CAST(sum(cnt) * (sum(cnt) + 1) div 2 AS BIGINT)"
+        ).alias("w2_h0"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

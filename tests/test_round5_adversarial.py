@@ -156,6 +156,8 @@ ADVERSARIAL_EVENT_QUERIES = [
     "max_drawdown_users",
     "peak_prominence_users",
     "trapezoid_exposure_users",
+    "aj_cumulative_incidence",
+    "wilcoxon_signed_rank_users",
 ]
 
 

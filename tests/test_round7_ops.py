@@ -627,6 +627,59 @@ def test_trapezoid_exposure_closed_form(spark):
                        reg.ORACLES["trapezoid_exposure_users"], d)
 
 
+def test_aj_cumulative_incidence_closed_form(spark):
+    import tempfile
+    from pyspark.sql import functions as F
+
+    # four signups at day 0: u1 purchases day 1, u2 errors day 1,
+    # u3 purchases day 2, u4 censored.  Day 1: S_prev = 1, n = 4 ->
+    # each cause gains 1/4.  Day 2: S(1-) = exp(ln(2/4)) = 0.5,
+    # n = 2, purchase gains 0.5 * 1/2 = 1/4 -> CIF_p = 0.5, CIF_e
+    # = 0.25, and S(2) = 0.25 closes the identity.
+    rows, eid = [], 0
+    for u in (1, 2, 3, 4):
+        eid += 1
+        rows.append((u, eid, BASE, "signup", 1.0))
+    eid += 1; rows.append((1, eid, BASE + dt.timedelta(days=1), "purchase", 1.0))
+    eid += 1; rows.append((2, eid, BASE + dt.timedelta(days=1), "error", 1.0))
+    eid += 1; rows.append((3, eid, BASE + dt.timedelta(days=2), "purchase", 1.0))
+    d = tempfile.mkdtemp()
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double",
+    ).withColumn("props", F.lit("{}"))
+    pq.write_table(pa.Table.from_pandas(ev.toPandas()),
+                   os.path.join(d, "events.parquet"))
+    out = {r["day"]: r for r in
+           reg.QUERIES["aj_cumulative_incidence"](spark, d).collect()}
+    assert out[1]["n_at_risk"] == 4
+    assert out[1]["cif_purchase_fp"] == 250000
+    assert out[1]["cif_error_fp"] == 250000
+    assert out[2]["n_at_risk"] == 2
+    assert out[2]["cif_purchase_fp"] == 500000
+    assert out[2]["cif_error_fp"] == 250000
+    assert not compare(reg.QUERIES["aj_cumulative_incidence"](spark, d),
+                       reg.ORACLES["aj_cumulative_incidence"], d)
+
+
+def test_wilcoxon_signed_rank_closed_form(spark):
+    # per-user first-6 vs last-6 cent sums: u1 d = +600, u2 d = -1200,
+    # u3 d = 0 (discarded), u4 d = +300.  Ranks of |d| 300 < 600 <
+    # 1200 -> doubled ranks 2, 4, 6; W2+ = 2 + 4 = 6; H0 = 3*4/2 = 6.
+    d = _events_dir(spark, {
+        1: [1.0] * 6 + [2.0] * 6,
+        2: [3.0] * 6 + [1.0] * 6,
+        3: [5.0] * 12,
+        4: [1.0] * 6 + [1.5] * 6,
+    })
+    row = reg.QUERIES["wilcoxon_signed_rank_users"](spark, d).collect()[0]
+    assert row["m"] == 3 and row["w2_plus"] == 6 and row["w2_h0"] == 6
+    assert not compare(
+        reg.QUERIES["wilcoxon_signed_rank_users"](spark, d),
+        reg.ORACLES["wilcoxon_signed_rank_users"], d)
+
+
 def test_mcnemar_identities_sf0001(spark):
     sf = "/root/testdata/sf0.001"
     row = reg.QUERIES["mcnemar_rule_classifier"](spark, sf).collect()[0]
