@@ -23922,6 +23922,181 @@ def q_wilcoxon_signed_rank_users(spark: SparkSession, sf_dir: str
 
 
 # ---------------------------------------------------------------------------
+# Circular hour-of-day statistics per event type (resultant length +
+# Rayleigh test) — DIRECTIONAL statistics, the family the temporal
+# stack lacked: every existing hour-of-day treatment (histograms,
+# Mahalanobis' hour feature) is linear, but hours are circular —
+# 23:00 and 01:00 are two hours apart, and the linear mean of a
+# 23/1 mixture lands absurdly at 12:00.  The circular resultant
+# R = |Σ e^{iθ}|/n measures concentration (1 = all events at one
+# hour, 0 = uniform around the clock) and Rayleigh z = n·R² tests
+# uniformity.  Determinism: hours are a 24-value dictionary, each
+# cos/sin is quantized once (the KM double-round discipline) so the
+# per-type sums are exact integer combinations of 24 shared
+# constants; only the final sqrt runs as a shared double.
+# ---------------------------------------------------------------------------
+
+@register("circular_hour_stats", """
+WITH h AS (
+    SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type, CAST(hour(ts) AS BIGINT)
+), t AS (
+    SELECT event_type, hr, cnt,
+           CAST(round(round(cos(2 * pi() * hr / 24), 6) * 1000000, 0)
+                AS BIGINT) AS c_fp,
+           CAST(round(round(sin(2 * pi() * hr / 24), 6) * 1000000, 0)
+                AS BIGINT) AS s_fp
+    FROM h
+), agg AS (
+    SELECT event_type,
+           CAST(sum(cnt) AS BIGINT) AS n,
+           CAST(sum(cnt * c_fp) AS BIGINT) AS csum_fp,
+           CAST(sum(cnt * s_fp) AS BIGINT) AS ssum_fp
+    FROM t GROUP BY event_type
+)
+SELECT event_type, n, csum_fp, ssum_fp,
+       CAST(floor(sqrt(CAST(csum_fp AS DOUBLE) * csum_fp
+                       + CAST(ssum_fp AS DOUBLE) * ssum_fp)
+                  / n + 0.5) AS BIGINT) AS rbar_ppm,
+       CAST(floor((CAST(csum_fp AS DOUBLE) * csum_fp
+                   + CAST(ssum_fp AS DOUBLE) * ssum_fp)
+                  / (CAST(n AS DOUBLE) * 1000000 * 1000000)
+                  * 1000000 + 0.5) AS BIGINT) AS rayleigh_z_ppm
+FROM agg
+""")
+def q_circular_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    t = h.select(
+        "event_type", "cnt",
+        F.expr(
+            "CAST(round(round(cos(2 * pi() * hr / 24), 6) * 1000000, 0)"
+            " AS BIGINT)"
+        ).alias("c_fp"),
+        F.expr(
+            "CAST(round(round(sin(2 * pi() * hr / 24), 6) * 1000000, 0)"
+            " AS BIGINT)"
+        ).alias("s_fp"),
+    )
+    agg = t.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("cnt") * F.col("c_fp")).cast("long").alias("csum_fp"),
+        F.sum(F.col("cnt") * F.col("s_fp")).cast("long").alias("ssum_fp"),
+    )
+    return agg.select(
+        "event_type", "n", "csum_fp", "ssum_fp",
+        F.expr(
+            "CAST(floor(sqrt(CAST(csum_fp AS DOUBLE) * csum_fp"
+            "                + CAST(ssum_fp AS DOUBLE) * ssum_fp)"
+            "           / n + 0.5) AS BIGINT)"
+        ).alias("rbar_ppm"),
+        F.expr(
+            "CAST(floor((CAST(csum_fp AS DOUBLE) * csum_fp"
+            "            + CAST(ssum_fp AS DOUBLE) * ssum_fp)"
+            "           / (CAST(n AS DOUBLE) * 1000000 * 1000000)"
+            "           * 1000000 + 0.5) AS BIGINT)"
+        ).alias("rayleigh_z_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deming (total least squares) slope per part brand — the ERRORS-IN-
+# VARIABLES regression the fitting stack lacked: OLS (theilsen's
+# baseline, granger's machinery) assumes the x side is exact, but
+# lineitem quantity and extended price are both measured quantities;
+# the orthogonal-TLS slope is the symmetric estimator, the first
+# principal axis of the (x, y) cloud:
+#   b = (Cyy - Cxx + sqrt((Cyy - Cxx)² + 4·Cxy²)) / (2·Cxy).
+# Exact integer centered moments per brand (cents × quantity grids,
+# DECIMAL/HUGEINT), then ONE shared double expression for the slope,
+# floor-quantized; NULL when Cxy = 0 (no co-variation — the axis is
+# degenerate or axis-aligned).  Dictionary-sized output (one row per
+# brand), one aggregation tree.
+# ---------------------------------------------------------------------------
+
+@register("deming_slope_brands", """
+WITH f AS (
+    SELECT p.p_brand AS brand,
+           CAST(l.l_quantity AS HUGEINT) AS x,
+           CAST(round(l.l_extendedprice * 100, 0) AS HUGEINT) AS y
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), m AS (
+    SELECT brand,
+           CAST(count(*) AS HUGEINT) AS n,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+    FROM f GROUP BY brand
+), c AS (
+    SELECT brand, CAST(n AS BIGINT) AS n,
+           n * sxx - sx * sx AS cxx,
+           n * syy - sy * sy AS cyy,
+           n * sxy - sx * sy AS cxy
+    FROM m
+)
+SELECT brand, n AS n_lines,
+       CASE WHEN cxy != 0
+            THEN CAST(floor((CAST(cyy AS DOUBLE) - CAST(cxx AS DOUBLE)
+                             + sqrt((CAST(cyy AS DOUBLE)
+                                     - CAST(cxx AS DOUBLE))
+                                    * (CAST(cyy AS DOUBLE)
+                                       - CAST(cxx AS DOUBLE))
+                                    + 4 * CAST(cxy AS DOUBLE)
+                                      * CAST(cxy AS DOUBLE)))
+                            / (2 * CAST(cxy AS DOUBLE))
+                            * 1000000 + 0.5) AS BIGINT)
+            ELSE NULL END AS tls_slope_fp
+FROM c
+""")
+def q_deming_slope_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    dec = "decimal(38,0)"
+    f = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.col("l_quantity").cast(dec).alias("x"),
+        quantized(F.col("l_extendedprice"), 2).cast(dec).alias("y"),
+    )
+    m = f.groupBy("brand").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    c = m.select(
+        "brand", F.col("n").cast("long").alias("n"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .alias("cxx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .alias("cyy"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .alias("cxy"),
+    )
+    return c.select(
+        "brand", F.col("n").alias("n_lines"),
+        F.expr(
+            "CASE WHEN cxy != 0"
+            " THEN CAST(floor((CAST(cyy AS DOUBLE) - CAST(cxx AS DOUBLE)"
+            "                  + sqrt((CAST(cyy AS DOUBLE)"
+            "                          - CAST(cxx AS DOUBLE))"
+            "                         * (CAST(cyy AS DOUBLE)"
+            "                            - CAST(cxx AS DOUBLE))"
+            "                         + 4 * CAST(cxy AS DOUBLE)"
+            "                           * CAST(cxy AS DOUBLE)))"
+            "                 / (2 * CAST(cxy AS DOUBLE))"
+            "                 * 1000000 + 0.5) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("tls_slope_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

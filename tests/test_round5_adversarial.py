@@ -158,6 +158,7 @@ ADVERSARIAL_EVENT_QUERIES = [
     "trapezoid_exposure_users",
     "aj_cumulative_incidence",
     "wilcoxon_signed_rank_users",
+    "circular_hour_stats",
 ]
 
 
@@ -553,6 +554,7 @@ ADVERSARIAL_TPCH_QUERIES = [
     "referential_integrity_audit",
     "full_outer_reconciliation",
     "join_size_estimate_cms",
+    "deming_slope_brands",
 ]
 
 

@@ -680,6 +680,71 @@ def test_wilcoxon_signed_rank_closed_form(spark):
         reg.ORACLES["wilcoxon_signed_rank_users"], d)
 
 
+def test_circular_hour_stats_closed_form(spark):
+    import math
+    import tempfile
+    from pyspark.sql import functions as F
+
+    # type 'a': every event at hour 6 -> R = 1.  type 'b': one event
+    # at 23:00 and one at 01:00 -> the circular mean sits at midnight
+    # with R = cos(15 deg) ~ 0.966 (the linear mean would absurdly say
+    # noon).  type 'c': one event in every hour -> R = 0 exactly (the
+    # quantized cosine table is symmetric).
+    rows, eid = [], 0
+    for i in range(4):
+        eid += 1
+        rows.append((1, eid, BASE + dt.timedelta(days=i, hours=6),
+                     "a", 1.0))
+    eid += 1
+    rows.append((1, eid, BASE + dt.timedelta(hours=23), "b", 1.0))
+    eid += 1
+    rows.append((1, eid, BASE + dt.timedelta(days=1, hours=1), "b", 1.0))
+    for h in range(24):
+        eid += 1
+        rows.append((2, eid, BASE + dt.timedelta(days=2, hours=h),
+                     "c", 1.0))
+    d = tempfile.mkdtemp()
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double",
+    ).withColumn("props", F.lit("{}"))
+    pq.write_table(pa.Table.from_pandas(ev.toPandas()),
+                   os.path.join(d, "events.parquet"))
+    out = {r["event_type"]: r for r in
+           reg.QUERIES["circular_hour_stats"](spark, d).collect()}
+    assert out["a"]["rbar_ppm"] == 1000000
+    cos15 = round(round(math.cos(2 * math.pi * 1 / 24), 6) * 1e6)
+    assert abs(out["b"]["rbar_ppm"] - cos15) <= 1
+    assert out["c"]["rbar_ppm"] == 0 and out["c"]["rayleigh_z_ppm"] == 0
+    assert not compare(reg.QUERIES["circular_hour_stats"](spark, d),
+                       reg.ORACLES["circular_hour_stats"], d)
+
+
+def test_deming_slope_exact_line(spark):
+    import tempfile
+
+    # price = 2.00 * quantity exactly: the TLS axis is the line itself
+    # and the closed form collapses to slope = 200 cents/unit
+    d = tempfile.mkdtemp()
+    li = spark.createDataFrame(
+        [(i, 1, float(i), 2.0 * i) for i in range(1, 9)],
+        "l_orderkey long, l_partkey long, l_quantity double, "
+        "l_extendedprice double",
+    )
+    pt = spark.createDataFrame(
+        [(1, "Brand#11")], "p_partkey long, p_brand string"
+    )
+    pq.write_table(pa.Table.from_pandas(li.toPandas()),
+                   os.path.join(d, "lineitem.parquet"))
+    pq.write_table(pa.Table.from_pandas(pt.toPandas()),
+                   os.path.join(d, "part.parquet"))
+    row = reg.QUERIES["deming_slope_brands"](spark, d).collect()[0]
+    assert row["tls_slope_fp"] == 200 * 1000000
+    assert not compare(reg.QUERIES["deming_slope_brands"](spark, d),
+                       reg.ORACLES["deming_slope_brands"], d)
+
+
 def test_mcnemar_identities_sf0001(spark):
     sf = "/root/testdata/sf0.001"
     row = reg.QUERIES["mcnemar_rule_classifier"](spark, sf).collect()[0]
