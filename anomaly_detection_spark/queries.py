@@ -24097,6 +24097,183 @@ def q_deming_slope_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Degree assortativity of the near-dup graph — the MIXING-PATTERN
+# statistic completing the graph suite (PageRank/HITS = centrality,
+# k-core = decomposition, triangles = local clustering, components =
+# connectivity; assortativity asks whether high-degree nodes attach
+# to high-degree nodes): Newman's r = the Pearson correlation of
+# endpoint degrees over the directed edge list (both directions, the
+# standard undirected treatment — so Sx = Sy by symmetry and the
+# denominator is the single variance term).  Edges are the SAME
+# exact-Jaccard >= 0.5 bigram pairs as kcore/pagerank (Spark builds
+# them via banded MinHash + exact verify — identical pair set); all
+# moments are exact integers, one shared double division.  NULL on
+# degree-regular graphs (zero variance).
+# ---------------------------------------------------------------------------
+
+@register("assortativity_dup_graph", r"""
+WITH sh AS (
+    SELECT doc_id, list_distinct([
+        array_to_string(toks[i:i+2], ' ')
+        for i in range(1, greatest(len(toks) - 2, 1) + 1)
+    ]) AS grams
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          FROM documents)
+), e0 AS MATERIALIZED (
+    SELECT a.doc_id AS ia, b.doc_id AS ib
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.grams, b.grams))), 4)
+          >= 0.5
+), u0 AS MATERIALIZED (
+    SELECT ia AS a, ib AS b FROM e0
+    UNION ALL SELECT ib, ia FROM e0
+), deg AS (
+    SELECT a, CAST(count(*) AS BIGINT) AS d FROM u0 GROUP BY a
+), ed AS (
+    SELECT da.d AS dx, db.d AS dy
+    FROM u0 JOIN deg da ON u0.a = da.a JOIN deg db ON u0.b = db.a
+), m AS (
+    SELECT CAST(count(*) AS BIGINT) AS mm,
+           CAST(sum(dx) AS BIGINT) AS sx,
+           CAST(sum(dx * dx) AS BIGINT) AS sxx,
+           CAST(sum(dx * dy) AS BIGINT) AS sxy
+    FROM ed
+)
+SELECT mm // 2 AS n_edges,
+       CASE WHEN mm * sxx - sx * sx > 0
+            THEN CAST(floor(CAST(mm * sxy - sx * sx AS DOUBLE)
+                            / CAST(mm * sxx - sx * sx AS DOUBLE)
+                            * 1000000 + 0.5) AS BIGINT)
+            ELSE NULL END AS assortativity_ppm
+FROM m
+""")
+def q_assortativity_dup_graph(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    from anomaly_detection_spark.pipeline.dedup import (
+        minhash_exact_near_duplicates,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    edges = minhash_exact_near_duplicates(
+        docs, "text", "doc_id", num_hashes=64, bands=16,
+        jaccard_threshold=0.5,
+    ).select("id_a", "id_b")
+    und = edges.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    ed = (
+        und.join(deg, "a")
+        .withColumnRenamed("d", "dx")
+        .join(deg.select(F.col("a").alias("b"), F.col("d").alias("dy")),
+              "b")
+    )
+    m = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("mm"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+    )
+    return m.select(
+        F.expr("mm div 2").alias("n_edges"),
+        F.expr(
+            "CASE WHEN mm * sxx - sx * sx > 0"
+            " THEN CAST(floor(CAST(mm * sxy - sx * sx AS DOUBLE)"
+            "                 / CAST(mm * sxx - sx * sx AS DOUBLE)"
+            "                 * 1000000 + 0.5) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("assortativity_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q (weekly activity, user-blocked) — the k-SAMPLE McNemar
+# the paired stack lacked: McNemar compares TWO binary raters on the
+# same subjects; Cochran's Q asks whether the probability of being
+# ACTIVE differs across the four January weeks with each user as
+# their own block (removing between-user activity differences that a
+# naive per-week proportion comparison confounds).  Uninformative
+# blocks (active every week or never) are dropped — the textbook
+# treatment — and the statistic is one exact integer rational:
+# Q = (k-1)·(k·ΣC_j² - T²) / (k·T - ΣR_i²), floor-quantized ppm,
+# NULL when the denominator degenerates.  One (user, week)
+# aggregation tree — scale-safe.
+# ---------------------------------------------------------------------------
+
+@register("cochran_q_weekly_activity", """
+WITH uw AS (
+    SELECT DISTINCT user_id,
+           CAST((CAST(date_trunc('day', ts) AS DATE)
+                 - DATE '2024-01-01') // 7 AS BIGINT) AS wk
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-29'
+), r AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS ri FROM uw
+    GROUP BY user_id
+), informative AS (
+    SELECT user_id, ri FROM r WHERE ri > 0 AND ri < 4
+), cj AS (
+    SELECT uw.wk, CAST(count(*) AS BIGINT) AS c
+    FROM uw JOIN informative i ON uw.user_id = i.user_id
+    GROUP BY uw.wk
+), tots AS (
+    SELECT CAST(sum(c) AS BIGINT) AS t,
+           CAST(sum(c * c) AS BIGINT) AS sc2
+    FROM cj
+), rr AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(ri * ri) AS BIGINT) AS sr2
+    FROM informative
+)
+SELECT rr.n_blocks, tots.t AS n_active_cells,
+       CASE WHEN 4 * tots.t - rr.sr2 > 0
+            THEN CAST((3 * (4 * tots.sc2 - tots.t * tots.t) * 1000000)
+                      // (4 * tots.t - rr.sr2) AS BIGINT)
+            ELSE NULL END AS q_fp
+FROM rr CROSS JOIN tots
+""")
+def q_cochran_q_weekly_activity(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    uw = ev.where(
+        (F.col("ts") >= ntz_lit("2024-01-01 00:00:00"))
+        & (F.col("ts") < ntz_lit("2024-01-29 00:00:00"))
+    ).select(
+        "user_id",
+        F.expr(
+            "CAST(datediff(CAST(date_trunc('day', ts) AS DATE),"
+            " DATE '2024-01-01') div 7 AS BIGINT)"
+        ).alias("wk"),
+    ).distinct()
+    r = uw.groupBy("user_id").agg(F.count(F.lit(1)).cast("long")
+                                  .alias("ri"))
+    informative = r.where((F.col("ri") > 0) & (F.col("ri") < 4))
+    cj = uw.join(informative.select("user_id"), "user_id").groupBy(
+        "wk"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tots = cj.agg(
+        F.sum("c").cast("long").alias("t"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sc2"),
+    )
+    rr = informative.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.col("ri") * F.col("ri")).cast("long").alias("sr2"),
+    )
+    return rr.crossJoin(F.broadcast(tots)).select(
+        "n_blocks", F.col("t").alias("n_active_cells"),
+        F.expr(
+            "CASE WHEN 4 * t - sr2 > 0"
+            " THEN CAST((3 * (4 * sc2 - t * t) * 1000000)"
+            "      div (4 * t - sr2) AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("q_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-priority ordering.
 #
 # The round driver samples the FIRST 50 entries of ``queries()`` (insertion

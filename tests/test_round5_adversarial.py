@@ -159,6 +159,7 @@ ADVERSARIAL_EVENT_QUERIES = [
     "aj_cumulative_incidence",
     "wilcoxon_signed_rank_users",
     "circular_hour_stats",
+    "cochran_q_weekly_activity",
 ]
 
 
@@ -220,6 +221,7 @@ ADVERSARIAL_DOCUMENT_QUERIES = [
     "padding_efficiency_buckets",
     "capture_recapture_dups",
     "ipf_raking_lang_source",
+    "assortativity_dup_graph",
 ]
 
 

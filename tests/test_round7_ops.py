@@ -745,6 +745,52 @@ def test_deming_slope_exact_line(spark):
                        reg.ORACLES["deming_slope_brands"], d)
 
 
+def test_assortativity_two_cliques(spark):
+    # a 2-clique plus a 3-clique of exact duplicates: every edge joins
+    # equal degrees, so the endpoint-degree correlation is exactly +1
+    d = _docs_dir(spark, [
+        "alpha beta gamma", "alpha beta gamma",
+        "delta epsilon zeta", "delta epsilon zeta", "delta epsilon zeta",
+    ])
+    row = reg.QUERIES["assortativity_dup_graph"](spark, d).collect()[0]
+    assert row["n_edges"] == 4          # 1 pair edge + 3 triangle edges
+    assert row["assortativity_ppm"] == 1000000
+    assert not compare(reg.QUERIES["assortativity_dup_graph"](spark, d),
+                       reg.ORACLES["assortativity_dup_graph"], d)
+
+
+def test_cochran_q_closed_form(spark):
+    import tempfile
+    from pyspark.sql import functions as F
+
+    # u1 active weeks 0,1; u2 active week 0; u3 active all four
+    # (uninformative, dropped).  T = 3, sum C^2 = 5, sum R^2 = 5:
+    # Q = 3*(4*5 - 9)/(4*3 - 5) = 33/7
+    rows, eid = [], 0
+    for wk in (0, 1):
+        eid += 1
+        rows.append((1, eid, BASE + dt.timedelta(days=7 * wk), "view", 1.0))
+    eid += 1
+    rows.append((2, eid, BASE, "view", 1.0))
+    for wk in range(4):
+        eid += 1
+        rows.append((3, eid, BASE + dt.timedelta(days=7 * wk), "view", 1.0))
+    d = tempfile.mkdtemp()
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double",
+    ).withColumn("props", F.lit("{}"))
+    pq.write_table(pa.Table.from_pandas(ev.toPandas()),
+                   os.path.join(d, "events.parquet"))
+    row = reg.QUERIES["cochran_q_weekly_activity"](spark, d).collect()[0]
+    assert row["n_blocks"] == 2 and row["n_active_cells"] == 3
+    assert row["q_fp"] == (3 * (4 * 5 - 9) * 1000000) // (4 * 3 - 5)
+    assert not compare(
+        reg.QUERIES["cochran_q_weekly_activity"](spark, d),
+        reg.ORACLES["cochran_q_weekly_activity"], d)
+
+
 def test_mcnemar_identities_sf0001(spark):
     sf = "/root/testdata/sf0.001"
     row = reg.QUERIES["mcnemar_rule_classifier"](spark, sf).collect()[0]
