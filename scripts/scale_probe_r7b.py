@@ -60,6 +60,11 @@ EVENT_QUERIES = [
     "max_drawdown_users",
     "peak_prominence_users",
     "trapezoid_exposure_users",
+    # -- wave 4 --
+    "aj_cumulative_incidence",
+    "wilcoxon_signed_rank_users",
+    "circular_hour_stats",
+    "cochran_q_weekly_activity",
 ]
 DOC_QUERIES = [
     "spearman_tokens_docs",
@@ -67,6 +72,7 @@ DOC_QUERIES = [
     "mcnemar_rule_classifier",
     "capture_recapture_dups",
     "ipf_raking_lang_source",
+    "assortativity_dup_graph",
 ]
 EMB_QUERIES = [
     "kmeans_update_embeddings",
