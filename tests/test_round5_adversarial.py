@@ -160,6 +160,7 @@ ADVERSARIAL_EVENT_QUERIES = [
     "wilcoxon_signed_rank_users",
     "circular_hour_stats",
     "cochran_q_weekly_activity",
+    "rdd_cutoff_daily_events",
 ]
 
 
@@ -222,6 +223,7 @@ ADVERSARIAL_DOCUMENT_QUERIES = [
     "capture_recapture_dups",
     "ipf_raking_lang_source",
     "assortativity_dup_graph",
+    "term_burstiness_corpus",
 ]
 
 

@@ -791,6 +791,55 @@ def test_cochran_q_closed_form(spark):
         reg.ORACLES["cochran_q_weekly_activity"], d)
 
 
+def test_rdd_planted_level_jump(spark):
+    import tempfile
+    from pyspark.sql import functions as F
+
+    # exactly 2 events/day before the cutoff, 5/day after: both side
+    # fits are flat lines, jump = 3 exactly
+    rows, eid = [], 0
+    day0 = dt.datetime(2024, 1, 2)
+    for i in range(28):
+        per = 2 if i < 14 else 5
+        for j in range(per):
+            eid += 1
+            rows.append((j + 1, eid, day0 + dt.timedelta(days=i, hours=j),
+                         "view", 1.0))
+    d = tempfile.mkdtemp()
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double",
+    ).withColumn("props", F.lit("{}"))
+    pq.write_table(pa.Table.from_pandas(ev.toPandas()),
+                   os.path.join(d, "events.parquet"))
+    row = reg.QUERIES["rdd_cutoff_daily_events"](spark, d).collect()[0]
+    assert row["left_at_cutoff_fp"] == 2_000_000
+    assert row["right_at_cutoff_fp"] == 5_000_000
+    assert row["jump_fp"] == 3_000_000
+    assert row["left_slope_fp"] == 0 and row["right_slope_fp"] == 0
+    assert not compare(reg.QUERIES["rdd_cutoff_daily_events"](spark, d),
+                       reg.ORACLES["rdd_cutoff_daily_events"], d)
+
+
+def test_term_burstiness_bursty_vs_spread(spark):
+    # same corpus rate (tf = 4, N = 5) for both terms, opposite
+    # clumping: 'xx' packs all four occurrences into one doc
+    # (P(>=2 | >=1) = 1), 'yy' spreads one per doc (= 0); the Poisson
+    # baseline is identical for both, so only burstiness separates them
+    d = _docs_dir(spark, [
+        "xx xx xx xx",
+        "yy f1", "yy f2", "yy f3", "yy f4",
+    ])
+    out = {r["term"]: r for r in
+           reg.QUERIES["term_burstiness_corpus"](spark, d).collect()}
+    assert out["xx"]["p2_obs_ppm"] == 1000000 and out["xx"]["df"] == 1
+    assert out["yy"]["p2_obs_ppm"] == 0 and out["yy"]["df"] == 4
+    assert out["xx"]["p2_poisson_ppm"] == out["yy"]["p2_poisson_ppm"]
+    assert not compare(reg.QUERIES["term_burstiness_corpus"](spark, d),
+                       reg.ORACLES["term_burstiness_corpus"], d)
+
+
 def test_mcnemar_identities_sf0001(spark):
     sf = "/root/testdata/sf0.001"
     row = reg.QUERIES["mcnemar_rule_classifier"](spark, sf).collect()[0]
