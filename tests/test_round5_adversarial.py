@@ -161,6 +161,7 @@ ADVERSARIAL_EVENT_QUERIES = [
     "circular_hour_stats",
     "cochran_q_weekly_activity",
     "rdd_cutoff_daily_events",
+    "mcf_recurrent_purchases",
 ]
 
 

@@ -840,6 +840,38 @@ def test_term_burstiness_bursty_vs_spread(spark):
                        reg.ORACLES["term_burstiness_corpus"], d)
 
 
+def test_mcf_recurrent_closed_form(spark):
+    import tempfile
+    from pyspark.sql import functions as F
+
+    # two signups; u1 purchases twice at age 1 and once at age 3,
+    # u2 once at age 1: MCF(1) = 3/2, MCF(3) = 3/2 + 1/2 = 2 — the
+    # average cumulative purchases per user, exactly
+    rows = [
+        (1, 1, BASE, "signup", 1.0),
+        (2, 2, BASE, "signup", 1.0),
+        (1, 3, BASE + dt.timedelta(days=1), "purchase", 1.0),
+        (1, 4, BASE + dt.timedelta(days=1, hours=2), "purchase", 1.0),
+        (2, 5, BASE + dt.timedelta(days=1, hours=3), "purchase", 1.0),
+        (1, 6, BASE + dt.timedelta(days=3), "purchase", 1.0),
+    ]
+    d = tempfile.mkdtemp()
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double",
+    ).withColumn("props", F.lit("{}"))
+    pq.write_table(pa.Table.from_pandas(ev.toPandas()),
+                   os.path.join(d, "events.parquet"))
+    out = {r["age"]: r for r in
+           reg.QUERIES["mcf_recurrent_purchases"](spark, d).collect()}
+    assert out[1]["n_events"] == 3 and out[1]["n_risk"] == 2
+    assert out[1]["mcf_fp"] == 1_500_000
+    assert out[3]["mcf_fp"] == 2_000_000
+    assert not compare(reg.QUERIES["mcf_recurrent_purchases"](spark, d),
+                       reg.ORACLES["mcf_recurrent_purchases"], d)
+
+
 def test_mcnemar_identities_sf0001(spark):
     sf = "/root/testdata/sf0.001"
     row = reg.QUERIES["mcnemar_rule_classifier"](spark, sf).collect()[0]
