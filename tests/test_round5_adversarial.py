@@ -340,6 +340,7 @@ ADVERSARIAL_EMBEDDING_QUERIES = [
     "lof_embeddings",
     "kmeans_update_embeddings",
     "twonn_intrinsic_dim",
+    "morans_i_embedding_grid",
     # ann_recall_eval is EXCLUDED: its recall_8t3p >= 0.3 floor is a
     # data-dependent contract calibrated to the sf corpus (its own
     # docstring says so), not a theorem — on 15 near-random vectors the

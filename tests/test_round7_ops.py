@@ -872,6 +872,33 @@ def test_mcf_recurrent_closed_form(spark):
                        reg.ORACLES["mcf_recurrent_purchases"], d)
 
 
+def test_morans_i_checkerboard_closed_form(spark):
+    import tempfile
+
+    # 2x2 occupied cells with counts 1,3,3,1 (checkerboard): every
+    # cell neighbors every other (queen), so cross_sum = (sum dx)^2 -
+    # sum dx^2 = -64, var = 64, W = 12 -> I = 4*(-64)/(12*64) = -1/3
+    rows, vid = [], 0
+    def put(cx, cy, k):
+        nonlocal vid, rows
+        for _ in range(k):
+            vid += 1
+            rows.append((vid, [cx * 0.05 + 0.01, cy * 0.05 + 0.01,
+                               0.0, 0.0], "a"))
+    put(0, 0, 1); put(0, 1, 3); put(1, 0, 3); put(1, 1, 1)
+    d = tempfile.mkdtemp()
+    t = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    pq.write_table(pa.Table.from_pandas(t.toPandas()),
+                   os.path.join(d, "embeddings.parquet"))
+    row = reg.QUERIES["morans_i_embedding_grid"](spark, d).collect()[0]
+    assert row["n_cells"] == 4 and row["n_neighbor_pairs"] == 6
+    assert row["morans_i_ppm"] == -333333
+    assert not compare(reg.QUERIES["morans_i_embedding_grid"](spark, d),
+                       reg.ORACLES["morans_i_embedding_grid"], d)
+
+
 def test_mcnemar_identities_sf0001(spark):
     sf = "/root/testdata/sf0.001"
     row = reg.QUERIES["mcnemar_rule_classifier"](spark, sf).collect()[0]
