@@ -65,6 +65,8 @@ EVENT_QUERIES = [
     "wilcoxon_signed_rank_users",
     "circular_hour_stats",
     "cochran_q_weekly_activity",
+    "rdd_cutoff_daily_events",
+    "mcf_recurrent_purchases",
 ]
 DOC_QUERIES = [
     "spearman_tokens_docs",
@@ -73,8 +75,10 @@ DOC_QUERIES = [
     "capture_recapture_dups",
     "ipf_raking_lang_source",
     "assortativity_dup_graph",
+    "term_burstiness_corpus",
 ]
 EMB_QUERIES = [
+    "morans_i_embedding_grid",
     "kmeans_update_embeddings",
     "lof_embeddings",
     "twonn_intrinsic_dim",
