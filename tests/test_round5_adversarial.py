@@ -162,6 +162,7 @@ ADVERSARIAL_EVENT_QUERIES = [
     "cochran_q_weekly_activity",
     "rdd_cutoff_daily_events",
     "mcf_recurrent_purchases",
+    "jonckheere_trend_dayparts",
 ]
 
 

@@ -899,6 +899,34 @@ def test_morans_i_checkerboard_closed_form(spark):
                        reg.ORACLES["morans_i_embedding_grid"], d)
 
 
+def test_jonckheere_perfect_trend(spark):
+    import tempfile
+    from pyspark.sql import functions as F
+
+    # two events per day part with values rising 1 -> 4 across parts:
+    # every ordered cross pair is concordant, so the doubled statistic
+    # is 2 * sum n_i*n_j = 48 against its doubled H0 mean of 24
+    rows, eid = [], 0
+    for g, val in enumerate([1.0, 2.0, 3.0, 4.0]):
+        for j in range(2):
+            eid += 1
+            rows.append((1, eid, BASE + dt.timedelta(days=j, hours=6 * g),
+                         "view", val))
+    d = tempfile.mkdtemp()
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double",
+    ).withColumn("props", F.lit("{}"))
+    pq.write_table(pa.Table.from_pandas(ev.toPandas()),
+                   os.path.join(d, "events.parquet"))
+    row = reg.QUERIES["jonckheere_trend_dayparts"](spark, d).collect()[0]
+    assert row["jt2_stat"] == 48 and row["jt2_h0"] == 24
+    assert not compare(
+        reg.QUERIES["jonckheere_trend_dayparts"](spark, d),
+        reg.ORACLES["jonckheere_trend_dayparts"], d)
+
+
 def test_mcnemar_identities_sf0001(spark):
     sf = "/root/testdata/sf0.001"
     row = reg.QUERIES["mcnemar_rule_classifier"](spark, sf).collect()[0]
