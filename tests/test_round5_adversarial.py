@@ -163,6 +163,7 @@ ADVERSARIAL_EVENT_QUERIES = [
     "rdd_cutoff_daily_events",
     "mcf_recurrent_purchases",
     "jonckheere_trend_dayparts",
+    "partial_corr_err_purchase",
 ]
 
 
@@ -342,6 +343,7 @@ ADVERSARIAL_EMBEDDING_QUERIES = [
     "kmeans_update_embeddings",
     "twonn_intrinsic_dim",
     "morans_i_embedding_grid",
+    "knn_hubness_embeddings",
     # ann_recall_eval is EXCLUDED: its recall_8t3p >= 0.3 floor is a
     # data-dependent contract calibrated to the sf corpus (its own
     # docstring says so), not a theorem — on 15 near-random vectors the

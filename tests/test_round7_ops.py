@@ -927,6 +927,68 @@ def test_jonckheere_perfect_trend(spark):
         reg.ORACLES["jonckheere_trend_dayparts"], d)
 
 
+def test_partial_corr_confounded_null(spark):
+    import tempfile
+    from pyspark.sql import functions as F
+
+    # errors and purchases BOTH exactly track total volume (x = y =
+    # z/2): raw r_xy = +1, but the control correlations are also +1,
+    # so the partial is undefined and the guard yields NULL — the
+    # pure-confounding signature
+    rows, eid = [], 0
+    for i, per in enumerate([1, 2, 1, 2, 3, 1, 2, 3, 1, 2, 1, 3]):
+        for j in range(per):
+            eid += 1
+            rows.append((1, eid, BASE + dt.timedelta(days=i, hours=j),
+                         "error", 1.0))
+            eid += 1
+            rows.append((1, eid, BASE + dt.timedelta(days=i, hours=j + 12),
+                         "purchase", 1.0))
+    d = tempfile.mkdtemp()
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double",
+    ).withColumn("props", F.lit("{}"))
+    pq.write_table(pa.Table.from_pandas(ev.toPandas()),
+                   os.path.join(d, "events.parquet"))
+    row = reg.QUERIES["partial_corr_err_purchase"](spark, d).collect()[0]
+    assert row["r_xy_ppm"] == 1000000
+    assert row["r_xy_given_z_ppm"] is None
+    assert not compare(
+        reg.QUERIES["partial_corr_err_purchase"](spark, d),
+        reg.ORACLES["partial_corr_err_purchase"], d)
+
+
+def test_knn_hubness_star_fixture(spark):
+    import tempfile
+
+    # hub = the uniform direction, 8 axis vectors pairwise orthogonal
+    # but all moderately close to the hub: the hub lands in every
+    # axis vector's 3NN (N_k = 8), the smallest-id axes absorb the
+    # tie-broken remainder, and axes 13..17 are never chosen
+    # (5 antihubs) — N_k = [8,8,8,3,0,0,0,0,0], strongly right-skewed
+    dim = 10
+    hub = [1.0 / dim ** 0.5] * dim
+    rows = [(0, hub, "hub")]
+    for i in range(8):
+        v = [0.0] * dim
+        v[i] = 1.0
+        rows.append((10 + i, v, "axis"))
+    d = tempfile.mkdtemp()
+    t = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    pq.write_table(pa.Table.from_pandas(t.toPandas()),
+                   os.path.join(d, "embeddings.parquet"))
+    row = reg.QUERIES["knn_hubness_embeddings"](spark, d).collect()[0]
+    assert row["n_vectors"] == 9
+    assert row["max_nk"] == 8 and row["antihubs"] == 5
+    assert row["hubness_skew_ppm"] > 500000
+    assert not compare(reg.QUERIES["knn_hubness_embeddings"](spark, d),
+                       reg.ORACLES["knn_hubness_embeddings"], d)
+
+
 def test_mcnemar_identities_sf0001(spark):
     sf = "/root/testdata/sf0.001"
     row = reg.QUERIES["mcnemar_rule_classifier"](spark, sf).collect()[0]
