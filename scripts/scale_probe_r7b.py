@@ -67,6 +67,8 @@ EVENT_QUERIES = [
     "cochran_q_weekly_activity",
     "rdd_cutoff_daily_events",
     "mcf_recurrent_purchases",
+    "jonckheere_trend_dayparts",
+    "partial_corr_err_purchase",
 ]
 DOC_QUERIES = [
     "spearman_tokens_docs",
@@ -78,6 +80,7 @@ DOC_QUERIES = [
     "term_burstiness_corpus",
 ]
 EMB_QUERIES = [
+    "knn_hubness_embeddings",
     "morans_i_embedding_grid",
     "kmeans_update_embeddings",
     "lof_embeddings",
