@@ -1,6 +1,15 @@
-"""Round-7 new-operator laws: Wald-Wolfowitz runs test and McNemar's
-paired test — closed-form values on engineered series, plus the REAL
-oracle compare on the same fixture (the driver's gate in miniature)."""
+"""Round-7 session-2 operator laws: every operator added in this
+session gets a CLOSED-FORM fixture (hand-derivable exact values) plus
+the REAL oracle compare on the same fixture — the driver's gate in
+miniature.  Covers: runs test, McNemar, Spearman, ANOVA,
+Brown-Forsythe, matrix-profile discord, burstiness-memory, padding
+efficiency, LOF, PACF, Cramér's V, Pettitt, k-means Lloyd step,
+Granger, ICSS, Cook's distance, Ansari-Bradley, Little's law,
+capture-recapture, IPF raking, DAU/WAU, TwoNN, max drawdown, peak
+prominence, trapezoid integral, Aalen-Johansen, Wilcoxon signed-rank,
+circular hour stats, Deming/TLS, assortativity, Cochran's Q, RDD,
+term burstiness, MCF, Moran's I, Jonckheere-Terpstra, partial
+correlation, and kNN hubness."""
 
 from __future__ import annotations
 
