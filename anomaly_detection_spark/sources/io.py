@@ -47,7 +47,7 @@ def read_source(
     schema: StructType | str | None = None,
     **options: str,
 ) -> DataFrame:
-    """Batch-read ``path`` in ``fmt`` (parquet/csv/json/orc/text).
+    """Batch-read ``path`` in ``fmt`` (parquet/csv/json/orc/text/xml).
 
     Text formats require ``schema`` (explicit schema-on-read); parquet
     and orc carry their own.
