@@ -2,17 +2,34 @@
 
 A global ``Window.orderBy(...)`` (no partitionBy) funnels the whole table
 through ONE task: correct at small scale, a hard wall at 100 TB.  This
-module computes the same rank-family columns with a two-pass scheme:
+module computes the same rank-family columns with a two-pass scheme
+expressed as ONE Spark plan:
 
 1. ``repartitionByRange`` on the sort keys — every partition holds a
    contiguous, disjoint key range, and all rows sharing a key value land
    in the SAME partition (RangePartitioner assigns by key value), so
    rank/dense_rank tie groups never straddle partitions.
-2. Per-partition local ranks via an ordinary partitioned window, plus a
-   tiny per-partition stats table (row count, distinct-key count) that is
-   cumulated on the driver (P rows, P = shuffle parallelism) and mapped
-   back as a broadcast literal — each local rank is then shifted by its
-   partition's global offset.
+2. A tiny per-partition stats branch (row count, distinct-key count —
+   P rows, P = shuffle parallelism) is cumulated into global offsets by
+   a window over the stats rows and broadcast-joined back on the
+   partition id; each local rank is then shifted by its partition's
+   offset.
+
+Both the stats branch and the output branch hang off the SAME
+``repartitionByRange`` subtree inside a single physical plan, so
+Catalyst's exchange-reuse rule executes the range shuffle ONCE and both
+branches observe identical partition boundaries.  This is load-bearing,
+not an optimization: ``RangePartitioner`` picks boundaries by
+RESERVOIR-SAMPLING its input, so two separately-compiled executions of
+the "same" repartitionByRange can disagree once a partition holds more
+rows than the sample size (~100 per output partition).  The pre-r8
+implementation collected the stats in a separate driver action against
+a cached copy; releasing that cache before the output action made the
+output job re-sample new boundaries and silently mis-shift every rank
+(caught by the round-8 mass reverify at sf0.01: ``ntile(8)`` emitted 9
+buckets).  The single-plan form has no cache to leak and no
+driver-side action at all; a plan-shape test asserts the
+``ReusedExchange`` node.
 
 percent_rank / cume_dist / ntile derive from the global row number and
 the global total, matching ANSI semantics:
@@ -41,25 +58,15 @@ def rank_family(
     order_cols: list[str],
     ntile_n: int = 4,
     num_partitions: int | None = None,
-    unpersist_after_offsets: bool = False,
 ) -> DataFrame:
     """Append ``global_rn, rnk, drnk, pct_rank, cume, tile`` computed
     over the global ordering ``order_cols`` — no SinglePartition
-    exchange anywhere in the plan.
+    exchange, no cache, no driver-side action anywhere in the plan.
 
     ``pct_rank``/``cume`` are exact doubles (round in the caller if a
-    fixed grid is wanted); ``tile`` uses ``ntile_n`` buckets.
-
-    ``unpersist_after_offsets=True`` releases the ranged cache as soon
-    as the per-partition offsets are collected, so repeated invocations
-    (bench members, session-long callers) don't accumulate cached
-    datasets in executor storage.  Correctness is unaffected: the
-    offsets job and the output job share the SAME ``ranged`` DataFrame
-    object, so the output re-reads the already-materialized shuffle
-    files of the range exchange (identical partition ids) rather than
-    resampling.  Default ``False`` keeps the executed plan of existing
-    callers byte-identical; flipping the default is a planned
-    mass-reverify change.
+    fixed grid is wanted); ``tile`` uses ``ntile_n`` buckets.  The
+    rank columns are ``long`` (a global rank outgrows int32 well
+    below the 100 TB design point).
     """
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
@@ -68,82 +75,89 @@ def rank_family(
     ranged = (
         df.repartitionByRange(p, *sort_exprs)
         .withColumn("_part", F.spark_partition_id())
-        .persist()
     )
-    stats = sorted(
-        ranged.groupBy("_part")
+
+    # Per-partition stats -> global offsets, entirely inside the plan.
+    # Cumulation is a P x P broadcast cross of the P-row stats table
+    # (P = shuffle parallelism, so at most a few thousand rows on any
+    # cluster) rather than a global window — the whole plan stays free
+    # of SinglePartition exchanges, which lets plan-shape tests assert
+    # their absence as a blanket scale discipline.
+    stats = ranged.groupBy("_part").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.count_distinct(*sort_exprs).alias("_dcnt"),
+    )
+    peers = stats.select(
+        F.col("_part").alias("_p2"),
+        F.col("_cnt").alias("_c2"),
+        F.col("_dcnt").alias("_d2"),
+    )
+    offsets = (
+        stats.crossJoin(F.broadcast(peers))
+        .groupBy("_part")
         .agg(
-            F.count(F.lit(1)).alias("_cnt"),
-            F.count_distinct(*sort_exprs).alias("_dcnt"),
+            F.sum(
+                F.when(F.col("_p2") < F.col("_part"), F.col("_c2"))
+                .otherwise(0)
+            ).cast("long").alias("_roff"),
+            F.sum(
+                F.when(F.col("_p2") < F.col("_part"), F.col("_d2"))
+                .otherwise(0)
+            ).cast("long").alias("_doff"),
+            F.sum("_c2").cast("long").alias("_n"),
         )
-        .collect(),
-        key=lambda r: r["_part"],
-    )
-    n_total = sum(r["_cnt"] for r in stats)
-    if n_total == 0:
-        empty = ranged.drop("_part")
-        ranged.unpersist()
-        return (
-            empty.withColumn("global_rn", F.lit(None).cast("long"))
-            .withColumn("rnk", F.lit(None).cast("long"))
-            .withColumn("drnk", F.lit(None).cast("long"))
-            .withColumn("pct_rank", F.lit(None).cast("double"))
-            .withColumn("cume", F.lit(None).cast("double"))
-            .withColumn("tile", F.lit(None).cast("int"))
-        )
-
-    if unpersist_after_offsets:
-        # Offsets are in hand; the output pass below re-reads the range
-        # exchange's shuffle files (same DataFrame object -> same RDD ->
-        # same partitioning), so the cache is no longer needed.
-        ranged.unpersist()
-
-    # driver-side cumulative offsets -> tiny literal maps (P entries)
-    row_off, dense_off, row_acc, dense_acc = {}, {}, 0, 0
-    for r in stats:
-        row_off[r["_part"]] = row_acc
-        dense_off[r["_part"]] = dense_acc
-        row_acc += r["_cnt"]
-        dense_acc += r["_dcnt"]
-    row_map = F.create_map(
-        *[F.lit(x) for pid in row_off for x in (pid, row_off[pid])]
-    )
-    dense_map = F.create_map(
-        *[F.lit(x) for pid in dense_off for x in (pid, dense_off[pid])]
     )
 
     wloc = Window.partitionBy("_part").orderBy(*sort_exprs)
     wtie = Window.partitionBy("_part", *order_cols)
     out = (
-        ranged.withColumn("_roff", row_map[F.col("_part")])
-        .withColumn("_doff", dense_map[F.col("_part")])
-        .withColumn("global_rn", F.row_number().over(wloc) + F.col("_roff"))
-        .withColumn("rnk", F.rank().over(wloc) + F.col("_roff"))
-        .withColumn("drnk", F.dense_rank().over(wloc) + F.col("_doff"))
+        ranged.join(F.broadcast(offsets), "_part")
+        .withColumn(
+            "global_rn",
+            (F.row_number().over(wloc) + F.col("_roff")).cast("long"),
+        )
+        .withColumn(
+            "rnk", (F.rank().over(wloc) + F.col("_roff")).cast("long")
+        )
+        .withColumn(
+            "drnk",
+            (F.dense_rank().over(wloc) + F.col("_doff")).cast("long"),
+        )
     )
     out = out.withColumn("_cume_num", F.max("global_rn").over(wtie))
 
-    n = F.lit(n_total).cast("double")
+    n_dbl = F.col("_n").cast("double")
     pct = F.when(
-        F.lit(n_total) > 1,
-        (F.col("rnk") - 1).cast("double") / (n - 1),
+        F.col("_n") > 1,
+        (F.col("rnk") - 1).cast("double") / (n_dbl - 1),
     ).otherwise(F.lit(0.0))
-    cume = F.col("_cume_num").cast("double") / n
+    cume = F.col("_cume_num").cast("double") / n_dbl
 
-    q, r = divmod(n_total, ntile_n)
+    # ntile from the in-plan total: q = n div k, r = n % k; the first
+    # r tiles take q+1 rows.  Integer `div`, not double division —
+    # double floor goes wrong past 2^53.
+    out = (
+        out.withColumn("_q", F.expr(f"_n div {int(ntile_n)}"))
+        .withColumn("_r", F.expr(f"_n % {int(ntile_n)}"))
+        .withColumn("_big", (F.col("_q") + 1) * F.col("_r"))
+    )
     rn = F.col("global_rn")
-    if q == 0:
-        tile = rn.cast("int")  # fewer rows than tiles: tile == row number
-    else:
-        big_rows = (q + 1) * r  # rows covered by the (n % k) larger tiles
-        tile = (
-            F.when(rn <= big_rows, ((rn - 1) / (q + 1)).cast("int") + 1)
-            .otherwise(F.lit(r) + ((rn - 1 - big_rows) / q).cast("int") + 1)
+    tile = (
+        # fewer rows than tiles: tile == row number
+        F.when(F.col("_q") == 0, rn)
+        .when(
+            rn <= F.col("_big"),
+            F.expr("(global_rn - 1) div (_q + 1)") + 1,
         )
+        .otherwise(
+            F.col("_r") + F.expr("(global_rn - 1 - _big) div _q") + 1
+        )
+    )
 
     return (
         out.withColumn("pct_rank", pct)
         .withColumn("cume", cume)
         .withColumn("tile", tile.cast("int"))
-        .drop("_part", "_roff", "_doff", "_cume_num")
+        .drop("_part", "_roff", "_doff", "_n", "_cume_num", "_q", "_r",
+              "_big")
     )
