@@ -580,3 +580,128 @@ def test_adversarial_tpch_differentials(spark):
         if problems:
             fails[name] = problems
     assert not fails, fails
+
+
+def _adversarial_cluster_dir(spark):
+    """Degenerate CLUSTER shapes (r7 verdict item 6) under the fixed
+    8-centroid convention (centroids = vec_id < 8): the vector fixture
+    above stresses ingest; this one stresses the cell-scoped operators'
+    group boundaries.
+
+    - cell 0 is a giant cell containing a FOUR-way exact-duplicate /
+      scaled-copy group (pairwise cosine distance exactly 0, so LOF's
+      k-distance is 0, every reachability sum is 0 and the lrd NULL
+      branch fires), two mirror-jitter pairs at two radii (EXACT ties
+      in the 3NN distance, broken only by vec_id), and an antipodal
+      vector equidistant (d = 1e6) from everything in the cell;
+    - cell 1 holds exactly k+1 = 4 members (every point's 3NN is all
+      of the others; the kNN graph is complete);
+    - cell 3 holds exactly 3 members — INSIDE TwoNN's >= 3 gate but
+      OUTSIDE LOF/hubness's > 3 gate, so the two gates must disagree
+      on exactly this cell;
+    - cell 2 holds 2 members and cells 4-5 are singletons (below every
+      gate); cell 7 is EMPTY because centroid 7 duplicates centroid 6
+      (ties on assignment collapse into cell 6), which also drives
+      silhouette's greatest(a, b) = 0 branch for dim-6-axis vectors;
+    - a zero vector that ingest must drop.
+
+    Jitters are +-0.1/+-0.2 so every cosine sits far from the 1e-6
+    rounding grid's half-boundaries (mirror SYMMETRY, not proximity,
+    produces the ties — both engines see bit-identical float32 inputs
+    and exactly tied distances).
+    """
+    dim = 64
+
+    def onehot(i, scale=1.0):
+        v = [0.0] * dim
+        v[i] = scale
+        return v
+
+    def jitter(axis, jaxis, j):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        v[jaxis] = j
+        return v
+
+    rows = []
+
+    def add(vid, vec, label):
+        rows.append((vid, [float(x) for x in vec], label))
+
+    for i in range(7):
+        add(i, onehot(i), i % 3)
+    add(7, onehot(6), 1)               # duplicate centroid: cell 7 empty
+    # cell 0: giant cell
+    add(10, onehot(0), 0)              # exact copy of centroid 0
+    add(11, onehot(0), 1)              # second exact copy
+    add(12, onehot(0, 2.0), 2)         # scaled copy: cosine exactly 1
+    add(13, jitter(0, 1, 0.1), 0)      # mirror pair: d(13,0)==d(14,0)
+    add(14, jitter(0, 1, -0.1), 1)
+    add(15, jitter(0, 1, 0.2), 2)      # axis-symmetric pair at radius 2:
+    add(16, jitter(0, 2, 0.2), 0)      #   d(15,0)==d(16,0)
+    add(50, onehot(7, -1.0), 0)        # antipodal: cos 0 to all centroids
+    # cell 1: exactly k+1 = 4 members
+    add(20, jitter(1, 0, 0.1), 1)
+    add(21, jitter(1, 0, -0.1), 2)
+    add(22, jitter(1, 2, 0.1), 0)
+    # cell 2: 2 members (below every gate)
+    add(30, jitter(2, 3, 0.1), 1)
+    # cell 3: exactly 3 members (TwoNN keeps, LOF/hubness drop)
+    add(40, jitter(3, 4, 0.1), 2)
+    add(41, jitter(3, 4, -0.1), 0)
+    # cell 6: scaled copy of the duplicated centroid (a = b = 0)
+    add(60, onehot(6, 3.0), 2)
+    add(99, [0.0] * dim, 0)            # zero vector: dropped at ingest
+
+    d = tempfile.mkdtemp()
+    t = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    pq.write_table(
+        pa.Table.from_pandas(t.toPandas()),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    return d
+
+
+def test_adversarial_cluster_differentials(spark):
+    d = _adversarial_cluster_dir(spark)
+    fails = {}
+    for name in ADVERSARIAL_EMBEDDING_QUERIES:
+        try:
+            problems = compare(
+                reg.QUERIES[name](spark, d), reg.ORACLES[name], d
+            )
+        except Exception as exc:  # crash = red
+            problems = [repr(exc)[:200]]
+        if problems:
+            fails[name] = problems
+    assert not fails, fails
+
+
+def test_adversarial_cluster_fixture_hits_the_branches(spark):
+    """Guard against a vacuous pass: the fixture must actually drive
+    the degenerate branches it was built for."""
+    d = _adversarial_cluster_dir(spark)
+    lof = {r["vec_id"]: r for r in
+           reg.QUERIES["lof_embeddings"](spark, d).collect()}
+    # the zero-distance quadruple fires the lrd NULL branch
+    assert {0, 10, 11, 12} <= set(lof), "quad missing from LOF cells"
+    assert all(lof[v]["lof_ppm"] is None for v in (0, 10, 11, 12))
+    # cell 3 (3 members) is outside LOF's > 3 gate...
+    assert not any(r["cluster_id"] == 3 for r in lof.values())
+    # ...but inside TwoNN's >= 3 gate
+    twonn = {r["cluster_id"] for r in
+             reg.QUERIES["twonn_intrinsic_dim"](spark, d).collect()}
+    assert 3 in twonn
+    # cell 1 is exactly k+1: every member's kNN graph is complete
+    cell1 = [r for r in lof.values() if r["cluster_id"] == 1]
+    assert len(cell1) == 4
+    assert all(r["n_neighbors"] == 3 for r in cell1)
+    # duplicate centroid: cell 7 empty, dim-6 axis silhouette == 0
+    sil = {r["vec_id"]: r for r in
+           reg.QUERIES["silhouette_embeddings"](spark, d).collect()}
+    assert not any(r["cluster_id"] == 7 for r in sil.values())
+    assert sil[60]["silhouette_fp"] == 0 and sil[60]["cluster_id"] == 6
+    # zero vector dropped at ingest
+    assert 99 not in sil
