@@ -915,3 +915,80 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def twonn_intrinsic_dim(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-scoped TwoNN intrinsic-dimension estimate (Facco et al.,
+    Scientific Reports 2017): per cell, id = n / Σ ln(r2/r1) over each
+    point's two nearest POSITIVE cosine distances — the
+    manifold-dimension diagnostic for an embedding column.
+
+    Same cell-scoping contract as :func:`local_outlier_factor`: the
+    per-point 2NN search is confined to the nearest-centroid cell, so
+    the quadratic is per-cell and the production scaling law is the
+    IVF doctrine (centroid count grows with the corpus, cells stay
+    bounded — `scripts/scale_probe_r8.py` measures the compliant
+    regime).  Distances are exact integers on the 1e-6 cosine grid;
+    ln-ratios land on a 1e-6 grid before the one shared division.
+    Cells need >= 3 members; zero distances (exact duplicates) are
+    excluded from the two-NN radii, and a cell whose ln-ratio sum is
+    0 (all tied radii) yields NULL.
+    """
+    emb = vectors
+    assigned = assign_nearest_centroid(
+        emb, centroids, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "cluster_id").join(emb, id_col)
+    a = assigned.select(
+        "cluster_id", F.col(id_col).alias("p"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_n"),
+    )
+    big = (
+        a.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_sz"))
+        .where(F.col("_sz") >= 3).select("cluster_id")
+    )
+    a = a.join(F.broadcast(big), "cluster_id")
+    b = a.select(
+        F.col("cluster_id"), F.col("p").alias("o"),
+        F.col("_v").alias("_w"), F.col("_n").alias("_m"),
+    )
+    d6 = (
+        F.lit(1_000_000)
+        - F.round(
+            F.round(_dot(F.col("_v"), F.col("_w"))
+                    / (F.col("_n") * F.col("_m")), 6) * 1_000_000, 0
+        ).cast("long")
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .where(F.col("p") != F.col("o"))
+        .select("cluster_id", "p", d6.alias("d"))
+        .where(F.col("d") > 0)
+    )
+    rr = pairs.groupBy("cluster_id", "p").agg(
+        F.expr("slice(sort_array(collect_list(d)), 1, 2)").alias("ds")
+    ).where(F.size("ds") >= 2)
+    mu = rr.select(
+        "cluster_id",
+        F.expr(
+            "CAST(round(round(ln(CAST(element_at(ds, 2) AS DOUBLE)"
+            " / element_at(ds, 1)), 6) * 1000000, 0) AS BIGINT)"
+        ).alias("lnmu_fp"),
+    )
+    return mu.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.expr(
+            "CASE WHEN sum(lnmu_fp) > 0"
+            " THEN CAST((count(*) * 1000000 * 1000000) div sum(lnmu_fp)"
+            "      AS BIGINT)"
+            " ELSE NULL END"
+        ).alias("id_ppm"),
+    ).select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "n_used", "id_ppm",
+    )
