@@ -705,3 +705,35 @@ def test_adversarial_cluster_fixture_hits_the_branches(spark):
     assert sil[60]["silhouette_fp"] == 0 and sil[60]["cluster_id"] == 6
     # zero vector dropped at ingest
     assert 99 not in sil
+
+
+ADVERSARIAL_STREAMING_QUERIES = [
+    # the eight replay lanes, on degenerate event data they have never
+    # seen (the driver exercises them at sf0.01 only): constant-value
+    # and two-value users, a 5-event minimum series, signup/purchase
+    # conversion paths, ties on every value — watermark, session-gap,
+    # state-store and interval-join edges at tiny cardinalities
+    "streaming_minute_rollup_events",
+    "streaming_run_length_events",
+    "streaming_session_windows_events",
+    "streaming_interval_join_events",
+    "streaming_left_interval_join_events",
+    "streaming_session_histogram_events",
+    "streaming_cdc_state_events",
+    "streaming_dedup_state_events",
+]
+
+
+def test_adversarial_streaming_differentials(spark):
+    d = _adversarial_events_dir(spark)
+    fails = {}
+    for name in ADVERSARIAL_STREAMING_QUERIES:
+        try:
+            problems = compare(
+                reg.QUERIES[name](spark, d), reg.ORACLES[name], d
+            )
+        except Exception as exc:  # crash = red
+            problems = [repr(exc)[:200]]
+        if problems:
+            fails[name] = problems
+    assert not fails, fails
