@@ -227,6 +227,8 @@ ADVERSARIAL_DOCUMENT_QUERIES = [
     "ipf_raking_lang_source",
     "assortativity_dup_graph",
     "term_burstiness_corpus",
+    # -- round-8 additions --
+    "fellegi_sunter_weights",
 ]
 
 
@@ -344,6 +346,8 @@ ADVERSARIAL_EMBEDDING_QUERIES = [
     "twonn_intrinsic_dim",
     "morans_i_embedding_grid",
     "knn_hubness_embeddings",
+    # -- round-8 additions --
+    "adjusted_rand_embeddings",
     # ann_recall_eval is EXCLUDED: its recall_8t3p >= 0.3 floor is a
     # data-dependent contract calibrated to the sf corpus (its own
     # docstring says so), not a theorem — on 15 near-random vectors the

@@ -158,3 +158,102 @@ def test_driver_window_fronts_never_green_queries():
         assert not vouched or last_stale < min(vouched), (
             "stale-reverify query sorts behind a fully-vouched one"
         )
+
+
+def _write_parquet(spark, d, name, rows, schema):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = spark.createDataFrame(rows, schema)
+    pq.write_table(
+        pa.Table.from_pandas(t.toPandas()),
+        os.path.join(d, f"{name}.parquet"),
+    )
+
+
+def test_adjusted_rand_laws(spark, tmp_path):
+    """ARI = exactly 1 when the labeling IS the clustering, exactly 0
+    (chance level) against a constant labeling."""
+    dim = 16
+    rows = []
+    for i in range(8):
+        for s, vid in ((1.0, i), (2.0, 100 + i), (3.0, 200 + i),
+                       (4.0, 300 + i)):
+            v = [0.0] * dim
+            v[i] = s
+            rows.append((vid, [float(x) for x in v], i))
+    d = str(tmp_path / "perfect")
+    (tmp_path / "perfect").mkdir()
+    _write_parquet(spark, d, "embeddings",
+                   rows, "vec_id long, embedding array<float>, label int")
+    out = reg.QUERIES["adjusted_rand_embeddings"](spark, d).collect()[0]
+    assert out["ari_ppm"] == 1_000_000 and out["n"] == 32
+    # same vectors, constant labels -> chance level exactly
+    rows0 = [(vid, v, 0) for vid, v, _ in rows]
+    d0 = str(tmp_path / "const")
+    (tmp_path / "const").mkdir()
+    _write_parquet(spark, d0, "embeddings",
+                   rows0, "vec_id long, embedding array<float>, label int")
+    out0 = reg.QUERIES["adjusted_rand_embeddings"](spark, d0).collect()[0]
+    assert out0["ari_ppm"] == 0
+    # both laws hold under the driver's exact compare too
+    for dd in (d, d0):
+        assert not compare(
+            reg.QUERIES["adjusted_rand_embeddings"](spark, dd),
+            reg.ORACLES["adjusted_rand_embeddings"], dd,
+        )
+
+
+def test_fellegi_sunter_closed_form(spark, tmp_path):
+    """Planted sample with known agreement counts: doc 0 contributes
+    the exact-copy match pair (agrees everywhere), doc 10 the near-copy
+    pair (prefix and length-bucket agree, token count and last word
+    cannot); the six consecutive non-match pairs disagree on every
+    field.  Add-one-smoothed m/u are exact integer rationals."""
+    import math
+
+    # consecutive pairs must disagree on ALL four fields — token
+    # counts all distinct, first characters distinct, length buckets
+    # (len div 50) alternate, last words distinct
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta"),   # 6 tok, 35ch b0
+        (1, "bravo " + "c" * 54),                     # 2 tok, 60ch b1
+        (2, "x " * 50 + "end"),                       # 51 tok, 103ch b2
+        (3, "delta"),                                 # 1 tok, 5ch b0
+        (4, "echo foxtrot golf hotel india juliet kilo lima " * 3
+            + "omega"),                               # 25 tok, 146ch b2
+        (5, "zulu yankee xray whiskey"),              # 4 tok, 24ch b0
+        (10, "first second third fourth"),            # 4 tok, 25ch b0
+        (11, "k " * 40 + "terminal"),                 # 41 tok, 88ch b1
+    ]
+    d = str(tmp_path)
+    _write_parquet(spark, d, "documents", docs,
+                   "doc_id long, text string")
+    out = {r["field"]: r for r in
+           reg.QUERIES["fellegi_sunter_weights"](spark, d).collect()}
+    nm, nu = 2, 6
+    assert all(r["n_match"] == nm and r["n_nonmatch"] == nu
+               for r in out.values())
+    # agreement counts: exact-copy pair agrees on all 4; near-copy pair
+    # agrees on prefix + length bucket only (both texts stay in bucket 0)
+    expected_am = {"ntok": 1, "pfx": 2, "lenb": 2, "lastw": 1}
+    for f, am in expected_am.items():
+        r = out[f]
+        assert r["m_ppm"] == (am + 1) * 1_000_000 // (nm + 2), f
+        assert r["u_ppm"] == 1_000_000 // (nu + 2), f
+        wa = math.floor(
+            math.log2((am + 1) * (nu + 2) / ((nm + 2) * 1)) * 1e6 + 0.5
+        )
+        wd = math.floor(
+            math.log2((nm + 1 - am) * (nu + 2) / ((nm + 2) * (nu + 1)))
+            * 1e6 + 0.5
+        )
+        assert abs(r["w_agree_fp"] - wa) <= 1, f
+        assert abs(r["w_disagree_fp"] - wd) <= 1, f
+    # and the driver's exact compare holds on the fixture
+    assert not compare(
+        reg.QUERIES["fellegi_sunter_weights"](spark, d),
+        reg.ORACLES["fellegi_sunter_weights"], d,
+    )
