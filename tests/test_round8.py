@@ -257,3 +257,44 @@ def test_fellegi_sunter_closed_form(spark, tmp_path):
         reg.QUERIES["fellegi_sunter_weights"](spark, d),
         reg.ORACLES["fellegi_sunter_weights"], d,
     )
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    keys=st.lists(st.integers(min_value=-3, max_value=3),
+                  min_size=0, max_size=120),
+    p=st.integers(min_value=1, max_value=7),
+    ntile_n=st.integers(min_value=1, max_value=5),
+)
+def test_rank_family_fuzz_matches_global_window(spark, keys, p, ntile_n):
+    """Arbitrary duplicate-heavy key lists, partition counts and tile
+    counts: the whole rank family must equal Spark's own global window
+    (which is trivially correct at this size)."""
+    df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "id long, k long"
+    )
+    got = {
+        r["id"]: (r["global_rn"], r["rnk"], r["drnk"], r["tile"],
+                  round(r["pct_rank"], 9), round(r["cume"], 9))
+        for r in rank_family(df, ["k", "id"], ntile_n=ntile_n,
+                             num_partitions=p).collect()
+    }
+    want = {
+        r["id"]: (r["global_rn"], r["rnk"], r["drnk"], r["tile"],
+                  round(r["pct_rank"], 9), round(r["cume"], 9))
+        for r in df.selectExpr(
+            "id",
+            "row_number() over (order by k, id) as global_rn",
+            "rank() over (order by k, id) as rnk",
+            "dense_rank() over (order by k, id) as drnk",
+            f"ntile({ntile_n}) over (order by k, id) as tile",
+            "percent_rank() over (order by k, id) as pct_rank",
+            "cume_dist() over (order by k, id) as cume",
+        ).collect()
+    }
+    assert got == want
