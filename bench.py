@@ -192,6 +192,11 @@ BENCH_QUERIES = [
     # dominates — the r03 one-member-dominates lesson); its scaling
     # story lives in scale_probe_r7b instead.
     "pettitt_changepoint_users",
+    # r8 registrations (adjusted_rand_embeddings, fellegi_sunter_
+    # weights) stay OUT: both are flat dictionary-aggregation shapes
+    # already represented (cramers_v / mcnemar contingency trees), and
+    # the r6 hygiene rule caps the member count before the idle total
+    # crosses ~150 s — their scaling rows live in README instead.
     # mmr_select_embeddings stays OUT of the bench set: 8 sequential
     # argmax jobs are honest greedy-selection cost but pure job-launch
     # overhead at local bench scale (14 s of a 93 s total in the r04
