@@ -588,17 +588,31 @@ def local_outlier_factor(
         a.join(b, "cluster_id")
         .where(F.col("p") != F.col("o"))
         .select("cluster_id", "p", "o", d6.alias("d"))
+        # localCheckpoint: kd, nbrs, lrd and the final aggregate each
+        # reference this table, and without materialization every
+        # reference RE-EXPANDS the whole assignment-cross + distance
+        # lineage (measured r8: 81 exchanges / 101 joins, ~19 s on
+        # 2000 vectors at sf0.1; ~5x faster checkpointed).  The table
+        # is the operator's documented bounded Sigma|cell|^2 memory
+        # contract, so materializing it is the intended cost.  Same
+        # precedent as dedup_detector_eval's LSH checkpoint.
+        .localCheckpoint()
     )
     wp = Window.partitionBy("p").orderBy("d", "o")
     kd = (
         pairs.withColumn("_rn", F.row_number().over(wp))
         .groupBy("p")
         .agg(F.max(F.when(F.col("_rn") == k, F.col("d"))).alias("kdist"))
+        # one row per point, referenced twice (nbrs and the reach
+        # lookup) — checkpointing stops the pair-window re-running
+        .localCheckpoint()
     )
     nbrs = (
         pairs.join(kd, "p")
         .where(F.col("d") <= F.col("kdist"))
         .select("cluster_id", "p", "o", "d")
+        # deliberately NOT checkpointed: measured r8, the extra eager
+        # action costs as much as the duplicate pairs-join it saves
     )
     ko = kd.select(F.col("p").alias("o"), F.col("kdist").alias("kdist_o"))
     lrd = (
@@ -617,6 +631,9 @@ def local_outlier_factor(
                 " ELSE NULL END"
             ).alias("lrd_fp"),
         )
+        # one row per point, referenced twice (neighbor lookup and the
+        # final LOF ratio)
+        .localCheckpoint()
     )
     lo = lrd.select(F.col("p").alias("o"), F.col("lrd_fp").alias("lrd_o"))
     agg = (
@@ -970,6 +987,9 @@ def twonn_intrinsic_dim(
         .select("cluster_id", "p", d6.alias("d"))
         .where(F.col("d") > 0)
     )
+    # per-point collect_list + sort_array, NOT a row_number window:
+    # measured r8, the window's shuffle-and-sort over the full pair
+    # table costs ~2x the map-side array aggregation at sf0.1
     rr = pairs.groupBy("cluster_id", "p").agg(
         F.expr("slice(sort_array(collect_list(d)), 1, 2)").alias("ds")
     ).where(F.size("ds") >= 2)
