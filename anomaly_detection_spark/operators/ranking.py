@@ -11,8 +11,11 @@ expressed as ONE Spark plan:
    rank/dense_rank tie groups never straddle partitions.
 2. A tiny per-partition stats branch (row count, distinct-key count —
    P rows, P = shuffle parallelism) is cumulated into global offsets by
-   a window over the stats rows and broadcast-joined back on the
-   partition id; each local rank is then shifted by its partition's
+   a P x P broadcast CROSS of the stats table against itself (sum of
+   counts over partitions with a smaller id — deliberately not a window
+   over the stats rows, which would introduce the very SinglePartition
+   exchange this module exists to avoid), then broadcast-joined back on
+   the partition id; each local rank is shifted by its partition's
    offset.
 
 Both the stats branch and the output branch hang off the SAME
@@ -38,8 +41,17 @@ the global total, matching ANSI semantics:
 - ``cume_dist   = max(row_number) within the tie group / n``
 - ``ntile(k)``: first ``n % k`` tiles get ``n // k + 1`` rows.
 
-Caveat: order-key columns must be non-null (NULL ordering would need an
-explicit convention); callers should ``coalesce`` first if needed.
+Hard config requirement: correctness depends on Catalyst executing the
+range exchange ONCE for both branches — ``spark.sql.exchange.reuse``
+(default true; AQE's stage reuse is gated by the same flag) must not be
+disabled, or each branch re-samples its own boundaries and every rank
+silently mis-shifts.  ``rank_family`` checks the conf at call time and
+raises rather than return corrupt ranks on a non-default cluster.
+
+NULL order keys: there is no silent convention — the plan embeds an
+``assert_true`` on every order column, so a NULL key fails the job
+loudly at shuffle-write time instead of mis-ranking.  Callers with
+nullable keys must ``coalesce`` to an explicit sentinel first.
 
 Reference parity: reproduces the rank-family semantics of window clauses
 like ``anomaly_proj_query.sql``'s ``ROW_NUMBER() OVER (ORDER BY ...)``
@@ -69,8 +81,39 @@ def rank_family(
     below the 100 TB design point).
     """
     spark = df.sparkSession
+    # Fail fast on the one config this plan's soundness rests on: with
+    # exchange reuse disabled, the stats branch and the output branch
+    # each compile their own range shuffle with independently
+    # reservoir-sampled boundaries — the exact silent-corruption class
+    # the single-plan rewrite eliminated.  (AQE's shuffle-stage reuse
+    # is gated by the same flag, so one check covers both planners.)
+    if spark.conf.get("spark.sql.exchange.reuse", "true").lower() != "true":
+        raise RuntimeError(
+            "rank_family requires spark.sql.exchange.reuse=true: its "
+            "stats and output branches must observe ONE execution of "
+            "the range exchange, or rank offsets are computed against "
+            "different partition boundaries and every rank mis-shifts."
+        )
     p = num_partitions or spark.sparkContext.defaultParallelism
-    sort_exprs = [F.col(c) for c in order_cols]
+    # NULL order keys have no defined placement here — rather than a
+    # silent convention, embed an in-plan assertion that fails the job
+    # at shuffle-write time (first evaluation of the sort key).  The
+    # when(assert_true(..).isNull(), col) wrapper preserves the key's
+    # value and type for non-null rows at the cost of one predicate per
+    # key per row, evaluated once thanks to exchange reuse.
+    sort_exprs = [
+        F.when(
+            F.assert_true(
+                F.col(c).isNotNull(),
+                F.lit(
+                    f"rank_family: NULL order key in column '{c}' — "
+                    "coalesce to a sentinel before ranking"
+                ),
+            ).isNull(),
+            F.col(c),
+        )
+        for c in order_cols
+    ]
 
     ranged = (
         df.repartitionByRange(p, *sort_exprs)

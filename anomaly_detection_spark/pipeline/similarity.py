@@ -556,6 +556,18 @@ def local_outlier_factor(
     excluded (LOF undefined); duplicate-saturated neighborhoods
     (sum of reachabilities = 0) yield NULL, and a NULL lrd among a
     point's neighbors nulls its LOF (no silent partial sums).
+
+    Checkpoint retention/recovery trade-off: the three eager
+    ``localCheckpoint()`` calls below (pairs, kd, lrd — the r8 lineage
+    fix, 2.7x) pin their blocks in executor storage until the backing
+    RDDs are garbage-collected JVM-side; there is no unpersist handle
+    on the returned DataFrame, so a session that calls LOF in a loop
+    accumulates storage until the async ContextCleaner catches up.
+    Session-long callers should call :func:`release_local_checkpoints`
+    AFTER fully materializing the result (the blocks ARE the data —
+    lineage is truncated, so they are also non-recoverable on executor
+    loss; a production run that needs fault tolerance should swap
+    ``localCheckpoint`` for ``checkpoint`` against reliable storage).
     """
     assigned = assign_nearest_centroid(
         vectors, centroids, id_col=id_col, vec_col=vec_col,
@@ -660,6 +672,46 @@ def local_outlier_factor(
         )
     )
     return out
+
+
+def persistent_rdd_ids(spark) -> set[int]:
+    """Ids of the RDDs currently pinned in executor storage (cache OR
+    localCheckpoint blocks).  Snapshot before an operator, diff after —
+    the leak-test primitive (set difference, not count equality: the
+    async ContextCleaner can drop UNRELATED earlier RDDs mid-test)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(i) for i in jmap.keySet().toArray()}
+
+
+def release_local_checkpoints(spark, keep_ids: set[int] = frozenset()
+                              ) -> list[int]:
+    """Unpersist every pinned RDD not in ``keep_ids`` — the cleanup
+    path for session-long callers of checkpoint-backed operators
+    (:func:`local_outlier_factor`, k-core, the LSH dedup eval), whose
+    ``localCheckpoint`` blocks otherwise live until a JVM GC lets the
+    ContextCleaner reap them.
+
+    Call ONLY after the results that reference those checkpoints are
+    fully materialized (collected or written): a localCheckpoint has no
+    lineage to recompute from, so unpersisting it makes any dependent
+    DataFrame unusable.  Typical use::
+
+        before = persistent_rdd_ids(spark)
+        result = local_outlier_factor(...).collect()
+        release_local_checkpoints(spark, keep_ids=before)
+
+    Returns the ids released (blocking unpersist, so a follow-up
+    :func:`persistent_rdd_ids` reflects the release immediately).
+    """
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    released: list[int] = []
+    for jid in list(jmap.keySet().toArray()):
+        rid = int(jid)
+        if rid in keep_ids:
+            continue
+        jmap.get(jid).unpersist(True)
+        released.append(rid)
+    return sorted(released)
 
 
 def cluster_balanced_sample(

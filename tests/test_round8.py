@@ -115,15 +115,26 @@ def test_rank_family_matches_global_window_semantics(spark):
         assert g["cume"] == pytest.approx(r["cume"], abs=1e-12)
 
 
+def _persistent_rdd_ids(spark) -> set[int]:
+    """Ids (not count) of currently-persisted RDDs.  Exact-count
+    equality is flaky in a long session: the async ContextCleaner can
+    unpersist EARLIER tests' localCheckpoint RDDs (kcore/LOF/dedup)
+    mid-loop once their references are GC'd, so the count may DROP
+    through no fault of the code under test.  Set difference is immune:
+    only NEW ids appearing across a caller indicate a leak."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(i) for i in jmap.keySet().toArray()}
+
+
 def test_rank_family_callers_leak_no_cache_and_stay_green(spark, sf_dir):
-    jsc = spark.sparkContext._jsc.sc()
     for name in RANK_FAMILY_CALLERS:
-        before = jsc.getPersistentRDDs().size()
+        before = _persistent_rdd_ids(spark)
         problems = compare(reg.QUERIES[name](spark, sf_dir),
                            reg.ORACLES[name], sf_dir)
         assert not problems, (name, problems)
-        assert jsc.getPersistentRDDs().size() == before, (
-            f"{name} left a persistent RDD behind"
+        new_ids = _persistent_rdd_ids(spark) - before
+        assert not new_ids, (
+            f"{name} left persistent RDDs behind: {sorted(new_ids)}"
         )
 
 
