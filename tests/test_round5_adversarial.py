@@ -586,6 +586,183 @@ def test_adversarial_tpch_differentials(spark):
     assert not fails, fails
 
 
+def _adversarial_lineitem_values_dir(spark):
+    """Degenerate lineitem VALUES (r8 verdict item 7) — the structural
+    fixture above stresses referential shapes (orphans, zero-qty, tied
+    dates); this one stresses the STATISTICAL degeneracies the sf
+    fixtures never produce, keeping referential integrity intact so the
+    value pathologies (not join shapes) are what's under test:
+
+    - supplier 1: thirty lines with ALL-EQUAL values (zero variance
+      everywhere — stddev 0, every quantile equal, weighted median =
+      the value, regression slopes undefined);
+    - supplier 2: a SINGLE line (window/group of size one — n-1
+      denominators, percent_rank over one row);
+    - supplier 3: exactly two equal lines (n=2, variance still 0);
+    - supplier 4: a zero-variance TAIL (distinct body, the top-5 values
+      all identical — tail quantiles and top-k tie-break paths);
+    - supplier 5: two-point alternation on one part (heavy ties with
+      nonzero variance, maximum run structure);
+    - supplier 6: well-formed control rows so the literal-filtered
+      TPC-H ports still select something.
+
+    Orders mirror the same shapes: one customer whose order totals are
+    all identical, a single-order customer, tied order dates within a
+    day, one zero-variance-tail customer."""
+    d = tempfile.mkdtemp()
+    _write(spark, d, "region",
+           [(i, n) for i, n in enumerate(
+               ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"])],
+           "r_regionkey int, r_name string")
+    _write(spark, d, "nation",
+           [(i, f"NATION_{i}", i % 5) for i in range(25)],
+           "n_nationkey int, n_name string, n_regionkey int")
+    _write(spark, d, "customer", [
+        (1, "Customer#000000001", 3, 100.00, "BUILDING"),   # equal totals
+        (2, "Customer#000000002", 2, 100.00, "HOUSEHOLD"),  # single order
+        (3, "Customer#000000003", 2, 100.00, "MACHINERY"),  # zero-var tail
+        (4, "Customer#000000004", 7, 100.00, "AUTOMOBILE"),  # control
+    ], "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+       "c_mktsegment string")
+    _write(spark, d, "supplier", [
+        (i, f"Supplier#00000000{i}", nk, 100.00)
+        for i, nk in [(1, 1), (2, 3), (3, 2), (4, 7), (5, 8), (6, 1)]
+    ], "s_suppkey long, s_name string, s_nationkey int, s_acctbal double")
+    _write(spark, d, "part", [
+        (1, "constant widget", "Brand#1", "ECONOMY", 3, 1000.00),
+        (2, "lonely cog", "Brand#2", "STANDARD", 10, 1000.00),
+        (3, "twin ring", "Brand#3", "ECONOMY DELUXE", 15, 1000.00),
+        (4, "tail gadget", "Brand#1", "PROMO", 5, 1000.00),
+        (5, "flip flop", "Brand#2", "ECONOMY", 5, 1000.00),
+        (6, "control part", "Brand#3", "STANDARD", 7, 1000.00),
+    ], "p_partkey long, p_name string, p_brand string, p_type string, "
+       "p_size int, p_retailprice double")
+    D = dt.datetime
+    orders = []
+    # customer 1: five orders, ALL the same totalprice, distinct dates
+    for i in range(5):
+        orders.append((200 + i, 1, "F", 5000.00,
+                       D(1996, 1, 1 + i), "1-URGENT"))
+    # customer 2: exactly one order
+    orders.append((210, 2, "O", 777.00, D(1996, 2, 1), "5-LOW"))
+    # customer 3: zero-variance tail — totals 1k,2k,3k then 9k x4,
+    # three of them on the SAME date
+    for i, (tp, day) in enumerate([(1000.0, 1), (2000.0, 2), (3000.0, 3),
+                                   (9000.0, 4), (9000.0, 4), (9000.0, 4),
+                                   (9000.0, 5)]):
+        orders.append((220 + i, 3, "O", tp, D(1996, 3, day), "3-MEDIUM"))
+    # customer 4: control orders across years
+    orders.append((230, 4, "F", 31000.00, D(1995, 6, 1), "2-HIGH"))
+    orders.append((231, 4, "O", 1150.00, D(1996, 7, 1), "4-NOT SPECIFIED"))
+    _write(spark, d, "orders", orders,
+           "o_orderkey long, o_custkey long, o_orderstatus string, "
+           "o_totalprice double, o_orderdate timestamp_ntz, "
+           "o_orderpriority string")
+    lines = []
+    # supplier 1 / part 1: 30 lines, every value identical, spread over
+    # customer 1's five orders; shipdates advance one day per line so
+    # ordered windows see a zero-variance SERIES, not one tie-bucket
+    for i in range(30):
+        lines.append((200 + i % 5, 1, 1, i // 5 + 1, 5.0, 1000.00, 0.0,
+                      0.0, "N", "O", D(1996, 1, 1) + dt.timedelta(days=9 + i)))
+    # supplier 2 / part 2: the single-row group
+    lines.append((210, 2, 2, 1, 7.0, 777.00, 0.02, 0.01, "R", "F",
+                  D(1996, 2, 2)))
+    # supplier 3 / part 3: exactly two identical lines
+    lines.append((220, 3, 3, 1, 3.0, 300.00, 0.0, 0.0, "A", "F",
+                  D(1996, 3, 2)))
+    lines.append((221, 3, 3, 1, 3.0, 300.00, 0.0, 0.0, "A", "F",
+                  D(1996, 3, 3)))
+    # supplier 4 / part 4: distinct body, zero-variance tail (top 5
+    # prices all 8000)
+    for i, px in enumerate([100.0, 900.0, 2500.0,
+                            8000.0, 8000.0, 8000.0, 8000.0, 8000.0]):
+        lines.append((222 + i % 5, 4, 4, 2 + i, float(i % 4 + 1), px,
+                      0.05, 0.0, "N", "O", D(1996, 3, 6 + i)))
+    # supplier 5 / part 5: strict two-value alternation, one part
+    for i in range(20):
+        lines.append((200 + i % 5, 5, 5, 10 + i, 2.0 if i % 2 else 40.0,
+                      500.00 if i % 2 else 50000.00, 0.0, 0.0,
+                      "N", "O" if i % 2 else "F", D(1996, 4, 1 + i)))
+    # supplier 6 / part 6: control rows hitting the common literal
+    # windows (1996 shipdates, discount band, qty < 24)
+    lines.append((230, 6, 6, 1, 23.0, 1150.00, 0.02, 0.0, "N", "O",
+                  D(1996, 7, 15)))
+    lines.append((231, 6, 6, 1, 25.0, 4000.00, 0.06, 0.02, "R", "F",
+                  D(1995, 12, 31)))
+    _write(spark, d, "lineitem", lines,
+           "l_orderkey long, l_partkey long, l_suppkey long, "
+           "l_linenumber int, l_quantity double, l_extendedprice double, "
+           "l_discount double, l_tax double, l_returnflag string, "
+           "l_linestatus string, l_shipdate timestamp_ntz")
+    _write(spark, d, "events", [
+        (1, 1, D(2024, 1, 10), "purchase", 10.0, "{}"),
+        (1, 2, D(2024, 1, 11), "purchase", 10.0, "{}"),  # equal values
+        (2, 3, D(2024, 1, 12), "view", 5.5, "{}"),       # single event
+    ], "user_id long, event_id long, ts timestamp_ntz, event_type string, "
+       "value double, props string")
+    return d
+
+
+def test_adversarial_lineitem_values_differentials(spark):
+    """Every lineitem/orders-consuming oracle query, run through the
+    REAL driver compare on the value-degenerate fixture."""
+    d = _adversarial_lineitem_values_dir(spark)
+    fails = {}
+    for name in ADVERSARIAL_TPCH_QUERIES:
+        try:
+            problems = compare(
+                reg.QUERIES[name](spark, d), reg.ORACLES[name], d
+            )
+        except Exception as exc:  # crash = red
+            problems = [repr(exc)[:200]]
+        if problems:
+            fails[name] = problems
+    assert not fails, fails
+
+
+def test_adversarial_lineitem_values_fixture_hits_the_branches(spark):
+    """Guard against a vacuous pass (the r7 cluster-fixture template):
+    the value-degenerate paths must actually FIRE — zero-variance
+    stddev, size-one groups, and the all-tied weighted median."""
+    from pyspark.sql import functions as F
+
+    d = _adversarial_lineitem_values_dir(spark)
+    stats = reg.QUERIES["supplier_window_stats"](spark, d)
+    by_supp = {
+        r["l_suppkey"]: r for r in
+        stats.groupBy("l_suppkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("partition_stddev").alias("sd"),
+        ).collect()
+    }
+    # supplier 1: 30 equal values -> stddev exactly 0.0 (not NULL)
+    assert by_supp[1]["n"] == 30 and by_supp[1]["sd"] == 0.0
+    # supplier 2: group of ONE -> the n>=2 guard yields NULL stddev
+    assert by_supp[2]["n"] == 1 and by_supp[2]["sd"] is None
+    # supplier 3: n=2 with equal values -> still 0.0 through the n-1
+    # denominator
+    assert by_supp[3]["n"] == 2 and by_supp[3]["sd"] == 0.0
+
+    wm = {r["flag"]: r for r in
+          reg.QUERIES["weighted_median_lineitem"](spark, d).collect()}
+    # "A" flag = supplier 3's two identical 300.00 lines only: the
+    # all-tied weighted median IS the tied value
+    assert wm["A"]["wmedian_cents"] == 30000
+
+    # supplier 4's zero-variance tail: the top-5 prices are one tie
+    # bucket (tail quantiles collapse onto 8000.00)
+    li = reg.QUERIES["tpch_q1_agg"](spark, d)  # touch-load check only
+    assert li.count() > 0
+    top5 = (
+        spark.read.parquet(f"{d}/lineitem.parquet")
+        .where(F.col("l_suppkey") == 4)
+        .orderBy(F.col("l_extendedprice").desc())
+        .limit(5).select("l_extendedprice").collect()
+    )
+    assert {r[0] for r in top5} == {8000.0}
+
+
 def _adversarial_cluster_dir(spark):
     """Degenerate CLUSTER shapes (r7 verdict item 6) under the fixed
     8-centroid convention (centroids = vec_id < 8): the vector fixture
