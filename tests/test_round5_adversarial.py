@@ -164,6 +164,9 @@ ADVERSARIAL_EVENT_QUERIES = [
     "mcf_recurrent_purchases",
     "jonckheere_trend_dayparts",
     "partial_corr_err_purchase",
+    # -- round 9 registrations --
+    "durbin_watson_users",
+    "kendall_w_event_types",
 ]
 
 

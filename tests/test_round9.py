@@ -92,6 +92,97 @@ def test_lof_checkpoints_have_a_release_path(spark, sf_dir):
     assert persistent_rdd_ids(spark) <= before
 
 
+def _events_dir(spark, rows):
+    """Write a minimal events table (user_id, event_id, ts, event_type,
+    value, props) for closed-form law checks through the REAL compare."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp()
+    base = dt.datetime(2024, 1, 1)
+    full = [
+        (u, i + 1, base + dt.timedelta(hours=i), et, float(v), "{}")
+        for i, (u, et, v) in enumerate(rows)
+    ]
+    t = spark.createDataFrame(
+        full,
+        "user_id long, event_id long, ts timestamp_ntz, "
+        "event_type string, value double, props string",
+    )
+    pq.write_table(pa.Table.from_pandas(t.toPandas()),
+                   os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_durbin_watson_closed_form_laws(spark):
+    """Alternating series -> DW = 4(n-1)/n exactly; linear ramp ->
+    floor(12e6 / (n(n+1))) ppm; constant series -> NULL (zero
+    variance) — all through the registered callable AND the real
+    oracle compare."""
+    from tests.oracle_check import compare
+
+    rows = []
+    # user 1: alternation 1,3 over n=10 -> dw_ppm = 3_600_000
+    for i in range(10):
+        rows.append((1, "view", 1.0 if i % 2 == 0 else 3.0))
+    # user 2: ramp 1..10 -> dw_ppm = floor(12e6/110) = 109_090
+    for i in range(10):
+        rows.append((2, "view", float(i + 1)))
+    # user 3: constant -> NULL
+    for i in range(6):
+        rows.append((3, "view", 7.0))
+    # user 4: single event -> NULL (n < 2)
+    rows.append((4, "view", 5.0))
+    d = _events_dir(spark, rows)
+    got = {r["user_id"]: r for r in
+           reg.QUERIES["durbin_watson_users"](spark, d).collect()}
+    assert got[1]["dw_ppm"] == 3_600_000
+    assert got[2]["dw_ppm"] == 109_090
+    assert got[3]["dw_ppm"] is None and got[3]["dw_den_n"] == 0
+    assert got[4]["dw_ppm"] is None and got[4]["n_events"] == 1
+    assert not compare(reg.QUERIES["durbin_watson_users"](spark, d),
+                       reg.ORACLES["durbin_watson_users"], d)
+
+
+def test_kendall_w_agreement_laws(spark):
+    """Perfect m-rater agreement -> W = 1 exactly; two opposite raters
+    -> W = 0; a single item -> NULL (den 0) — registered callable plus
+    the real oracle compare on each fixture."""
+    from tests.oracle_check import compare
+
+    # three raters (types), four users, identical strict rankings:
+    # user u scores u under every type
+    rows = [(u, et, float(u))
+            for et in ("a", "b", "c") for u in (1, 2, 3, 4)]
+    d = _events_dir(spark, rows)
+    r = reg.QUERIES["kendall_w_event_types"](spark, d).collect()[0]
+    assert (r["m_raters"], r["n_items"]) == (3, 4)
+    assert r["w_ppm"] == 1_000_000 and r["w_num"] == r["w_den"]
+    assert not compare(reg.QUERIES["kendall_w_event_types"](spark, d),
+                       reg.ORACLES["kendall_w_event_types"], d)
+
+    # two raters, exactly opposite rankings -> rank sums all equal,
+    # num = 0, W = 0
+    rows = [(u, "a", float(u)) for u in (1, 2, 3, 4)]
+    rows += [(u, "b", float(5 - u)) for u in (1, 2, 3, 4)]
+    d = _events_dir(spark, rows)
+    r = reg.QUERIES["kendall_w_event_types"](spark, d).collect()[0]
+    assert r["w_num"] == 0 and r["w_ppm"] == 0
+    assert not compare(reg.QUERIES["kendall_w_event_types"](spark, d),
+                       reg.ORACLES["kendall_w_event_types"], d)
+
+    # one item: n = 1 makes the denominator exactly 0 -> NULL
+    d = _events_dir(spark, [(1, "a", 2.0), (1, "b", 3.0)])
+    r = reg.QUERIES["kendall_w_event_types"](spark, d).collect()[0]
+    assert r["n_items"] == 1 and r["w_den"] == 0 and r["w_ppm"] is None
+    assert not compare(reg.QUERIES["kendall_w_event_types"](spark, d),
+                       reg.ORACLES["kendall_w_event_types"], d)
+
+
 def test_driver_window_green_tier_sorts_oldest_rows_first():
     """r9 re-tier: spare window slots go to the stalest vouched-for rows
     (ascending last-green round), so each round's slack raises the whole
