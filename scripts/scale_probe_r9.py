@@ -59,6 +59,20 @@ def main() -> None:
             "rows": n,
         }), flush=True)
         spark.catalog.clearCache()
+    # round-9 registrations, same events replicator (disjoint user key
+    # spaces -> per-user series identical per replica; durbin_watson is
+    # one per-user window, kendall_w ranks the complete type x user
+    # grid so its n_items grows k-fold)
+    for k in (1, 5, 20):
+        d = write_replicated(spark, k)
+        out = {"k_events": k}
+        for name in ("durbin_watson_users", "kendall_w_event_types"):
+            t0 = time.monotonic()
+            n = reg.QUERIES[name](spark, d).count()
+            out[name] = round(time.monotonic() - t0, 2)
+            out[f"{name}_rows"] = n
+            spark.catalog.clearCache()
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
