@@ -155,7 +155,14 @@ def weighted_sample_topk(
     u = (F.conv(F.substring(hexed, 1, 15), 16, 10).cast("double") + 1.0) / float(16 ** 15)
     key = F.round(-F.log(u) / F.col(weight_col).cast("double"), key_round)
     return (
-        df.select(id_col, weight_col, key.alias("sample_key"))
+        # weight <= 0 means zero inclusion probability in E-S (the key
+        # -ln(u)/w is undefined) — exclude explicitly rather than rely
+        # on engine-specific /0 behavior: ANSI Spark THROWS on double
+        # division by zero where DuckDB yields a NULL key that merely
+        # sorts last.  Found by the adversarial documents fixture
+        # (n_chars = 0 empty doc) in round 9.
+        df.where(F.col(weight_col) > 0)
+        .select(id_col, weight_col, key.alias("sample_key"))
         .orderBy("sample_key", id_col)
         .limit(k)
     )

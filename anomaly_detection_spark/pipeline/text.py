@@ -716,10 +716,19 @@ def gopher_quality_rules(
         F.split(F.trim(text_col), r"\s+"), lambda w: F.length(w) > 0
     )
     n_words = F.size(words)
-    mean_wl = F.aggregate(
-        words, F.lit(0).cast("long"),
-        lambda acc, w: acc + F.length(w),
-    ) / n_words
+    # Zero-word documents (empty/whitespace-only text): ANSI Spark
+    # THROWS on the per-word ratios' /0 where DuckDB's double division
+    # yields NULL — guard every ratio to NULL so the keep verdict is
+    # still a clean `false` via the n_words bound (false AND NULL =
+    # false in both engines).  Found by the adversarial documents
+    # fixture in round 9; same class as the r6 punct_ratio guard.
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(
+            words, F.lit(0).cast("long"),
+            lambda acc, w: acc + F.length(w),
+        ) / n_words,
+    )
     n_symbols = (
         F.size(F.filter(words, lambda w: w.contains("#")))
         + F.size(F.filter(words, lambda w: w.contains("...")))
@@ -730,8 +739,10 @@ def gopher_quality_rules(
         F.col(id_col),
         n_words.cast("bigint").alias("n_words"),
         F.round(mean_wl, 4).alias("mean_word_len"),
-        F.round(n_symbols / n_words, 4).alias("symbol_ratio"),
-        F.round(n_alpha / n_words, 4).alias("alpha_word_frac"),
+        F.round(F.when(n_words > 0, n_symbols / n_words), 4)
+        .alias("symbol_ratio"),
+        F.round(F.when(n_words > 0, n_alpha / n_words), 4)
+        .alias("alpha_word_frac"),
         n_stop.cast("bigint").alias("n_stopwords"),
     )
     keep = (

@@ -232,6 +232,82 @@ ADVERSARIAL_DOCUMENT_QUERIES = [
     "term_burstiness_corpus",
     # -- round-8 additions --
     "fellegi_sunter_weights",
+    # -- round-9 widening: EVERY documents-consuming oracle query (the
+    # r8-verdict fixture pattern, applied to the whole table family).
+    # First run caught three real engine splits: gopher_quality's
+    # ANSI /0 on zero-word docs, weighted_sample's ANSI /0 on a
+    # zero-weight doc (DuckDB: NULL key sorting last), and
+    # mixture_sample's oracle redistributing absent weighted domains'
+    # quota units against the impl's documented law --
+    "dedup_exact_docs",
+    "text_stats_docs",
+    "string_functions_docs",
+    "ngram_jaccard_pairs",
+    "minhash_near_dups",
+    "simhash_fingerprints",
+    "lang_id_quality",
+    "quality_scores_docs",
+    "top_words_per_lang",
+    "multimodal_features",
+    "chunk_documents_overlap",
+    "near_dup_components",
+    "pack_documents_contiguous",
+    "stratified_sample_docs",
+    "token_length_histogram",
+    "decontaminate_docs",
+    "hash_split_docs",
+    "repetition_stats_docs",
+    "unigram_logprob_docs",
+    "simhash_portable_docs",
+    "redact_pii_docs",
+    "tfidf_top_terms",
+    "boilerplate_ngrams",
+    "curated_corpus",
+    "corpus_profile_by_source",
+    "quality_classifier_docs",
+    "incremental_dedup_docs",
+    "snapshot_diff_docs",
+    "duplicate_passages",
+    "heavy_hitter_words",
+    "mixture_sample_docs",
+    "editdist_near_dups",
+    "shard_corpus_docs",
+    "frame_sample_media",
+    "quality_topp_docs",
+    "recursive_dup_closure",
+    "char_entropy_docs",
+    "dup_family_keep_best",
+    "term_cooccurrence_lift",
+    "novelty_curve_docs",
+    "textrank_keywords",
+    "containment_rare_gram",
+    "simhash_hamming_pairs",
+    "bpe_tokenize_docs",
+    "dup_graph_triangles",
+    "consistent_hash_shards",
+    "dedup_rate_by_source",
+    "split_balance_audit",
+    "bm25_topk_docs",
+    "dup_span_grams",
+    "gopher_quality_docs",
+    "weighted_sample_docs",
+    "cms_word_frequency",
+    "phrase_match_docs",
+    "normalized_exact_dedup",
+    "pagerank_dup_graph",
+    "sparse_cosine_pairs",
+    "graph_common_neighbors",
+    "skipgram_pairs_docs",
+    "feature_hashing_docs",
+    "clustering_coefficient_docs",
+    "leakage_safe_split",
+    "unicode_clean_docs",
+    "stratified_kfold_docs",
+    "ndcg_dup_retrieval",
+    "kcore_dup_graph",
+    "dedup_detector_eval",
+    "jpeg_roundtrip_media",
+    "gif_roundtrip_media",
 ]
 
 
