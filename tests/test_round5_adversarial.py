@@ -167,6 +167,128 @@ ADVERSARIAL_EVENT_QUERIES = [
     # -- round 9 registrations --
     "durbin_watson_users",
     "kendall_w_event_types",
+    # -- round-9 widening: EVERY events-consuming oracle query (same
+    # pattern as the documents widening below; first run caught three
+    # real ANSI /0 splits: stats_corr_covar's corr AGGREGATE on a
+    # zero-variance group, psi_drift's zero-event period share, and
+    # ab_test_lift's empty-arm / degenerate-pooled-rate z) --
+    "rule_flags_events",
+    "top5_events_per_user",
+    "lag_diff_events",
+    "complete_series",
+    "staleness_per_user",
+    "event_type_profile",
+    "filtered_sorted_events",
+    "key_concat_split",
+    "left_join_max_rownum",
+    "value_percentiles",
+    "union_all_extremes",
+    "null_semantics",
+    "json_props_stats",
+    "dense_rank_reindex",
+    "asof_last_error_before_purchase",
+    "approx_distinct_users",
+    "sessionize_events",
+    "daily_series_stats",
+    "cube_event_stats",
+    "rule_flags_composite_key",
+    "staleness_bq_compat",
+    "forward_fill_purchases",
+    "navigation_windows_events",
+    "set_ops_users",
+    "sql_api_named_windows",
+    "range_interval_window",
+    "agg_function_suite",
+    "sliding_window_counts",
+    "interval_join_error_purchases",
+    "gap_fill_daily_series",
+    "value_histogram",
+    "native_session_windows",
+    "stats_corr_covar",
+    "approx_percentiles_events",
+    "array_functions_per_user",
+    "rule_flags_sql_port",
+    "validate_events",
+    "trend_per_user",
+    "psi_drift_events",
+    "time_weighted_avg_user",
+    "ewma_events",
+    "funnel_conversion_steps",
+    "cohort_retention_events",
+    "rolling_median_hampel",
+    "cusum_shift_events",
+    "incremental_agg_events",
+    "variant_props_stats",
+    "incremental_distinct_users",
+    "ks_drift_events",
+    "ohlc_bars_events",
+    "sliding_distinct_users",
+    "funnel_time_bounded",
+    "iqr_flags_events",
+    "dow_baseline_flags",
+    "changepoint_argmax_user",
+    "robust_z_events",
+    "anomaly_ensemble_events",
+    "session_paths_events",
+    "markov_transitions_events",
+    "seasonality_strength_user",
+    "autocorr_lag7_user",
+    "gap_histogram_events",
+    "winsorize_events",
+    "holt_smoothing_user",
+    "k_anonymity_audit",
+    "attribution_last_touch",
+    "rolling_corr_events",
+    "profile_columns_events",
+    "trimmed_mean_events",
+    "peak_detection_events",
+    "salted_agg_events",
+    "asof_cogrouped_error_purchase",
+    "user_behavior_similarity",
+    "transition_dwell_events",
+    "gini_by_event_type",
+    "behavior_entropy_user",
+    "session_histogram_batch",
+    "scd2_user_state",
+    "equi_depth_value_buckets",
+    "daily_distinct_sketch",
+    "skyline_value_recency",
+    "chi_square_drift_events",
+    "ab_test_lift_events",
+    "interval_union_time_user",
+    "map_functions_per_user",
+    "hll_overlap_segments",
+    "window_function_suite",
+    "asof_forward_tolerance",
+    "activity_bitmap_user",
+    "numeric_functions_suite",
+    "rolling_slope_events",
+    "mode_median_by_type",
+    "pit_join_purchase_state",
+    "theilsen_slope_user",
+    "running_balance_resets",
+    "throttle_dedup_hourly",
+    "key_skew_profiler",
+    "attribution_linear_touch",
+    "share_of_total_by_type",
+    "pythagorean_means_by_type",
+    "growth_accounting_daily",
+    "table_fingerprint_daily",
+    "decile_lift_table",
+    "isotonic_fit_user",
+    "mann_whitney_drift",
+    "cross_correlation_lags",
+    "ols_fit_user",
+    "period_over_period_revenue",
+    "hll_reagg_weekly",
+    "k_of_n_alerts",
+    "quantile_normalize_values",
+    "session_association_rules",
+    "next_higher_spend_user",
+    "latest_value_percentile",
+    "linear_interpolation_grid",
+    "hierarchical_rollup_events",
+    "sequential_patterns_events",
 ]
 
 
