@@ -767,6 +767,7 @@ ADVERSARIAL_TPCH_QUERIES = [
     "largest_remainder_allocation",
     "referential_integrity_audit",
     "full_outer_reconciliation",
+    "enrich_supplier_nation",  # r9: the last uncovered TPCH-dim query
     "join_size_estimate_cms",
     "deming_slope_brands",
 ]
@@ -1104,6 +1105,26 @@ ADVERSARIAL_STREAMING_QUERIES = [
     "streaming_cdc_state_events",
     "streaming_dedup_state_events",
 ]
+
+
+def test_adversarial_cross_table_rrf(spark):
+    """The ONE registry query that joins documents AND embeddings —
+    neither single-table fixture exercises it, so build the union dir.
+    The first run of this test caught rrf's vector leg missing the r6
+    zero-vector ingest filter (ANSI /0 in the cosine where DuckDB's
+    list_cosine_similarity silently yields -1)."""
+    import shutil
+
+    dd = _adversarial_documents_dir(spark)
+    ed = _adversarial_embeddings_dir(spark)
+    cd = tempfile.mkdtemp()
+    shutil.copy(os.path.join(dd, "documents.parquet"), cd)
+    shutil.copy(os.path.join(ed, "embeddings.parquet"), cd)
+    problems = compare(
+        reg.QUERIES["rrf_hybrid_retrieval"](spark, cd),
+        reg.ORACLES["rrf_hybrid_retrieval"], cd,
+    )
+    assert not problems, problems
 
 
 def test_adversarial_streaming_differentials(spark):
