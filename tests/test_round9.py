@@ -64,6 +64,66 @@ def test_rank_family_non_null_keys_unaffected_by_guard(spark):
     assert got == ref
 
 
+def test_rank_family_grouped_matches_partitioned_window(spark):
+    """r9: partition_cols mode must reproduce
+    rank()/dense_rank()/row_number()/ntile() OVER (PARTITION BY g
+    ORDER BY ...) exactly — tie-heavy groups of very different sizes,
+    forced across 7 range partitions so groups straddle parts."""
+    rows = []
+    rid = 0
+    for g, size in (("a", 57), ("b", 3), ("c", 1), ("d", 24)):
+        for i in range(size):
+            rid += 1
+            rows.append((rid, g, (i * 5) % 7))  # heavy ties per group
+    df = spark.createDataFrame(rows, "id int, g string, k int")
+    got = {
+        r["id"]: (r["global_rn"], r["rnk"], r["drnk"], r["tile"])
+        for r in rank_family(
+            df, ["k", "id"], ntile_n=4, num_partitions=7,
+            partition_cols=["g"],
+        ).collect()
+    }
+    ref = {
+        r["id"]: (r["global_rn"], r["rnk"], r["drnk"], r["tile"])
+        for r in df.selectExpr(
+            "id",
+            "row_number() over (partition by g order by k, id)"
+            " as global_rn",
+            "rank() over (partition by g order by k, id) as rnk",
+            "dense_rank() over (partition by g order by k, id) as drnk",
+            "ntile(4) over (partition by g order by k, id) as tile",
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_rank_family_grouped_pct_cume_match(spark):
+    """pct_rank/cume in grouped mode use the PER-GROUP total."""
+    import pytest
+
+    rows = [(i, "x" if i <= 6 else "y", i % 3) for i in range(1, 16)]
+    df = spark.createDataFrame(rows, "id int, g string, k int")
+    got = {
+        r["id"]: (r["pct_rank"], r["cume"])
+        for r in rank_family(
+            df, ["k", "id"], num_partitions=5, partition_cols=["g"]
+        ).collect()
+    }
+    ref = {
+        r["id"]: (r["pct_rank"], r["cume"])
+        for r in df.selectExpr(
+            "id",
+            "percent_rank() over (partition by g order by k, id)"
+            " as pct_rank",
+            "cume_dist() over (partition by g order by k, id) as cume",
+        ).collect()
+    }
+    assert got.keys() == ref.keys()
+    for i in got:
+        assert got[i][0] == pytest.approx(ref[i][0], abs=1e-12), i
+        assert got[i][1] == pytest.approx(ref[i][1], abs=1e-12), i
+
+
 def test_lof_checkpoints_have_a_release_path(spark, sf_dir):
     """r8 ADVICE: LOF's eager localCheckpoints pin executor storage with
     no unpersist handle.  Pin the documented cleanup contract: the
