@@ -56,12 +56,20 @@ def test_rank_family_unpersist_leaves_no_cached_rdd(spark):
     df = spark.range(0, 500).selectExpr(
         "id", "cast(id % 7 as long) as k"
     )
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    # Compare persistent-RDD id SETS, not counts: the async
+    # ContextCleaner may unpersist EARLIER tests' localCheckpoint RDDs
+    # mid-run (count can DROP through no fault of rank_family); only
+    # NEW ids appearing across the call indicate a leak.  Mirrors
+    # tests/test_round8.py:_persistent_rdd_ids.
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    before = {int(i) for i in jmap.keySet().toArray()}
     out = rank_family(df, ["k", "id"])
     rows = out.orderBy("id").collect()
-    after = jsc.getPersistentRDDs().size()
-    assert after == before, "rank_family cached something"
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    after = {int(i) for i in jmap.keySet().toArray()}
+    assert not (after - before), (
+        f"rank_family cached something: {sorted(after - before)}"
+    )
     # global_rn is a permutation of 1..n
     assert sorted(r["global_rn"] for r in rows) == list(range(1, 501))
 
