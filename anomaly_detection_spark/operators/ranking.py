@@ -92,8 +92,11 @@ def rank_family(
     rankings over all users).  The stats table grows to at most
     P + |groups| rows (each group occupies a contiguous part range),
     and the cumulation cross joins on the group key, so the broadcast
-    stays metadata-sized for dictionary-sized group counts.  Default
-    ``None`` compiles the exact pre-r9 single-ordering plan.
+    stays metadata-sized for dictionary-sized group counts.  NULL
+    group keys form their own group (every group-key join in the plan
+    is null-safe), matching ``PARTITION BY`` window semantics — only
+    NULL ORDER keys fail loudly.  Default ``None`` compiles the exact
+    pre-r9 single-ordering plan.
     """
     spark = df.sparkSession
     # Fail fast on the one config this plan's soundness rests on: with
@@ -180,8 +183,27 @@ def rank_family(
 
     wloc = Window.partitionBy("_part", *pcols).orderBy(*sort_exprs)
     wtie = Window.partitionBy("_part", *pcols, *order_cols)
+    if pcols:
+        # NULL group keys are a legal group (groupBy above collects
+        # them; a window PARTITION BY ranks them) — join the offsets
+        # back null-safely or those rows silently vanish from the
+        # output.  Rename the offsets side, join on explicit eqNullSafe
+        # conditions, then drop the duplicated key columns.
+        off_side = offsets.select(
+            F.col("_part").alias("_opart"),
+            *[F.col(g).alias(f"_og_{g}") for g in pcols],
+            "_roff", "_doff", "_n",
+        )
+        cond = F.col("_part") == F.col("_opart")
+        for g in pcols:
+            cond = cond & F.col(g).eqNullSafe(F.col(f"_og_{g}"))
+        base = ranged.join(F.broadcast(off_side), cond).drop(
+            "_opart", *[f"_og_{g}" for g in pcols]
+        )
+    else:
+        base = ranged.join(F.broadcast(offsets), ["_part"])
     out = (
-        ranged.join(F.broadcast(offsets), ["_part", *pcols])
+        base
         .withColumn(
             "global_rn",
             (F.row_number().over(wloc) + F.col("_roff")).cast("long"),

@@ -683,13 +683,21 @@ def persistent_rdd_ids(spark) -> set[int]:
     return {int(i) for i in jmap.keySet().toArray()}
 
 
-def release_local_checkpoints(spark, keep_ids: set[int] = frozenset()
-                              ) -> list[int]:
+def release_local_checkpoints(spark, keep_ids: set[int]) -> list[int]:
     """Unpersist every pinned RDD not in ``keep_ids`` — the cleanup
     path for session-long callers of checkpoint-backed operators
     (:func:`local_outlier_factor`, k-core, the LSH dedup eval), whose
     ``localCheckpoint`` blocks otherwise live until a JVM GC lets the
     ContextCleaner reap them.
+
+    ``keep_ids`` is REQUIRED — pass the :func:`persistent_rdd_ids`
+    snapshot taken before the operator ran.  A permissive default
+    (release everything) would unpersist caches and still-live
+    localCheckpoint blocks owned by UNRELATED code in the same
+    session; a localCheckpoint has no lineage, so releasing someone
+    else's live checkpoint makes their DataFrame permanently
+    unusable.  The snapshot-diff pattern below is therefore enforced,
+    not optional.
 
     Call ONLY after the results that reference those checkpoints are
     fully materialized (collected or written): a localCheckpoint has no

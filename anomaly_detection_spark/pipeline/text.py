@@ -754,4 +754,9 @@ def gopher_quality_rules(
         & (F.col("alpha_word_frac") >= min_alpha_word_frac)
         & (F.col("n_stopwords") >= min_stopwords)
     )
-    return feat.withColumn("keep", keep)
+    # Zero-word docs carry NULL ratios; with the registry default
+    # min_words>=1 the n_words bound already forces `false AND NULL =
+    # false`, but a caller-supplied min_words=0 would leave the
+    # conjunction `true AND NULL` = NULL.  Coalesce so the verdict is
+    # a clean boolean for EVERY threshold choice.
+    return feat.withColumn("keep", F.coalesce(keep, F.lit(False)))

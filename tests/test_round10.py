@@ -1,0 +1,185 @@
+"""Round-10 guards: the r9 ADVICE fixes.
+
+1. ``rank_family`` grouped mode keeps rows whose GROUP key is NULL —
+   the offsets join-back is null-safe end-to-end, so a NULL group ranks
+   as its own group exactly like ``PARTITION BY`` window semantics
+   (previously the USING inner join silently dropped those rows).
+2. ``release_local_checkpoints`` requires an explicit ``keep_ids``
+   snapshot — the zero-argument form that unpersisted EVERY pinned RDD
+   in the session (including other code's live localCheckpoint blocks,
+   which have no lineage to recompute from) is rejected.
+3. ``text_quality`` / the Gopher gate emit a clean BOOLEAN verdict for
+   every threshold choice, including ``min_words=0`` on a zero-word
+   document (previously ``true AND NULL`` leaked a NULL keep).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomaly_detection_spark.operators.ranking import rank_family
+
+
+def test_rank_family_grouped_null_group_rows_survive(spark):
+    """A NULL group key is a legal PARTITION BY group: rows must not
+    vanish, and must rank exactly like the window oracle."""
+    rows = [
+        (1, "a", 5), (2, "a", 3), (3, None, 9), (4, None, 1),
+        (5, "b", 2), (6, None, 9), (7, "a", 3),
+    ]
+    df = spark.createDataFrame(rows, "id int, g string, k int")
+    out = rank_family(
+        df, ["k", "id"], num_partitions=4, partition_cols=["g"]
+    ).collect()
+    assert len(out) == len(rows), "NULL-group rows were dropped"
+    got = {r["id"]: (r["global_rn"], r["rnk"], r["drnk"]) for r in out}
+    ref = {
+        r["id"]: (r["global_rn"], r["rnk"], r["drnk"])
+        for r in df.selectExpr(
+            "id",
+            "row_number() over (partition by g order by k, id)"
+            " as global_rn",
+            "rank() over (partition by g order by k, id) as rnk",
+            "dense_rank() over (partition by g order by k, id) as drnk",
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_release_local_checkpoints_requires_keep_ids(spark):
+    """The zero-arg form released EVERY pinned RDD in the session —
+    including other code's live lineage-free localCheckpoint blocks.
+    keep_ids is now a required snapshot; the permissive default is
+    gone."""
+    from anomaly_detection_spark.pipeline.similarity import (
+        persistent_rdd_ids,
+        release_local_checkpoints,
+    )
+
+    with pytest.raises(TypeError):
+        release_local_checkpoints(spark)
+    # The enforced snapshot-diff pattern still works and releases
+    # nothing when nothing new was pinned.
+    before = persistent_rdd_ids(spark)
+    assert release_local_checkpoints(spark, keep_ids=before) == []
+
+
+def test_gopher_keep_is_boolean_with_min_words_zero(spark):
+    """min_words=0 on a zero-word doc: keep must be False, not NULL
+    (`true AND NULL` previously leaked through the conjunction)."""
+    from anomaly_detection_spark.pipeline.text import gopher_quality_rules
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "the of and plain words here okay")],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r["keep"]
+        for r in gopher_quality_rules(
+            docs, min_words=0, min_stopwords=0
+        ).collect()
+    }
+    assert out[1] is False and out[2] is False
+    assert all(isinstance(v, bool) for v in out.values())
+
+
+# ---------------------------------------------------------------------------
+# Round-10 registrations: Friedman test + per-domain length deciles
+# ---------------------------------------------------------------------------
+
+
+def test_friedman_closed_form_laws(spark):
+    """Identical strict ranking in every block -> Q = n(k-1) exactly
+    (q_ppm = 1e6 * n * (k-1)); Latin-square rotation -> equal rank
+    sums, Q = 0; all-tied-everywhere -> denominator 0 -> NULL — each
+    through the registered callable AND the real oracle compare."""
+    from anomaly_detection_spark import queries as reg
+    from tests.oracle_check import compare
+    from tests.test_round9 import _events_dir
+
+    # 4 blocks (users), 3 treatments, same strict order everywhere:
+    # Q = n(k-1) = 8 -> 8_000_000 ppm
+    rows = [(u, et, float(v))
+            for u in (1, 2, 3, 4) for v, et in enumerate(("a", "b", "c"), 1)]
+    d = _events_dir(spark, rows)
+    r = reg.QUERIES["friedman_test_event_types"](spark, d).collect()[0]
+    assert (r["k_treatments"], r["n_blocks"]) == (3, 4)
+    assert r["q_ppm"] == 8_000_000
+    assert not compare(reg.QUERIES["friedman_test_event_types"](spark, d),
+                       reg.ORACLES["friedman_test_event_types"], d)
+
+    # Latin-square rotation: every treatment takes each rank once ->
+    # rank sums equal -> Q = 0
+    square = {1: {"a": 1, "b": 2, "c": 3},
+              2: {"a": 2, "b": 3, "c": 1},
+              3: {"a": 3, "b": 1, "c": 2}}
+    rows = [(u, et, float(v)) for u, m in square.items()
+            for et, v in m.items()]
+    d = _events_dir(spark, rows)
+    r = reg.QUERIES["friedman_test_event_types"](spark, d).collect()[0]
+    assert r["q_num"] == 0 and r["q_ppm"] == 0
+    assert not compare(reg.QUERIES["friedman_test_event_types"](spark, d),
+                       reg.ORACLES["friedman_test_event_types"], d)
+
+    # every block fully tied -> sum dbl^2 == n*k*(k+1)^2 -> den = 0
+    rows = [(u, et, 5.0) for u in (1, 2) for et in ("a", "b", "c")]
+    d = _events_dir(spark, rows)
+    r = reg.QUERIES["friedman_test_event_types"](spark, d).collect()[0]
+    assert r["q_den"] == 0 and r["q_ppm"] is None
+    assert not compare(reg.QUERIES["friedman_test_event_types"](spark, d),
+                       reg.ORACLES["friedman_test_event_types"], d)
+
+
+def _docs_dir(spark, docs):
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp()
+    t = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, n_chars long, "
+              "source string",
+    )
+    pq.write_table(pa.Table.from_pandas(t.toPandas()),
+                   os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_domain_length_deciles_laws(spark):
+    """Per-source decile profile: counts sum to the source total,
+    decile sizes follow the ntile law (first n%10 deciles one larger),
+    ranges are non-overlapping in decile order, and a NULL source is
+    a legal domain (rides the r10 null-safe grouped rank family) —
+    plus the real oracle compare on the same fixture."""
+    from anomaly_detection_spark import queries as reg
+    from tests.oracle_check import compare
+
+    docs = []
+    did = 0
+    for src, n in (("big", 37), ("small", 3), (None, 12)):
+        for i in range(n):
+            did += 1
+            # heavy length ties: only 5 distinct lengths per source
+            docs.append((did, "t", "en", 10 + (i % 5), src))
+    d = _docs_dir(spark, docs)
+    rows = reg.QUERIES["domain_length_deciles_docs"](spark, d).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    totals = {"big": 37, "small": 3, None: 12}
+    assert set(by_src) == set(totals)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["decile"])
+        n = totals[src]
+        assert sum(r["n_docs"] for r in rs) == n
+        q, rem = divmod(n, 10)
+        for r in rs:
+            want = q + 1 if r["decile"] <= rem else q
+            assert r["n_docs"] == want, (src, r["decile"])
+        for a, b in zip(rs, rs[1:]):
+            assert a["max_chars"] <= b["min_chars"], (src, a, b)
+    assert not compare(reg.QUERIES["domain_length_deciles_docs"](spark, d),
+                       reg.ORACLES["domain_length_deciles_docs"], d)

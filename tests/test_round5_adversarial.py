@@ -167,6 +167,8 @@ ADVERSARIAL_EVENT_QUERIES = [
     # -- round 9 registrations --
     "durbin_watson_users",
     "kendall_w_event_types",
+    # -- round 10 registrations --
+    "friedman_test_event_types",
     # -- round-9 widening: EVERY events-consuming oracle query (same
     # pattern as the documents widening below; first run caught three
     # real ANSI /0 splits: stats_corr_covar's corr AGGREGATE on a
@@ -430,6 +432,8 @@ ADVERSARIAL_DOCUMENT_QUERIES = [
     "dedup_detector_eval",
     "jpeg_roundtrip_media",
     "gif_roundtrip_media",
+    # -- round 10 registrations --
+    "domain_length_deciles_docs",
 ]
 
 
