@@ -48,6 +48,9 @@ RANK_FAMILY_CALLERS = [
     "rfm_segments_users",
     "decision_stump_events",
     "ppjoin_jaccard_pairs",
+    # r9/r10 grouped-mode consumers
+    "kendall_w_event_types",
+    "domain_length_deciles_docs",
 ]
 
 
