@@ -53,6 +53,28 @@ NULL order keys: there is no silent convention — the plan embeds an
 loudly at shuffle-write time instead of mis-ranking.  Callers with
 nullable keys must ``coalesce`` to an explicit sentinel first.
 
+Content-fingerprint guard (round 10): exchange reuse compares
+CANONICALIZED subtrees, and column pruning is applied per branch —
+when the input carries a payload column that the stats branch does not
+need (any column outside ``partition_cols + order_cols``), Catalyst
+used to prune it below the stats/peers copy of the range exchange,
+the pruned and full-width subtrees no longer canonicalize equal, and
+AQE materialized the range shuffle TWICE with independently sampled
+boundaries (observed: two ``ShuffleQueryStage``s for
+``kendall_w_event_types``, whose grid carries ``user_id`` as payload;
+deterministic locally because ``RangePartitioner`` seeds by partition
+index, silently corrupt at scale where upstream shuffle-fetch order
+varies between executions).  The fix makes every branch off the
+shared subtree reference the FULL column width: the stats aggregate
+sums a per-row ``xxhash64`` over all input columns, the peers branch
+carries that sum through, and the output branch recomputes the same
+sum as a per-(partition, group) window — identical pruning in all
+three consumers restores canonical equality and ReuseExchange fires.
+The fingerprints then do double duty: an in-plan ``assert_true``
+compares the stats-branch, peers-branch, and output-branch digests,
+so if reuse is ever lost again the job fails loudly instead of
+shipping mis-shifted ranks.
+
 Reference parity: reproduces the rank-family semantics of window clauses
 like ``anomaly_proj_query.sql``'s ``ROW_NUMBER() OVER (ORDER BY ...)``
 shapes at distributed scale.
@@ -134,6 +156,27 @@ def rank_family(
     ]
 
     pcols = list(partition_cols or [])
+    # Per-row content fingerprint over EVERY input column — its job is
+    # to force identical column pruning in all three consumers of the
+    # range exchange (stats aggregate, peers copy, output join), which
+    # is what makes the canonicalized subtrees equal and ReuseExchange
+    # fire; see the module docstring.  MapType is not hashable by
+    # xxhash64 without a legacy flag, so map columns contribute their
+    # keys/values arrays instead (same content, same column reference).
+    from pyspark.sql.types import MapType
+
+    _fp_refs: list = []
+    for field in df.schema.fields:
+        if isinstance(field.dataType, MapType):
+            _fp_refs.append(F.map_keys(F.col(field.name)))
+            _fp_refs.append(F.map_values(F.col(field.name)))
+        else:
+            _fp_refs.append(F.col(field.name))
+    # decimal(38,0), not long: sums of full-range xxhash64 longs
+    # overflow int64 quickly and ANSI mode turns that into a job
+    # failure; a 38-digit accumulator absorbs ~1e19 rows/partition.
+    fp_row = F.xxhash64(*_fp_refs).cast("decimal(38,0)")
+
     ranged = (
         df.repartitionByRange(p, *[F.col(g) for g in pcols], *sort_exprs)
         .withColumn("_part", F.spark_partition_id())
@@ -151,12 +194,14 @@ def rank_family(
     stats = ranged.groupBy("_part", *pcols).agg(
         F.count(F.lit(1)).alias("_cnt"),
         F.count_distinct(*sort_exprs).alias("_dcnt"),
+        F.sum(fp_row).alias("_fp"),
     )
     peers = stats.select(
         *[F.col(g).alias(f"_g_{g}") for g in pcols],
         F.col("_part").alias("_p2"),
         F.col("_cnt").alias("_c2"),
         F.col("_dcnt").alias("_d2"),
+        F.col("_fp").alias("_fp2"),
     )
     if pcols:
         joined = stats.join(
@@ -178,6 +223,15 @@ def rank_family(
                 .otherwise(0)
             ).cast("long").alias("_doff"),
             F.sum("_c2").cast("long").alias("_n"),
+            # Stats-side digest (constant within the group) and the
+            # peers-side digest of the SELF row (_p2 == _part matches
+            # exactly the stats row itself in both join modes).  Both
+            # must be consumed downstream or Catalyst prunes them and
+            # with them the full-width scan that makes reuse possible.
+            F.min("_fp").alias("_fpa"),
+            F.sum(
+                F.when(F.col("_p2") == F.col("_part"), F.col("_fp2"))
+            ).alias("_fpb"),
         )
     )
 
@@ -192,7 +246,7 @@ def rank_family(
         off_side = offsets.select(
             F.col("_part").alias("_opart"),
             *[F.col(g).alias(f"_og_{g}") for g in pcols],
-            "_roff", "_doff", "_n",
+            "_roff", "_doff", "_n", "_fpa", "_fpb",
         )
         cond = F.col("_part") == F.col("_opart")
         for g in pcols:
@@ -202,18 +256,49 @@ def rank_family(
         )
     else:
         base = ranged.join(F.broadcast(offsets), ["_part"])
+
+    # Output-branch digest of the same (partition, group) content,
+    # computed as a window over the ranged rows themselves.  If the
+    # output branch ever reads a DIFFERENT materialization of the
+    # range exchange than the stats branch (reuse lost), some
+    # partition's content digest diverges from the broadcast one and
+    # the assert below fails the job instead of mis-shifting ranks.
+    wpart = Window.partitionBy("_part", *pcols)
+    base = base.withColumn("_fpw", F.sum(fp_row).over(wpart))
+    _fp_guard = F.assert_true(
+        F.col("_fpa").eqNullSafe(F.col("_fpw"))
+        & F.col("_fpa").eqNullSafe(F.col("_fpb")),
+        F.lit(
+            "rank_family: stats and output branches observed different "
+            "range partition boundaries (exchange reuse failed) — rank "
+            "offsets would be corrupt"
+        ),
+    )
+
+    def _guarded(expr):
+        # assert_true returns NULL on success, so the when-branch
+        # always fires; on digest mismatch the job dies loudly.  The
+        # guard rides on the three base rank columns — every other
+        # output (pct/cume/tile/_cume_num) derives from them, so any
+        # caller that consumes ANY rank output keeps the fingerprint
+        # columns alive against pruning.
+        return F.when(_fp_guard.isNull(), expr)
+
     out = (
         base
         .withColumn(
             "global_rn",
-            (F.row_number().over(wloc) + F.col("_roff")).cast("long"),
+            _guarded(F.row_number().over(wloc) + F.col("_roff"))
+            .cast("long"),
         )
         .withColumn(
-            "rnk", (F.rank().over(wloc) + F.col("_roff")).cast("long")
+            "rnk",
+            _guarded(F.rank().over(wloc) + F.col("_roff")).cast("long"),
         )
         .withColumn(
             "drnk",
-            (F.dense_rank().over(wloc) + F.col("_doff")).cast("long"),
+            _guarded(F.dense_rank().over(wloc) + F.col("_doff"))
+            .cast("long"),
         )
     )
     out = out.withColumn("_cume_num", F.max("global_rn").over(wtie))
@@ -251,5 +336,5 @@ def rank_family(
         .withColumn("cume", cume)
         .withColumn("tile", tile.cast("int"))
         .drop("_part", "_roff", "_doff", "_n", "_cume_num", "_q", "_r",
-              "_big")
+              "_big", "_fpa", "_fpb", "_fpw")
     )

@@ -11,6 +11,13 @@
 3. ``text_quality`` / the Gopher gate emit a clean BOOLEAN verdict for
    every threshold choice, including ``min_words=0`` on a zero-word
    document (previously ``true AND NULL`` leaked a NULL keep).
+4. ``rank_family`` materializes its range exchange exactly ONCE even
+   when the input carries payload columns the stats branch does not
+   need.  Before the round-10 content-fingerprint guard, column
+   pruning below the stats/peers branch broke canonical plan equality
+   and AQE ran the range shuffle twice with independently sampled
+   boundaries — silent rank corruption at scale (kendall_w's grid,
+   which carries ``user_id`` as payload, was the affected caller).
 """
 
 from __future__ import annotations
@@ -183,3 +190,81 @@ def test_domain_length_deciles_laws(spark):
             assert a["max_chars"] <= b["min_chars"], (src, a, b)
     assert not compare(reg.QUERIES["domain_length_deciles_docs"](spark, d),
                        reg.ORACLES["domain_length_deciles_docs"], d)
+
+
+def _materialized_range_stages(df) -> list[str]:
+    """Distinct ShuffleQueryStage ids in the FINAL adaptive plan whose
+    stage subtree roots a NON-reused range exchange.  The df must have
+    been collected first (AQE finalizes the plan only after executing
+    that same DataFrame)."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    lines = plan.splitlines()
+    out = set()
+    for i, line in enumerate(lines):
+        m = re.search(r"ShuffleQueryStage (\d+)", line)
+        if not m:
+            continue
+        for j in range(i + 1, min(i + 3, len(lines))):
+            if "ReusedExchange" in lines[j]:
+                break
+            if "Exchange rangepartitioning" in lines[j]:
+                out.add(m.group(1))
+                break
+            if "Exchange" in lines[j]:
+                break
+    return sorted(out)
+
+
+def test_rank_family_payload_single_range_materialization(spark):
+    # The regression shape: a payload column ("payload") that neither
+    # the order keys nor the group keys reference.  Pre-fix, the stats
+    # branch pruned it and the range exchange materialized twice.
+    base = (
+        spark.range(0, 20000)
+        .select((F.col("id") % 97).alias("k"), "id")
+        .withColumn("payload", F.col("id") * 2)
+    )
+    out = rank_family(base, ["k", "id"], ntile_n=8)
+    rows = out.collect()
+    assert len(rows) == 20000
+    stages = _materialized_range_stages(out)
+    assert len(stages) == 1, (
+        f"range exchange materialized {len(stages)}x ({stages}) — "
+        "stats/output branches may rank against different boundaries"
+    )
+    # grouped mode, same payload shape
+    g = base.withColumn("g", (F.col("id") % 3).cast("string"))
+    gout = rank_family(g, ["k", "id"], partition_cols=["g"])
+    assert len(gout.collect()) == 20000
+    assert len(_materialized_range_stages(gout)) == 1
+
+
+def test_rank_family_payload_semantics_vs_global_window(spark):
+    from pyspark.sql.window import Window
+
+    df = (
+        spark.range(0, 5000)
+        .select((F.col("id") % 41).alias("k"), "id")
+        .withColumn("payload", (F.col("id") * 7 % 13).cast("string"))
+    )
+    got = {
+        (r["id"], r["payload"], r["global_rn"], r["rnk"], r["drnk"],
+         r["tile"], round(r["pct_rank"], 9), round(r["cume"], 9))
+        for r in rank_family(df, ["k", "id"], ntile_n=7).collect()
+    }
+    w = Window.orderBy("k", "id")
+    exp = {
+        (r["id"], r["payload"], r["global_rn"], r["rnk"], r["drnk"],
+         r["tile"], round(r["pct_rank"], 9), round(r["cume"], 9))
+        for r in df.withColumn("global_rn", F.row_number().over(w))
+        .withColumn("rnk", F.rank().over(w))
+        .withColumn("drnk", F.dense_rank().over(w))
+        .withColumn("tile", F.ntile(7).over(w))
+        .withColumn("pct_rank", F.percent_rank().over(w))
+        .withColumn("cume", F.cume_dist().over(w))
+        .collect()
+    }
+    assert got == exp
