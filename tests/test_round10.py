@@ -268,3 +268,27 @@ def test_rank_family_payload_semantics_vs_global_window(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_rank_family_narrow_consumer_keeps_guard_and_reuse(spark):
+    """A caller that selects only ONE derived output (the longest
+    derivation chains: cume via _cume_num/max(global_rn), tile via
+    global_rn/_q/_big) must still keep the fingerprint machinery
+    alive against column pruning — otherwise the stats branch narrows
+    again and the double materialization returns."""
+    base = (
+        spark.range(0, 20000)
+        .select((F.col("id") % 97).alias("k"), "id")
+        .withColumn("payload", F.col("id") * 2)
+    )
+    for sel in (["cume"], ["tile"]):
+        out = rank_family(base, ["k", "id"], ntile_n=8).select(*sel)
+        out.collect()
+        stages = _materialized_range_stages(out)
+        assert len(stages) == 1, (sel, stages)
+    # and the in-plan assert survives optimization on a narrow consumer
+    # (no execution needed — this is a pure plan property)
+    narrow = rank_family(base, ["k", "id"]).select("rnk")
+    oplan = narrow._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" in oplan
+    assert "exchange reuse failed" in oplan
