@@ -204,6 +204,15 @@ BENCH_QUERIES = [
     # dominates — the r03 one-member-dominates lesson); its scaling
     # story lives in scale_probe_r7b instead.
     "pettitt_changepoint_users",
+    # r10 addition — one exemplar for the GROUPED rank-family paradigm
+    # (range exchange over combined (group, order) keys + per-group
+    # offset cumulation + the r10 content-fingerprint reuse guard),
+    # which no other member exercises: the ungrouped rank members
+    # (rank_family_orders, equi_depth, decile_lift, ...) compile the
+    # single-ordering plan.  kendall_w stays OUT — same grouped-rank
+    # prefix plus dictionary rollups already represented elsewhere
+    # (the r9 duplicate-plan-shape trim rationale, applied forward).
+    "domain_length_deciles_docs",
     # r8 registrations (adjusted_rand_embeddings, fellegi_sunter_
     # weights) stay OUT: both are flat dictionary-aggregation shapes
     # already represented (cramers_v / mcnemar contingency trees), and
