@@ -292,3 +292,59 @@ def test_rank_family_narrow_consumer_keeps_guard_and_reuse(spark):
     oplan = narrow._jdf.queryExecution().optimizedPlan().toString()
     assert "xxhash64" in oplan
     assert "exchange reuse failed" in oplan
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-3, max_value=3),            # key
+            st.sampled_from(["a", "b", None]),                  # group
+        ),
+        min_size=0, max_size=100,
+    ),
+    p=st.integers(min_value=1, max_value=6),
+    ntile_n=st.integers(min_value=1, max_value=4),
+)
+def test_rank_family_grouped_fuzz_matches_partitioned_window(
+    spark, rows, p, ntile_n
+):
+    """Grouped-mode fuzz: arbitrary duplicate-heavy keys, arbitrary
+    group assignment INCLUDING NULL groups (the r10 null-safe join
+    path), arbitrary partition/tile counts — the whole rank family
+    must equal Spark's own PARTITION BY window, which is trivially
+    correct at this size."""
+    df = spark.createDataFrame(
+        [(i, g, k) for i, (k, g) in enumerate(rows)],
+        "id long, g string, k long",
+    )
+    got = {
+        r["id"]: (r["global_rn"], r["rnk"], r["drnk"], r["tile"],
+                  round(r["pct_rank"], 9), round(r["cume"], 9))
+        for r in rank_family(
+            df, ["k", "id"], ntile_n=ntile_n, num_partitions=p,
+            partition_cols=["g"],
+        ).collect()
+    }
+    want = {
+        r["id"]: (r["global_rn"], r["rnk"], r["drnk"], r["tile"],
+                  round(r["pct_rank"], 9), round(r["cume"], 9))
+        for r in df.selectExpr(
+            "id",
+            "row_number() over (partition by g order by k, id)"
+            " as global_rn",
+            "rank() over (partition by g order by k, id) as rnk",
+            "dense_rank() over (partition by g order by k, id) as drnk",
+            f"ntile({ntile_n}) over (partition by g order by k, id)"
+            " as tile",
+            "percent_rank() over (partition by g order by k, id)"
+            " as pct_rank",
+            "cume_dist() over (partition by g order by k, id) as cume",
+        ).collect()
+    }
+    assert got == want
