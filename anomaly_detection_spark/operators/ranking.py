@@ -73,7 +73,12 @@ three consumers restores canonical equality and ReuseExchange fires.
 The fingerprints then do double duty: an in-plan ``assert_true``
 compares the stats-branch, peers-branch, and output-branch digests,
 so if reuse is ever lost again the job fails loudly instead of
-shipping mis-shifted ranks.
+shipping mis-shifted ranks.  Cost note: the digest hashes EVERY input
+column (twice per row: stats aggregate + output window) — that is the
+point, full-width reference is what restores reuse — so callers
+should project to the columns they actually need before ranking, as
+every registered caller already does; measured overhead on the bench
+members is below run-to-run noise.
 
 Reference parity: reproduces the rank-family semantics of window clauses
 like ``anomaly_proj_query.sql``'s ``ROW_NUMBER() OVER (ORDER BY ...)``
