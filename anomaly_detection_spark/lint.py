@@ -114,3 +114,51 @@ def needs_review_sites(sql: str) -> list[str]:
         snippet = (s[max(0, i - 60):i] + "/" + after[:50])
         flagged.append(re.sub(r"\s+", " ", snippet).strip())
     return flagged
+
+
+# ---------------------------------------------------------------------------
+# Spark-side companion: the same heuristic over a Catalyst ANALYZED-plan
+# rendering (round 10 — promotes scripts/divide_scan_plans.py from a
+# review feed to a pinned gate; see tests/test_plan_divide_lint.py).
+# ---------------------------------------------------------------------------
+
+_PLAN_NUM = re.compile(r"^\(?\s*-?\d+(\.\d+)?([eE]-?\d+)?\b")
+_PLAN_CAST_LIT = re.compile(r"^cast\(\s*-?\d", re.IGNORECASE)
+_PLAN_GUARD = re.compile(
+    r"(>\s*0|>=\s*1|<>\s*0|!=\s*0|isnotnull|NOT NULL|>\s*1\b)",
+    re.IGNORECASE,
+)
+
+
+def plan_needs_review_sites(plan: str) -> list[str]:
+    """Division sites in a Catalyst plan string that are not trivially
+    safe — the Spark-side mirror of :func:`needs_review_sites`
+    (5 of the 7 r9 engine-splits lived on THIS side: the engine's own
+    expression divided by zero where the oracle yielded NULL).
+
+    Auto-passed: literal denominators (incl. ``cast(<literal>``),
+    ``nullif(``/``greatest(`` denominators, and sites within 300 chars
+    after a ``CASE WHEN``/``if(`` whose condition contains a
+    comparison guard.  Counts are pinned per query by the env-gated
+    plan-lint test against an allowlist whose evidence base is the
+    full-family adversarial differential sweep (every allowlisted
+    site's query passes the real compare on its degenerate fixture).
+    """
+    hits: list[str] = []
+    for m in re.finditer(r"/", plan):
+        i = m.start()
+        after = plan[i + 1:i + 120].lstrip()
+        low = after.lower()
+        if _PLAN_NUM.match(after) or _PLAN_CAST_LIT.match(after):
+            continue
+        if low.startswith("nullif(") or low.startswith("greatest("):
+            continue
+        before = plan[max(0, i - 300):i]
+        bl = before.lower()
+        if ("case when" in bl or "if(" in bl) and _PLAN_GUARD.search(before):
+            continue
+        snippet = re.sub(
+            r"\s+", " ", plan[max(0, i - 70):i] + "/" + after[:60]
+        )
+        hits.append(snippet.strip())
+    return hits

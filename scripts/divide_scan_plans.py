@@ -16,9 +16,10 @@ adapted to Catalyst's expression rendering:
   `greatest`.
 
 Output: one line per flagged site `name<TAB>snippet`, and a summary.
-Exit code 0 always — this is a review feed, not a gate (plan strings
-are Spark-version-dependent; the stable gate lives on the oracle
-text).
+Exit code 0 always — this is the human-readable REVIEW FEED; the
+pinned GATE over the same heuristic is the env-gated
+``tests/test_plan_divide_lint.py`` (per-query counts vs
+``tests/plan_divide_allowlist.json``).
 """
 
 from __future__ import annotations
@@ -30,35 +31,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from anomaly_detection_spark import queries as reg  # noqa: E402
+from anomaly_detection_spark.lint import plan_needs_review_sites  # noqa: E402
 from anomaly_detection_spark.session import get_spark  # noqa: E402
 
-_NUM = re.compile(r"^\(?\s*-?\d+(\.\d+)?([eE]-?\d+)?\b")
-_CAST_LIT = re.compile(r"^cast\(\s*-?\d", re.IGNORECASE)
-_GUARD = re.compile(
-    r"(>\s*0|>=\s*1|<>\s*0|!=\s*0|isnotnull|NOT NULL|>\s*1\b)",
-    re.IGNORECASE,
-)
-
-
-def flag_plan(plan: str) -> list[str]:
-    hits = []
-    for m in re.finditer(r"/", plan):
-        i = m.start()
-        after = plan[i + 1:i + 120].lstrip()
-        low = after.lower()
-        if _NUM.match(after) or _CAST_LIT.match(after):
-            continue
-        if low.startswith("nullif(") or low.startswith("greatest("):
-            continue
-        before = plan[max(0, i - 300):i]
-        bl = before.lower()
-        if ("case when" in bl or "if(" in bl) and _GUARD.search(before):
-            continue
-        snippet = re.sub(
-            r"\s+", " ", plan[max(0, i - 70):i] + "/" + after[:60]
-        )
-        hits.append(snippet.strip())
-    return hits
+# single source of truth: the lint module's plan-side heuristic
+flag_plan = plan_needs_review_sites
 
 
 def main() -> None:
