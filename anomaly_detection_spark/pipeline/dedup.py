@@ -140,11 +140,11 @@ def _signatures(
     with the single-file repartition guard applied first."""
     # a single parquet file scans as ONE partition; spread rows across
     # the cluster before the CPU-heavy signature map — at real scale
-    # the input has many splits and this is skipped
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    n_files = len(df.inputFiles())
-    if 0 < n_files < parallelism:
-        df = df.repartition(parallelism)
+    # the input has many splits and this is skipped (shared guard,
+    # sources.tables.spread_single_file)
+    from anomaly_detection_spark.sources.tables import spread_single_file
+
+    df = spread_single_file(df)
     tok_hashes = F.transform(
         F.split(F.trim(F.col(text_col)), r"\s+"),
         lambda t: F.pmod(F.xxhash64(t), F.lit(_M32)),
@@ -245,6 +245,16 @@ def minhash_near_duplicates(
         df, text_col, id_col, num_hashes, bands, shingle_n
     )
     sigs = sig.select(F.col(id_col), F.col("sig"))
+    # keep the signature re-attach + zip_with compare WIDE: AQE
+    # byte-coalesces the tiny candidate table to one partition and the
+    # 64-component compares serialize (measured 2×0.8 s single-task
+    # stages).  Hash-repartitioning on the join key replaces the
+    # exchange a shuffle join would insert anyway, so at scale this
+    # adds no shuffle; locally the user-specified width is exempt from
+    # AQE coalescing.
+    pairs = pairs.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "id_a"
+    )
     pairs = (
         pairs.join(sigs.select(F.col(id_col).alias("id_a"),
                                F.col("sig").alias("sig_a")), "id_a")
@@ -305,15 +315,27 @@ def minhash_exact_near_duplicates(
     )
     if small:
         cand_ids = F.broadcast(cand_ids)
-    grams = df.join(cand_ids, id_col, "left_semi").select(
+    from anomaly_detection_spark.sources.tables import spread_single_file
+
+    # spread the re-tokenize: the semi join is map-side under the
+    # broadcast hint, so grams otherwise inherits the scan's 1-3
+    # partitions and the shingle + array_distinct CPU serializes
+    grams = spread_single_file(df).join(cand_ids, id_col, "left_semi").select(
         F.col(id_col),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_grams"),
     ).persist()  # consumed by both sides of the pair join
     if small:
         grams = F.broadcast(grams)
+    # keep the exact-Jaccard verify WIDE (measured: AQE byte-coalesced
+    # the persisted candidate table to 3 tasks and the array_intersect
+    # verify cost 2.7 s serialized).  Same no-extra-shuffle-at-scale
+    # argument as the estimated variant's re-attach.
+    cand_wide = cand.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "id_a"
+    )
     pairs = (
-        cand.join(grams.select(F.col(id_col).alias("id_a"),
-                               F.col("_grams").alias("_ga")), "id_a")
+        cand_wide.join(grams.select(F.col(id_col).alias("id_a"),
+                                    F.col("_grams").alias("_ga")), "id_a")
         .join(grams.select(F.col(id_col).alias("id_b"),
                            F.col("_grams").alias("_gb")), "id_b")
     )

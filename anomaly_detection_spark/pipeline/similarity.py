@@ -23,15 +23,13 @@ from pyspark.sql.window import Window
 def _spread_single_file(df: DataFrame) -> DataFrame:
     """A table backed by fewer files than cores scans as 1-2 partitions
     — spread rows before CPU-heavy map work / self-joins.  At real
-    scale inputs have many splits and this is a no-op."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:
-        return df
-    if 0 < n_files < parallelism:
-        return df.repartition(parallelism)
-    return df
+    scale inputs have many splits and this is a no-op.  (Round 10:
+    canonical implementation moved to ``sources.tables.
+    spread_single_file`` so query-level heavy map paths share it; this
+    alias keeps the module's existing import surface.)"""
+    from anomaly_detection_spark.sources.tables import spread_single_file
+
+    return spread_single_file(df)
 
 
 def _dot(a, b):

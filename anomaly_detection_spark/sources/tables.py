@@ -88,3 +88,29 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR,
                 names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, n, sf_dir) for n in names}
+
+
+def spread_single_file(df: DataFrame) -> DataFrame:
+    """Widen a scan backed by fewer files than cores before CPU-heavy
+    map work (Python codec kernels, explode fan-outs, per-row digests).
+
+    A parquet file is splittable only at row-group boundaries, so a
+    single-row-group file scans as ONE partition no matter what
+    ``maxPartitionBytes`` says — and everything upstream of the first
+    exchange then runs on one core (measured: the whole JPEG
+    roundtrip kernel in one 11.6 s task on a 32-core session).  The
+    guard repartitions to ``defaultParallelism`` ONLY when the input
+    has fewer files than cores; at production scale (many
+    splits/files) it is a no-op, so it is scale-adaptive rather than
+    a local-mode tuning constant.  Derived frames without a file
+    lineage (``inputFiles`` raises or returns []) pass through
+    untouched — their distribution already comes from a shuffle.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < parallelism:
+        return df.repartition(parallelism)
+    return df
