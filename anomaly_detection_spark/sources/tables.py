@@ -112,5 +112,14 @@ def spread_single_file(df: DataFrame) -> DataFrame:
     except Exception:
         return df
     if 0 < n_files < parallelism:
+        # ``inputFiles`` sees through shuffles, so a frame a caller
+        # already widened still reports its one backing file — skip if
+        # the lineage already holds a Repartition (a ~5 ms logical-plan
+        # string probe; re-spreading would add a full extra exchange)
+        try:
+            if "Repartition" in str(df._jdf.queryExecution().logical()):
+                return df
+        except Exception:
+            pass
         return df.repartition(parallelism)
     return df

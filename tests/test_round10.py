@@ -348,3 +348,25 @@ def test_rank_family_grouped_fuzz_matches_partitioned_window(
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-10 optimization guard: spread_single_file must not stack a
+# second exchange onto a frame a caller already widened (inputFiles()
+# sees through shuffles to the backing file, so without the lineage
+# probe a spread-then-derive-then-spread chain would repartition the
+# full rows twice).
+# ---------------------------------------------------------------------------
+
+def test_spread_single_file_is_idempotent_on_widened_lineage(spark, sf_dir):
+    from anomaly_detection_spark.sources.tables import (
+        load_table, spread_single_file,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    once = spread_single_file(docs)
+    again = spread_single_file(once.where(F.length("text") >= 0))
+    plan = str(again._jdf.queryExecution().logical())
+    assert plan.count("Repartition") == 1, plan
+    # and the guard still fires on a raw narrow scan
+    assert str(once._jdf.queryExecution().logical()).count("Repartition") == 1
