@@ -211,6 +211,18 @@ def _minhash_sig_and_candidates(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
+        # partition by id_a BEFORE the dedup: HashPartitioning(id_a)
+        # satisfies the dedup aggregate's ClusteredDistribution
+        # ([id_a, id_b]) (subset rule), so the dedup runs
+        # partition-local and ONE exchange replaces what used to be
+        # two — the dedup's own (id_a, id_b) exchange plus the
+        # callers' explicit re-widen on id_a before the signature /
+        # gram re-attach joins.  The explicit width also keeps AQE
+        # from byte-coalescing the tiny candidate table to one task
+        # (the serialized-compare finding this round).
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "id_a"
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     return sig, pairs
@@ -245,16 +257,10 @@ def minhash_near_duplicates(
         df, text_col, id_col, num_hashes, bands, shingle_n
     )
     sigs = sig.select(F.col(id_col), F.col("sig"))
-    # keep the signature re-attach + zip_with compare WIDE: AQE
-    # byte-coalesces the tiny candidate table to one partition and the
-    # 64-component compares serialize (measured 2×0.8 s single-task
-    # stages).  Hash-repartitioning on the join key replaces the
-    # exchange a shuffle join would insert anyway, so at scale this
-    # adds no shuffle; locally the user-specified width is exempt from
-    # AQE coalescing.
-    pairs = pairs.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, "id_a"
-    )
+    # the candidate table already arrives hash-partitioned WIDE on
+    # id_a (the pre-dedup repartition inside the shared front half),
+    # so the signature re-attach + zip_with compare inherit the
+    # explicit width with no further exchange
     pairs = (
         pairs.join(sigs.select(F.col(id_col).alias("id_a"),
                                F.col("sig").alias("sig_a")), "id_a")
@@ -326,15 +332,13 @@ def minhash_exact_near_duplicates(
     ).persist()  # consumed by both sides of the pair join
     if small:
         grams = F.broadcast(grams)
-    # keep the exact-Jaccard verify WIDE (measured: AQE byte-coalesced
-    # the persisted candidate table to 3 tasks and the array_intersect
-    # verify cost 2.7 s serialized).  Same no-extra-shuffle-at-scale
-    # argument as the estimated variant's re-attach.
-    cand_wide = cand.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, "id_a"
-    )
+    # the persisted candidate table already carries the explicit wide
+    # id_a hash layout (pre-dedup repartition in the shared front
+    # half), so the exact-Jaccard verify stays wide — AQE used to
+    # byte-coalesce it to 3 tasks and the array_intersect verify cost
+    # 2.7 s serialized — with no further exchange here
     pairs = (
-        cand_wide.join(grams.select(F.col(id_col).alias("id_a"),
+        cand.join(grams.select(F.col(id_col).alias("id_a"),
                                     F.col("_grams").alias("_ga")), "id_a")
         .join(grams.select(F.col(id_col).alias("id_b"),
                            F.col("_grams").alias("_gb")), "id_b")
