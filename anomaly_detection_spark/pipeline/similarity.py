@@ -397,8 +397,16 @@ def lsh_ann_topk(
         cand = cand.unionByName(_per_table(t))
     if n_tables > 1:
         # a pair found by several tables has the same cosine everywhere
-        # — dropDuplicates keeps one copy of the slim scored triple
-        cand = cand.dropDuplicates([query_id_col, id_col])
+        # — dropDuplicates keeps one copy of the slim scored triple.
+        # Partition by query_id BEFORE the dedup: HashPartitioning
+        # (query_id) satisfies both the dedup aggregate's clustered
+        # distribution ([query_id, id] — subset rule) AND the top-k
+        # window's, so one exchange replaces the dedup's (query_id, id)
+        # shuffle plus the window's query_id shuffle.
+        cand = cand.repartition(
+            cand.sparkSession.sparkContext.defaultParallelism,
+            query_id_col,
+        ).dropDuplicates([query_id_col, id_col])
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
