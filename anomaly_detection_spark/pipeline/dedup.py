@@ -661,8 +661,21 @@ def duplicated_spans(
             )
         ).alias("span"),
     ).where(F.length("span") == span_chars)
+    hashed = spans.select(
+        id_col, F.md5(F.col("span").cast("binary")).alias("span_hash")
+    )
+    # hash by span_hash BEFORE the aggregate: the count-distinct
+    # otherwise pays two exchanges — the distinct-expansion's
+    # (span_hash, doc_id) shuffle plus the final span_hash shuffle —
+    # and span rows are mostly unique, so the first exchange moved
+    # ~raw volume anyway.  One digest-keyed exchange replaces both;
+    # skew is bounded by actual cross-document duplication density
+    # (the signal being measured), not by token popularity.
+    hashed = hashed.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "span_hash"
+    )
     return (
-        spans.select(id_col, F.md5(F.col("span").cast("binary")).alias("span_hash"))
+        hashed
         .groupBy("span_hash")
         .agg(
             F.countDistinct(id_col).cast("bigint").alias("n_docs"),
