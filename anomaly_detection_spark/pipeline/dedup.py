@@ -325,7 +325,15 @@ def minhash_exact_near_duplicates(
 
     # spread the re-tokenize: the semi join is map-side under the
     # broadcast hint, so grams otherwise inherits the scan's 1-3
-    # partitions and the shingle + array_distinct CPU serializes
+    # partitions and the shingle + array_distinct CPU serializes.
+    # Examined r10 (session 2): semi-joining FIRST and widening only
+    # the survivors (to shuffle O(candidate) text instead of the
+    # corpus) LOST its A/B — spreading df here reuses the SAME
+    # round-robin exchange the signature leg materializes
+    # (ReuseExchange), so the "full-corpus" shuffle is already paid
+    # once, while the rewrite added a separate serialized scan+probe
+    # pass; at real scale the spread is a no-op on both shapes, so
+    # there is no scale saving to offset the local loss.
     grams = spread_single_file(df).join(cand_ids, id_col, "left_semi").select(
         F.col(id_col),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_grams"),
