@@ -347,7 +347,7 @@ def minhash_exact_near_duplicates(
     # 2.7 s serialized — with no further exchange here
     pairs = (
         cand.join(grams.select(F.col(id_col).alias("id_a"),
-                                    F.col("_grams").alias("_ga")), "id_a")
+                               F.col("_grams").alias("_ga")), "id_a")
         .join(grams.select(F.col(id_col).alias("id_b"),
                            F.col("_grams").alias("_gb")), "id_b")
     )
