@@ -1,5 +1,18 @@
 """Differential tests: every registered query vs its DuckDB oracle
-(the driver's primary gate, run locally at sf0.001 for speed)."""
+(the driver's primary gate, run locally at sf0.001 for speed).
+
+Suite-runtime note (r11): this file used to run the whole registry
+THREE times — the parametrized compare, a second full
+`test_all_queries_run` pass, and a third construction pass for the
+schema check (DataFrame *construction* executes real jobs for the
+streaming replays, the eager-localCheckpoint LSH consumers and the
+driver-computed eval rows).  The registry has been 100% oracle-paired
+since r5, so the parametrized compare already runs every query; the
+other two passes cost 470 s of a 37-minute suite (the VERIFY_r10
+truncation) and asserted nothing the compare pass cannot.  The schema
+(driver-canonicalizability) check now rides the compare pass; the
+pairing invariant below guarantees nothing escapes it.
+"""
 
 from __future__ import annotations
 
@@ -10,34 +23,38 @@ from tests.oracle_check import compare
 
 ORACLE_NAMES = sorted(reg.ORACLES)
 
+# A top-level array/map/struct column raises ``TypeError: unhashable
+# type`` in the driver's pandas canonicalizer even when the values are
+# correct (the r02 array_functions_per_user red row).
+_NON_CANONICALIZABLE = None
+
+
+def _nested_offenders(df):
+    from pyspark.sql import types as T
+
+    bad = (T.ArrayType, T.MapType, T.StructType)
+    return [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, bad)
+    ]
+
+
+def test_registry_is_fully_oracle_paired():
+    """Every registered query must carry an oracle — this is what lets
+    the parametrized compare below stand in for a separate
+    run-every-query pass (and the driver rates oracle-paired rows
+    strictly higher anyway)."""
+    unpaired = sorted(set(reg.QUERIES) - set(reg.ORACLES))
+    assert not unpaired, f"queries without oracles: {unpaired}"
+
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_oracle(spark, sf_dir, name):
     df = reg.QUERIES[name](spark, sf_dir)
+    offenders = _nested_offenders(df)
+    assert not offenders, (
+        f"{name} emits driver-uncanonicalizable columns: {offenders}"
+    )
     problems = compare(df, reg.ORACLES[name], sf_dir)
     assert not problems, f"{name}: {problems}"
-
-
-def test_all_queries_run(spark, sf_dir):
-    for name, fn in reg.QUERIES.items():
-        df = fn(spark, sf_dir)
-        assert df.count() >= 0, name
-        assert len(df.columns) > 0, name
-
-
-def test_output_schemas_are_driver_canonicalizable(spark, sf_dir):
-    """The driver loads results into pandas and sorts each column; a
-    top-level array/map/struct column raises ``TypeError: unhashable
-    type`` there even when the values are correct (the r02
-    array_functions_per_user red row).  Serialize nested outputs
-    (array_join / to_json) instead of emitting them raw."""
-    from pyspark.sql import types as T
-
-    bad = (T.ArrayType, T.MapType, T.StructType)
-    offenders = [
-        f"{name}.{f.name}: {f.dataType.simpleString()}"
-        for name, fn in reg.QUERIES.items()
-        for f in fn(spark, sf_dir).schema.fields
-        if isinstance(f.dataType, bad)
-    ]
-    assert not offenders, offenders

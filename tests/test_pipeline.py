@@ -204,19 +204,23 @@ def test_embedding_near_duplicates_recall_multiseed(spark, sf_dir):
 
 
 def test_ivf_topk_large_query_table_no_collect(spark, sf_dir):
-    """ivf_topk must handle a 10k-row query *table* (no driver-side
-    collect of the query set) and always recover the self-match."""
+    """ivf_topk must handle a multi-thousand-row query *table* (no
+    driver-side collect of the query set) and always recover the
+    self-match.  The no-collect property is pinned by the PLAN assert
+    below (no LocalTableScan); the row volume only proves completion —
+    trimmed 10k -> 2.5k in r11 (this one test cost 70 s of the
+    37-minute suite that truncated VERIFY_r10)."""
     from anomaly_detection_spark.pipeline.similarity import ivf_index, ivf_topk
 
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    # 500 vectors x 20 replicas = 10,000 query rows
+    # 500 vectors x 5 replicas = 2,500 query rows
     q = emb.select(
-        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("rep"),
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("rep"),
         F.col("vec_id"), F.col("embedding"),
     ).select(
         (F.col("vec_id") * 1000 + F.col("rep")).alias("query_id"), "embedding"
     )
-    assert q.count() == 10_000
+    assert q.count() == 2_500
     indexed, cents = ivf_index(emb, n_clusters=8)
     top = ivf_topk(emb, q, k=1, n_clusters=8, nprobe=2,
                    indexed=indexed, centroids=cents)
@@ -225,7 +229,7 @@ def test_ivf_topk_large_query_table_no_collect(spark, sf_dir):
     hits = top.where(
         (F.col("rank") == 1) & (F.col("vec_id") == (F.col("query_id") / 1000).cast("long"))
     ).count()
-    assert hits == 10_000  # own cell is always among the probed cells
+    assert hits == 2_500  # own cell is always among the probed cells
 
 
 def test_redact_pii_masks_planted(spark):
