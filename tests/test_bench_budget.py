@@ -8,7 +8,7 @@ measures it: every BENCH_QUERIES member is run at sf0.001 and sf0.01 and
 must show sub-quadratic output growth.  A 10x input growth with a clean
 (linear or better) operator yields at most ~10x more rows; quadratic
 output yields ~100x.  The same spirit as the r02 schema-canon guard
-(``test_output_schemas_are_driver_canonicalizable``) — fail in CI before
+(the nested-type assert riding ``test_query_matches_oracle``) — fail in CI before
 the driver ever times the query.
 """
 
