@@ -294,7 +294,51 @@ ADVERSARIAL_EVENT_QUERIES = [
 ]
 
 
+# The two family-exhaustive sweeps (events 205 queries / 119 s,
+# documents 90 / 54 s) moved behind SPARK_GRAFT_ADVERSARIAL=1 in r11:
+# the default suite must fit the driver's budget (VERIFY_r10 was
+# truncated at ~75% of a 37-minute run), and these two alone were
+# ~3 min of it.  The default run keeps a SMOKE subset: every query
+# that ever produced a real find on these fixtures (the r9 ANSI-/0 and
+# sampling splits) plus a deterministic 1-in-6 slice of each family
+# for breadth.  The exhaustive sweeps stay the gate for NEW queries
+# and engine-expression changes: run them whenever a statistical
+# query's expressions change (same opt-in pattern as
+# SPARK_GRAFT_BACKLOG / SPARK_GRAFT_PLANLINT).
+_FULL_SWEEPS = bool(os.environ.get("SPARK_GRAFT_ADVERSARIAL"))
+
+_EVENT_SMOKE_FINDS = [
+    # r9 real finds on this fixture (each regressed once — pin forever)
+    "stats_corr_covar", "psi_drift_events", "ab_test_lift_events",
+    # flagship detection engines
+    "rule_flags_events", "stl_iqr_events",
+]
+
+
+def _smoke(full, finds):
+    keep = list(dict.fromkeys(finds + full[::6]))
+    return [n for n in keep if n in full or n in finds]
+
+
+def test_adversarial_events_differentials_smoke(spark):
+    d = _adversarial_events_dir(spark)
+    fails = {}
+    for name in _smoke(ADVERSARIAL_EVENT_QUERIES, _EVENT_SMOKE_FINDS):
+        try:
+            problems = compare(
+                reg.QUERIES[name](spark, d), reg.ORACLES[name], d
+            )
+        except Exception as exc:  # crash = red
+            problems = [repr(exc)[:200]]
+        if problems:
+            fails[name] = problems
+    assert not fails, fails
+
+
 def test_adversarial_events_differentials(spark):
+    if not _FULL_SWEEPS:
+        import pytest
+        pytest.skip("full-family sweep is opt-in: SPARK_GRAFT_ADVERSARIAL=1")
     d = _adversarial_events_dir(spark)
     fails = {}
     for name in ADVERSARIAL_EVENT_QUERIES:
@@ -437,7 +481,31 @@ ADVERSARIAL_DOCUMENT_QUERIES = [
 ]
 
 
+_DOCUMENT_SMOKE_FINDS = [
+    # r9 real finds on this fixture
+    "gopher_quality_docs", "weighted_sample_docs", "mixture_sample_docs",
+]
+
+
+def test_adversarial_documents_differentials_smoke(spark):
+    d = _adversarial_documents_dir(spark)
+    fails = {}
+    for name in _smoke(ADVERSARIAL_DOCUMENT_QUERIES, _DOCUMENT_SMOKE_FINDS):
+        try:
+            problems = compare(
+                reg.QUERIES[name](spark, d), reg.ORACLES[name], d
+            )
+        except Exception as exc:  # crash = red
+            problems = [repr(exc)[:200]]
+        if problems:
+            fails[name] = problems
+    assert not fails, fails
+
+
 def test_adversarial_documents_differentials(spark):
+    if not _FULL_SWEEPS:
+        import pytest
+        pytest.skip("full-family sweep is opt-in: SPARK_GRAFT_ADVERSARIAL=1")
     d = _adversarial_documents_dir(spark)
     fails = {}
     for name in ADVERSARIAL_DOCUMENT_QUERIES:
