@@ -57,7 +57,9 @@ def test_backlog_is_green_against_oracles(spark, sf_dir_oracle):
     from tests.oracle_check import compare
 
     names = backlog_names()
-    assert names, "no backlog — nothing to sweep (fine after a full sweep)"
+    if not names:
+        import pytest
+        pytest.skip("no backlog — nothing to sweep (fine after a full sweep)")
     failures = {}
     for name in names:
         try:
